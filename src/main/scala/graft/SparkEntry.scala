@@ -1,13 +1,140 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the large-scale
+  * training-data extensions) is exposed as a named query over the
+  * driver's parquet tables; exact queries carry a DuckDB oracle twin in
+  * [[oracleSql]]. Approx/sketch operators are rows-only here and
+  * bound-checked in ScalaTest (SURVEY.md §5.1).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Metrics.visitsPerMinute(Tables.logEvents(spark, "/root/testdata/sf0.001"))
+
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.logEvents(s, dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: pipeline aggregates (SURVEY.md §2.3) ----
+    "visits_per_minute" -> ((s, d) => Metrics.visitsPerMinute(ev(s, d))),
+    "unique_users_per_minute" -> ((s, d) => Metrics.uniqueUsersPerMinute(ev(s, d))),
+    "unique_users_per_minute_approx" -> ((s, d) => Metrics.uniqueUsersPerMinuteApprox(ev(s, d))),
+    "users_per_experiment_variant_minute" -> ((s, d) => Metrics.usersPerExperimentVariantMinute(ev(s, d))),
+    "unique_users_per_variant" -> ((s, d) => Metrics.uniqueUsersPerVariant(ev(s, d))),
+    "unique_users_per_variant_approx" -> ((s, d) => Metrics.uniqueUsersPerVariantApprox(ev(s, d))),
+    "unique_users_per_experiment" -> ((s, d) => Metrics.uniqueUsersPerExperiment(ev(s, d))),
+    "active_experiments_per_minute" -> ((s, d) => Metrics.activeExperimentsPerMinute(ev(s, d))),
+    "active_variants_per_minute" -> ((s, d) => Metrics.activeVariantsPerMinute(ev(s, d))),
+    "variant_overlap" -> ((s, d) => Metrics.variantOverlap(ev(s, d))),
+    // ---- reference parity: dashboard read shapes (SURVEY.md §2.4) ----
+    "visits_timeseries" -> ((s, d) => Metrics.visitsTimeseries(ev(s, d))),
+    "users_timeseries" -> ((s, d) => Metrics.usersTimeseries(ev(s, d))),
+    "experiments_timeseries" -> ((s, d) => Metrics.experimentsTimeseries(ev(s, d))),
+    "times_spine" -> ((s, d) => Metrics.timesSpine(ev(s, d))),
+    // ---- reference parity: JSON parse path (SURVEY.md §2.2 P1) ----
+    "parse_events_json" -> ((s, d) => {
+      val raw = Tables.events(s, d).select(to_json(struct(
+        col("user_id").cast("string").as("uid"),
+        get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"),
+        col("ts").as("timestamp"))).as("value"))
+      Tables.parseJsonEvents(raw)
+        .groupBy(col("variant")).agg(count(lit(1)).as("n_events"))
+        .orderBy("variant")
+    })
+  )
+
+  // Shared oracle-SQL fragments (DuckDB dialect).
+  private val MinuteFmt = "%Y_%m_%dT%H_%M"
+  private def spineCte(lastMinutes: Int = 10): String =
+    s"""WITH now_m AS (SELECT date_trunc('minute', max(ts)) AS m FROM events),
+       |spine AS (SELECT unnest(generate_series(
+       |  (SELECT m FROM now_m) - INTERVAL $lastMinutes MINUTE,
+       |  (SELECT m FROM now_m) - INTERVAL 1 MINUTE,
+       |  INTERVAL 1 MINUTE)) AS minute_start)""".stripMargin
+  /** events normalized to the LogEvent view (FIXTURES.md §2 mapping). */
+  private val evCte =
+    """ev AS (SELECT cast(user_id AS varchar) AS uid,
+      |  json_extract_string(props, '$.k') AS experiment_id,
+      |  event_type AS variant, ts AS "timestamp" FROM events)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "visits_per_minute" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(*) AS visits FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unique_users_per_minute" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(DISTINCT uid) AS unique_users FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "users_per_experiment_variant_minute" ->
+      s"""WITH $evCte
+         |SELECT experiment_id, variant,
+         |  strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(DISTINCT uid) AS unique_users
+         |FROM ev GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "unique_users_per_variant" ->
+      s"""WITH $evCte
+         |SELECT variant, count(DISTINCT uid) AS unique_users
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unique_users_per_experiment" ->
+      s"""WITH $evCte
+         |SELECT experiment_id, count(DISTINCT uid) AS unique_users
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "active_experiments_per_minute" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(DISTINCT experiment_id) AS active_experiments
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "active_variants_per_minute" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(DISTINCT variant) AS active_variants
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "variant_overlap" ->
+      """WITH uv AS (SELECT DISTINCT event_type AS variant, user_id FROM events)
+        |SELECT a.variant AS variant_a, b.variant AS variant_b,
+        |  count(*) AS overlap_users
+        |FROM uv a JOIN uv b ON a.user_id = b.user_id AND a.variant < b.variant
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "visits_timeseries" ->
+      s"""${spineCte()},
+         |agg AS (SELECT date_trunc('minute', ts) AS minute_start, count(*) AS visits
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(spine.minute_start, '$MinuteFmt') AS minute_key,
+         |  coalesce(agg.visits, 0) AS visits
+         |FROM spine LEFT JOIN agg USING (minute_start) ORDER BY minute_key""".stripMargin,
+    "users_timeseries" ->
+      s"""${spineCte()},
+         |agg AS (SELECT date_trunc('minute', ts) AS minute_start,
+         |  count(DISTINCT user_id) AS unique_users FROM events GROUP BY 1)
+         |SELECT strftime(spine.minute_start, '$MinuteFmt') AS minute_key,
+         |  coalesce(agg.unique_users, 0) AS unique_users
+         |FROM spine LEFT JOIN agg USING (minute_start) ORDER BY minute_key""".stripMargin,
+    "experiments_timeseries" ->
+      s"""${spineCte()},
+         |agg AS (SELECT date_trunc('minute', ts) AS minute_start,
+         |  count(DISTINCT json_extract_string(props, '$$.k')) AS active_experiments
+         |  FROM events GROUP BY 1)
+         |SELECT strftime(spine.minute_start, '$MinuteFmt') AS minute_key,
+         |  coalesce(agg.active_experiments, 0) AS active_experiments
+         |FROM spine LEFT JOIN agg USING (minute_start) ORDER BY minute_key""".stripMargin,
+    "times_spine" ->
+      s"""${spineCte()}
+         |SELECT strftime(minute_start, '$MinuteFmt') AS minute_key
+         |FROM spine ORDER BY 1""".stripMargin,
+    "parse_events_json" ->
+      """SELECT event_type AS variant, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

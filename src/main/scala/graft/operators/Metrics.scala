@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.LogEvent.{Uid, ExperimentId, Variant, Ts}
+import Windows.{minuteKey, zeroFilledSeries}
+
+/** The reference's full metric catalog (SURVEY.md §2.3/§2.4, A1–A9 and
+  * Q1–Q5), re-expressed as declarative Spark aggregations over the
+  * normalized LogEvent stream.
+  *
+  * Where the reference incrementally merges per-event state into Redis
+  * (INCRBY/PFADD/SADD keyed by `(family, dims, minute)`,
+  * MetricsCalculationPipeline.java:59-193), we declare the equivalent
+  * `groupBy(...).agg(...)` and let Spark's partial aggregation do the
+  * map-side merge — the same mergeable-state model, with the shuffle
+  * carrying partially-aggregated state rather than raw events.
+  *
+  * Every metric that the reference keeps in dual approx (HLL) + exact
+  * (set) form gets both an `_approx` (`approx_count_distinct`, HLL++)
+  * and an exact (`countDistinct`) variant (README.md:22-30 rationale).
+  * Only exact variants are DuckDB-oracle-checked; approx variants are
+  * bound-checked in ScalaTest (SURVEY.md §5.1).
+  *
+  * All inputs are the normalized LogEvent frame from
+  * [[graft.sources.Tables.logEvents]]; all time outputs are rendered
+  * through the reference's minute-key string format.
+  */
+object Metrics {
+
+  /** A1 — visits (event count) per minute
+    * (reference: MetricsCalculationPipeline.java:59-71). */
+  def visitsPerMinute(ev: DataFrame): DataFrame =
+    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+      .agg(count(lit(1)).as("visits"))
+      .orderBy("minute_key")
+
+  /** A2 approx — unique users per minute, HLL estimate
+    * (reference: PFADD/PFCOUNT, MetricsCalculationPipeline.java:183-189). */
+  def uniqueUsersPerMinuteApprox(ev: DataFrame, rsd: Double = 0.05): DataFrame =
+    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+      .agg(approx_count_distinct(col(Uid), rsd).as("unique_users"))
+      .orderBy("minute_key")
+
+  /** A3 exact — unique users per minute (reference: SADD shadow,
+    * MetricsCalculationPipeline.java:191-193). */
+  def uniqueUsersPerMinute(ev: DataFrame): DataFrame =
+    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+      .agg(countDistinct(col(Uid)).as("unique_users"))
+      .orderBy("minute_key")
+
+  /** A4 — unique users per experiment x variant x minute (3-dim key,
+    * reference: MetricsCalculationPipeline.java:73-87). */
+  def usersPerExperimentVariantMinute(ev: DataFrame): DataFrame =
+    ev.groupBy(
+        col(ExperimentId), col(Variant),
+        minuteKey(col(Ts)).as("minute_key"))
+      .agg(countDistinct(col(Uid)).as("unique_users"))
+      .orderBy(ExperimentId, Variant, "minute_key")
+
+  def usersPerExperimentVariantMinuteApprox(ev: DataFrame): DataFrame =
+    ev.groupBy(
+        col(ExperimentId), col(Variant),
+        minuteKey(col(Ts)).as("minute_key"))
+      .agg(approx_count_distinct(col(Uid)).as("unique_users"))
+      .orderBy(ExperimentId, Variant, "minute_key")
+
+  /** A5 — unique users per variant, all time
+    * (reference: MetricsCalculationPipeline.java:90-107). */
+  def uniqueUsersPerVariant(ev: DataFrame): DataFrame =
+    ev.groupBy(col(Variant))
+      .agg(countDistinct(col(Uid)).as("unique_users"))
+      .orderBy(Variant)
+
+  def uniqueUsersPerVariantApprox(ev: DataFrame): DataFrame =
+    ev.groupBy(col(Variant))
+      .agg(approx_count_distinct(col(Uid)).as("unique_users"))
+      .orderBy(Variant)
+
+  /** A6 — unique users per experiment, all time
+    * (reference: MetricsCalculationPipeline.java:109-129). */
+  def uniqueUsersPerExperiment(ev: DataFrame): DataFrame =
+    ev.groupBy(col(ExperimentId))
+      .agg(countDistinct(col(Uid)).as("unique_users"))
+      .orderBy(ExperimentId)
+
+  /** A7 — active experiments per minute: distinct *experiment ids*, not
+    * uids (reference: MetricsCalculationPipeline.java:131-155, read via
+    * SCARD TimeseriesMetricsController.java:88-107). */
+  def activeExperimentsPerMinute(ev: DataFrame): DataFrame =
+    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+      .agg(countDistinct(col(ExperimentId)).as("active_experiments"))
+      .orderBy("minute_key")
+
+  /** A8 — active variants per minute
+    * (reference: MetricsCalculationPipeline.java:157-180). */
+  def activeVariantsPerMinute(ev: DataFrame): DataFrame =
+    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+      .agg(countDistinct(col(Variant)).as("active_variants"))
+      .orderBy("minute_key")
+
+  /** A9 / Q4 — pairwise variant user-overlap. The reference enumerates
+    * all C(n,2) unordered variant pairs and runs SINTERSTORE + SCARD per
+    * pair (TimeseriesMetricsController.java:109-136) — O(pairs) Redis
+    * round trips. Here a single distinct self-join computes every pair
+    * at once; `variant_a < variant_b` reproduces the unordered-pair,
+    * no-self-pair semantics of `Sets.combinations(n, 2)`.
+    *
+    * Scale note: the distinct (variant, uid) frame is |variants| x
+    * |users| at most; the self-join shuffles on uid (the high-
+    * cardinality side) and aggregates partial — no pair blow-up before
+    * the join, and pairs with zero overlap never materialize.
+    */
+  def variantOverlap(ev: DataFrame): DataFrame = {
+    val uv = ev.select(col(Variant), col(Uid)).distinct()
+    val a = uv.toDF("variant_a", Uid)
+    val b = uv.toDF("variant_b", Uid)
+    a.join(b, Seq(Uid))
+      .where(col("variant_a") < col("variant_b"))
+      .groupBy("variant_a", "variant_b")
+      .agg(count(lit(1)).as("overlap_users"))
+      .orderBy("variant_a", "variant_b")
+  }
+
+  /** Q1 — visits time series: last N closed minutes, zero-filled
+    * (reference: TimeseriesMetricsController.java:45-67). */
+  def visitsTimeseries(ev: DataFrame, lastMinutes: Int = 10): DataFrame = {
+    val agg = ev
+      .groupBy(Windows.minuteStart(col(Ts)).as("minute_start"))
+      .agg(count(lit(1)).as("visits"))
+    zeroFilledSeries(ev, col(Ts), lastMinutes, agg, "visits")
+  }
+
+  /** Q2 — unique-users time series (exact twin of the PFCOUNT read,
+    * reference: TimeseriesMetricsController.java:69-86). */
+  def usersTimeseries(ev: DataFrame, lastMinutes: Int = 10): DataFrame = {
+    val agg = ev
+      .groupBy(Windows.minuteStart(col(Ts)).as("minute_start"))
+      .agg(countDistinct(col(Uid)).as("unique_users"))
+    zeroFilledSeries(ev, col(Ts), lastMinutes, agg, "unique_users")
+  }
+
+  /** Q3 — active-experiments time series (reference:
+    * TimeseriesMetricsController.java:88-107, SCARD read). */
+  def experimentsTimeseries(ev: DataFrame, lastMinutes: Int = 10): DataFrame = {
+    val agg = ev
+      .groupBy(Windows.minuteStart(col(Ts)).as("minute_start"))
+      .agg(countDistinct(col(ExperimentId)).as("active_experiments"))
+    zeroFilledSeries(ev, col(Ts), lastMinutes, agg, "active_experiments")
+  }
+
+  /** Q5 — the spine itself (reference:
+    * TimeseriesMetricsController.java:138-152). */
+  def timesSpine(ev: DataFrame, lastMinutes: Int = 10): DataFrame =
+    Windows.timeSpine(ev, col(Ts), lastMinutes)
+      .select(date_format(col("minute_start"), Windows.MinuteKeyFormat)
+        .as("minute_key"))
+      .orderBy("minute_key")
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.LogEvent
+
+/** Batch sources: the driver-generated parquet tables plus the
+  * normalization of the generic `events` table onto the reference's
+  * `LogEvent` model (see FIXTURES.md §2 mapping).
+  *
+  * All readers are plain `spark.read.parquet` so Catalyst gets full
+  * predicate pushdown / column pruning / vectorized scans; at cluster
+  * scale the same call works on a partitioned directory tree unchanged.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read it as a raw
+    * nanos long (legacy conf) and floor-truncate to microseconds —
+    * exactly what DuckDB does when it reads the same column, so oracle
+    * comparisons see identical values. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+
+  /** The `events` table viewed as the reference's click-stream
+    * (FIXTURES.md §2): user_id → uid, event_type → variant,
+    * props.$.k → experiment_id, ts → event time.
+    *
+    * `get_json_object` mirrors the reference's Jackson JSON field
+    * extraction (reference: ParseMessageAsLogElement.java:44-49).
+    */
+  def logEvents(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast("string").as(LogEvent.Uid),
+      get_json_object(col("props"), "$.k").as(LogEvent.ExperimentId),
+      col("event_type").as(LogEvent.Variant),
+      col("ts").as(LogEvent.Ts))
+
+  /** P1 — parse a raw JSON click-stream (`Dataset[String]`-shaped
+    * DataFrame with a `value` column) into typed LogEvent rows,
+    * silently dropping malformed records, exactly like the reference's
+    * parse DoFn (reference: ParseMessageAsLogElement.java:31-50, drop
+    * at :39-41 — malformed JSON is logged and skipped, no dead-letter).
+    *
+    * `from_json` returns null for unparseable rows; we additionally
+    * require a parseable timestamp (the reference's Joda parse throws →
+    * drop). Works identically on batch and streaming DataFrames.
+    */
+  def parseJsonEvents(raw: DataFrame): DataFrame = {
+    raw
+      .select(from_json(col("value"), LogEvent.jsonSchema).as("e"))
+      .where(col("e").isNotNull && col("e.timestamp").isNotNull &&
+        col("e.uid").isNotNull)
+      .select(
+        col("e.uid").as(LogEvent.Uid),
+        col("e.experiment_id").as(LogEvent.ExperimentId),
+        col("e.variant").as(LogEvent.Variant),
+        col("e.timestamp").as(LogEvent.Ts))
+  }
+}
