@@ -49,7 +49,21 @@ object SparkEntry {
       Tables.parseJsonEvents(raw)
         .groupBy(col("variant")).agg(count(lit(1)).as("n_events"))
         .orderBy("variant")
-    })
+    }),
+    // ---- relational extensions (SURVEY.md §2.5 / §7.2.6) ----
+    "pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "top_orders_by_revenue" -> ((s, d) =>
+      Relational.topOrdersByRevenue(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
+    "orders_without_lineitems" -> ((s, d) =>
+      Relational.ordersWithoutLineitems(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "late_shipment_priority" -> ((s, d) =>
+      Relational.lateShipmentPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "pricing_rollup" -> ((s, d) => Relational.pricingRollup(Tables.lineitem(s, d))),
+    "lineitem_running_window" -> ((s, d) => Relational.lineitemRunningWindow(Tables.lineitem(s, d))),
+    "segment_nation_balance" -> ((s, d) =>
+      Relational.segmentNationBalance(Tables.customer(s, d), Tables.nation(s, d))),
+    "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d)))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).
@@ -135,6 +149,15 @@ object SparkEntry {
          |FROM spine ORDER BY 1""".stripMargin,
     "parse_events_json" ->
       """SELECT event_type AS variant, count(*) AS n_events
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pricing_summary" -> Relational.pricingSummarySql,
+    "top_orders_by_revenue" -> Relational.topOrdersByRevenueSql,
+    "revenue_by_nation" -> Relational.revenueByNationSql,
+    "orders_without_lineitems" -> Relational.ordersWithoutLineitemsSql,
+    "late_shipment_priority" -> Relational.lateShipmentPrioritySql,
+    "pricing_rollup" -> Relational.pricingRollupSql,
+    "lineitem_running_window" -> Relational.lineitemRunningWindowSql,
+    "segment_nation_balance" -> Relational.segmentNationBalanceSql,
+    "top_parts_per_brand" -> Relational.topPartsPerBrandSql()
   )
 }

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational extension suite over the TPC-H-ish star schema.
+  *
+  * The reference has no general joins, sorts, limits, window functions,
+  * or grouping sets (SURVEY.md §2.5) — these queries extend the engine
+  * to full relational coverage, exercising every join strategy Spark
+  * offers (broadcast for bounded dims, shuffled hash/sort-merge for
+  * fact-fact, semi/anti for existence), ranking windows, rollup, and
+  * top-k, all as declarative plans Catalyst can optimize (filter
+  * pushdown to parquet, column pruning, AQE join re-planning).
+  *
+  * Money arithmetic note: every aggregate over monetary doubles is
+  * computed through explicit DECIMAL casts (exact, order-insensitive)
+  * and converted to double only at the output edge. The SQL fragments
+  * are shared verbatim with the DuckDB oracle so both engines evaluate
+  * the identical exact expression — summing raw doubles would be
+  * partition-order-dependent and could never hash-match an oracle.
+  */
+object Relational {
+
+  /** Exact discounted price: extendedprice * (1 - discount), DECIMAL all the way. */
+  val DiscPriceSql: String =
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)) AS DECIMAL(18,4))"
+  /** Exact charged price: disc_price * (1 + tax). */
+  val ChargeSql: String =
+    s"CAST($DiscPriceSql * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2)) AS DECIMAL(24,6))"
+
+  /** TPC-H Q1-style pricing summary: single-table scan + grouped
+    * aggregate; the shipdate filter is pushed to the parquet scan and
+    * partial aggregation reduces each partition to ≤|flag x status|
+    * rows before the shuffle — the canonical map-side-combine shape. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .where(col("l_shipdate") <= expr("TIMESTAMP '2001-09-01 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr(s"CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"),
+        expr(s"CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("sum_base_price"),
+        expr(s"CAST(sum($DiscPriceSql) AS DOUBLE)").as("sum_disc_price"),
+        expr(s"CAST(sum($ChargeSql) AS DOUBLE)").as("sum_charge"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)").as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       |  CAST(sum($DiscPriceSql) AS DOUBLE) AS sum_disc_price,
+       |  CAST(sum($ChargeSql) AS DOUBLE) AS sum_charge,
+       |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join narrowed by pushed
+    * filters, then top-10 revenue. customer/orders are filtered before
+    * the join (Catalyst pushes both), and the final TakeOrderedAndProject
+    * avoids a global sort of the full join output. */
+  def topOrdersByRevenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    customer.where(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .where(col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+      .join(lineitem.where(col("l_shipdate") > expr("TIMESTAMP '1998-01-01 00:00:00'")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(expr(s"CAST(sum($DiscPriceSql) AS DOUBLE)").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  def topOrdersByRevenueSql: String =
+    s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       |  o_orderpriority, CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join where the
+    * customer and supplier must share a nation. region/nation are
+    * bounded dims → explicit broadcast; the fact-side joins shuffle on
+    * their keys and AQE re-plans the rest at runtime. */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables.nation(spark, sfDir)
+    val region = Tables.region(spark, sfDir).where(col("r_name") === "ASIA")
+    val customer = Tables.customer(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+      .where(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1998-01-01 00:00:00'"))
+    val lineitem = Tables.lineitem(spark, sfDir)
+    val supplier = Tables.supplier(spark, sfDir)
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier,
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(expr(s"CAST(sum($DiscPriceSql) AS DOUBLE)").as("revenue"))
+      .orderBy("n_name")
+  }
+
+  def revenueByNationSql: String =
+    s"""SELECT n_name, CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Anti join: orders with no lineitems. At scale this is a shuffled
+    * left-anti on the order key — no distinct/collect needed. */
+  def ordersWithoutLineitems(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  def ordersWithoutLineitemsSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Semi join + interval predicate (TPC-H Q4 flavor): orders with at
+    * least one line shipped ≥60 days after the order date, counted per
+    * priority. */
+  def lateShipmentPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  def lateShipmentPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Rollup (grouping sets): pricing totals at (flag, status), (flag),
+    * and grand-total levels; NULL grouping slots rendered as 'ALL'. */
+  def pricingRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        expr("CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_lines"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  def pricingRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Analytic window functions: per-order line sequence + running
+    * quantity. One shuffle on l_orderkey, sort within partitions —
+    * the partition key is the natural data layout for lineitem, so at
+    * scale this benefits from bucketing on l_orderkey.
+    *
+    * The window order includes l_quantity because (l_orderkey,
+    * l_linenumber) is NOT unique in this data — without it the running
+    * sum would be ambiguous wherever duplicate line numbers carry
+    * different quantities. */
+  def lineitemRunningWindow(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        expr("CAST(l_quantity AS DECIMAL(12,2))").as("qty_dec"))
+      .withColumn("line_seq", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+          .orderBy(col("l_shipdate"), col("l_linenumber"), col("qty_dec"))))
+      .withColumn("running_qty", expr("CAST(sum(qty_dec) OVER (" +
+        "PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, qty_dec " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("line_seq"),
+        col("running_qty"))
+      .orderBy("l_orderkey", "line_seq")
+
+  def lineitemRunningWindowSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  row_number() OVER w AS line_seq,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, CAST(l_quantity AS DECIMAL(12,2))
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber, CAST(l_quantity AS DECIMAL(12,2)))
+      |ORDER BY l_orderkey, line_seq""".stripMargin
+
+  /** Broadcast dim join + multi-level aggregate: average account
+    * balance per market segment x nation. */
+  def segmentNationBalance(customer: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)").as("sum_acctbal"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)").as("avg_acctbal"))
+      .orderBy("c_mktsegment", "n_name")
+
+  def segmentNationBalanceSql: String =
+    """SELECT c_mktsegment, n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Top-k per group via ranking window (the "top 3 parts by retail
+    * price per brand" shape): rank + filter, no global sort. */
+  def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
+    part
+      .withColumn("price_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))))
+      .where(col("price_rank") <= k)
+      .select(col("p_brand"), col("price_rank"), col("p_partkey"),
+        col("p_name"))
+      .orderBy("p_brand", "price_rank")
+
+  def topPartsPerBrandSql(k: Int = 3): String =
+    s"""SELECT p_brand, price_rank, p_partkey, p_name FROM (
+       |  SELECT p_brand, p_partkey, p_name,
+       |    row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY p_retailprice DESC, p_partkey) AS price_rank
+       |  FROM part)
+       |WHERE price_rank <= $k ORDER BY p_brand, price_rank""".stripMargin
+}
