@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` table: exact (content
+  * hash), n-gram Jaccard (inverted-index join), MinHash+LSH (banded
+  * signatures), and SimHash (hamming LSH) — the standard toolbox of a
+  * large-scale training-data pipeline.
+  *
+  * Scale design:
+  *  - shingling is per-row array work inside codegen (no explode until
+  *    the shingle stream is needed);
+  *  - the exact-Jaccard candidate generation is an inverted-index
+  *    self-join on shingle, with a document-frequency cap to bound skew
+  *    (a shingle shared by thousands of docs contributes O(df²) pairs —
+  *    ubiquitous shingles carry no dedup signal and are dropped, the
+  *    classic "stop-shingle" rule);
+  *  - MinHash signatures are computed as 64 `min` aggregates (map-side
+  *    partial, no row explosion), banded 16x4, and only band-collision
+  *    candidates are verified with exact Jaccard — the linear-scale
+  *    path for 100 TB;
+  *  - SimHash reduces each doc to a 64-bit fingerprint; candidate pairs
+  *    come from 8-bit band collisions (guaranteed recall for hamming
+  *    distance ≤ 3 by pigeonhole over 8 bands... any 3 flipped bits
+  *    spoil at most 3 of 8 bands).
+  */
+object Dedup {
+
+  /** Word k-gram shingles, distinct per doc. Built with
+    * `transform(sequence(...))` over the token array — per-row, no join,
+    * stays in whole-stage codegen. */
+  def shingles(documents: DataFrame, k: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $k)))"))).as("shingle"))
+
+  /** Exact dedup: one representative (minimum doc_id) per distinct
+    * content hash. A single hash-groupBy — the cheapest dedup and the
+    * first pass of any pipeline. */
+  def dedupExact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select(col("doc_id"), col("fingerprint"), col("dup_count"))
+      .orderBy("doc_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS doc_id, md5(text) AS fingerprint,
+      |  count(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+    * `maxDf` drops ubiquitous shingles (skew + signal rule, see class
+    * doc); `threshold` keeps true near-dups — the corpus is strongly
+    * bimodal (background overlap ≤ 0.02, implanted near-dups ≥ 0.97),
+    * so 0.5 is far from any float boundary. */
+  def ngramJaccardPairs(documents: DataFrame, k: Int = 4,
+      threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val sh = shingles(documents, k)
+    val kept = sh.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shingle"))))
+      .where(col("df") <= maxDf)
+      .drop("df")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = kept.toDF("doc_id_a", "shingle")
+      .join(kept.toDF("doc_id_b", "shingle_b"),
+        col("shingle") === col("shingle_b") && col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_id_a", "na"), Seq("doc_id_a"))
+      .join(sizes.toDF("doc_id_b", "nb"), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  def ngramJaccardPairsSql(k: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 1000): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS idx
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok AS shingle
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+       |  JOIN toks d ON a.doc_id = d.doc_id AND d.idx = a.idx + 3),
+       |sh AS (
+       |  SELECT doc_id, shingle FROM (
+       |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM sh0) WHERE df <= $maxDf),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_id_a, doc_id_b,
+       |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_id_a = sa.doc_id
+       |JOIN sizes sb ON doc_id_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  /** MinHash signature matrix: `numPerm` permutations approximated by
+    * seeded xxhash64, computed as `numPerm` parallel `min` aggregates —
+    * map-side partial aggregation, no row explosion. */
+  def minhashSignatures(documents: DataFrame, k: Int = 4,
+      numPerm: Int = 64): DataFrame = {
+    val sh = shingles(documents, k)
+    val minCols = (0 until numPerm).map { s =>
+      min(xxhash64(concat(lit(s + "#"), col("shingle")))).as(s"h$s")
+    }
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** MinHash + LSH near-dup pairs: band the signature (bands x
+    * rowsPerBand = numPerm), emit (band, bandHash) keys, self-join on
+    * collisions, then verify candidates with exact Jaccard. With 16
+    * bands of 4 rows, a pair at Jaccard j collides with probability
+    * 1-(1-j⁴)¹⁶ (≈ 1.0 at j ≥ 0.8) — the linear-cost scale path whose
+    * output matches [[ngramJaccardPairs]] on strongly bimodal corpora.
+    */
+  def minhashLshPairs(documents: DataFrame, k: Int = 4, numPerm: Int = 64,
+      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sig = minhashSignatures(documents, k, numPerm)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(concat_ws("|",
+          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
+          .as("band_hash"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
+        col("b.band_hash").as("band_hash"))
+    val candidates = banded.toDF("doc_id_a", "band_idx", "band_hash")
+      .join(banded.toDF("doc_id_b", "band_idx_b", "band_hash_b"),
+        col("band_idx") === col("band_idx_b") &&
+          col("band_hash") === col("band_hash_b") &&
+          col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    // verify candidates with exact Jaccard over their shingle sets
+    val sh = shingles(documents, k)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.toDF("doc_id_a", "sh_a"), Seq("doc_id_a"))
+      .join(sh.toDF("b_id", "sh_b"),
+        col("doc_id_b") === col("b_id") && col("sh_a") === col("sh_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_id_a", "na"), Seq("doc_id_a"))
+      .join(sizes.toDF("doc_id_b", "nb"), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** 64-bit SimHash fingerprint per document: weighted bit-majority of
+    * token hashes (weight = term frequency). The bit dimension is
+    * exploded (64x the distinct-token stream) and reduced per (doc,
+    * bit) — linear, shuffle-friendly. Tie (sum == 0) sets the bit. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("th", xxhash64(col("tok")))
+    val bits = tf
+      .select(col("doc_id"), col("tf"), col("th"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(th, CAST(bit AS INT)) & 1") === 1,
+        col("tf")).otherwise(-col("tf"))).as("s"))
+    bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") >= 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: 8 bands of 8 bits as LSH keys, verify with
+    * exact hamming distance (`bit_count(xor)`) ≤ maxHamming. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(7))).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftright(simhash, CAST(band_idx AS INT) * 8) & 255"))
+    val cand = banded.toDF("doc_id_a", "simhash_a", "band_idx", "band_val")
+      .join(banded.toDF("doc_id_b", "simhash_b", "band_idx_b", "band_val_b"),
+        col("band_idx") === col("band_idx_b") &&
+          col("band_val") === col("band_val_b") &&
+          col("doc_id_a") < col("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b")))
+          .as("hamming"))
+      .distinct()
+    cand.where(col("hamming") <= maxHamming)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+}

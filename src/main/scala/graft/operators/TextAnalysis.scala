@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * large-scale training-data-pipeline surface (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Everything is whitespace tokenization + codegen'd built-in column
+  * functions (no UDFs): per-row work stays inside whole-stage codegen
+  * and scales embarrassingly parallel; the only shuffles are the final
+  * per-source / per-language aggregations, which are partially
+  * aggregated map-side first.
+  *
+  * Tokenization contract shared with the DuckDB oracle: split on a
+  * single space (the corpus is single-spaced ASCII) — Spark
+  * `split(text, ' ')` ≡ DuckDB `string_split(text, ' ')`.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language marker lexicons for the n-gram/lexicon language
+    * heuristic. Deliberately small and deterministic; the interesting
+    * part is the distributed argmax, not the lexicon. */
+  val Lexicons: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
+    "es" -> "el", "es" -> "la", "es" -> "los", "es" -> "de",
+    "fr" -> "le", "fr" -> "les", "fr" -> "des", "fr" -> "et",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und")
+
+  private def lexiconDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Lexicons.toDF("lex_lang", "tok")
+  }
+
+  /** Document fingerprint: content hash + surface stats. md5 is the
+    * cross-engine-stable content fingerprint (same hex in Spark and
+    * DuckDB); it doubles as the exact-dedup key. */
+  def docFingerprint(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      md5(col("text")).as("fingerprint"),
+      length(col("text")).as("text_len"),
+      size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  val docFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fingerprint, length(text) AS text_len,
+      |  len(string_split(text, ' ')) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting: per-source corpus statistics. `n_tokens` uses a
+    * whitespace split; `n_distinct_tokens` is the per-source vocabulary
+    * (exploded + distinct — a shuffle on (source, token), partially
+    * aggregated). */
+  def tokenCount(documents: DataFrame): DataFrame = {
+    val toks = documents.select(
+      col("source"),
+      explode(split(col("text"), " ")).as("tok"))
+    val perSource = documents.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " "))).as("n_tokens"))
+    val vocab = toks.groupBy(col("source"))
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    perSource.join(vocab, Seq("source")).orderBy("source")
+  }
+
+  val tokenCountSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT d.source, d.n_docs, d.n_tokens, v.n_distinct_tokens
+      |FROM (SELECT source, count(*) AS n_docs,
+      |        sum(len(string_split(text, ' '))) AS n_tokens
+      |      FROM documents GROUP BY 1) d
+      |JOIN (SELECT source, count(DISTINCT tok) AS n_distinct_tokens
+      |      FROM toks GROUP BY 1) v USING (source)
+      |ORDER BY source""".stripMargin
+
+  /** Quality scoring: per-document surface heuristics used to filter
+    * training corpora — length, token count, vocabulary richness
+    * (type-token ratio), mean token length. All single-pass per-row
+    * except the distinct-token count, which needs the exploded distinct.
+    * Ratios are a single double division of exact integers, so they are
+    * bit-identical across engines. */
+  def textQuality(documents: DataFrame): DataFrame = {
+    val perDoc = documents.select(
+      col("doc_id"),
+      length(col("text")).as("text_len"),
+      size(split(col("text"), " ")).as("n_tokens"))
+    val distincts = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"),
+        sum(length(col("tok"))).as("sum_tok_len"))
+    perDoc.join(distincts, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("text_len"), col("n_tokens"),
+        col("n_distinct_tokens"),
+        (col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double")).as("type_token_ratio"),
+        (col("sum_tok_len").cast("double") / col("n_tokens").cast("double")).as("avg_token_len"),
+        (col("n_tokens") >= 32).as("passes_min_len"))
+      .orderBy("doc_id")
+  }
+
+  val textQualitySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |per_doc AS (
+      |  SELECT doc_id, length(text) AS text_len,
+      |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |d AS (
+      |  SELECT doc_id, count(DISTINCT tok) AS n_distinct_tokens,
+      |    sum(length(tok)) AS sum_tok_len FROM toks GROUP BY 1)
+      |SELECT p.doc_id, p.text_len, p.n_tokens, d.n_distinct_tokens,
+      |  CAST(d.n_distinct_tokens AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS type_token_ratio,
+      |  CAST(d.sum_tok_len AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS avg_token_len,
+      |  p.n_tokens >= 32 AS passes_min_len
+      |FROM per_doc p JOIN d USING (doc_id) ORDER BY p.doc_id""".stripMargin
+
+  /** Lexicon language ID: count marker-token hits per language
+    * (broadcast join against the tiny lexicon), take the argmax with a
+    * deterministic tie-break (higher hits, then lexicographic lang);
+    * zero hits → 'und'. The heavy side is the exploded token stream;
+    * the lexicon side broadcasts, so there is one shuffle (doc_id
+    * aggregation). */
+  def langId(spark: SparkSession, documents: DataFrame): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val hits = toks
+      .join(broadcast(lexiconDf(spark)), Seq("tok"))
+      .groupBy(col("doc_id"), col("lex_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val best = hits
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("hits").desc, col("lex_lang"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("lex_lang").as("predicted_lang"), col("hits"))
+    documents.select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("labeled_lang"),
+        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("hits"), lit(0L)).as("marker_hits"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    val lexValues = Lexicons
+      .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+    s"""WITH lex(lex_lang, tok) AS (VALUES $lexValues),
+       |toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lex_lang, count(*) AS hits
+       |  FROM toks JOIN lex USING (tok) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lex_lang AS predicted_lang, hits,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hits DESC, lex_lang) AS rk
+       |  FROM hits)
+       |SELECT d.doc_id, d.lang AS labeled_lang,
+       |  coalesce(b.predicted_lang, 'und') AS predicted_lang,
+       |  coalesce(b.hits, 0) AS marker_hits
+       |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+       |  USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+}
