@@ -63,7 +63,24 @@ object SparkEntry {
     "lineitem_running_window" -> ((s, d) => Relational.lineitemRunningWindow(Tables.lineitem(s, d))),
     "segment_nation_balance" -> ((s, d) =>
       Relational.segmentNationBalance(Tables.customer(s, d), Tables.nation(s, d))),
-    "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d)))
+    "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
+    // ---- text analysis (training-data pipeline ops) ----
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(s, Tables.documents(s, d))),
+    // ---- deduplication ----
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // ---- similarity search ----
+    "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
+    "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
+    "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    // ---- multimodal binary-column plumbing (decode stubbed) ----
+    "multimodal_feature_summary" -> ((s, d) =>
+      Multimodal.featureSummary(s, Tables.documents(s, d)))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).
@@ -158,6 +175,14 @@ object SparkEntry {
     "pricing_rollup" -> Relational.pricingRollupSql,
     "lineitem_running_window" -> Relational.lineitemRunningWindowSql,
     "segment_nation_balance" -> Relational.segmentNationBalanceSql,
-    "top_parts_per_brand" -> Relational.topPartsPerBrandSql()
+    "top_parts_per_brand" -> Relational.topPartsPerBrandSql(),
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "text_quality" -> TextAnalysis.textQualitySql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    "embedding_near_dup" -> Similarity.embeddingNearDupSql()
   )
 }

@@ -1,0 +1,175 @@
+package graft.streaming
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.LogEvent
+import graft.operators.Windows
+
+/** The streaming metrics store — the engine's stand-in for the
+  * reference's Redis instance. Keys follow the reference's key language
+  * `{family}_{dims}_{minute}` (MetricsCalculationPipeline.java:198-243);
+  * merge operations are commutative/idempotent counterparts of
+  * INCRBY / SADD, applied once per micro-batch (so, unlike the
+  * reference's at-least-once INCRBY, counts are exactly-once —
+  * SURVEY.md §7.3 notes this as a deliberate improvement).
+  *
+  * In production this would be an external KV store written from
+  * `foreachBatch`; a TrieMap keeps the engine self-contained and the
+  * merge semantics identical.
+  */
+class MetricsStore extends Serializable {
+  val counters = TrieMap.empty[String, Long]
+  val sets = TrieMap.empty[String, Set[String]]
+
+  /** INCRBY analog (MetricsCalculationPipeline.java:54-71). */
+  def incrBy(key: String, n: Long): Unit =
+    counters.updateWith(key) { case prev => Some(prev.getOrElse(0L) + n) }
+
+  /** Upsert analog for state emitted by update-mode aggregates. */
+  def put(key: String, v: Long): Unit = counters.put(key, v)
+
+  /** SADD analog (MetricsCalculationPipeline.java:105-129). */
+  def sadd(key: String, members: Iterable[String]): Unit =
+    sets.updateWith(key) { case prev => Some(prev.getOrElse(Set.empty) ++ members) }
+
+  def counter(key: String): Long = counters.getOrElse(key, 0L)
+  def scard(key: String): Long = sets.get(key).map(_.size.toLong).getOrElse(0L)
+
+  /** Q1–Q3 read shape: last N closed minutes before `nowMinute`
+    * (exclusive), zero-filled — TimeseriesMetricsController.java:144-152. */
+  def timeseries(prefix: String, nowMinute: java.time.LocalDateTime,
+      lastMinutes: Int, fromSets: Boolean = false): Seq[(String, Long)] = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd'T'HH_mm")
+    (lastMinutes to 1 by -1).map { back =>
+      val m = nowMinute.minusMinutes(back).format(fmt)
+      val key = s"${prefix}_$m"
+      m -> (if (fromSets) scard(key) else counter(key))
+    }
+  }
+
+  /** Q4 read shape: pairwise set intersection over a key family —
+    * SINTERSTORE/SCARD (TimeseriesMetricsController.java:109-136), all
+    * C(n,2) unordered pairs. */
+  def overlap(prefix: String): Seq[(String, String, Long)] = {
+    val fams = sets.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    for {
+      a <- fams; b <- fams if a < b
+    } yield (a.stripPrefix(prefix), b.stripPrefix(prefix),
+      (sets(a) & sets(b)).size.toLong)
+  }
+}
+
+/** Structured Streaming assembly of the reference pipeline
+  * (MetricsCalculationPipeline.java:45-193): one unbounded LogEvent
+  * stream fanned out into metric branches.
+  *
+  * Architecture mapping:
+  *  - stateless branches (visits counter, per-dimension member sets)
+  *    mirror the reference exactly: a projection per branch, with the
+  *    mergeable store applying INCRBY/SADD per micro-batch;
+  *  - the exact distinct-users branch is the idiomatic-Spark
+  *    alternative: `flatMapGroupsWithState` holding the member set in
+  *    Spark's own state store, emitting updated cardinalities;
+  *  - the approx branch uses `approx_count_distinct` (HLL++) in an
+  *    update-mode aggregate — Spark's native PFADD/PFCOUNT.
+  *
+  * No watermark by default: the reference accepts late data forever
+  * (no Beam windowing/triggers — SURVEY.md §2.3), and every merge is
+  * order-insensitive, so a late event folds into its original minute.
+  * Pass `watermark = Some("10 minutes")` for bounded state (documented
+  * deviation).
+  */
+object StreamingMetrics {
+
+  private def minuteKey(prefix: String) =
+    concat_ws("_", lit(prefix), Windows.minuteKey(col(LogEvent.Ts)))
+
+  /** Stateless branch projections (P2–P8) + store merges, one streaming
+    * query per reference pipeline branch family. Returns the started
+    * queries; callers own their lifecycle. */
+  def startPipeline(events: Dataset[LogEvent], store: MetricsStore,
+      watermark: Option[String] = None): Seq[StreamingQuery] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev0 = events.toDF()
+      .withColumnRenamed("experimentId", LogEvent.ExperimentId)
+    val ev = watermark.fold(ev0)(w => ev0.withWatermark(LogEvent.Ts, w))
+
+    // visitCounter branch (A1): per-batch partial count → INCRBY
+    val visits = ev
+      .select(minuteKey("visitCounter").as("k"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("k").count().collect()
+          .foreach(r => store.incrBy(r.getString(0), r.getLong(1)))
+      }
+      .queryName("visits_counter").start()
+
+    // set branches (A3/A5/A7 exact families): distinct members → SADD
+    def setBranch(name: String, keyCol: org.apache.spark.sql.Column,
+        memberCol: org.apache.spark.sql.Column): StreamingQuery =
+      ev.select(keyCol.as("k"), memberCol.as("m"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.distinct().collect()
+            .groupBy(_.getString(0))
+            .foreach { case (k, rows) => store.sadd(k, rows.map(_.getString(1))) }
+        }
+        .queryName(name).start()
+
+    val usersPerMinute = setBranch("set_users_minute",
+      minuteKey("set_dthr"), col(LogEvent.Uid))
+    val usersPerVariant = setBranch("set_users_variant",
+      concat_ws("_", lit("set_var"), col(LogEvent.Variant)), col(LogEvent.Uid))
+    val experimentsPerMinute = setBranch("set_experiments_minute",
+      minuteKey("set_experiments"), col(LogEvent.ExperimentId))
+
+    // approx distinct branch (A2): update-mode HLL aggregate → upsert
+    val approxUsers = ev
+      .groupBy(minuteKey("hll_dthr").as("k"))
+      .agg(approx_count_distinct(col(LogEvent.Uid)).as("v"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r => store.put(r.getString(0), r.getLong(1)))
+      }
+      .queryName("hll_users_minute").start()
+
+    Seq(visits, usersPerMinute, usersPerVariant, experimentsPerMinute, approxUsers)
+  }
+
+  /** Idiomatic-Spark exact distinct: the member set lives in Spark's
+    * state store per group key, updated incrementally — the engine-side
+    * equivalent of the reference's Redis SADD+SCARD pair, usable with
+    * checkpointing/recovery. Update output mode. */
+  def distinctMembersPerKey(kv: Dataset[(String, String)]): Dataset[(String, Long)] = {
+    import kv.sparkSession.implicits._
+    kv.groupByKey(_._1)
+      .flatMapGroupsWithState[Set[String], (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)], state: GroupState[Set[String]]) =>
+          val next = state.getOption.getOrElse(Set.empty) ++ rows.map(_._2)
+          state.update(next)
+          Iterator((key, next.size.toLong))
+      }
+  }
+
+  /** The stateful exact-uniques branch wired to a memory sink through
+    * update mode; returns the started query. Results are read with
+    * `spark.table(queryName)`. */
+  def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val kv = events.map(e => (
+      "set_dthr_" + e.timestamp.toInstant.atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd'T'HH_mm")),
+      e.uid))
+    distinctMembersPerKey(kv)
+      .toDF("minute_key", "unique_users")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf0001)
+
+  test("exact dedup keeps the minimum doc_id per content hash") {
+    val d = Seq(
+      (10L, "a b c d e"), (3L, "a b c d e"), (7L, "x y z w q")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupExact(d).collect()
+    assert(got.length === 2)
+    val dup = got.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(0) === 3L) // min doc_id is the representative
+  }
+
+  test("shingles: distinct word 4-grams, short docs excluded") {
+    val d = Seq((1L, "a b c d e"), (2L, "too short")).toDF("doc_id", "text")
+    val got = Dedup.shingles(d, 4).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a b c d"), (1L, "b c d e")))
+  }
+
+  test("minhash LSH pairs match exact n-gram Jaccard pairs on the bimodal corpus") {
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture corpus should contain implanted near-dups")
+    // identical verification threshold → LSH output ⊆ exact; recall 1.0
+    // expected because implanted dups sit at Jaccard ≥ 0.97
+    assert(lsh === exact,
+      s"missed=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
+  }
+
+  test("simhash is a deterministic 64-bit fingerprint; near-identical docs collide") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val sh2 = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    assert(sh === sh2)
+    // implanted near-dup pair (same corpus as Jaccard test) → small hamming
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import graft.operators.Metrics
+
+/** Unit tests for the reference-parity metric operators, over the
+  * hand-computed edge fixtures of FIXTURES.md §1: duplicate uid within
+  * a minute, same uid across minutes, minute-boundary timestamps,
+  * out-of-order (late) events, and overlap asymmetry. */
+class MetricsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Fixture (FIXTURES.md §1 edge rows):
+    *  - u1 twice in 10:15 (dedup within bucket)
+    *  - u1 again in 10:16 (counted once per minute, once all-time)
+    *  - u2 exactly on the minute boundary 10:16:00
+    *  - u3 late event for 10:15 listed after 10:16 rows (out of order)
+    *  - u1 in variants "1" and "2"; u3 only in "1" (overlap asymmetry)
+    */
+  private lazy val fixture: DataFrame = Seq(
+    ("u1", "e1", "1", "2026-08-12 10:15:03"),
+    ("u1", "e1", "1", "2026-08-12 10:15:59"),
+    ("u1", "e2", "2", "2026-08-12 10:16:30"),
+    ("u2", "e1", "2", "2026-08-12 10:16:00"),
+    ("u3", "e1", "1", "2026-08-12 10:15:30")
+  ).toDF("uid", "experiment_id", "variant", "ts_str")
+    .selectExpr("uid", "experiment_id", "variant",
+      "CAST(ts_str AS TIMESTAMP) AS timestamp")
+
+  test("visits_per_minute counts every event in its event-time minute") {
+    val got = Metrics.visitsPerMinute(fixture).collect().toSeq
+    assert(got === Seq(
+      Row("2026_08_12T10_15", 3L),
+      Row("2026_08_12T10_16", 2L)))
+  }
+
+  test("unique users dedup within minute; boundary event lands in its own minute") {
+    val got = Metrics.uniqueUsersPerMinute(fixture).collect().toSeq
+    // 10:15 = {u1, u3}; 10:16 = {u1, u2} — u1 counted once per bucket
+    assert(got === Seq(
+      Row("2026_08_12T10_15", 2L),
+      Row("2026_08_12T10_16", 2L)))
+  }
+
+  test("all-time per-variant uniques count each uid once per variant") {
+    val got = Metrics.uniqueUsersPerVariant(fixture).collect().toSeq
+    assert(got === Seq(Row("1", 2L), Row("2", 2L)))
+  }
+
+  test("overlap: unordered pairs, no self-pairs, asymmetric membership") {
+    val got = Metrics.variantOverlap(fixture).collect().toSeq
+    // variants 1={u1,u3}, 2={u1,u2} → only pair (1,2) with overlap {u1}
+    assert(got === Seq(Row("1", "2", 1L)))
+  }
+
+  test("input order does not change any result (late-data permutation invariance)") {
+    val shuffled = fixture.orderBy(org.apache.spark.sql.functions.rand(7))
+    assert(Metrics.visitsPerMinute(shuffled).collect().toSeq ===
+      Metrics.visitsPerMinute(fixture).collect().toSeq)
+    assert(Metrics.uniqueUsersPerMinute(shuffled).collect().toSeq ===
+      Metrics.uniqueUsersPerMinute(fixture).collect().toSeq)
+    assert(Metrics.variantOverlap(shuffled).collect().toSeq ===
+      Metrics.variantOverlap(fixture).collect().toSeq)
+  }
+
+  test("time spine: last N closed minutes, current (max ts) minute excluded, zero-filled") {
+    val got = Metrics.visitsTimeseries(fixture, lastMinutes = 3).collect().toSeq
+    // "now" pinned to max(ts)=10:16:30 → spine 10:13..10:15; 10:16 excluded
+    assert(got === Seq(
+      Row("2026_08_12T10_13", 0L),
+      Row("2026_08_12T10_14", 0L),
+      Row("2026_08_12T10_15", 3L)))
+  }
+
+  test("approx distinct stays within 5*rsd of exact on real data") {
+    val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
+    val exact = Metrics.uniqueUsersPerVariant(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Metrics.uniqueUsersPerVariantApprox(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (v, e) =>
+      val a = approx(v)
+      assert(math.abs(a - e).toDouble / e <= 5 * 0.05,
+        s"variant $v: approx $a vs exact $e")
+    }
+  }
+
+  test("sum of per-minute visits equals total event count") {
+    val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
+    val total = ev.count()
+    val summed = Metrics.visitsPerMinute(ev)
+      .agg(org.apache.spark.sql.functions.sum("visits")).head().getLong(0)
+    assert(summed === total)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+
+  test("brute-force knn: k unique ranked neighbors per query, self excluded") {
+    val got = Similarity.knnBruteForce(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect()
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to 10))
+      assert(!rows.map(_._2).contains(q))
+      assert(rows.map(_._2).distinct.length === rows.length)
+    }
+  }
+
+  test("knn rank order agrees with directly computed cosine") {
+    val knn = Similarity.knnBruteForce(emb, k = 5, queryMod = 250)
+      .as[(Long, Long, Int)].collect()
+    val vecs = emb.as[(Long, Array[Float], Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    knn.groupBy(_._1).foreach { case (q, rows) =>
+      val sims = rows.sortBy(_._3).map(r => cos(vecs(q), vecs(r._2)))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y },
+        s"ranks not in descending cosine order for query $q")
+    }
+  }
+
+  test("LSH ANN returns a subset of true candidates with positive recall") {
+    val exact = Similarity.knnBruteForce(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val approx = Similarity.knnLsh(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    assert(approx.nonEmpty, "LSH candidate generation produced no results")
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"LSH recall@10 = $recall%.2f (candidates=${approx.size})")
+    assert(recall > 0.0)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Similarity.embeddingNearDup(emb, threshold = 0.40)
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+}

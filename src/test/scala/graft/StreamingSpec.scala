@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{MetricsStore, StreamingMetrics}
+
+/** Streaming semantics per SURVEY.md §5.4: update-mode incremental
+  * results after each addData+processAllAvailable, including a late
+  * event folding into an already-seen minute (the reference accepts
+  * late data forever — no watermark, order-insensitive merges). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ev(uid: String, exp: String, variant: String, t: String) =
+    LogEvent(uid, exp, variant, java.sql.Timestamp.valueOf(t))
+
+  test("pipeline fan-out: counters and sets update per micro-batch; late events fold into their original minute") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val store = new MetricsStore
+    val queries = StreamingMetrics.startPipeline(input.toDS(), store)
+    try {
+      input.addData(
+        ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+        ev("u1", "e1", "1", "2026-08-12 10:15:59"),
+        ev("u2", "e1", "2", "2026-08-12 10:16:00"))
+      queries.foreach(_.processAllAvailable())
+      assert(store.counter("visitCounter_2026_08_12T10_15") === 2L)
+      assert(store.counter("visitCounter_2026_08_12T10_16") === 1L)
+      assert(store.scard("set_dthr_2026_08_12T10_15") === 1L)
+
+      // late event for 10:15 arrives after 10:16 was seen; u1 also
+      // crosses into variant "2" (overlap membership)
+      input.addData(
+        ev("u3", "e2", "2", "2026-08-12 10:15:30"),
+        ev("u1", "e1", "2", "2026-08-12 10:16:20"))
+      queries.foreach(_.processAllAvailable())
+      assert(store.counter("visitCounter_2026_08_12T10_15") === 3L)
+      assert(store.scard("set_dthr_2026_08_12T10_15") === 2L)
+      assert(store.scard("set_var_1") === 1L)
+      assert(store.scard("set_var_2") === 3L)
+      assert(store.counter("hll_dthr_2026_08_12T10_15") === 2L)
+
+      // Q4 read shape over the store: variant overlap via set intersection
+      assert(store.overlap("set_var_") === Seq(("1", "2", 1L)))
+      // Q1 read shape: zero-filled closed minutes
+      val series = store.timeseries("visitCounter",
+        java.time.LocalDateTime.of(2026, 8, 12, 10, 17), lastMinutes = 3)
+      assert(series === Seq(
+        ("2026_08_12T10_14", 0L),
+        ("2026_08_12T10_15", 3L),
+        ("2026_08_12T10_16", 2L)))
+    } finally queries.foreach(_.stop())
+  }
+
+  test("flatMapGroupsWithState exact uniques: state accumulates across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    // batch 1: two events, one uid dup within the minute
+    input.addData(
+      ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u1", "e1", "1", "2026-08-12 10:15:40"),
+      ev("u2", "e1", "2", "2026-08-12 10:16:01"))
+    val q = StreamingMetrics.startExactUniques(input.toDS(), "exact_uniques_t")
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("exact_uniques_t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(afterBatch1("set_dthr_2026_08_12T10_15") === 1L)
+    assert(afterBatch1("set_dthr_2026_08_12T10_16") === 1L)
+    q.stop()
+
+    // batch 2 (new query over same stream source continues the state? —
+    // memory sink truncates per run, so re-drive with a fresh late row)
+    input.addData(ev("u9", "e1", "1", "2026-08-12 10:15:55"))
+    val q2 = StreamingMetrics.startExactUniques(input.toDS(), "exact_uniques_t2")
+    q2.processAllAvailable()
+    val after = spark.table("exact_uniques_t2").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("set_dthr_2026_08_12T10_15") === 2L)
+    q2.stop()
+  }
+}
