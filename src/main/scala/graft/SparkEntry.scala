@@ -19,7 +19,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Metrics.visitsPerMinute(Tables.logEvents(spark, "/root/testdata/sf0.001"))
 
-  private def ev(s: SparkSession, dir: String): DataFrame = Tables.logEvents(s, dir)
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.logEvents(s, dir, fanOut = true)
+
+  /** Fan a small-file scan out to all cores before CPU-heavy per-row
+    * work (JSON parse, shingling, hashing, vector math). The driver's
+    * tables are single parquet files → single input partition; on a
+    * real cluster the input would arrive pre-split, but here a ~MB
+    * shuffle buys full parallelism for the expensive stage. */
+  private def par(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -41,7 +50,9 @@ object SparkEntry {
     "times_spine" -> ((s, d) => Metrics.timesSpine(ev(s, d))),
     // ---- reference parity: JSON parse path (SURVEY.md §2.2 P1) ----
     "parse_events_json" -> ((s, d) => {
-      val raw = Tables.events(s, d).select(to_json(struct(
+      // par() before the JSON build: the string construction is as
+      // CPU-heavy as the parse and must not run on the single scan task
+      val raw = par(Tables.events(s, d)).select(to_json(struct(
         col("user_id").cast("string").as("uid"),
         get_json_object(col("props"), "$.k").as("experiment_id"),
         col("event_type").as("variant"),
@@ -65,22 +76,22 @@ object SparkEntry {
       Relational.segmentNationBalance(Tables.customer(s, d), Tables.nation(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
-    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
-    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
-    "text_quality" -> ((s, d) => TextAnalysis.textQuality(Tables.documents(s, d))),
-    "lang_id" -> ((s, d) => TextAnalysis.langId(s, Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
+    "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
     // ---- deduplication ----
-    "dedup_exact" -> ((s, d) => Dedup.dedupExact(Tables.documents(s, d))),
-    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
-    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
-    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(par(Tables.documents(s, d)))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
     // ---- similarity search ----
-    "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(Tables.embeddings(s, d))),
-    "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(Tables.embeddings(s, d))),
-    "knn_lsh" -> ((s, d) => Similarity.knnLsh(Tables.embeddings(s, d))),
+    "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
+    "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
+    "knn_lsh" -> ((s, d) => Similarity.knnLsh(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
-      Multimodal.featureSummary(s, Tables.documents(s, d)))
+      Multimodal.featureSummary(s, par(Tables.documents(s, d))))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).

@@ -117,9 +117,13 @@ object Dedup {
     * map-side partial aggregation, no row explosion. */
   def minhashSignatures(documents: DataFrame, k: Int = 4,
       numPerm: Int = 64): DataFrame = {
+    // hash each shingle string ONCE; the numPerm "permutations" rehash
+    // the 8-byte base hash (xxhash64 of a long is a single block) —
+    // numPerm x cheaper than re-hashing the string per seed
     val sh = shingles(documents, k)
+      .withColumn("hb", xxhash64(col("shingle")))
     val minCols = (0 until numPerm).map { s =>
-      min(xxhash64(concat(lit(s + "#"), col("shingle")))).as(s"h$s")
+      min(xxhash64(lit(s), col("hb"))).as(s"h$s")
     }
     sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }

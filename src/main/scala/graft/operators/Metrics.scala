@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.LogEvent.{Uid, ExperimentId, Variant, Ts}
-import Windows.{minuteKey, zeroFilledSeries}
+import Windows.{minuteKey, minuteStart, zeroFilledSeries}
 
 /** The reference's full metric catalog (SURVEY.md §2.3/§2.4, A1–A9 and
   * Q1–Q5), re-expressed as declarative Spark aggregations over the
@@ -31,38 +31,43 @@ object Metrics {
   /** A1 — visits (event count) per minute
     * (reference: MetricsCalculationPipeline.java:59-71). */
   def visitsPerMinute(ev: DataFrame): DataFrame =
-    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+    ev.groupBy(minuteStart(col(Ts)).as("m"))
       .agg(count(lit(1)).as("visits"))
+      .select(minuteKey(col("m")).as("minute_key"), col("visits"))
       .orderBy("minute_key")
 
   /** A2 approx — unique users per minute, HLL estimate
     * (reference: PFADD/PFCOUNT, MetricsCalculationPipeline.java:183-189). */
   def uniqueUsersPerMinuteApprox(ev: DataFrame, rsd: Double = 0.05): DataFrame =
-    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+    ev.groupBy(minuteStart(col(Ts)).as("m"))
       .agg(approx_count_distinct(col(Uid), rsd).as("unique_users"))
+      .select(minuteKey(col("m")).as("minute_key"), col("unique_users"))
       .orderBy("minute_key")
 
   /** A3 exact — unique users per minute (reference: SADD shadow,
     * MetricsCalculationPipeline.java:191-193). */
   def uniqueUsersPerMinute(ev: DataFrame): DataFrame =
-    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+    ev.groupBy(minuteStart(col(Ts)).as("m"))
       .agg(countDistinct(col(Uid)).as("unique_users"))
+      .select(minuteKey(col("m")).as("minute_key"), col("unique_users"))
       .orderBy("minute_key")
 
   /** A4 — unique users per experiment x variant x minute (3-dim key,
     * reference: MetricsCalculationPipeline.java:73-87). */
   def usersPerExperimentVariantMinute(ev: DataFrame): DataFrame =
     ev.groupBy(
-        col(ExperimentId), col(Variant),
-        minuteKey(col(Ts)).as("minute_key"))
+        col(ExperimentId), col(Variant), minuteStart(col(Ts)).as("m"))
       .agg(countDistinct(col(Uid)).as("unique_users"))
+      .select(col(ExperimentId), col(Variant),
+        minuteKey(col("m")).as("minute_key"), col("unique_users"))
       .orderBy(ExperimentId, Variant, "minute_key")
 
   def usersPerExperimentVariantMinuteApprox(ev: DataFrame): DataFrame =
     ev.groupBy(
-        col(ExperimentId), col(Variant),
-        minuteKey(col(Ts)).as("minute_key"))
+        col(ExperimentId), col(Variant), minuteStart(col(Ts)).as("m"))
       .agg(approx_count_distinct(col(Uid)).as("unique_users"))
+      .select(col(ExperimentId), col(Variant),
+        minuteKey(col("m")).as("minute_key"), col("unique_users"))
       .orderBy(ExperimentId, Variant, "minute_key")
 
   /** A5 — unique users per variant, all time
@@ -88,15 +93,17 @@ object Metrics {
     * uids (reference: MetricsCalculationPipeline.java:131-155, read via
     * SCARD TimeseriesMetricsController.java:88-107). */
   def activeExperimentsPerMinute(ev: DataFrame): DataFrame =
-    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+    ev.groupBy(minuteStart(col(Ts)).as("m"))
       .agg(countDistinct(col(ExperimentId)).as("active_experiments"))
+      .select(minuteKey(col("m")).as("minute_key"), col("active_experiments"))
       .orderBy("minute_key")
 
   /** A8 — active variants per minute
     * (reference: MetricsCalculationPipeline.java:157-180). */
   def activeVariantsPerMinute(ev: DataFrame): DataFrame =
-    ev.groupBy(minuteKey(col(Ts)).as("minute_key"))
+    ev.groupBy(minuteStart(col(Ts)).as("m"))
       .agg(countDistinct(col(Variant)).as("active_variants"))
+      .select(minuteKey(col("m")).as("minute_key"), col("active_variants"))
       .orderBy("minute_key")
 
   /** A9 / Q4 — pairwise variant user-overlap. The reference enumerates

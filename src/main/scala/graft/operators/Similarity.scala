@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`, 64-dim).
@@ -9,28 +10,27 @@ import org.apache.spark.sql.functions._
   * Two paths, as a production vector pipeline would have:
   *  - brute-force exact cosine top-k (the correctness baseline) — a
   *    broadcast of the (small) query set against the full collection,
-  *    scored per-row inside codegen via `zip_with`/`aggregate`, ranked
-  *    with a per-query window. Linear in |collection| x |queries|.
-  *  - random-hyperplane LSH buckets (the scale path) — each vector
-  *    hashed to a `nBits`-bit signature by deterministic pseudo-random
-  *    hyperplanes; candidates share a bucket, then exact cosine
-  *    re-ranks. At 100 TB, bucketing turns the cross product into a
-  *    per-bucket join.
+  *    scored per-row by the codegen'd [[graft.functions.FloatVecDot]]
+  *    kernel, ranked with a per-query window. Norms are computed once
+  *    per vector, not once per pair. Linear in |collection|x|queries|.
+  *  - multi-table random-hyperplane LSH buckets (the scale path) —
+  *    deterministic ±1 hyperplanes as literal arrays, one `vec_dot`
+  *    per (table, bit); candidates share a bucket in any table, then
+  *    exact cosine re-ranks. At 100 TB, bucketing turns the cross
+  *    product into a per-bucket join.
   *
-  * Scores are computed in double precision left-to-right (both here and
-  * in the DuckDB oracle, which casts to DOUBLE[] first); oracle-checked
-  * outputs expose only ids + rank, never raw floats.
+  * Scores are double-precision sequential folds (matching the DuckDB
+  * oracle's DOUBLE[] cosine); oracle-checked outputs expose only ids +
+  * rank, never raw floats.
   */
 object Similarity {
 
-  /** Exact cosine similarity of two float-array columns, accumulated in
-    * double, sequential left fold — codegen'd, no UDF. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    expr(s"${dot(a.toString, b.toString)} / " +
-      s"(sqrt(${dot(a.toString, a.toString)}) * sqrt(${dot(b.toString, b.toString)}))")
+  /** (id, emb, norm) projection — norm computed once per vector. */
+  private def withNorm(embeddings: DataFrame, idAs: String, embAs: String,
+      normAs: String): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      expr("sqrt(vec_dot(embedding, embedding))").as(normAs))
   }
 
   /** Brute-force exact top-k: queries = vectors whose id % queryMod ==
@@ -40,13 +40,13 @@ object Similarity {
     * reduced by the rank filter. */
   def knnBruteForce(embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100): DataFrame = {
-    val queries = embeddings
-      .where(pmod(col("vec_id"), lit(queryMod)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = embeddings
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+    val queries = withNorm(embeddings, "query_id", "q_emb", "q_norm")
+      .where(pmod(col("query_id"), lit(queryMod)) === 0)
+    val scored = withNorm(embeddings, "neighbor_id", "n_emb", "n_norm")
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("vec_dot(q_emb, n_emb)") / (col("q_norm") * col("n_norm")))
+          .as("cos_sim"))
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -70,19 +70,17 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Embedding-cosine near-dup pairs above `threshold` — id-only output
-    * (no float in the hash-compared result). Brute force all-pairs here
-    * (collection is small at test scale); [[lshBuckets]] is the scale
-    * path for the same predicate. */
+    * (no float in the hash-compared result). All-pairs here (collection
+    * is small at test scale); [[lshKeys]] bucketing is the scale path
+    * for the same predicate. The pair join carries precomputed norms so
+    * the per-pair work is exactly one codegen'd dot product. */
   def embeddingNearDup(embeddings: DataFrame,
       threshold: Double = 0.44): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("vec_id_a"),
-      col("embedding").as("emb_a"))
-    val b = embeddings.select(col("vec_id").as("vec_id_b"),
-      col("embedding").as("emb_b"))
+    val a = withNorm(embeddings, "vec_id_a", "emb_a", "norm_a")
+    val b = withNorm(embeddings, "vec_id_b", "emb_b", "norm_b")
     a.join(b, col("vec_id_a") < col("vec_id_b"))
-      .select(col("vec_id_a"), col("vec_id_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
-      .where(col("cos_sim") >= threshold)
+      .where((expr("vec_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+        >= threshold)
       .select("vec_id_a", "vec_id_b")
       .orderBy("vec_id_a", "vec_id_b")
   }
@@ -94,24 +92,35 @@ object Similarity {
        |  CAST(b.embedding AS DOUBLE[])) >= $threshold
        |ORDER BY 1, 2""".stripMargin
 
+  /** Deterministic ±1 hyperplane (table t, bit j) via a splitmix64-style
+    * mix — generated driver-side as a literal array so the projection is
+    * a single codegen'd `vec_dot`. */
+  private def hyperplane(t: Int, j: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      var z = t.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xC2B2AE3D27D4EB4FL +
+        i.toLong + 0x165667B19E3779F9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) -1f else 1f
+    }
+
   /** Multi-table random-hyperplane LSH keys: `nTables` independent
     * signatures of `nBits` bits each; bit j of table t = sign of
-    * <v, h_{t,j}> where hyperplane component i is a deterministic ±1
-    * derived from xxhash64(t, j, i). A vector emits one (table_id,
-    * bucket) row per table; vectors sharing any table's bucket are ANN
-    * candidates — multiple tables trade compute for recall exactly like
-    * a production IVF/LSH index. */
-  def lshKeys(embeddings: DataFrame, nBits: Int = 8,
-      nTables: Int = 4): DataFrame = {
+    * <v, h_{t,j}>. A vector emits one (table_id, bucket) row per table;
+    * vectors sharing any table's bucket are ANN candidates — multiple
+    * tables trade compute for recall exactly like a production IVF/LSH
+    * index. */
+  def lshKeys(embeddings: DataFrame, nBits: Int = 6, nTables: Int = 4,
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
     val tableCols = (0 until nTables).map { t =>
-      val bitCols = (0 until nBits).map { j =>
-        // sum_i emb[i] * (hash(t,j,i) -> ±1), sequential double fold
-        val proj = s"aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), " +
-          s"(x, i) -> CAST(x AS DOUBLE) * (CAST(pmod(xxhash64(concat('${t}_${j}_', i)), 2) AS DOUBLE) * 2.0 - 1.0)), " +
-          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        when(expr(proj) >= 0, lit(1L << j)).otherwise(0L)
-      }
-      struct(lit(t).as("table_id"), bitCols.reduce(_ + _).as("bucket"))
+      val bits: Column = (0 until nBits).map { j =>
+        val h = typedLit(hyperplane(t, j, dim))
+        when(call_function("vec_dot", col("embedding"), h) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("table_id"), bits.as("bucket"))
     }
     embeddings.select(col("vec_id"), col("embedding"),
       explode(array(tableCols: _*)).as("tb"))
@@ -124,7 +133,7 @@ object Similarity {
     * lost — rows-only query, recall measured against [[knnBruteForce]]
     * in tests. */
   def knnLsh(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
-      nBits: Int = 8, nTables: Int = 4): DataFrame = {
+      nBits: Int = 6, nTables: Int = 4): DataFrame = {
     val keyed = lshKeys(embeddings, nBits, nTables)
     val queries = keyed
       .where(pmod(col("vec_id"), lit(queryMod)) === 0)
@@ -140,7 +149,9 @@ object Similarity {
       .distinct()
     val scored = candidates
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("cos_sim"))
+        (expr("vec_dot(q_emb, embedding)") /
+          (expr("sqrt(vec_dot(q_emb, q_emb))") *
+            expr("sqrt(vec_dot(embedding, embedding))"))).as("cos_sim"))
     scored
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -50,13 +50,25 @@ object Tables {
     *
     * `get_json_object` mirrors the reference's Jackson JSON field
     * extraction (reference: ParseMessageAsLogElement.java:44-49).
+    *
+    * `fanOut = true` repartitions the raw scan to all cores BEFORE the
+    * JSON extraction — the driver's events table is one small parquet
+    * file (one input split), so without it the per-row JSON work runs
+    * on a single task. On a real cluster the scan arrives pre-split and
+    * fanOut should stay false (a blind repartition of a 100 TB scan
+    * would shuffle the whole table).
     */
-  def logEvents(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir).select(
+  def logEvents(spark: SparkSession, sfDir: String,
+      fanOut: Boolean = false): DataFrame = {
+    val raw = events(spark, sfDir)
+    val src = if (fanOut)
+      raw.repartition(spark.sparkContext.defaultParallelism) else raw
+    src.select(
       col("user_id").cast("string").as(LogEvent.Uid),
       get_json_object(col("props"), "$.k").as(LogEvent.ExperimentId),
       col("event_type").as(LogEvent.Variant),
       col("ts").as(LogEvent.Ts))
+  }
 
   /** P1 — parse a raw JSON click-stream (`Dataset[String]`-shaped
     * DataFrame with a `value` column) into typed LogEvent rows,
