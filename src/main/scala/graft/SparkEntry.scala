@@ -80,6 +80,7 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
+    "doc_winnowing" -> ((s, d) => TextAnalysis.winnowingSummary(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),

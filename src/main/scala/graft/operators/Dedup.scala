@@ -174,25 +174,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: weighted bit-majority of
-    * token hashes (weight = term frequency). The bit dimension is
-    * exploded (64x the distinct-token stream) and reduced per (doc,
-    * bit) — linear, shuffle-friendly. Tie (sum == 0) sets the bit. */
+    * token hashes (weight = term frequency), computed by the custom
+    * [[graft.functions.SimHashAgg]] aggregate — one 512-byte buffer per
+    * group, partial-aggregated map-side, instead of exploding every
+    * token into 64 (doc, bit) rows. Tie (sum == 0) sets the bit. */
   def simhash(documents: DataFrame): DataFrame = {
-    val tf = documents
+    graft.functions.SimHashFunctions.register(documents.sparkSession)
+    documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .withColumn("th", xxhash64(col("tok")))
-    val bits = tf
-      .select(col("doc_id"), col("tf"), col("th"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("shiftright(th, CAST(bit AS INT)) & 1") === 1,
-        col("tf")).otherwise(-col("tf"))).as("s"))
-    bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") >= 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(expr("simhash_agg(xxhash64(tok), tf)").as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -49,28 +49,38 @@ object TextAnalysis {
       |  len(string_split(text, ' ')) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** "BPE-ish" subword regex: greedy runs of up to 3 letters — a
+    * deterministic stand-in for a learned-merge tokenizer ('window' →
+    * ['win','dow']). Simple enough that Java regex (Spark) and RE2
+    * (DuckDB) agree exactly. */
+  val SubwordPattern = "[a-z]{1,3}"
+
   /** Token counting: per-source corpus statistics. `n_tokens` uses a
-    * whitespace split; `n_distinct_tokens` is the per-source vocabulary
-    * (exploded + distinct — a shuffle on (source, token), partially
-    * aggregated). */
+    * whitespace split; `n_subword_tokens` the BPE-ish regex;
+    * `n_distinct_tokens` is the per-source vocabulary (exploded +
+    * distinct — a shuffle on (source, token), partially aggregated). */
   def tokenCount(documents: DataFrame): DataFrame = {
     val toks = documents.select(
       col("source"),
       explode(split(col("text"), " ")).as("tok"))
     val perSource = documents.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " "))).as("n_tokens"))
+      sum(size(split(col("text"), " "))).as("n_tokens"),
+      sum(size(regexp_extract_all(col("text"), lit(SubwordPattern), lit(0))))
+        .as("n_subword_tokens"))
     val vocab = toks.groupBy(col("source"))
       .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
     perSource.join(vocab, Seq("source")).orderBy("source")
   }
 
   val tokenCountSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
-      |SELECT d.source, d.n_docs, d.n_tokens, v.n_distinct_tokens
+      |SELECT d.source, d.n_docs, d.n_tokens, d.n_subword_tokens,
+      |  v.n_distinct_tokens
       |FROM (SELECT source, count(*) AS n_docs,
-      |        sum(len(string_split(text, ' '))) AS n_tokens
+      |        sum(len(string_split(text, ' '))) AS n_tokens,
+      |        sum(len(regexp_extract_all(text, '$SubwordPattern'))) AS n_subword_tokens
       |      FROM documents GROUP BY 1) d
       |JOIN (SELECT source, count(DISTINCT tok) AS n_distinct_tokens
       |      FROM toks GROUP BY 1) v USING (source)
@@ -145,6 +155,34 @@ object TextAnalysis {
         coalesce(col("hits"), lit(0L)).as("marker_hits"))
       .orderBy("doc_id")
   }
+
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * k-char gram (rolling window over the text), then keep the minimum
+    * hash of each w-gram window — guarantees any shared substring of
+    * length ≥ k+w-1 yields a shared fingerprint. All per-row array work
+    * (`transform`/`slice`/`array_min`), exploded only for the final
+    * distinct; the fingerprint count per doc is the query output.
+    * xxhash64 has no DuckDB twin → rows-only, equivalence-tested in
+    * ScalaTest (near-dup docs share most fingerprints). */
+  def winnowingFingerprints(documents: DataFrame, k: Int = 8,
+      w: Int = 4): DataFrame =
+    documents
+      .where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(0, length(text) - $k), " +
+          s"i -> xxhash64(substring(text, i + 1, $k)))").as("grams"))
+      .select(col("doc_id"), explode(array_distinct(
+        expr(s"transform(sequence(0, size(grams) - $w), " +
+          s"j -> array_min(slice(grams, j + 1, $w)))"))).as("fingerprint"))
+
+  /** Per-doc winnowing fingerprint summary (the queries() face of
+    * [[winnowingFingerprints]]). */
+  def winnowingSummary(documents: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowingFingerprints(documents, k, w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        expr("bit_xor(fingerprint)").as("fingerprint_xor"))
+      .orderBy("doc_id")
 
   val langIdSql: String = {
     val lexValues = Lexicons

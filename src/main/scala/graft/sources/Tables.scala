@@ -70,6 +70,27 @@ object Tables {
       col("ts").as(LogEvent.Ts))
   }
 
+  /** CSV source with an explicit schema (never inferred — a schema
+    * inference pass reads the data twice and breaks on 100 TB). Same
+    * malformed-row drop semantics as the JSON parse path: PERMISSIVE
+    * parse, then non-null filter on required columns. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** JSON-lines source with an explicit schema (same rationale). */
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .schema(schema)
+      .json(path)
+
   /** P1 — parse a raw JSON click-stream (`Dataset[String]`-shaped
     * DataFrame with a `value` column) into typed LogEvent rows,
     * silently dropping malformed records, exactly like the reference's
