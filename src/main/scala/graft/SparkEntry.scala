@@ -75,6 +75,9 @@ object SparkEntry {
     "segment_nation_balance" -> ((s, d) =>
       Relational.segmentNationBalance(Tables.customer(s, d), Tables.nation(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
+    "orders_cube" -> ((s, d) => Relational.ordersCube(Tables.orders(s, d))),
+    "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
+    "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
@@ -188,6 +191,9 @@ object SparkEntry {
     "lineitem_running_window" -> Relational.lineitemRunningWindowSql,
     "segment_nation_balance" -> Relational.segmentNationBalanceSql,
     "top_parts_per_brand" -> Relational.topPartsPerBrandSql(),
+    "orders_cube" -> Relational.ordersCubeSql,
+    "value_percentiles" -> Relational.valuePercentilesSql,
+    "user_sessions" -> Metrics.userSessionsSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "text_quality" -> TextAnalysis.textQualitySql,

@@ -156,6 +156,58 @@ object Metrics {
     zeroFilledSeries(ev, col(Ts), lastMinutes, agg, "active_experiments")
   }
 
+  /** Gap-based sessionization (extension): a new session starts when a
+    * user's inter-event gap exceeds `gapSeconds`. Classic streaming-
+    * analytics shape the reference lacks: lag + cumulative-sum windows
+    * partitioned by user (one shuffle on user_id), then two cheap
+    * aggregations. Works on epoch seconds so Spark and the DuckDB
+    * oracle compare integers, never intervals. */
+  def userSessions(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_s").isNull ||
+          col("ts").cast("long") - col("prev_s") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("session_events"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("session_events")).as("max_session_events"),
+        sum(col("session_events")).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  def userSessionsSql(gapSeconds: Long = 1800): String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_id, ts,
+       |    lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev_s
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN prev_s IS NULL OR floor(epoch(ts))::BIGINT - prev_s > $gapSeconds
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM ordered),
+       |sess AS (
+       |  SELECT user_id,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged),
+       |per_session AS (
+       |  SELECT user_id, session_id, count(*) AS session_events
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  max(session_events) AS max_session_events,
+       |  sum(session_events) AS n_events
+       |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Q5 — the spine itself (reference:
     * TimeseriesMetricsController.java:138-152). */
   def timesSpine(ev: DataFrame, lastMinutes: Int = 10): DataFrame =

@@ -236,6 +236,51 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Cube grouping sets: order counts at every combination of
+    * (orderstatus, orderpriority), including both marginals and the
+    * grand total; NULL slots rendered as 'ALL'. */
+  def ordersCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)").as("sum_totalprice"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy("orderstatus", "orderpriority")
+
+  def ordersCubeSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+      |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_totalprice
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Exact interpolated percentiles of event value per type — the
+    * sort-based aggregate family. Spark `percentile` and DuckDB
+    * `quantile_cont` share the same linear-interpolation definition;
+    * the inputs are 2-decimal doubles, so the single interpolation op
+    * sees identical operands in both engines. */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        expr("percentile(value, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  def valuePercentilesSql: String =
+    """SELECT event_type,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.9) AS p90,
+      |  quantile_cont(value, 0.99) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Top-k per group via ranking window (the "top 3 parts by retail
     * price per brand" shape): rank + filter, no global sort. */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =
