@@ -76,6 +76,13 @@ object SparkEntry {
       Relational.segmentNationBalance(Tables.customer(s, d), Tables.nation(s, d))),
     "top_parts_per_brand" -> ((s, d) => Relational.topPartsPerBrand(Tables.part(s, d))),
     "orders_cube" -> ((s, d) => Relational.ordersCube(Tables.orders(s, d))),
+    // custom whole-operator plan (bounded heaps, no sort) — same
+    // semantics and oracle as the window-function formulation above
+    "top_parts_per_brand_custom" -> ((s, d) =>
+      graft.plans.TopK.topKPerGroup(Tables.part(s, d), Seq("p_brand"),
+        Seq("p_retailprice" -> true, "p_partkey" -> false), 3, "price_rank")
+        .select(col("p_brand"), col("price_rank"), col("p_partkey"), col("p_name"))
+        .orderBy("p_brand", "price_rank")),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
     // ---- text analysis (training-data pipeline ops) ----
@@ -192,6 +199,7 @@ object SparkEntry {
     "segment_nation_balance" -> Relational.segmentNationBalanceSql,
     "top_parts_per_brand" -> Relational.topPartsPerBrandSql(),
     "orders_cube" -> Relational.ordersCubeSql,
+    "top_parts_per_brand_custom" -> Relational.topPartsPerBrandSql(),
     "value_percentiles" -> Relational.valuePercentilesSql,
     "user_sessions" -> Metrics.userSessionsSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
