@@ -91,6 +91,7 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
     "doc_winnowing" -> ((s, d) => TextAnalysis.winnowingSummary(par(Tables.documents(s, d)))),
+    "top_tokens" -> ((s, d) => TextAnalysis.topTokens(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
@@ -200,6 +201,7 @@ object SparkEntry {
     "top_parts_per_brand" -> Relational.topPartsPerBrandSql(),
     "orders_cube" -> Relational.ordersCubeSql,
     "top_parts_per_brand_custom" -> Relational.topPartsPerBrandSql(),
+    "top_tokens" -> TextAnalysis.topTokensSql(),
     "value_percentiles" -> Relational.valuePercentilesSql,
     "user_sessions" -> Metrics.userSessionsSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

@@ -156,6 +156,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Heavy-hitter tokens via the Space-Saving sketch
+    * ([[graft.functions.TopKSketchAgg]]): bounded state per partial
+    * buffer instead of a full distinct-token shuffle. With `capacity`
+    * above the corpus vocabulary the sketch is exact (no evictions), so
+    * this query is oracle-checked against exact counts; the capacity
+    * knob is what makes it survive a 100 TB token stream. */
+  def topTokens(documents: DataFrame, k: Int = 20,
+      capacity: Int = 4096): DataFrame = {
+    graft.functions.TopKSketchFunctions.register(documents.sparkSession)
+    documents
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr(s"topk_sketch(tok, $k, $capacity)").as("m"))
+      .select(explode(col("m")).as(Seq("token", "est_count")))
+      .orderBy(desc("est_count"), col("token"))
+  }
+
+  def topTokensSql(k: Int = 20): String =
+    s"""SELECT tok AS token, count(*) AS est_count
+       |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |GROUP BY 1 ORDER BY est_count DESC, token LIMIT $k""".stripMargin
+
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * k-char gram (rolling window over the text), then keep the minimum
     * hash of each w-gram window — guarantees any shared substring of
