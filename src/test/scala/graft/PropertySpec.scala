@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Metrics
+
+/** Property tests (SURVEY.md §5.3) over generated event sets:
+  * (a) overlap is on unordered pairs without self-pairs and bounded by
+  *     min set size;
+  * (b) per-minute counts partition the total;
+  * (c) HLL estimate within 5·rsd of exact;
+  * (d) results are invariant under input permutation (the reference's
+  *     key-addressed merges are order-insensitive).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Draw `n` samples from a ScalaCheck generator with fixed seeds —
+    * deterministic property checking without the scalatest bridge. */
+  private def forAllSamples[T](gen: Gen[T], n: Int = 5)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      val sample = gen.apply(Gen.Parameters.default.withSize(60), Seed(i.toLong))
+        .getOrElse(fail(s"generator exhausted at seed $i"))
+      body(sample)
+    }
+
+  private val eventGen = for {
+    uid <- Gen.chooseNum(1, 25)
+    exp <- Gen.chooseNum(1, 5)
+    variant <- Gen.oneOf("default", "1", "2", "3")
+    minute <- Gen.chooseNum(0, 6)
+    second <- Gen.chooseNum(0, 59)
+  } yield (uid.toString, exp.toString, variant,
+    f"2026-08-12 10:$minute%02d:$second%02d")
+
+  private val eventsGen = Gen.nonEmptyListOf(eventGen)
+
+  private def toDf(rows: List[(String, String, String, String)]): DataFrame =
+    rows.toDF("uid", "experiment_id", "variant", "ts_str")
+      .selectExpr("uid", "experiment_id", "variant",
+        "CAST(ts_str AS TIMESTAMP) AS timestamp")
+
+  test("overlap: unordered, no self-pairs, bounded by smaller side") {
+    forAllSamples(eventsGen) { rows =>
+      val df = toDf(rows)
+      val overlap = Metrics.variantOverlap(df).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val sets = rows.groupBy(_._3).map { case (v, rs) => v -> rs.map(_._1).toSet }
+      overlap.foreach { case (a, b, n) =>
+        assert(a < b)
+        assert(n === (sets(a) & sets(b)).size.toLong)
+        assert(n <= math.min(sets(a).size, sets(b).size))
+      }
+      // completeness: every intersecting pair appears
+      val expectedPairs = for {
+        a <- sets.keys; b <- sets.keys
+        if a < b && (sets(a) & sets(b)).nonEmpty
+      } yield (a, b)
+      assert(overlap.map(t => (t._1, t._2)).toSet === expectedPairs.toSet)
+    }
+  }
+
+  test("per-minute visit counts partition the total event count") {
+    forAllSamples(eventsGen) { rows =>
+      val df = toDf(rows)
+      val total = Metrics.visitsPerMinute(df)
+        .agg(sum("visits")).head().getLong(0)
+      assert(total === rows.length.toLong)
+    }
+  }
+
+  test("HLL estimate within 5*rsd of exact on generated uid multisets") {
+    forAllSamples(eventsGen) { rows =>
+      val df = toDf(rows)
+      val exact = Metrics.uniqueUsersPerVariant(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val approx = Metrics.uniqueUsersPerVariantApprox(df).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      exact.foreach { case (v, e) =>
+        assert(math.abs(approx(v) - e).toDouble / e <= 0.25)
+      }
+    }
+  }
+
+  test("permutation invariance: shuffled input yields identical metrics") {
+    forAllSamples(Gen.zip(eventsGen, Gen.chooseNum(1L, 999L))) { case (rows, seed) =>
+      val df = toDf(rows)
+      val shuffled = toDf(new scala.util.Random(seed).shuffle(rows))
+        .repartition(3)
+      assert(Metrics.visitsPerMinute(df).collect().toSeq ===
+        Metrics.visitsPerMinute(shuffled).collect().toSeq)
+      assert(Metrics.usersPerExperimentVariantMinute(df).collect().toSeq ===
+        Metrics.usersPerExperimentVariantMinute(shuffled).collect().toSeq)
+    }
+  }
+}
