@@ -85,6 +85,10 @@ object SparkEntry {
         .orderBy("p_brand", "price_rank")),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
+    "min_price_part_per_type" -> ((s, d) => Relational.minPricePartPerType(Tables.part(s, d))),
+    "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
+    "unique_users_hourly_sketch" -> ((s, d) =>
+      Metrics.uniqueUsersHourlyFromMinuteSketches(ev(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
@@ -204,6 +208,8 @@ object SparkEntry {
     "top_tokens" -> TextAnalysis.topTokensSql(),
     "value_percentiles" -> Relational.valuePercentilesSql,
     "user_sessions" -> Metrics.userSessionsSql(),
+    "min_price_part_per_type" -> Relational.minPricePartPerTypeSql,
+    "pricing_summary_sql" -> Relational.pricingSummarySql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "text_quality" -> TextAnalysis.textQualitySql,

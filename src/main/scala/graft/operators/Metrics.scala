@@ -156,6 +156,25 @@ object Metrics {
     zeroFilledSeries(ev, col(Ts), lastMinutes, agg, "active_experiments")
   }
 
+  /** Mergeable-sketch rollup — the PFMERGE pattern (reference:
+    * README.md:22-30 HLL rationale; PFADD writers
+    * MetricsCalculationPipeline.java:183-189). Stores one DataSketches
+    * HLL sketch per minute (`hll_sketch_agg`), then re-aggregates the
+    * *sketches* (`hll_union_agg`) per hour without touching raw events
+    * — at 100 TB this is how a metrics store answers coarser-grained
+    * distinct questions from pre-aggregated state. Output: per-hour
+    * estimated uniques from unioned minute sketches. Rows-only (sketch
+    * estimates have no exact oracle); the ScalaTest bound-checks
+    * against exact per-hour distinct counts. */
+  def uniqueUsersHourlyFromMinuteSketches(ev: DataFrame): DataFrame =
+    ev.groupBy(minuteStart(col(Ts)).as("m"))
+      .agg(expr(s"hll_sketch_agg($Uid)").as("sketch"))
+      .groupBy(date_trunc("hour", col("m")).as("h"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sketch))").as("unique_users"))
+      .select(date_format(col("h"), "yyyy_MM_dd'T'HH").as("hour_key"),
+        col("unique_users"))
+      .orderBy("hour_key")
+
   /** Gap-based sessionization (extension): a new session starts when a
     * user's inter-event gap exceeds `gapSeconds`. Classic streaming-
     * analytics shape the reference lacks: lag + cumulative-sum windows

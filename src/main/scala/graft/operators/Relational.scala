@@ -281,6 +281,37 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Correlated-subquery shape (TPC-H Q2 flavor): parts whose retail
+    * price is the minimum within their type. Expressed as a join with
+    * a grouped aggregate — the plan Catalyst's decorrelation would
+    * produce for the subquery form the oracle uses, covering the
+    * subquery/decorrelation surface the reference lacks. */
+  def minPricePartPerType(part: DataFrame): DataFrame = {
+    val minPrice = part.groupBy(col("p_type").as("mt"))
+      .agg(min(col("p_retailprice")).as("min_price"))
+    part.join(minPrice,
+        col("p_type") === col("mt") && col("p_retailprice") === col("min_price"))
+      .select(col("p_type"), col("p_partkey"), col("p_name"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)").as("retail_price"))
+      .orderBy("p_type", "p_partkey")
+  }
+
+  def minPricePartPerTypeSql: String =
+    """SELECT p_type, p_partkey, p_name,
+      |  CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS retail_price
+      |FROM part p
+      |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part
+      |                       WHERE p_type = p.p_type)
+      |ORDER BY p_type, p_partkey""".stripMargin
+
+  /** The SQL front end: the pricing-summary query through
+    * `spark.sql(...)` over a registered temp view — same semantics,
+    * same oracle as [[pricingSummary]]. */
+  def pricingSummaryViaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(pricingSummarySql)
+  }
+
   /** Top-k per group via ranking window (the "top 3 parts by retail
     * price per brand" shape): rank + filter, no global sort. */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =

@@ -90,6 +90,23 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("hourly uniques from unioned minute sketches stay within HLL bounds of exact") {
+    val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
+    val est = Metrics.uniqueUsersHourlyFromMinuteSketches(ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.date_trunc("hour", $"timestamp"),
+          "yyyy_MM_dd'T'HH").as("hour_key"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"uid").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (h, e) =>
+      assert(math.abs(est(h) - e).toDouble / e <= 0.15,
+        s"hour $h: sketch ${est(h)} vs exact $e")
+    }
+  }
+
   test("sum of per-minute visits equals total event count") {
     val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
     val total = ev.count()
