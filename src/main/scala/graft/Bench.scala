@@ -15,6 +15,10 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // release per-query persisted frames (dedup/LSH pipelines cache
+      // their reused inputs) so later queries don't run under the
+      // accumulated storage-memory pressure
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -36,6 +36,7 @@ object SparkEntry {
     "visits_per_minute" -> ((s, d) => Metrics.visitsPerMinute(ev(s, d))),
     "unique_users_per_minute" -> ((s, d) => Metrics.uniqueUsersPerMinute(ev(s, d))),
     "unique_users_per_minute_approx" -> ((s, d) => Metrics.uniqueUsersPerMinuteApprox(ev(s, d))),
+    "unique_users_per_minute_salted" -> ((s, d) => Metrics.uniqueUsersPerMinuteSalted(ev(s, d))),
     "users_per_experiment_variant_minute" -> ((s, d) => Metrics.usersPerExperimentVariantMinute(ev(s, d))),
     "unique_users_per_variant" -> ((s, d) => Metrics.uniqueUsersPerVariant(ev(s, d))),
     "unique_users_per_variant_approx" -> ((s, d) => Metrics.uniqueUsersPerVariantApprox(ev(s, d))),
@@ -132,6 +133,10 @@ object SparkEntry {
          |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
          |  count(*) AS visits FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "unique_users_per_minute" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(DISTINCT uid) AS unique_users FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unique_users_per_minute_salted" ->
       s"""WITH $evCte
          |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
          |  count(DISTINCT uid) AS unique_users FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -61,11 +61,16 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = shingles(documents, k)
+    // the filtered shingle stream feeds three consumers (sizes + both
+    // sides of the self-join): persist instead of recomputing the
+    // scan+shingling per consumer (at cluster scale: checkpoint to
+    // storage instead if it outgrows memory+disk)
     val kept = sh.withColumn("df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("shingle"))))
       .where(col("df") <= maxDf)
       .drop("df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = kept.toDF("doc_id_a", "shingle")
       .join(kept.toDF("doc_id_b", "shingle_b"),
@@ -148,14 +153,17 @@ object Dedup {
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band_idx").as("band_idx"),
         col("b.band_hash").as("band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.toDF("doc_id_a", "band_idx", "band_hash")
       .join(banded.toDF("doc_id_b", "band_idx_b", "band_hash_b"),
         col("band_idx") === col("band_idx_b") &&
           col("band_hash") === col("band_hash_b") &&
           col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
-    // verify candidates with exact Jaccard over their shingle sets
+    // verify candidates with exact Jaccard over their shingle sets;
+    // persisted: consumed by sizes and both join sides
     val sh = shingles(documents, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.toDF("doc_id_a", "sh_a"), Seq("doc_id_a"))

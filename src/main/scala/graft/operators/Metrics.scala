@@ -156,6 +156,23 @@ object Metrics {
     zeroFilledSeries(ev, col(Ts), lastMinutes, agg, "active_experiments")
   }
 
+  /** A3 under key skew: salted two-phase exact distinct. Phase 1
+    * groups by (minute, salt) where salt = hash(member) % nSalts, so a
+    * hot minute's members spread over nSalts reducers; phase 2 sums the
+    * per-salt distinct counts — EXACT, because the salt is a function
+    * of the member: each distinct member lands in exactly one salt
+    * bucket. This is the standard skew escape hatch when one group key
+    * (a viral minute, a bot user) would otherwise pin a single reducer.
+    * Same output and oracle as [[uniqueUsersPerMinute]]. */
+  def uniqueUsersPerMinuteSalted(ev: DataFrame, nSalts: Int = 16): DataFrame =
+    ev.groupBy(minuteStart(col(Ts)).as("m"),
+        pmod(xxhash64(col(Uid)), lit(nSalts.toLong)).as("salt"))
+      .agg(countDistinct(col(Uid)).as("u"))
+      .groupBy(col("m"))
+      .agg(sum(col("u")).as("unique_users"))
+      .select(minuteKey(col("m")).as("minute_key"), col("unique_users"))
+      .orderBy("minute_key")
+
   /** Mergeable-sketch rollup — the PFMERGE pattern (reference:
     * README.md:22-30 HLL rationale; PFADD writers
     * MetricsCalculationPipeline.java:183-189). Stores one DataSketches

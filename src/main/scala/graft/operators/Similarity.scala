@@ -134,7 +134,10 @@ object Similarity {
     * in tests. */
   def knnLsh(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
       nBits: Int = 6, nTables: Int = 4): DataFrame = {
+    // both the query side and the candidate side consume the keyed
+    // frame — persist the 32-projection hashing pass
     val keyed = lshKeys(embeddings, nBits, nTables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = keyed
       .where(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -54,6 +54,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
+  test("watermarked variant (documented deviation) still folds in-window late data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val store = new MetricsStore
+    val queries = StreamingMetrics.startPipeline(input.toDS(), store,
+      watermark = Some("10 minutes"))
+    try {
+      input.addData(ev("u1", "e1", "1", "2026-08-12 10:16:00"))
+      queries.foreach(_.processAllAvailable())
+      // late by 1 minute — inside the 10-minute watermark → accepted
+      input.addData(ev("u2", "e1", "1", "2026-08-12 10:15:00"))
+      queries.foreach(_.processAllAvailable())
+      assert(store.counter("visitCounter_2026_08_12T10_15") === 1L)
+      assert(store.counter("visitCounter_2026_08_12T10_16") === 1L)
+    } finally queries.foreach(_.stop())
+  }
+
   test("flatMapGroupsWithState exact uniques: state accumulates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
