@@ -87,6 +87,7 @@ object SparkEntry {
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
     "min_price_part_per_type" -> ((s, d) => Relational.minPricePartPerType(Tables.part(s, d))),
+    "asof_purchase_after_click" -> ((s, d) => AsOf.purchaseAfterClick(par(Tables.events(s, d)))),
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
     "unique_users_hourly_sketch" -> ((s, d) =>
       Metrics.uniqueUsersHourlyFromMinuteSketches(ev(s, d))),
@@ -214,6 +215,7 @@ object SparkEntry {
     "value_percentiles" -> Relational.valuePercentilesSql,
     "user_sessions" -> Metrics.userSessionsSql(),
     "min_price_part_per_type" -> Relational.minPricePartPerTypeSql,
+    "asof_purchase_after_click" -> AsOf.purchaseAfterClickSql,
     "pricing_summary_sql" -> Relational.pricingSummarySql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
