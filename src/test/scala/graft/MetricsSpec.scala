@@ -107,6 +107,14 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: entry() returns rows and every query has its oracle dumped") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a queries entry (a dangling oracle
+    // would make the driver's compare report a missing dump)
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql without queries: $dangling")
+  }
+
   test("sum of per-minute visits equals total event count") {
     val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
     val total = ev.count()
