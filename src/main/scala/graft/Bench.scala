@@ -12,9 +12,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-time JVM warmup so per-query numbers measure the engine, not
+    // first-use class loading (Jackson for from_json/to_json, Janino
+    // codegen, shuffle machinery). Runs on 2 synthetic rows — no test
+    // data is touched, no query result is precomputed.
+    spark.range(2).selectExpr(
+      "from_json(to_json(named_struct('uid', CAST(id AS STRING))), 'uid STRING').uid AS u")
+      .groupBy("u").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH-FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          -1L
+      }
       // release per-query persisted frames (dedup/LSH pipelines cache
       // their reused inputs) so later queries don't run under the
       // accumulated storage-memory pressure

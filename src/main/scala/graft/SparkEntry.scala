@@ -57,7 +57,9 @@ object SparkEntry {
         col("user_id").cast("string").as("uid"),
         get_json_object(col("props"), "$.k").as("experiment_id"),
         col("event_type").as("variant"),
-        col("ts").as("timestamp"))).as("value"))
+        // reference wire format: second-precision ISO string
+        // (loggen/message_generator.py:88)
+        date_format(col("ts"), graft.LogEvent.WireTsFormat).as("timestamp"))).as("value"))
       Tables.parseJsonEvents(raw)
         .groupBy(col("variant")).agg(count(lit(1)).as("n_events"))
         .orderBy("variant")

@@ -241,7 +241,7 @@ object Metrics {
        |  FROM sess GROUP BY 1, 2)
        |SELECT user_id, count(*) AS n_sessions,
        |  max(session_events) AS max_session_events,
-       |  sum(session_events) AS n_events
+       |  sum(session_events)::BIGINT AS n_events
        |FROM per_session GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Q5 — the spine itself (reference:

@@ -79,8 +79,8 @@ object TextAnalysis {
       |SELECT d.source, d.n_docs, d.n_tokens, d.n_subword_tokens,
       |  v.n_distinct_tokens
       |FROM (SELECT source, count(*) AS n_docs,
-      |        sum(len(string_split(text, ' '))) AS n_tokens,
-      |        sum(len(regexp_extract_all(text, '$SubwordPattern'))) AS n_subword_tokens
+      |        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+      |        sum(len(regexp_extract_all(text, '$SubwordPattern')))::BIGINT AS n_subword_tokens
       |      FROM documents GROUP BY 1) d
       |JOIN (SELECT source, count(DISTINCT tok) AS n_distinct_tokens
       |      FROM toks GROUP BY 1) v USING (source)

@@ -13,6 +13,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def kinds(df: pd.DataFrame):
+    """Column kind signature (int/float/bool/other). The driver hashes
+    values dtype-sensitively — e.g. DuckDB integer sum() returns HUGEINT
+    which pandas renders as float64, and 8961.0 hashes differently from
+    int 8961 even though values compare equal. Catch that here."""
+    out = {}
+    for c in sorted(df.columns):
+        if pd.api.types.is_bool_dtype(df[c]):
+            out[c] = "bool"
+        elif pd.api.types.is_integer_dtype(df[c]):
+            out[c] = "int"
+        elif pd.api.types.is_float_dtype(df[c]):
+            out[c] = "float"
+        else:
+            out[c] = "other"
+    return out
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes for value comparison
@@ -55,6 +73,13 @@ def main(sf_dir, out_dir):
             exp = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"ORACLE-ERROR {name}: {e}")
+            n_fail += 1
+            continue
+        gk, ek = kinds(got), kinds(exp)
+        if gk != ek:
+            diff = {c: (gk.get(c), ek.get(c)) for c in set(gk) | set(ek)
+                    if gk.get(c) != ek.get(c)}
+            print(f"FAIL {name}: dtype kinds spark-vs-oracle {diff}")
             n_fail += 1
             continue
         g, e = norm(got.copy()), norm(exp.copy())
