@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
   * Scale design:
   *  - shingling is per-row array work inside codegen (no explode until
   *    the shingle stream is needed);
-  *  - the exact-Jaccard candidate generation is an inverted-index
-  *    self-join on shingle, with a document-frequency cap to bound skew
-  *    (a shingle shared by thousands of docs contributes O(df²) pairs —
-  *    ubiquitous shingles carry no dedup signal and are dropped, the
-  *    classic "stop-shingle" rule);
-  *  - MinHash signatures are computed as 64 `min` aggregates (map-side
-  *    partial, no row explosion), banded 16x4, and only band-collision
-  *    candidates are verified with exact Jaccard — the linear-scale
-  *    path for 100 TB;
+  *  - the exact-Jaccard candidate generation is an inverted index
+  *    (postings list per shingle, one shuffle), with a
+  *    document-frequency cap to bound skew (a shingle shared by
+  *    thousands of docs contributes O(df²) pairs — ubiquitous shingles
+  *    carry no dedup signal and are dropped, the classic "stop-shingle"
+  *    rule);
+  *  - MinHash signatures are one per-row codegen'd expression
+  *    ([[graft.functions.MinHashSig]] — no explode, no shuffle), banded
+  *    16x4, and only band-collision candidates are verified with exact
+  *    Jaccard over their own shingles — the linear-scale path for
+  *    100 TB;
   *  - SimHash reduces each doc to a 64-bit fingerprint; candidate pairs
   *    come from 8-bit band collisions (guaranteed recall for hamming
   *    distance ≤ 3 by pigeonhole over 8 bands... any 3 flipped bits
@@ -61,20 +63,25 @@ object Dedup {
   def ngramJaccardPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
     val sh = shingles(documents, k)
-    // the filtered shingle stream feeds three consumers (sizes + both
-    // sides of the self-join): persist instead of recomputing the
-    // scan+shingling per consumer (at cluster scale: checkpoint to
-    // storage instead if it outgrows memory+disk)
-    val kept = sh.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shingle"))))
-      .where(col("df") <= maxDf)
-      .drop("df")
+    // inverted index: ONE shuffle of the shingle stream builds postings
+    // lists; the df cap (`size(ids) <= maxDf`) is the stop-shingle rule
+    // and bounds each posting's pair fan-out at df². The earlier
+    // formulation (window df-count + self-join on shingle) shuffled the
+    // same stream three times, once with a sort. Persisted: consumed by
+    // the size and pair branches (at cluster scale: checkpoint instead
+    // if postings outgrow memory+disk).
+    val postings = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = kept.toDF("doc_id_a", "shingle")
-      .join(kept.toDF("doc_id_b", "shingle_b"),
-        col("shingle") === col("shingle_b") && col("doc_id_a") < col("doc_id_b"))
+    val sizes = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // i<j pairs per posting via double explode; the pair counts are
+    // partially aggregated map-side before the (a,b) shuffle
+    val inter = postings
+      .select(explode(col("ids")).as("doc_id_a"), col("ids"))
+      .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
+      .where(col("doc_id_a") < col("doc_id_b"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -117,52 +124,58 @@ object Dedup {
        |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $threshold
        |ORDER BY 1, 2""".stripMargin
 
-  /** MinHash signature matrix: `numPerm` permutations approximated by
-    * seeded xxhash64, computed as `numPerm` parallel `min` aggregates —
-    * map-side partial aggregation, no row explosion. */
+  /** MinHash signature per document as one `array<bigint>` column,
+    * computed per-row by the codegen'd
+    * [[graft.functions.MinHashSig minhash_sig]] expression — a single
+    * scan-side pass, no shingle explosion and no shuffle (the earlier
+    * `explode + 64 x min` aggregate formulation shuffled the whole
+    * shingle stream and cost ~10 s of one-time Janino compile for the
+    * 64-buffer aggregate). */
   def minhashSignatures(documents: DataFrame, k: Int = 4,
       numPerm: Int = 64): DataFrame = {
-    // hash each shingle string ONCE; the numPerm "permutations" rehash
-    // the 8-byte base hash (xxhash64 of a long is a single block) —
-    // numPerm x cheaper than re-hashing the string per seed
-    val sh = shingles(documents, k)
-      .withColumn("hb", xxhash64(col("shingle")))
-    val minCols = (0 until numPerm).map { s =>
-      min(xxhash64(lit(s), col("hb"))).as(s"h$s")
-    }
-    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    graft.functions.MinHashFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        expr(s"minhash_sig(toks, $k, $numPerm)").as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: band the signature (bands x
-    * rowsPerBand = numPerm), emit (band, bandHash) keys, self-join on
-    * collisions, then verify candidates with exact Jaccard. With 16
-    * bands of 4 rows, a pair at Jaccard j collides with probability
-    * 1-(1-j⁴)¹⁶ (≈ 1.0 at j ≥ 0.8) — the linear-cost scale path whose
-    * output matches [[ngramJaccardPairs]] on strongly bimodal corpora.
-    */
+    * rowsPerBand = numPerm), self-join on band-hash collisions, then
+    * verify candidates with exact Jaccard. With 16 bands of 4 rows, a
+    * pair at Jaccard j collides with probability 1-(1-j⁴)¹⁶ (≈ 1.0 at
+    * j ≥ 0.8) — the linear-cost scale path whose output matches
+    * [[ngramJaccardPairs]] on strongly bimodal corpora.
+    *
+    * Scale shape: signatures and band keys are per-row expressions on
+    * the scan (no shuffle); the only shuffled data are the 16-per-doc
+    * band keys and the shingle streams of CANDIDATE docs only — the
+    * expensive exact-Jaccard verification never touches the full
+    * corpus. */
   def minhashLshPairs(documents: DataFrame, k: Int = 4, numPerm: Int = 64,
       bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    val sig = minhashSignatures(documents, k, numPerm)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        xxhash64(concat_ws("|",
-          (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*))
-          .as("band_hash"))
-    }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band_idx").as("band_idx"),
-        col("b.band_hash").as("band_hash"))
+    val banded = minhashSignatures(documents, k, numPerm)
+      .select(col("doc_id"),
+        explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash"))
+      // consumed by both sides of the self-join
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = banded.toDF("doc_id_a", "band_idx", "band_hash")
-      .join(banded.toDF("doc_id_b", "band_idx_b", "band_hash_b"),
-        col("band_idx") === col("band_idx_b") &&
-          col("band_hash") === col("band_hash_b") &&
+    val candidates = banded.toDF("doc_id_a", "band_hash")
+      .join(banded.toDF("doc_id_b", "band_hash_b"),
+        col("band_hash") === col("band_hash_b") &&
           col("doc_id_a") < col("doc_id_b"))
       .select("doc_id_a", "doc_id_b").distinct()
-    // verify candidates with exact Jaccard over their shingle sets;
-    // persisted: consumed by sizes and both join sides
-    val sh = shingles(documents, k)
+      // consumed by the verification join and the candidate-id filter
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // verify with exact Jaccard over shingle sets of candidate docs
+    // only: at dedup rates the candidate set is a sliver of the corpus,
+    // so the shingling + intersection join stays small no matter the
+    // input scale
+    val candIds = candidates
+      .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
+      .distinct()
+    val candDocs = documents.join(broadcast(candIds), Seq("doc_id"), "leftsemi")
+    val sh = shingles(candDocs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
