@@ -225,6 +225,13 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    // LSH is deterministic and, on the bimodal corpus, finds exactly the
+    // exact-Jaccard pair set (candidate recall ≈ 1 at j ≥ 0.8, and the
+    // verification stage recomputes the same jaccard) — so the exact
+    // pipeline's SQL doubles as its oracle. DedupSpec asserts the same
+    // equivalence in-process.
+    "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(),
+    "multimodal_feature_summary" -> Multimodal.featureSummarySql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql()
   )

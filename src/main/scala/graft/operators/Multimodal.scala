@@ -46,7 +46,10 @@ object Multimodal {
   /** STUB decoder — deterministic fake standing in for a real image/
     * audio decode. Folds payload bytes into `dim` accumulators and
     * normalizes; output depends only on the bytes, so tests and
-    * repeated runs agree. Replace with a real decoder (e.g. JNI/FFI to
+    * repeated runs agree. The normalization divides in DOUBLE and only
+    * then rounds to float32 — both steps are IEEE-exact and thus
+    * reproducible by the DuckDB oracle (`CAST(sum AS DOUBLE) / n` then
+    * `AS REAL`). Replace with a real decoder (e.g. JNI/FFI to
     * libjpeg/ffmpeg) without touching any Spark plumbing. */
   def decodeStub(payload: Array[Byte], dim: Int = 8): Array[Float] = {
     val acc = new Array[Long](dim)
@@ -56,14 +59,20 @@ object Multimodal {
       i += 1
     }
     val n = math.max(payload.length, 1)
-    acc.map(v => v.toFloat / n)
+    acc.map(v => (v.toDouble / n).toFloat)
   }
 
-  private def checksum64(payload: Array[Byte]): Long = {
-    var h = 1125899906842597L
+  /** 60-bit content checksum: the first 15 hex chars of the payload's
+    * MD5, as a (positive) long. MD5 rather than a rolling polynomial so
+    * the oracle can reproduce it (`('0x' || substr(md5(text), 1, 15))
+    * ::BIGINT`); 15 chars keeps it inside the signed-64 range. */
+  private def checksum60(payload: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    // first 7.5 bytes = 15 hex chars = 60 bits
+    var h = 0L
     var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    h
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
   /** Fabricate a deterministic media table from `documents` (the
@@ -97,7 +106,7 @@ object Multimodal {
         // per-batch decoder setup would go here (model load, codec init)
         batch.map { m =>
           MediaFeatures(m.media_id, m.kind, m.payload.length,
-            checksum64(m.payload), decodeStub(m.payload, dim))
+            checksum60(m.payload), decodeStub(m.payload, dim))
         }
       }
     }
@@ -136,4 +145,25 @@ object Multimodal {
         sum(element_at(col("features"), 1).cast("long")).as("f0_sum"))
       .orderBy("kind")
   }
+
+  /** DuckDB oracle for [[featureSummary]]. Replays the deterministic
+    * stub end-to-end in SQL: the payload is the UTF-8 text (ASCII
+    * corpus, so `ord` per char == byte), feature 0 folds bytes at
+    * positions ≡ 0 (mod 8), the checksum is the 60-bit MD5 prefix, and
+    * every float step (DOUBLE divide → REAL round → floor) is
+    * IEEE-exact in both engines. */
+  val featureSummarySql: String =
+    """WITH item AS (
+      |  SELECT
+      |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |      ELSE 'video' END AS kind,
+      |    strlen(text) AS n_bytes,
+      |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS checksum,
+      |    floor(CAST(CAST(
+      |        list_sum([ord(text[i]) for i in range(1, strlen(text) + 1, 8)])
+      |      AS DOUBLE) / strlen(text) AS REAL))::BIGINT AS f0
+      |  FROM documents)
+      |SELECT kind, count(*) AS n_items, sum(n_bytes)::BIGINT AS total_bytes,
+      |  bit_xor(checksum) AS checksum_xor, sum(f0)::BIGINT AS f0_sum
+      |FROM item GROUP BY 1 ORDER BY kind""".stripMargin
 }
