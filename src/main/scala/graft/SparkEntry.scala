@@ -109,6 +109,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(par(Tables.embeddings(s, d)))),
+    "knn_ivf" -> ((s, d) => Similarity.knnIvf(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d))))

@@ -47,14 +47,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         (expr("vec_dot(q_emb, n_emb)") / (col("q_norm") * col("n_norm")))
           .as("cos_sim"))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 
   def knnBruteForceSql(k: Int = 10, queryMod: Int = 100): String =
@@ -128,6 +121,75 @@ object Similarity {
         col("tb.table_id").as("table_id"), col("tb.bucket").as("bucket"))
   }
 
+  /** Shared ANN tail: rank scored (query, neighbor, cos_sim) rows and
+    * keep the top k per query. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+
+  /** Deterministic ±1 "centroid" for IVF list `c` (same splitmix mix as
+    * [[hyperplane]], different stream). All centroids share norm
+    * sqrt(dim), so argmax dot == argmax cosine — assignment needs no
+    * per-row normalization. A production pipeline would train these
+    * with k-means over a sample; deterministic literals keep the test
+    * reproducible while the plan shape (assign → bucket → probe) is
+    * identical. */
+  private def centroid(c: Int, dim: Int): Array[Float] =
+    hyperplane(c + 7919, c, dim)
+
+  /** IVF cluster assignment: argmax over `nList` codegen'd dot products
+    * per row — no shuffle; at scale the output would be written
+    * partitioned/bucketed by `cluster_id` so probes prune storage. */
+  def ivfAssign(embeddings: DataFrame, nList: Int = 16,
+      dim: Int = 64): DataFrame =
+    withScores(embeddings, nList, dim)
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_position(cent_scores, array_max(cent_scores))")
+          .cast("int") - 1).as("cluster_id"))
+
+  private def withScores(embeddings: DataFrame, nList: Int, dim: Int): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    embeddings.withColumn("cent_scores",
+      array((0 until nList).map { c =>
+        call_function("vec_dot", col("embedding"), typedLit(centroid(c, dim)))
+      }: _*))
+  }
+
+  /** ANN top-k via IVF: vectors are assigned to their nearest centroid
+    * list; each query probes its `nProbe` closest lists and re-ranks
+    * only their members exactly. At 100 TB the lists are storage
+    * partitions, so a probe is a partition-pruned scan instead of a
+    * full pass. Approximate (a true neighbor living outside every
+    * probed list is lost) — rows-only query, recall measured against
+    * [[knnBruteForce]] in tests. */
+  def knnIvf(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
+      nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    val assigned = ivfAssign(embeddings, nList, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe set per query: indices of the nProbe best centroid scores
+    val queries = withScores(
+        embeddings.where(pmod(col("vec_id"), lit(queryMod)) === 0), nList, dim)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        expr(s"""slice(array_sort(
+            |  transform(cent_scores, (s, i) -> struct(-s AS ns, i AS idx))),
+            |  1, $nProbe).idx""".stripMargin).as("probes"))
+    val candidates = assigned
+      .join(broadcast(queries),
+        array_contains(col("probes"), col("cluster_id")) &&
+          col("vec_id") =!= col("query_id"))
+    val scored = candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      (expr("vec_dot(q_emb, embedding)") /
+        (expr("sqrt(vec_dot(q_emb, q_emb))") *
+          expr("sqrt(vec_dot(embedding, embedding))"))).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
   /** ANN top-k via multi-table LSH bucketing + exact re-rank of the
     * candidate union. Approximate: a neighbor missed by every table is
     * lost — rows-only query, recall measured against [[knnBruteForce]]
@@ -155,13 +217,6 @@ object Similarity {
         (expr("vec_dot(q_emb, embedding)") /
           (expr("sqrt(vec_dot(q_emb, q_emb))") *
             expr("sqrt(vec_dot(embedding, embedding))"))).as("cos_sim"))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query_id"))
-          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
-      .orderBy("query_id", "rank")
+    rankTopK(scored, k)
   }
 }

@@ -53,6 +53,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("IVF ANN: ranked output shape, subset semantics, positive recall") {
+    val exact = Similarity.knnBruteForce(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.knnIvf(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      assert(!rows.map(_._2).contains(q))
+    }
+    val approx = ivf.map(r => (r._1, r._2)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@10 = $recall%.2f (candidates=${approx.size})")
+    assert(recall > 0.0)
+  }
+
+  test("IVF assignment is a total partition of the collection") {
+    val assigned = Similarity.ivfAssign(emb, nList = 16)
+    assert(assigned.count() === emb.count())
+    val clusters = assigned.groupBy("cluster_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(clusters.keys.forall(c => c >= 0 && c < 16))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDup(emb, threshold = 0.40)
       .as[(Long, Long)].collect()
