@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import graft.sources.Tables
+import graft.operators.{Relational, Metrics, Dedup}
+
+/** Plan-shape assertions: the scale properties each operator is
+  * designed around (broadcasts of small sides, map-side partial
+  * aggregation, column pruning at the scan, partition pruning in the
+  * metrics store) — so a refactor that silently loses one fails a test,
+  * not a 100 TB run. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // materialize so AQE finalizes (codegen stages appear)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("revenue_by_nation broadcasts every dimension side") {
+    val p = plan(Relational.revenueByNation(spark, d))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    // the fact table is never on a broadcast side: no shuffle-hash or
+    // sort-merge join should remain
+    assert(!p.contains("SortMergeJoin"), "dimension join degenerated to SMJ")
+  }
+
+  test("pricing_summary aggregates partially before the shuffle") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, d)))
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+    // codegen stages render as "*(n) HashAggregate" in the final plan
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined,
+      "agg not codegen'd: " + p.take(400))
+  }
+
+  test("pricing_summary scan prunes to the referenced columns only") {
+    val qe = Relational.pricingSummary(Tables.lineitem(spark, d))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(qe).getOrElse("")
+    // 7 columns feed the aggregate; the 16-column table must not be
+    // read whole
+    assert(readSchema.nonEmpty, "no parquet scan in plan?")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("metric queries push the minute filter into partial aggregation") {
+    val p = plan(Metrics.visitsPerMinute(Tables.logEvents(spark, d)))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("exact-Jaccard postings build is a single shuffle of the shingle stream") {
+    val p = plan(Dedup.ngramJaccardPairs(Tables.documents(spark, d)))
+    // shingle stream is shuffled once (groupBy shingle); downstream
+    // exchanges operate on the much smaller postings/pairs frames. The
+    // plan must not contain a shingle-keyed sort-merge self-join.
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  test("metrics store timeseries read partition-prunes to one metric family") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store_plan").toString
+    val ev = Tables.logEvents(spark, d)
+    graft.store.MetricsTables.write(graft.store.MetricsTables.materialize(ev), dir)
+    val store = graft.store.MetricsTables.read(spark, dir)
+    val spine = Metrics.timesSpine(ev).select(org.apache.spark.sql.functions.col("minute_key"))
+    val p = plan(graft.store.MetricsTables.timeseries(store, "visitCounter", spine))
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains(dir))
+      .getOrElse("")
+    assert(scanLine.nonEmpty, s"no store scan found in plan:\n${p.take(1200)}")
+    assert("PartitionFilters: \\[[^\\]]*metric".r.findFirstIn(scanLine).isDefined,
+      s"store scan not partition-pruned: $scanLine")
+  }
+}
