@@ -88,6 +88,9 @@ object SparkEntry {
         .orderBy("p_brand", "price_rank")),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
+    // native session_window formulation, same semantics + oracle
+    "user_sessions_window" -> ((s, d) =>
+      Metrics.userSessionsViaSessionWindow(par(Tables.events(s, d)))),
     "min_price_part_per_type" -> ((s, d) => Relational.minPricePartPerType(Tables.part(s, d))),
     "asof_purchase_after_click" -> ((s, d) => AsOf.purchaseAfterClick(par(Tables.events(s, d)))),
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
@@ -217,6 +220,7 @@ object SparkEntry {
     "top_tokens" -> TextAnalysis.topTokensSql(),
     "value_percentiles" -> Relational.valuePercentilesSql,
     "user_sessions" -> Metrics.userSessionsSql(),
+    "user_sessions_window" -> Metrics.userSessionsSql(),
     "min_price_part_per_type" -> Relational.minPricePartPerTypeSql,
     "asof_purchase_after_click" -> AsOf.purchaseAfterClickSql,
     "pricing_summary_sql" -> Relational.pricingSummarySql,

@@ -220,6 +220,31 @@ object Metrics {
       .orderBy("user_id")
   }
 
+  /** Sessionization via Spark's native `session_window` operator — the
+    * same semantics as [[userSessions]] (and the same oracle), but
+    * expressed as a session-window aggregate, which also runs
+    * incrementally on a stream with a watermark (see
+    * [[graft.streaming.StreamingMetrics.startSessionization]]).
+    *
+    * Boundary alignment with the lag formulation: [[userSessions]]
+    * splits when `floor(epoch(b)) - floor(epoch(a)) > gap`. Events are
+    * truncated to seconds first, and since Spark merges sessions
+    * inclusively at the window end (next.start <= prev.end extends the
+    * session), a gap of exactly `gapSeconds` seconds merges ⟺
+    * second-diff ≤ gap — precisely the lag semantics. */
+  def userSessionsViaSessionWindow(events: DataFrame,
+      gapSeconds: Long = 1800): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(date_trunc("second", col("ts")),
+          s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("session_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("session_events")).as("max_session_events"),
+        sum(col("session_events")).as("n_events"))
+      .orderBy("user_id")
+
   def userSessionsSql(gapSeconds: Long = 1800): String =
     s"""WITH ordered AS (
        |  SELECT user_id, event_id, ts,

@@ -155,6 +155,39 @@ object StreamingMetrics {
       }
   }
 
+  /** Streaming exact dedup: drop events whose key columns were already
+    * seen, keeping per-key state only as long as the watermark allows —
+    * the streaming face of the batch `dedup_exact` pass (a training
+    * pipeline dedups its ingest stream the same way its batch store is
+    * deduped). Without a watermark the state grows unboundedly, exactly
+    * like the reference's forever-retained Redis sets; pass one for
+    * bounded state. */
+  def dedupExactStream(df: DataFrame, keys: Seq[String],
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val wm = watermark.fold(df) { case (c, w) => df.withWatermark(c, w) }
+    if (watermark.isDefined) wm.dropDuplicatesWithinWatermark(keys)
+    else wm.dropDuplicates(keys)
+  }
+
+  /** Streaming sessionization via `session_window` + watermark: session
+    * aggregates are emitted once their window closes (watermark passes
+    * the gap), the streaming twin of
+    * [[graft.operators.Metrics.userSessionsViaSessionWindow]]. Append
+    * mode: each session row is final when emitted. */
+  def startSessionization(events: Dataset[LogEvent], queryName: String,
+      gapSeconds: Long = 1800, watermark: String = "1 hour"): StreamingQuery =
+    events.toDF()
+      .withWatermark(LogEvent.Ts, watermark)
+      .groupBy(col(LogEvent.Uid),
+        session_window(col(LogEvent.Ts), s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col(LogEvent.Uid), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("session_events"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** The stateful exact-uniques branch wired to a memory sink through
     * update mode; returns the started query. Results are read with
     * `spark.table(queryName)`. */

@@ -72,6 +72,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
+  test("streaming exact dedup drops repeated keys across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    input.addData(
+      ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u1", "e1", "1", "2026-08-12 10:15:03"), // dup in-batch
+      ev("u2", "e1", "2", "2026-08-12 10:16:00"))
+    val deduped = StreamingMetrics.dedupExactStream(
+      input.toDS().toDF(), Seq("uid", "variant"),
+      watermark = Some(("timestamp", "1 hour")))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_t").start()
+    q.processAllAvailable()
+    input.addData(ev("u1", "e1", "1", "2026-08-12 10:17:00")) // dup across batches
+    q.processAllAvailable()
+    val rows = spark.table("dedup_stream_t").collect()
+    assert(rows.length === 2, rows.mkString("; "))
+    q.stop()
+  }
+
+  test("streaming sessionization emits closed session windows") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    input.addData(
+      ev("u1", "e1", "1", "2026-08-12 10:00:00"),
+      ev("u1", "e1", "1", "2026-08-12 10:10:00"), // same session (gap 30m)
+      ev("u1", "e1", "1", "2026-08-12 11:30:00"), // new session
+      ev("u2", "e1", "2", "2026-08-12 10:05:00"),
+      // advance the watermark far enough to close every session above
+      ev("wm", "e1", "1", "2026-08-12 23:00:00"))
+    val q = StreamingMetrics.startSessionization(input.toDS(), "sessions_t",
+      gapSeconds = 1800, watermark = "1 minute")
+    q.processAllAvailable()
+    val rows = spark.table("sessions_t").collect()
+      .map(r => (r.getString(0), r.getLong(3)))
+    val u1 = rows.filter(_._1 == "u1").map(_._2).sorted.toSeq
+    assert(u1 === Seq(1L, 2L), rows.mkString("; "))
+    assert(rows.count(_._1 == "u2") === 1)
+    q.stop()
+  }
+
   test("flatMapGroupsWithState exact uniques: state accumulates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
