@@ -103,6 +103,10 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
     "doc_winnowing" -> ((s, d) => TextAnalysis.winnowingSummary(par(Tables.documents(s, d)))),
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(par(Tables.documents(s, d)))),
+    // ---- corpus preparation (training-data pipeline ops) ----
+    "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
+    "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
+    "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
@@ -228,6 +232,9 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
+    "hash_split" -> Corpus.hashSplitSql(),
+    "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),
+    "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     // LSH is deterministic and, on the bimodal corpus, finds exactly the

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * runs between raw ingest and tokenized shards: deterministic
+  * train/validation splitting, benchmark decontamination, sequence
+  * chunking, and pattern redaction.
+  *
+  * Scale design: splits and chunk layouts are pure per-row expressions
+  * (no shuffle); decontamination is an inverted-index join where the
+  * benchmark side — always tiny next to the corpus — builds the
+  * postings that the corpus stream probes.
+  */
+object Corpus {
+
+  /** Deterministic 0-99 bucket from a column's MD5 (content-stable:
+    * re-running the pipeline, or running it on another engine, assigns
+    * every row the same bucket — the property that makes a train/val
+    * split reproducible). 15 hex chars keep the value positive in
+    * signed 64. */
+  private def hashBucket(c: Column): Column =
+    (conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100)
+      .as("bucket")
+
+  /** Train/validation split by doc_id hash: stable under re-runs,
+    * insertion-order independent, and skew-free. `valPct` of docs land
+    * in 'val'. */
+  def hashSplit(documents: DataFrame, valPct: Int = 10): DataFrame =
+    documents.select(col("doc_id"),
+      when(hashBucket(col("doc_id")) < valPct, lit("val"))
+        .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+
+  def hashSplitSql(valPct: Int = 10): String =
+    s"""SELECT doc_id,
+       |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+       |    < $valPct THEN 'val' ELSE 'train' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: corpus docs sharing at least
+    * `minShared` word k-grams with a benchmark/eval doc (here: the
+    * deterministic doc_id % benchMod == 0 sample stands in for an eval
+    * set loaded from elsewhere). The benchmark side builds the shingle
+    * index; the corpus stream joins against it — at 100 TB the
+    * benchmark shingle set broadcasts and the corpus is touched once,
+    * no self-join. */
+  def contamination(documents: DataFrame, k: Int = 8, minShared: Long = 4,
+      benchMod: Int = 50): DataFrame = {
+    val benchSh = Dedup.shingles(
+        documents.where(pmod(col("doc_id"), lit(benchMod)) === 0), k)
+      .toDF("bench_id", "shingle")
+    val corpusSh = Dedup.shingles(
+      documents.where(pmod(col("doc_id"), lit(benchMod)) =!= 0), k)
+    corpusSh
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= minShared)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  def contaminationSql(k: Int = 8, minShared: Long = 4,
+      benchMod: Int = 50): String =
+    s"""WITH arr AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id,
+       |    list_aggregate(toks[i:i + $k - 1], 'string_agg', ' ') AS shingle
+       |  FROM arr, LATERAL unnest(range(1, len(toks) - $k + 2)) AS t (i)
+       |  WHERE len(toks) >= $k),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM sh0)
+       |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared_shingles
+       |FROM sh c JOIN sh b ON c.shingle = b.shingle
+       |WHERE c.doc_id % $benchMod <> 0 AND b.doc_id % $benchMod = 0
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Fixed-length sequence chunking (the layout step before packing
+    * tokenized docs into training examples): doc i with n tokens yields
+    * ceil(n/chunkLen) chunks; the last carries the remainder. Pure
+    * per-row arithmetic + explode — no shuffle. */
+  def docChunks(documents: DataFrame, chunkLen: Int = 512): DataFrame =
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        // `div` is integral division (Column./ is always double)
+        explode(sequence(lit(0L),
+          expr(s"(n_tokens + ${chunkLen - 1}) div $chunkLen") - 1))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkLen.toLong),
+          (col("n_tokens") - col("chunk_idx") * chunkLen).cast("long"))
+          .as("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def docChunksSql(chunkLen: Int = 512): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents)
+       |SELECT doc_id, chunk_idx,
+       |  least($chunkLen, n_tokens - chunk_idx * $chunkLen) AS chunk_len
+       |FROM d, LATERAL unnest(range(0,
+       |  ((n_tokens + $chunkLen - 1) // $chunkLen)::BIGINT)) AS t (chunk_idx)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Pattern redaction (PII scrubbing): replace every match of each
+    * pattern with its tag, left to right. Codegen'd regexp_replace per
+    * pattern — single pass per row, no shuffle. */
+  def redact(df: DataFrame, textCol: String,
+      patterns: Seq[(String, String)]): DataFrame =
+    df.withColumn(textCol,
+      patterns.foldLeft(col(textCol)) { case (c, (pat, tag)) =>
+        regexp_replace(c, pat, tag)
+      })
+
+  /** Common PII patterns (emails, SSN-shaped ids, E.164-ish phones).
+    * Most-specific first: the id shape would otherwise be consumed by
+    * the looser phone pattern. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<ID>",
+    "\\+?[0-9][0-9 ()-]{7,}[0-9]" -> "<PHONE>")
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Corpus
+import graft.sources.Tables
+
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf0001)
+
+  test("hash split is stable, total, and near the requested rate") {
+    val s1 = Corpus.hashSplit(docs, valPct = 10).collect()
+    val s2 = Corpus.hashSplit(docs, valPct = 10).collect()
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.length === docs.count())
+    val valFrac = s1.count(_.getString(1) == "val").toDouble / s1.length
+    assert(valFrac > 0.02 && valFrac < 0.25, s"val fraction $valFrac")
+  }
+
+  test("chunk layout covers every token exactly once") {
+    val perDoc = Corpus.docChunks(docs, chunkLen = 64)
+      .groupBy("doc_id").agg(
+        sum("chunk_len").as("covered"),
+        max("chunk_idx").as("last_idx"),
+        count(lit(1)).as("n_chunks"))
+    val joined = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("covered") === r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("n_chunks") === r.getAs[Long]("last_idx") + 1)
+    }
+  }
+
+  test("contamination flags a doc sharing long n-grams with a benchmark doc") {
+    // fabricate: doc 100 copies benchmark doc 0's text (doc_id % 10 == 0
+    // marks the benchmark set here)
+    val d = Seq(
+      (0L, "a b c d e f g h i j k l m n o p"),
+      (105L, "ZZ a b c d e f g h i j k l m n o p YY"),
+      (7L, "totally different words with no overlap at all here ok")
+    ).toDF("doc_id", "text")
+    val got = Corpus.contamination(d, k = 8, minShared = 4, benchMod = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((105L, 0L)))
+    assert(got.head._3 >= 4L)
+  }
+
+  test("redaction masks PII patterns and leaves clean text alone") {
+    val d = Seq(
+      "contact john.doe+x@example.org or +1 (415) 555-0199 id 123-45-6789",
+      "nothing sensitive here").toDF("text")
+    val out = Corpus.redact(d, "text", Corpus.PiiPatterns)
+      .as[String].collect()
+    assert(out(0) === "contact <EMAIL> or <PHONE> id <ID>")
+    assert(out(1) === "nothing sensitive here")
+  }
+}
