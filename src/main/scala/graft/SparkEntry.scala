@@ -87,6 +87,8 @@ object SparkEntry {
         .select(col("p_brand"), col("price_rank"), col("p_partkey"), col("p_name"))
         .orderBy("p_brand", "price_rank")),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
+    "value_percentiles_approx" -> ((s, d) =>
+      Relational.valuePercentilesApprox(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
     // native session_window formulation, same semantics + oracle
     "user_sessions_window" -> ((s, d) =>

@@ -273,6 +273,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Sketch twin of [[valuePercentiles]]: `approx_percentile`
+    * (a mergeable quantile summary with bounded per-group state — the
+    * 100 TB path, where the exact sort-based percentile would shuffle
+    * every value). Rows-only; error bound-checked against the exact
+    * percentiles in PropertySpec. */
+  def valuePercentilesApprox(events: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.9, $accuracy)").as("p90"),
+        expr(s"approx_percentile(value, 0.99, $accuracy)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   def valuePercentilesSql: String =
     """SELECT event_type,
       |  quantile_cont(value, 0.5) AS p50,

@@ -180,21 +180,19 @@ object TextAnalysis {
   /** Winnowing document fingerprints (the MOSS scheme): hash every
     * k-char gram (rolling window over the text), then keep the minimum
     * hash of each w-gram window — guarantees any shared substring of
-    * length ≥ k+w-1 yields a shared fingerprint. All per-row array work
-    * (`transform`/`slice`/`array_min`), exploded only for the final
-    * distinct; the fingerprint count per doc is the query output.
-    * xxhash64 has no DuckDB twin → rows-only, equivalence-tested in
-    * ScalaTest (near-dup docs share most fingerprints). */
+    * length ≥ k+w-1 yields a shared fingerprint. One per-row call of
+    * the codegen'd [[graft.functions.WinnowFingerprints]] kernel (the
+    * earlier `transform`/`slice`/`array_min` chain ran interpreted, a
+    * closure call per gram); short texts yield an empty array → no
+    * rows. xxhash64 has no DuckDB twin → rows-only, equivalence-tested
+    * in ScalaTest (near-dup docs share most fingerprints). */
   def winnowingFingerprints(documents: DataFrame, k: Int = 8,
-      w: Int = 4): DataFrame =
+      w: Int = 4): DataFrame = {
+    graft.functions.WinnowFingerprints.register(documents.sparkSession)
     documents
-      .where(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
-        expr(s"transform(sequence(0, length(text) - $k), " +
-          s"i -> xxhash64(substring(text, i + 1, $k)))").as("grams"))
-      .select(col("doc_id"), explode(array_distinct(
-        expr(s"transform(sequence(0, size(grams) - $w), " +
-          s"j -> array_min(slice(grams, j + 1, $w)))"))).as("fingerprint"))
+        explode(expr(s"winnow_fingerprints(text, $k, $w)")).as("fingerprint"))
+  }
 
   /** Per-doc winnowing fingerprint summary (the queries() face of
     * [[winnowingFingerprints]]). */

@@ -86,6 +86,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles track exact percentiles on the events table") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val approx = graft.operators.Relational.valuePercentilesApprox(ev).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // rank-based bound: approx_percentile returns an actual sample whose
+    // RANK is within n/accuracy of the target — value distance is
+    // unbounded on heavy tails, so assert the rank window instead
+    val values = ev.select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    values.foreach { case (et, sorted) =>
+      val n = sorted.length
+      Seq(0.5, 0.9, 0.99).zip(approx(et)).foreach { case (q, a) =>
+        val lo = math.floor((q - 0.01) * (n - 1)).toInt.max(0)
+        val hi = math.ceil((q + 0.01) * (n - 1)).toInt.min(n - 1)
+        assert(a >= sorted(lo) && a <= sorted(hi),
+          s"$et q=$q: approx $a outside rank window [${sorted(lo)}, ${sorted(hi)}] (n=$n)")
+      }
+    }
+  }
+
   test("permutation invariance: shuffled input yields identical metrics") {
     forAllSamples(Gen.zip(eventsGen, Gen.chooseNum(1L, 999L))) { case (rows, seed) =>
       val df = toDf(rows)
