@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/** Production packaging of every custom Catalyst piece in the engine:
+  * set `spark.sql.extensions=graft.GraftExtensions` (spark-submit /
+  * cluster config) and all graft functions plus the TopKPerGroup
+  * planner strategy are available in every session — no imperative
+  * per-session `register(...)` calls needed, and SQL-only users (JDBC,
+  * notebooks) get the full surface.
+  *
+  * The imperative `register` helpers on each function object remain
+  * for embedded/test use; both routes build the identical expressions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(ext: SparkSessionExtensions, name: String, usage: String)(
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+
+    fn(ext, "vec_dot",
+      "vec_dot(a, b) - codegen'd double dot product of two float arrays") {
+      exprs => FloatVecDot(exprs(0), exprs(1))
+    }
+    fn(ext, "minhash_sig",
+      "minhash_sig(tokens, k, numPerm) - per-row MinHash signature of word k-grams") {
+      exprs => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+    }
+    fn(ext, "minhash_bands",
+      "minhash_bands(sig, bands) - LSH band keys of a MinHash signature") {
+      exprs => MinHashBands(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }
+    fn(ext, "winnow_fingerprints",
+      "winnow_fingerprints(text, k, w) - distinct winnowing fingerprints of k-char grams") {
+      exprs => WinnowFingerprints(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+    }
+    fn(ext, "simhash_agg",
+      "simhash_agg(hash, weight) - 64-bit weighted SimHash aggregate") {
+      exprs => SimHashAgg(exprs(0), exprs(1))
+    }
+    fn(ext, "topk_sketch",
+      "topk_sketch(col, k, capacity) - Space-Saving heavy-hitters sketch") {
+      exprs => TopKSketchAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())
+    }
+  }
+}
