@@ -107,6 +107,8 @@ object SparkEntry {
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
+    "mixture_sample" -> ((s, d) =>
+      Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
@@ -235,6 +237,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "hash_split" -> Corpus.hashSplitSql(),
+    "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),
     "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,

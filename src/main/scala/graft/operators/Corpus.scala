@@ -21,8 +21,7 @@ object Corpus {
     * split reproducible). 15 hex chars keep the value positive in
     * signed 64. */
   private def hashBucket(c: Column): Column =
-    (conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100)
-      .as("bucket")
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
 
   /** Train/validation split by doc_id hash: stable under re-runs,
     * insertion-order independent, and skew-free. `valPct` of docs land
@@ -38,6 +37,36 @@ object Corpus {
        |  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
        |    < $valPct THEN 'val' ELSE 'train' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Weighted dataset mixing: keep each doc with its source's sampling
+    * rate (percent), decided by the same content-stable hash bucket as
+    * [[hashSplit]] — so a 25% source keeps exactly the docs whose
+    * bucket < 25, reproducibly across runs and engines. A pure per-row
+    * expression (`element_at` on a map literal — no join, no shuffle):
+    * the way a training pipeline downsamples over-represented sources
+    * while streaming the corpus once. Unlisted sources keep
+    * `defaultPct`. */
+  def mixtureSample(documents: DataFrame, rates: Map[String, Int],
+      defaultPct: Int = 100): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"))
+      .where(hashBucket(col("doc_id")) <
+        coalesce(element_at(typedLit(rates), col("source")), lit(defaultPct)))
+      .orderBy("doc_id")
+
+  def mixtureSampleSql(rates: Map[String, Int], defaultPct: Int = 100): String = {
+    val cases = rates.toSeq.sortBy(_._1)
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+       |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+       |  < (CASE source $cases ELSE $defaultPct END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Deterministic demo mixture over the test corpus's src0..src19:
+    * rates cycle 100/75/50/25 by source index. */
+  val DemoRates: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> (100 - (i % 4) * 25)).toMap
 
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word k-grams with a benchmark/eval doc (here: the

@@ -169,6 +169,35 @@ object StreamingMetrics {
     else wm.dropDuplicates(keys)
   }
 
+  /** Stream-stream attribution: every (purchase, prior click) pair of
+    * the same user within `horizon` — Spark's watermarked interval join,
+    * which bounds both sides' state to the horizon. The batch as-of join
+    * ([[graft.operators.AsOf]]) keeps only the LATEST prior click;
+    * stream-stream joins cannot express "latest" directly (a later
+    * click may still arrive), so the streaming shape emits all matches
+    * within the horizon and callers post-aggregate if they need the
+    * most recent.
+    *
+    * Inputs carry (user_id, event_id, ts); output one row per
+    * (purchase, click) match. */
+  def attributionStream(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", horizon)
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming sessionization via `session_window` + watermark: session
     * aggregates are emitted once their window closes (watermark passes
     * the gap), the streaming twin of

@@ -37,6 +37,26 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sampling honors per-source rates and subsets hash_split determinism") {
+    val docs001 = Tables.documents(spark, TestSpark.Sf0001)
+    val rates = graft.operators.Corpus.DemoRates
+    val kept = graft.operators.Corpus.mixtureSample(docs001, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val total = docs001.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySource = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    // 100%-rate sources keep everything; 25% sources keep well under half
+    rates.foreach { case (s, pct) =>
+      val frac = keptBySource.getOrElse(s, 0L).toDouble / total(s)
+      if (pct == 100) assert(frac === 1.0, s"$s kept $frac")
+      else assert(math.abs(frac - pct / 100.0) <= 0.35, s"$s rate $pct kept $frac")
+    }
+    // deterministic: same rows every run
+    val again = graft.operators.Corpus.mixtureSample(docs001, rates).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.toSeq === again.toSeq)
+  }
+
   test("contamination flags a doc sharing long n-grams with a benchmark doc") {
     // fabricate: doc 100 copies benchmark doc 0's text (doc_id % 10 == 0
     // marks the benchmark set here)

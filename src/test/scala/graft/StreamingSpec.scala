@@ -115,6 +115,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-stream attribution joins purchases to in-horizon clicks only") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def ts(t: String) = java.sql.Timestamp.valueOf(t)
+    val joined = StreamingMetrics.attributionStream(
+      clicks.toDS().toDF("user_id", "event_id", "ts"),
+      purchases.toDS().toDF("user_id", "event_id", "ts"),
+      horizon = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_t").start()
+    clicks.addData(
+      (1L, 100L, ts("2026-08-12 10:00:00")), // in horizon of purchase @10:20
+      (1L, 101L, ts("2026-08-12 09:30:00")), // too old (50 min before)
+      (2L, 102L, ts("2026-08-12 10:15:00"))) // other user
+    purchases.addData((1L, 900L, ts("2026-08-12 10:20:00")))
+    q.processAllAvailable()
+    val rows = spark.table("attrib_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSet === Set((900L, 1L, 100L)), rows.mkString("; "))
+    q.stop()
+  }
+
   test("flatMapGroupsWithState exact uniques: state accumulates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
