@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "simhash_agg(hash, weight) - 64-bit weighted SimHash aggregate") {
       exprs => SimHashAgg(exprs(0), exprs(1))
     }
+    fn(ext, "simhash64",
+      "simhash64(tokens) - per-row 64-bit SimHash of a token array") {
+      exprs => SimHashDoc(exprs(0))
+    }
     fn(ext, "topk_sketch",
       "topk_sketch(col, k, capacity) - Space-Saving heavy-hitters sketch") {
       exprs => TopKSketchAgg(exprs(0),

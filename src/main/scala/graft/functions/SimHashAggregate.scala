@@ -92,9 +92,73 @@ case class SimHashAgg(
 }
 
 object SimHashFunctions {
-  /** Register `simhash_agg` (idempotent); the analyzer wraps the
-    * AggregateFunction when it appears in an agg position. */
-  def register(spark: SparkSession): Unit =
+  /** Register `simhash_agg` + `simhash64` (idempotent); the analyzer
+    * wraps the AggregateFunction when it appears in an agg position. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_agg", exprs => SimHashAgg(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHashDoc(exprs(0)), "built-in")
+  }
+}
+
+/** Per-row SimHash of a token array: one pass over the token INSTANCES
+  * (term-frequency weighting is exactly "one vote per occurrence", so
+  * no per-doc tf map is needed), each hashed with xxhash64 seed 42 —
+  * bit-for-bit the result of `simhash_agg(xxhash64(tok), tf)` over the
+  * exploded/grouped formulation, without the two shuffles of the token
+  * stream that formulation costs. [[SimHashAgg]] remains the
+  * incremental/streaming face of the same fingerprint. */
+case class SimHashDoc(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects array<string>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashDoc.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashDoc.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashDoc {
+  /** Seed of the SQL `xxhash64` function, for hash parity with the
+    * aggregate formulation. */
+  private final val XxSeed = 42L
+
+  def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val counters = new Array[Long](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      val s = toks.getUTF8String(t)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counters(i) += 1L else counters(i) -= 1L
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (counters(i) >= 0) out |= (1L << i); i += 1 }
+    out
+  }
 }

@@ -195,18 +195,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: weighted bit-majority of
-    * token hashes (weight = term frequency), computed by the custom
-    * [[graft.functions.SimHashAgg]] aggregate — one 512-byte buffer per
-    * group, partial-aggregated map-side, instead of exploding every
-    * token into 64 (doc, bit) rows. Tie (sum == 0) sets the bit. */
+    * token hashes (weight = term frequency), computed per-row by the
+    * codegen'd [[graft.functions.SimHashDoc simhash64]] kernel — tf
+    * weighting is one vote per token instance, so the whole fingerprint
+    * is a single scan-side pass with NO shuffle (the aggregate
+    * formulation shuffled the token stream twice). Tie (sum == 0) sets
+    * the bit; bit-identical to `simhash_agg(xxhash64(tok), tf)`, which
+    * remains the incremental/streaming face. */
   def simhash(documents: DataFrame): DataFrame = {
     graft.functions.SimHashFunctions.register(documents.sparkSession)
     documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .groupBy(col("doc_id"))
-      .agg(expr("simhash_agg(xxhash64(tok), tf)").as("simhash"))
+      .select(col("doc_id"),
+        expr("simhash64(split(text, ' '))").as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -38,6 +38,12 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql(
         "SELECT simhash_agg(xxhash64(t), 1L) AS h FROM VALUES ('a'), ('b') AS v(t)")
         .collect()(0).getLong(0) !== 0L)
+      // per-row kernel agrees with the aggregate formulation
+      val pair = s.sql(
+        """SELECT simhash64(array('a', 'b')) AS d,
+          |  (SELECT simhash_agg(xxhash64(t), 1L) FROM VALUES ('a'), ('b') AS v(t)) AS a"""
+          .stripMargin).collect()(0)
+      assert(pair.getLong(0) === pair.getLong(1))
       val tk = s.sql(
         "SELECT map_keys(topk_sketch(t, 1, 8))[0] AS top FROM VALUES ('a'), ('b'), ('a') AS v(t)")
         .collect()(0).getString(0)
