@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Forked `run` output must reach stdout verbatim: the bench driver
+// parses the single JSON line Bench prints, and sbt's default logger
+// prefixes every line with "[info] ", breaking that parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // suites share one SparkSession/SparkContext; run them sequentially so
 // session-level state (function registry, active-session swaps in
 // ExtensionsSpec) cannot race
