@@ -169,6 +169,15 @@ object StreamingMetrics {
     else wm.dropDuplicates(keys)
   }
 
+  /** Stream-static enrichment: join a stream against a batch dimension
+    * table — Spark plans the static side as a broadcast per micro-batch,
+    * so the stream is never shuffled. The standard shape for decorating
+    * events with slowly-changing reference data (user → segment,
+    * experiment → owner) on the way into the metric branches. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Stream-stream attribution: every (purchase, prior click) pair of
     * the same user within `horizon` — Spark's watermarked interval join,
     * which bounds both sides' state to the horizon. The batch as-of join

@@ -115,6 +115,25 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("stream-static enrichment decorates events with broadcast dimension data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val dim = Seq(("1", "control"), ("2", "treatment")).toDF("variant", "arm")
+    val q = StreamingMetrics.enrichStream(input.toDS().toDF(), dim, Seq("variant"))
+      .select("uid", "variant", "arm")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_t").start()
+    input.addData(
+      ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u2", "e1", "9", "2026-08-12 10:15:04")) // no dim row → null arm
+    q.processAllAvailable()
+    val rows = spark.table("enrich_t").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(rows === Map("u1" -> "control", "u2" -> null))
+    q.stop()
+  }
+
   test("stream-stream attribution joins purchases to in-horizon clicks only") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
