@@ -70,6 +70,19 @@ object Tables {
       col("ts").as(LogEvent.Ts))
   }
 
+  /** Write a frame as a bucketed+sorted parquet table: rows are
+    * hash-partitioned into `buckets` files per partition by `bucketCol`
+    * at WRITE time, so two tables bucketed the same way join with NO
+    * exchange and no sort — the storage-side co-location the 100 TB
+    * fact-fact joins need (Spark requires a catalog table for bucket
+    * metadata, hence `saveAsTable`). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** CSV source with an explicit schema (never inferred — a schema
     * inference pass reads the data twice and breaks on 100 TB). Same
     * malformed-row drop semantics as the JSON parse path: PERMISSIVE

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Bucketed co-located joins: both fact tables written bucketed by the
+  * join key join WITHOUT any Exchange in the plan — the storage-side
+  * pre-partitioning that replaces the shuffle at 100 TB. Broadcast is
+  * disabled in-test because the fixture tables are tiny; at real scale
+  * neither fact side would broadcast. */
+class BucketingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("same-bucketing fact-fact join plans with no shuffle") {
+    val d = TestSpark.Sf0001
+    Tables.writeBucketed(Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_quantity"), "li_bucketed", "l_orderkey", 8)
+    Tables.writeBucketed(Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderpriority")),
+      "ord_bucketed", "o_orderkey", 8)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.collect().length ===
+        Tables.lineitem(spark, d).count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan.take(500))
+      assert(plan.contains("SelectedBucketsCount"),
+        "scan not bucket-aware: " + plan.take(500))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
