@@ -87,6 +87,7 @@ object SparkEntry {
         .select(col("p_brand"), col("price_rank"), col("p_partkey"), col("p_name"))
         .orderBy("p_brand", "price_rank")),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
+    "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
     "value_percentiles_approx" -> ((s, d) =>
       Relational.valuePercentilesApprox(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
@@ -227,6 +228,7 @@ object SparkEntry {
     "top_parts_per_brand_custom" -> Relational.topPartsPerBrandSql(),
     "top_tokens" -> TextAnalysis.topTokensSql(),
     "value_percentiles" -> Relational.valuePercentilesSql,
+    "value_band_counts" -> Relational.valueBandCountsSql(),
     "user_sessions" -> Metrics.userSessionsSql(),
     "user_sessions_window" -> Metrics.userSessionsSql(),
     "min_price_part_per_type" -> Relational.minPricePartPerTypeSql,

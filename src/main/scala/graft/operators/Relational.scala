@@ -297,6 +297,40 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Banded range join: every event matched to the value band
+    * containing it. The bands side is bounded reference data →
+    * `broadcast` makes the range predicate a per-row scan against an
+    * in-memory table (BroadcastNestedLoop, linear in events, no
+    * shuffle). For a bands table too large to broadcast, the scale path
+    * bins both sides to fixed-width buckets and equi-joins on the
+    * bucket (turning the range join into a per-bucket join), same as
+    * the LSH/IVF bucketing elsewhere in the engine. */
+  def valueBandCounts(events: DataFrame,
+      bands: Seq[(Long, Double, Double)] = DemoBands): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val bandsDf = bands.toDF("band_id", "lo", "hi")
+    events
+      .join(broadcast(bandsDf),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("event_type"), col("band_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "band_id")
+  }
+
+  /** Non-overlapping demo bands covering the fixture value range. */
+  val DemoBands: Seq[(Long, Double, Double)] = Seq(
+    (0L, 0.0, 25.0), (1L, 25.0, 50.0), (2L, 50.0, 100.0),
+    (3L, 100.0, 250.0), (4L, 250.0, 1000.0))
+
+  def valueBandCountsSql(bands: Seq[(Long, Double, Double)] = DemoBands): String = {
+    val rows = bands.map { case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")
+    s"""WITH bands(band_id, lo, hi) AS (VALUES $rows)
+       |SELECT event_type, band_id, count(*) AS n
+       |FROM events JOIN bands ON value >= lo AND value < hi
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** Correlated-subquery shape (TPC-H Q2 flavor): parts whose retail
     * price is the minimum within their type. Expressed as a join with
     * a grouped aggregate — the plan Catalyst's decorrelation would
