@@ -20,7 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def fn(ext: SparkSessionExtensions, name: String, usage: String)(
       builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      new ExpressionInfo(
+        classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {

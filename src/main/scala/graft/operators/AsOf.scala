@@ -36,15 +36,15 @@ object AsOf {
     val rAligned = lCols.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((lCols.map(col) :+ col("__t") :+ col("__tag") :+ col("__p")): _*)
-    val unioned = l.select((lCols.map(col) :+ col("__t") :+ col("__tag") :+ col("__p")): _*)
+    }.select((lCols.map(col) :+ col("__t") :+ col("__tag") :+ col("__p")).toIndexedSeq: _*)
+    val unioned = l.select((lCols.map(col) :+ col("__t") :+ col("__tag") :+ col("__p")).toIndexedSeq: _*)
       .unionByName(rAligned)
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn(s"asof_$payload", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__tag") === 1)
-      .select((lCols.map(col) :+ col(s"asof_$payload")): _*)
+      .select((lCols.map(col) :+ col(s"asof_$payload")).toIndexedSeq: _*)
   }
 
   /** The query face: for each 'purchase' event, the same user's most
