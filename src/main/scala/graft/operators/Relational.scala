@@ -297,6 +297,27 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Semi-structured access via Spark 4's VARIANT type: `parse_json`
+    * once into a variant column, then typed `variant_get` extraction —
+    * the engine-native path for schemaless event properties (vs
+    * per-access `get_json_object` string re-parsing: variant parses
+    * once and stores a binary-encoded tree). Aggregates per k-bucket
+    * with the decimal-cast money-sum convention. */
+  def propsVariantStats(events: DataFrame): DataFrame =
+    events
+      .select(parse_json(col("props")).as("v"), col("value"))
+      .select(expr("variant_get(v, '$.k', 'bigint')").as("k"), col("value"))
+      .groupBy(pmod(col("k"), lit(10L)).as("k_mod"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sum_value"))
+      .orderBy("k_mod")
+
+  val propsVariantStatsSql: String =
+    """SELECT (json_extract(props, '$.k')::BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Banded range join: every event matched to the value band
     * containing it. The bands side is bounded reference data →
     * `broadcast` makes the range predicate a per-row scan against an
