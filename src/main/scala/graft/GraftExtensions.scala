@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // rewrite row_number-window + rank<=k filters into bounded-heap
+    // TopKPerGroup (no partition sort); see TopKRewriteRule guards
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
 
     fn(ext, "vec_dot",
       "vec_dot(a, b) - codegen'd double dot product of two float arrays") {

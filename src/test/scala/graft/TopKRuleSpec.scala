@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TopKRewriteRule optimizer rule: standard row_number+filter
+  * queries plan as TopKPerGroup under GraftExtensions, with unchanged
+  * results; ineligible shapes stay on the Window operator. */
+class TopKRuleSpec extends AnyFunSuite {
+
+  private lazy val ext: SparkSession = {
+    TestSpark.spark // shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+    s
+  }
+
+  private def ranked(s: SparkSession) = {
+    import s.implicits._
+    Seq(("x", 3, "a"), ("x", 1, "b"), ("x", 2, "c"), ("y", 9, "d"), ("y", 4, "e"))
+      .toDF("g", "v", "payload")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("v").desc, col("payload"))))
+  }
+
+  test("row_number + rank<=k rewrites to TopKPerGroup with identical results") {
+    val q = ranked(ext).where(col("rk") <= 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+    val got = q.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(3))).toSet
+    // baseline session (no rule) computes the same rows
+    val base = ranked(TestSpark.spark).where(col("rk") <= 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(3))).toSet
+    assert(got === base)
+    assert(got === Set(("x", 3, 1), ("x", 2, 2), ("y", 9, 1), ("y", 4, 2)))
+  }
+
+  test("rank < k form rewrites with k-1") {
+    val q = ranked(ext).where(col("rk") < 2)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(q.collect().map(_.getInt(3)).forall(_ == 1))
+  }
+
+  test("ineligible shapes keep the Window operator") {
+    import ext.implicits._
+    // rank() (not row_number) must NOT rewrite
+    val r = Seq(("x", 3), ("x", 1)).toDF("g", "v")
+      .withColumn("rk", rank().over(Window.partitionBy("g").orderBy(col("v"))))
+      .where(col("rk") <= 1)
+    assert(r.queryExecution.executedPlan.toString.contains("Window"))
+    // extra filter conjunct must NOT rewrite
+    val q2 = ranked(ext).where(col("rk") <= 2 && col("v") > 1)
+    assert(q2.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}
