@@ -21,6 +21,27 @@ class TopKSketchSpec extends AnyFunSuite {
     assert(sketch.toSeq === exact.toSeq)
   }
 
+  test("sketch merges correctly across streaming micro-batches") {
+    // the mergeable-buffer property that lets the sketch run as an
+    // update-mode streaming aggregate: incremental batches must agree
+    // with the one-shot batch result in the exact (no-eviction) regime
+    implicit val sq = spark.sqlContext
+    graft.functions.TopKSketchFunctions.register(spark)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = input.toDS().toDF("tok")
+      .agg(expr("topk_sketch(tok, 3, 64)").as("m"))
+      .select(explode(col("m")).as(Seq("token", "est_count")))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream_t").start()
+    input.addData("a", "a", "b")
+    q.processAllAvailable()
+    input.addData("a", "b", "c", "c", "c", "c")
+    q.processAllAvailable()
+    val got = spark.table("topk_stream_t").as[(String, Long)].collect().toMap
+    assert(got === Map("c" -> 4L, "a" -> 3L, "b" -> 2L), got.toString)
+    q.stop()
+  }
+
   test("under eviction pressure the heavy hitter survives and is never undercounted") {
     // 500x "hot" among 100 distinct cold tokens, capacity 16
     graft.functions.TopKSketchFunctions.register(spark)
