@@ -107,6 +107,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
     "doc_winnowing" -> ((s, d) => TextAnalysis.winnowingSummary(par(Tables.documents(s, d)))),
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(par(Tables.documents(s, d)))),
+    "unigram_familiarity" -> ((s, d) =>
+      TextAnalysis.unigramFamiliarity(par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) =>
@@ -240,6 +242,7 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
+    "unigram_familiarity" -> TextAnalysis.unigramFamiliaritySql(),
     "hash_split" -> Corpus.hashSplitSql(),
     "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),

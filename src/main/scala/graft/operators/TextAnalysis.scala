@@ -156,6 +156,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Unigram-familiarity quality score — the exact-arithmetic cousin
+    * of LM-perplexity corpus filtering (CCNet-style): how much of a
+    * document's tokens come from the corpus's common vocabulary, and
+    * how frequent they are on average. Two passes: the corpus unigram
+    * table (one shuffle, then broadcast — a natural-language vocabulary
+    * is bounded no matter the corpus size), and a per-doc aggregate
+    * over the token stream joined to it. All outputs are integer
+    * counts plus one IEEE-exact double division, so the score is
+    * hash-reproducible across engines (a log-prob variant would hang
+    * on libm ulp differences). */
+  def unigramFamiliarity(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    val toks = documents.select(
+      col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .where(col("freq") >= minCount)
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("freq").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("freq"), lit(0L))).as("sum_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_tok_freq"))
+      .orderBy("doc_id")
+  }
+
+  def unigramFamiliaritySql(minCount: Long = 5): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok, count(*) AS freq FROM toks GROUP BY 1
+       |  HAVING count(*) >= $minCount)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN v.freq IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+       |  CAST(sum(coalesce(v.freq, 0)) AS DOUBLE) / count(*) AS mean_tok_freq
+       |FROM toks t LEFT JOIN vocab v USING (tok)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Heavy-hitter tokens via the Space-Saving sketch
     * ([[graft.functions.TopKSketchAgg]]): bounded state per partial
     * buffer instead of a full distinct-token shuffle. With `capacity`
