@@ -297,6 +297,34 @@ object Relational {
       |  count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pivot (long → wide): per-user-bucket event counts, one column per
+    * event type. The pivot values are EXPLICIT — letting Spark discover
+    * them costs an extra distinct pass over the data and makes the
+    * output schema data-dependent, both wrong at 100 TB. A pivot with
+    * explicit values compiles to one pass of conditional counts
+    * (map-side combined), no extra job. */
+  def eventTypePivot(events: DataFrame,
+      types: Seq[String] = EventTypes): DataFrame =
+    events
+      .groupBy(pmod(col("user_id"), lit(10L)).as("user_bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_bucket")
+
+  /** The fixture's closed event-type vocabulary. */
+  val EventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  def eventTypePivotSql(types: Seq[String] = EventTypes): String = {
+    val cols = types.map(t =>
+      s"""sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END)::BIGINT AS "$t"""")
+      .mkString(",\n|  ")
+    s"""SELECT user_id % 10 AS user_bucket,
+       |  $cols
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Semi-structured access via Spark 4's VARIANT type: `parse_json`
     * once into a variant column, then typed `variant_get` extraction —
     * the engine-native path for schemaless event properties (vs
