@@ -37,16 +37,22 @@ object Bench {
       name -> timeOne(name, fn)
     }
     // The shared VM suffers multi-second co-tenant CPU bursts that can
-    // inflate a single query 10-20x. Re-measure the worst outliers and
-    // keep the minimum — the best observation is the least
-    // noise-contaminated estimate of the engine's cost. Capped at the
-    // 10 slowest so a fully-contended box doesn't double the wall time.
+    // inflate a single query 10-20x. Re-measure the worst outliers
+    // twice more and report the MEDIAN of the three observations — a
+    // robust location estimate that discards a single noise burst
+    // without the downward bias of taking the minimum (min(first,
+    // warm-redo) systematically favors the warmed-JIT/page-cache rerun;
+    // the median keeps the central observation instead of the luckiest
+    // one). Capped at the 10 slowest so a fully-contended box doesn't
+    // triple the wall time.
     val redo = firstPass.toSeq.filter(_._2 > 5.0)
       .sortBy(-_._2).take(10).map(_._1).toSet
     val results = firstPass.map { case (name, t) =>
-      if (redo(name))
-        name -> math.min(t, timeOne(name, SparkEntry.queries(name)))
-      else name -> t
+      if (redo(name)) {
+        val obs = Seq(t, timeOne(name, SparkEntry.queries(name)),
+          timeOne(name, SparkEntry.queries(name))).sorted
+        name -> obs(1)
+      } else name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -91,6 +91,12 @@ object MinHashSig {
   * the band index, so a single long is the collision key (two docs
   * collide iff some band agrees on every row — joining on the one
   * column is equivalent to joining on (band_idx, band_values)).
+  *
+  * The signature length must be a positive multiple of `bands`
+  * (`numPerm % bands == 0` and `numPerm >= bands`); anything else is a
+  * runtime error rather than a silent degradation — with `rows = 0`
+  * every band key would be content-independent and every document
+  * would collide with every other.
   */
 case class MinHashBands(child: Expression, bands: Int)
     extends UnaryExpression {
@@ -98,7 +104,8 @@ case class MinHashBands(child: Expression, bands: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) if bands >= 1 => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"minhash_bands expects array<bigint>, bands >= 1; got " +
+      s"minhash_bands expects array<bigint> whose length is a positive " +
+        s"multiple of bands, bands >= 1; got " +
         s"${child.dataType.simpleString}, bands=$bands")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -118,6 +125,11 @@ case class MinHashBands(child: Expression, bands: Int)
 object MinHashBands {
   def compute(sig: ArrayData, bands: Int): ArrayData = {
     val n = sig.numElements()
+    if (n < bands || n % bands != 0) {
+      throw new IllegalArgumentException(
+        s"minhash_bands: signature length $n must be a positive multiple " +
+          s"of bands=$bands (rows per band = n / bands must be >= 1 and exact)")
+    }
     val rows = n / bands
     val out = new Array[Long](bands)
     var b = 0

@@ -62,17 +62,22 @@ object Dedup {
     * so 0.5 is far from any float boundary. */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    graft.functions.BoundedCollectFunctions.register(documents.sparkSession)
     val sh = shingles(documents, k)
     // inverted index: ONE shuffle of the shingle stream builds postings
-    // lists; the df cap (`size(ids) <= maxDf`) is the stop-shingle rule
-    // and bounds each posting's pair fan-out at df². The earlier
-    // formulation (window df-count + self-join on shingle) shuffled the
-    // same stream three times, once with a sort. Persisted: consumed by
-    // the size and pair branches (at cluster scale: checkpoint instead
-    // if postings outgrow memory+disk).
+    // lists; the df cap is the stop-shingle rule and bounds each
+    // posting's pair fan-out at df². Enforced DURING aggregation by the
+    // size-bounded collect ([[graft.functions.BoundedCollectAgg]]):
+    // a mega-hot shingle flips to an overflow flag at maxDf+1 elements
+    // — in the map-side partial, before the shuffle — so its postings
+    // array never materializes anywhere (plain collect_list + size
+    // filter would hold the full multi-million-entry posting in one
+    // aggregation buffer). Persisted: consumed by the size and pair
+    // branches (at cluster scale: checkpoint instead if postings
+    // outgrow memory+disk).
     val postings = sh.groupBy(col("shingle"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) <= maxDf)
+      .agg(expr(s"bounded_collect_long(doc_id, $maxDf)").as("ids"))
+      .where(col("ids").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = postings.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -171,10 +176,15 @@ object Dedup {
     // only: at dedup rates the candidate set is a sliver of the corpus,
     // so the shingling + intersection join stays small no matter the
     // input scale
+    // no broadcast hint: candIds scales with corpus size x dup rate
+    // (unbounded on a high-dup corpus). Left to AQE, the semi-join is
+    // broadcast at runtime when the candidate set is genuinely small
+    // and falls back to a shuffle join when it is not — the hint forced
+    // broadcast unconditionally and could OOM the driver.
     val candIds = candidates
       .select(explode(array(col("doc_id_a"), col("doc_id_b"))).as("doc_id"))
       .distinct()
-    val candDocs = documents.join(broadcast(candIds), Seq("doc_id"), "leftsemi")
+    val candDocs = documents.join(candIds, Seq("doc_id"), "leftsemi")
     val sh = shingles(candDocs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))

@@ -66,7 +66,10 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         child.output.count(_.name == n) == 1)
       val allFromChild = (partAttrs ++ sortAttrs.map(_._1))
         .forall(ar => child.outputSet.contains(ar))
-      if (k.isDefined && partAttrs.length == parts.length &&
+      // parts.nonEmpty: a global top-k (no PARTITION BY) must stay a
+      // Window — TopKPerGroupExec declares ClusteredDistribution over
+      // the group columns, and ClusteredDistribution(Nil) is illegal.
+      if (k.isDefined && parts.nonEmpty && partAttrs.length == parts.length &&
           sortAttrs.length == order.length && order.nonEmpty &&
           namesBindUniquely && allFromChild) {
         val rankAttr = AttributeReference(a.name, IntegerType,

@@ -51,6 +51,16 @@ class MinHashSpec extends AnyFunSuite {
     assert(ba.intersect(bc).isEmpty)
   }
 
+  test("band keys reject signatures that don't split into equal bands") {
+    // regression: rows = n / bands used to silently truncate — with
+    // bands > n every band key degenerated to a content-independent
+    // constant (every doc collides with every other)
+    val sig = ArrayData.toArrayData(sigOf((1 to 100).map(i => s"w$i")).toArray)
+    intercept[IllegalArgumentException](MinHashBands.compute(sig, 65))
+    intercept[IllegalArgumentException](MinHashBands.compute(sig, 7))
+    assert(MinHashBands.compute(sig, 64).numElements() === 64)
+  }
+
   test("generated code path agrees with eval (no silent codegen fallback)") {
     // CODEGEN_ONLY makes a codegen failure an error instead of a silent
     // interpreted fallback — this is the proof doGenCode compiles

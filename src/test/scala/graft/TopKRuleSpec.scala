@@ -52,6 +52,21 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(q.collect().map(_.getInt(3)).forall(_ == 1))
   }
 
+  test("global top-k (no PARTITION BY) stays on Window and returns results") {
+    import ext.implicits._
+    // regression: the rewrite used to fire with parts=Nil, producing
+    // TopKPerGroupExec with ClusteredDistribution(Nil), which throws at
+    // planning — a session-wide crash for any global top-k query
+    val q = Seq(("a", 3), ("b", 1), ("c", 2)).toDF("payload", "v")
+      .withColumn("rk", row_number().over(Window.orderBy(col("v").desc)))
+      .where(col("rk") <= 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("TopKPerGroup"), plan.take(600))
+    assert(q.collect().map(r => (r.getString(0), r.getInt(2))).toSet ===
+      Set(("a", 1), ("c", 2)))
+  }
+
   test("ineligible shapes keep the Window operator") {
     import ext.implicits._
     // rank() (not row_number) must NOT rewrite
