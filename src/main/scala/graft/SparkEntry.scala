@@ -86,6 +86,15 @@ object SparkEntry {
         Seq("p_retailprice" -> true, "p_partkey" -> false), 3, "price_rank")
         .select(col("p_brand"), col("price_rank"), col("p_partkey"), col("p_name"))
         .orderBy("p_brand", "price_rank")),
+    "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
+    "funnel_setops" -> ((s, d) => Analytics.funnelSetOps(Tables.events(s, d))),
+    "order_deciles" -> ((s, d) => Analytics.orderDeciles(Tables.orders(s, d))),
+    "top_customers_concat" -> ((s, d) =>
+      Analytics.topCustomersConcat(Tables.customer(s, d), Tables.nation(s, d))),
+    "nation_accounts_full" -> ((s, d) =>
+      Analytics.nationAccountsFull(Tables.customer(s, d), Tables.supplier(s, d))),
+    "part_color_stats" -> ((s, d) => Analytics.partColorStats(Tables.part(s, d))),
+    "value_stats_by_type" -> ((s, d) => Analytics.valueStatsByType(Tables.events(s, d))),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
     "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(Tables.events(s, d))),
@@ -231,6 +240,13 @@ object SparkEntry {
     "orders_cube" -> Relational.ordersCubeSql,
     "top_parts_per_brand_custom" -> Relational.topPartsPerBrandSql(),
     "top_tokens" -> TextAnalysis.topTokensSql(),
+    "event_gaps" -> Analytics.eventGapsSql,
+    "funnel_setops" -> Analytics.funnelSetOpsSql,
+    "order_deciles" -> Analytics.orderDecilesSql,
+    "top_customers_concat" -> Analytics.topCustomersConcatSql,
+    "nation_accounts_full" -> Analytics.nationAccountsFullSql,
+    "part_color_stats" -> Analytics.partColorStatsSql,
+    "value_stats_by_type" -> Analytics.valueStatsByTypeSql,
     "value_percentiles" -> Relational.valuePercentilesSql,
     "value_band_counts" -> Relational.valueBandCountsSql(),
     "props_variant_stats" -> Relational.propsVariantStatsSql,

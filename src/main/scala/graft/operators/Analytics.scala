@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second batch of relational/analytic operators rounding out the
+  * engine's SQL surface: lead/lag windows, set operations
+  * (INTERSECT/EXCEPT), ntile bucketing, ordered string aggregation,
+  * full-outer joins, regexp extraction, and moment statistics
+  * (mean/stddev) computed deterministically from decimal sums.
+  *
+  * All money/metric doubles in the test tables carry exactly two
+  * decimal digits, so every aggregate goes through the shared
+  * `CAST(... AS DECIMAL(p,s))` fragments — evaluated verbatim by both
+  * Spark (`expr`) and the DuckDB oracle — making sums order-independent
+  * and hash-exact (see BASELINE.md / the pricing_summary convention).
+  */
+object Analytics {
+
+  // ---- shared SQL fragments (Spark expr + DuckDB agree verbatim) ----
+  private val SumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+  // value*value is a deterministic per-row IEEE double product; the
+  // inputs are 2-decimal, so the 4-decimal cast is exact on both engines
+  private val SumValueSq =
+    "CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)"
+
+  /** Per-user event cadence via lag(): number of events and the longest
+    * gap in whole seconds between consecutive events (ordered by event
+    * time, event_id tiebreak). The window shuffles once on user_id —
+    * the same hash partitioning any per-user operator needs — and the
+    * groupBy reuses that clustering (no second shuffle of the events).
+    * Single-event users report gap 0. */
+  def eventGaps(events: DataFrame): DataFrame = {
+    // order by the full-precision ts (not the floored seconds) — two
+    // events in the same second must sequence identically to the oracle
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("ts").cast("long").as("ts_s"))
+      .withColumn("gap_sec", col("ts_s") - lag("ts_s", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max("gap_sec"), lit(0L)).as("max_gap_sec"))
+      .orderBy("user_id")
+  }
+
+  val eventGapsSql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  coalesce(max(gap_sec), 0) AS max_gap_sec
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Funnel segmentation via set operations: users who clicked AND
+    * purchased (INTERSECT), clicked only, purchased only (EXCEPT).
+    * Each leg is a distinct-project then a set op — Spark plans these
+    * as hash aggregates/joins on user_id, all sharing one clustering. */
+  def funnelSetOps(events: DataFrame): DataFrame = {
+    val click = events.where(col("event_type") === "click")
+      .select("user_id").distinct()
+    val purchase = events.where(col("event_type") === "purchase")
+      .select("user_id").distinct()
+    def seg(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("segment"), col("n_users"))
+    seg("click_and_purchase", click.intersect(purchase))
+      .unionByName(seg("click_only", click.except(purchase)))
+      .unionByName(seg("purchase_only", purchase.except(click)))
+      .orderBy("segment")
+  }
+
+  val funnelSetOpsSql: String =
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'click_and_purchase' AS segment, count(*) AS n_users
+      |  FROM (SELECT * FROM c INTERSECT SELECT * FROM p)
+      |UNION ALL
+      |SELECT 'click_only', count(*)
+      |  FROM (SELECT * FROM c EXCEPT SELECT * FROM p)
+      |UNION ALL
+      |SELECT 'purchase_only', count(*)
+      |  FROM (SELECT * FROM p EXCEPT SELECT * FROM c)
+      |ORDER BY segment""".stripMargin
+
+  /** Order-value deciles via ntile(10): per-decile count, min/max and
+    * decimal-exact sum of o_totalprice.
+    *
+    * Scale note: a global ntile forces a single-partition sort in
+    * Spark (WindowExec with empty PARTITION BY). Fine for a
+    * report-sized result; at 100 TB the same decile boundaries come
+    * from `repartitionByRange(n, key)` + per-partition offsets (one
+    * range shuffle, no single-task sort) or approx_percentile
+    * boundaries when ±ε bucket edges are acceptable. */
+  def orderDeciles(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy("o_totalprice", "o_orderkey")
+    orders
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min("o_totalprice").as("min_price"),
+        max("o_totalprice").as("max_price"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_price"))
+      .orderBy("decile")
+  }
+
+  val orderDecilesSql: String =
+    """WITH d AS (
+      |  SELECT o_totalprice,
+      |    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT decile, count(*) AS n_orders,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Ordered string aggregation: per nation, the top-3 customers by
+    * account balance as a comma-joined list (rank order). Spark has no
+    * ordered string_agg — the deterministic formulation is rank-filter
+    * (top-k per group), then `array_sort` over (rank, name) structs and
+    * a transform+concat_ws; collect_list alone is partition-order
+    * dependent. The dimension join broadcasts (25 nations). */
+  def topCustomersConcat(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_name"))
+    val top = customer
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .groupBy("c_nationkey")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rk"), col("c_name")))),
+          x => x.getField("c_name"))).as("top_customers"))
+    top.join(broadcast(nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("top_customers"))
+      .orderBy("n_name")
+  }
+
+  val topCustomersConcatSql: String =
+    """WITH r AS (
+      |  SELECT c_nationkey, c_name,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal DESC, c_name) AS rk
+      |  FROM customer)
+      |SELECT n_name, string_agg(c_name, ',' ORDER BY rk) AS top_customers
+      |FROM r JOIN nation ON c_nationkey = n_nationkey
+      |WHERE rk <= 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Full-outer join of two independent aggregates: per nation key, how
+    * many customers vs suppliers and their decimal-exact balance
+    * totals, keeping nations present on only one side. Both inputs are
+    * pre-aggregated to ≤ |nations| rows BEFORE the join — the outer
+    * join never sees fact-table cardinality. */
+  def nationAccountsFull(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))")
+          .as("cbal"))
+    val s = supplier.groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        expr("CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2))")
+          .as("sbal"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("cbal"), lit(0)).cast("double").as("customer_bal"),
+        coalesce(col("sbal"), lit(0)).cast("double").as("supplier_bal"))
+      .orderBy("nationkey")
+  }
+
+  val nationAccountsFullSql: String =
+    """WITH c AS (
+      |  SELECT c_nationkey AS nationkey, count(*) AS n_customers,
+      |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS cbal
+      |  FROM customer GROUP BY 1),
+      |s AS (
+      |  SELECT s_nationkey AS nationkey, count(*) AS n_suppliers,
+      |    sum(CAST(s_acctbal AS DECIMAL(18,2))) AS sbal
+      |  FROM supplier GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  coalesce(n_customers, 0) AS n_customers,
+      |  coalesce(n_suppliers, 0) AS n_suppliers,
+      |  CAST(coalesce(cbal, 0) AS DOUBLE) AS customer_bal,
+      |  CAST(coalesce(sbal, 0) AS DOUBLE) AS supplier_bal
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Regexp extraction + aggregate: group parts by the color word
+    * leading p_name, with decimal-exact price stats. The regexp runs
+    * inside whole-stage codegen on the scan side; only (color, partial
+    * agg) pairs shuffle. */
+  def partColorStats(part: DataFrame): DataFrame =
+    part
+      .select(regexp_extract(col("p_name"), "^(\\w+)", 1).as("color"),
+        col("p_retailprice"))
+      .groupBy("color")
+      .agg(count(lit(1)).as("n_parts"),
+        expr("CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_retail"))
+      .withColumn("avg_retail",
+        expr("sum_retail / CAST(n_parts AS DOUBLE)"))
+      .orderBy("color")
+
+  val partColorStatsSql: String =
+    """WITH g AS (
+      |  SELECT regexp_extract(p_name, '^(\w+)', 1) AS color,
+      |    count(*) AS n_parts,
+      |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+      |  FROM part GROUP BY 1)
+      |SELECT color, n_parts, sum_retail,
+      |  sum_retail / CAST(n_parts AS DOUBLE) AS avg_retail
+      |FROM g ORDER BY color""".stripMargin
+
+  /** Moment statistics per event_type: mean and sample stddev of
+    * `value`, computed from decimal-exact sums (Σx, Σx²) so the result
+    * is partition-order independent — `stddev_samp` over raw doubles
+    * is not reproducible across runs/engines, the two-sums formulation
+    * is (both engines evaluate the identical double expression over
+    * identical decimal-derived operands). Shuffles only (type, n, Σx,
+    * Σx²) per group — the map-side partial aggregate carries three
+    * numbers regardless of input scale. */
+  def valueStatsByType(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr(s"$SumValue").as("s1"),
+        expr(s"$SumValueSq").as("s2"))
+      .select(col("event_type"), col("n"),
+        expr("s1 / CAST(n AS DOUBLE)").as("mean_value"),
+        expr("sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))")
+          .as("stddev_value"))
+      .orderBy("event_type")
+
+  val valueStatsByTypeSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS n,
+       |    $SumValue AS s1,
+       |    $SumValueSq AS s2
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n,
+       |  s1 / CAST(n AS DOUBLE) AS mean_value,
+       |  sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value
+       |FROM g ORDER BY event_type""".stripMargin
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/** In-memory semantics of the Analytics batch (the DuckDB oracle is
+  * the primary gate; these pin the edge cases the oracle data may not
+  * hit). */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("eventGaps: max whole-second gap per user; single-event user gets 0") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 00:00:00"),
+      (2L, 10L, "2026-01-01 00:00:05"),
+      (3L, 10L, "2026-01-01 00:01:05"), // 60 s gap — the max
+      (4L, 20L, "2026-01-01 00:00:00")  // single event
+    ).toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Analytics.eventGaps(ev)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((10L, 3L, 60L), (20L, 1L, 0L)))
+  }
+
+  test("funnelSetOps: intersect/except segment counts, empty segments are 0") {
+    val ev = Seq(
+      (1L, "click"), (1L, "purchase"), // both
+      (2L, "click"),                   // click only
+      (3L, "purchase"), (3L, "purchase"), // purchase only (dup collapsed)
+      (4L, "view")                     // neither
+    ).toDF("user_id", "event_type")
+    val got = Analytics.funnelSetOps(ev).as[(String, Long)].collect().toMap
+    assert(got === Map(
+      "click_and_purchase" -> 1L, "click_only" -> 1L, "purchase_only" -> 1L))
+    val noPurchase = Analytics.funnelSetOps(ev.where(col("event_type") =!= "purchase"))
+      .as[(String, Long)].collect().toMap
+    assert(noPurchase("click_and_purchase") === 0L)
+    assert(noPurchase("purchase_only") === 0L)
+  }
+
+  test("topCustomersConcat: rank-ordered names, acctbal desc with name tiebreak") {
+    val cust = Seq(
+      (1L, "b", 0, 50.0), (2L, "a", 0, 50.0), (3L, "c", 0, 99.0),
+      (4L, "d", 0, 1.0), // rank 4 — excluded
+      (5L, "e", 1, 10.0)
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nation = Seq((0, "ZERO", 0), (1, "ONE", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val got = Analytics.topCustomersConcat(cust, nation)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("ZERO" -> "c,a,b", "ONE" -> "e"))
+  }
+
+  test("valueStatsByType: two-sums stddev matches the closed form") {
+    // values 1.00, 2.00, 3.00 → mean 2, sample stddev 1
+    val ev = Seq(("x", 1.00), ("x", 2.00), ("x", 3.00))
+      .toDF("event_type", "value")
+    val r = Analytics.valueStatsByType(ev).collect().head
+    assert(r.getLong(1) === 3L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("nationAccountsFull keeps one-sided nations with zeroed other side") {
+    val cust = Seq((1L, "a", 0, 10.0), (2L, "b", 7, 5.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val supp = Seq((1L, "s", 0, 3.0), (2L, "t", 9, 4.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val got = Analytics.nationAccountsFull(cust, supp)
+      .as[(Int, Long, Long, Double, Double)].collect().toList
+    assert(got === List(
+      (0, 1L, 1L, 10.0, 3.0), (7, 1L, 0L, 5.0, 0.0), (9, 0L, 1L, 0.0, 4.0)))
+  }
+}
