@@ -95,6 +95,7 @@ object SparkEntry {
       Analytics.nationAccountsFull(Tables.customer(s, d), Tables.supplier(s, d))),
     "part_color_stats" -> ((s, d) => Analytics.partColorStats(Tables.part(s, d))),
     "value_stats_by_type" -> ((s, d) => Analytics.valueStatsByType(Tables.events(s, d))),
+    "user_enriched_salted" -> ((s, d) => Skew.userEnrichedSalted(Tables.events(s, d))),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
     "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(Tables.events(s, d))),
@@ -247,6 +248,7 @@ object SparkEntry {
     "nation_accounts_full" -> Analytics.nationAccountsFullSql,
     "part_color_stats" -> Analytics.partColorStatsSql,
     "value_stats_by_type" -> Analytics.valueStatsByTypeSql,
+    "user_enriched_salted" -> Skew.userEnrichedSaltedSql,
     "value_percentiles" -> Relational.valuePercentilesSql,
     "value_band_counts" -> Relational.valueBandCountsSql(),
     "props_variant_stats" -> Relational.propsVariantStatsSql,

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted shuffle join: result equivalence with the plain join, and
+  * the plan shape that makes it skew-proof. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def fixture = {
+    // one hot key (90% of rows) + a tail — the shape salting exists for
+    val fact = ((1L to 90L).map(i => (i, 7L)) ++ Seq((91L, 1L), (92L, 2L)))
+      .toDF("event_id", "user_id")
+    val dim = Seq((7L, "hot"), (1L, "a"), (2L, "b"), (3L, "unmatched"))
+      .toDF("user_id", "tag")
+    (fact, dim)
+  }
+
+  test("saltedJoin returns exactly the plain join result") {
+    val (fact, dim) = fixture
+    val salted = Skew.saltedJoin(fact, dim, "user_id", col("event_id"), 8)
+      .select("event_id", "user_id", "tag")
+      .as[(Long, Long, String)].collect().sorted.toList
+    val plain = fact.join(dim, Seq("user_id")).select("event_id", "user_id", "tag")
+      .as[(Long, Long, String)].collect().sorted.toList
+    assert(salted === plain)
+    assert(salted.length === 92)
+  }
+
+  test("fact rows of the hot key spread across all salt partitions") {
+    val (fact, _) = fixture
+    val salts = fact
+      .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(8L)))
+      .where(col("user_id") === 7L)
+      .select("_salt").distinct().as[Long].collect()
+    // 90 rows over 8 salts — every salt bucket should be hit
+    assert(salts.length === 8, s"hot key only reached salts ${salts.toList}")
+  }
+
+  test("with broadcast off, the join shuffles on (key, salt) — not key alone") {
+    val (fact, dim) = fixture
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Skew.saltedJoin(fact, dim, "user_id", col("event_id"), 8)
+      q.collect() // finalize AQE
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), plan.take(800))
+      // both children hash-partition on the two-column key
+      assert("hashpartitioning\\(user_id#\\d+L, _salt".r
+        .findAllIn(plan).length >= 2, plan.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
