@@ -138,7 +138,9 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
-      Multimodal.featureSummary(s, par(Tables.documents(s, d))))
+      Multimodal.featureSummary(s, par(Tables.documents(s, d)))),
+    "multimodal_frame_sample" -> ((s, d) =>
+      Multimodal.frameSampleStats(s, par(Tables.documents(s, d))))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).
@@ -276,6 +278,7 @@ object SparkEntry {
     // equivalence in-process.
     "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(),
     "multimodal_feature_summary" -> Multimodal.featureSummarySql,
+    "multimodal_frame_sample" -> Multimodal.frameSampleStatsSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql()
   )

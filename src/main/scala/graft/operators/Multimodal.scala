@@ -146,6 +146,34 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** Oracle-checked face of [[sampleFrames]]: per video item, how many
+    * frames the every-4th sampler keeps and the sum of kept frame
+    * indices — both pure functions of payload length, so the oracle
+    * replays them arithmetically. The flatMap's 1-row-in/0..n-out
+    * shape (and its empty-output edge for sub-frame payloads) is what
+    * this locks in. */
+  def frameSampleStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    sampleFrames(mediaFromDocuments(spark, documents))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_idx").cast("long")).as("idx_sum"))
+      .orderBy("media_id")
+  }
+
+  /** DuckDB oracle for [[frameSampleStats]]: video = doc_id ≡ 2 (mod
+    * 3); nf = len/64 whole frames; sampler keeps ceil(nf/4) indices
+    * 0,4,… whose sum is 2k(k−1) for k kept. Zero-frame payloads emit
+    * no row (flatMap semantics). */
+  val frameSampleStatsSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, strlen(text) // 64 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |k AS (SELECT media_id, (nf + 3) // 4 AS kept FROM v WHERE nf > 0)
+      |SELECT media_id, kept AS n_frames,
+      |  (2 * kept * (kept - 1))::BIGINT AS idx_sum
+      |FROM k ORDER BY media_id""".stripMargin
+
   /** DuckDB oracle for [[featureSummary]]. Replays the deterministic
     * stub end-to-end in SQL: the payload is the UTF-8 text (ASCII
     * corpus, so `ord` per char == byte), feature 0 folds bytes at
