@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import graft.sources.Tables
-import graft.operators.{Relational, Metrics, Dedup}
+import graft.operators.{Analytics, Relational, Metrics, Dedup}
 
 /** Plan-shape assertions: the scale properties each operator is
   * designed around (broadcasts of small sides, map-side partial
@@ -58,6 +58,28 @@ class PlanSpec extends AnyFunSuite {
     // exchanges operate on the much smaller postings/pairs frames. The
     // plan must not contain a shingle-keyed sort-merge self-join.
     assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
+  // AQE's toString prints "== Final Plan ==" then "== Initial Plan ==";
+  // exchange-counting assertions must look at the final section only
+  private def finalPlan(df: DataFrame): String =
+    plan(df).split("== Initial Plan ==")(0)
+
+  test("event_gaps: the groupBy reuses the window's user_id clustering — one shuffle") {
+    val p = finalPlan(Analytics.eventGaps(Tables.events(spark, d)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(1200))
+  }
+
+  test("value_stats_by_type shuffles bounded partial-agg state, not rows") {
+    val p = finalPlan(Analytics.valueStatsByType(Tables.events(spark, d)))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(1200))
+  }
+
+  test("top_customers_concat broadcasts the nation dimension") {
+    val p = plan(Analytics.topCustomersConcat(
+      Tables.customer(spark, d), Tables.nation(spark, d)))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
   test("metrics store timeseries read partition-prunes to one metric family") {
