@@ -120,6 +120,8 @@ object SparkEntry {
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(par(Tables.documents(s, d)))),
     "unigram_familiarity" -> ((s, d) =>
       TextAnalysis.unigramFamiliarity(par(Tables.documents(s, d)))),
+    "ngram_repetition" -> ((s, d) =>
+      TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) =>
@@ -265,6 +267,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "unigram_familiarity" -> TextAnalysis.unigramFamiliaritySql(),
+    "ngram_repetition" -> TextAnalysis.ngramRepetitionSql(),
     "hash_split" -> Corpus.hashSplitSql(),
     "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),

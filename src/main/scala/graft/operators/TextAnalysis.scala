@@ -127,6 +127,53 @@ object TextAnalysis {
       |  p.n_tokens >= 32 AS passes_min_len
       |FROM per_doc p JOIN d USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
+  /** Within-document n-gram repetition — the "repeated n-gram
+    * fraction" quality rule of large-corpus filters (docs dominated by
+    * repeated phrases are boilerplate/spam): 1 − distinct/total word
+    * n-grams. Computed per-row with array ops (no explode, no shuffle
+    * beyond the final sort) — at 100 TB this is a pure scan-side map,
+    * embarrassingly parallel. Docs shorter than n tokens are excluded
+    * (no n-grams → no signal). The division is a single double op on
+    * exact integers, bit-identical across engines. */
+  def ngramRepetition(documents: DataFrame, n: Int = 3,
+      maxDupFrac: Double = 0.2): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        (size(col("toks")) - lit(n - 1)).cast("long").as("n_ngrams"),
+        expr(s"size(array_distinct(transform(sequence(0, size(toks) - $n), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $n)))))")
+          .cast("long").as("n_distinct_ngrams"))
+      .withColumn("dup_ngram_frac",
+        lit(1.0) - col("n_distinct_ngrams").cast("double") /
+          col("n_ngrams").cast("double"))
+      .withColumn("passes_repetition", col("dup_ngram_frac") <= maxDupFrac)
+      .orderBy("doc_id")
+
+  def ngramRepetitionSql(n: Int = 3, maxDupFrac: Double = 0.2): String = {
+    require(n == 3, "oracle SQL is written for trigrams")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS idx
+       |  FROM documents),
+       |tg AS (
+       |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS ng
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+       |g AS (
+       |  SELECT doc_id, count(*) AS n_ngrams,
+       |    count(DISTINCT ng) AS n_distinct_ngrams
+       |  FROM tg GROUP BY 1)
+       |SELECT doc_id, n_ngrams, n_distinct_ngrams,
+       |  1.0 - CAST(n_distinct_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+       |    AS dup_ngram_frac,
+       |  (1.0 - CAST(n_distinct_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE))
+       |    <= $maxDupFrac AS passes_repetition
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+
   /** Lexicon language ID: count marker-token hits per language
     * (broadcast join against the tiny lexicon), take the argmax with a
     * deterministic tie-break (higher hits, then lexicographic lang);

@@ -63,6 +63,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("ngramRepetition: dup fraction on a repeating doc; short docs excluded") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // trigrams: aba,bab,aba,bab → 4 total, 2 distinct
+      (2L, "w x y z"),       // all distinct → frac 0
+      (3L, "too short")      // < 3 tokens → excluded
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.ngramRepetition(docs)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toList
+    assert(got === List(
+      (1L, 4L, 2L, 0.5, false),
+      (2L, 2L, 2L, 0.0, true)))
+  }
+
   test("nationAccountsFull keeps one-sided nations with zeroed other side") {
     val cust = Seq((1L, "a", 0, 10.0), (2L, "b", 7, 5.0))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
