@@ -96,6 +96,8 @@ object SparkEntry {
     "part_color_stats" -> ((s, d) => Analytics.partColorStats(Tables.part(s, d))),
     "value_stats_by_type" -> ((s, d) => Analytics.valueStatsByType(Tables.events(s, d))),
     "user_enriched_salted" -> ((s, d) => Skew.userEnrichedSalted(Tables.events(s, d))),
+    "first_event_per_user_minute" -> ((s, d) =>
+      Analytics.firstEventPerUserMinute(Tables.events(s, d))),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
     "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
     "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(Tables.events(s, d))),
@@ -253,6 +255,7 @@ object SparkEntry {
     "part_color_stats" -> Analytics.partColorStatsSql,
     "value_stats_by_type" -> Analytics.valueStatsByTypeSql,
     "user_enriched_salted" -> Skew.userEnrichedSaltedSql,
+    "first_event_per_user_minute" -> Analytics.firstEventPerUserMinuteSql,
     "value_percentiles" -> Relational.valuePercentilesSql,
     "value_band_counts" -> Relational.valueBandCountsSql(),
     "props_variant_stats" -> Relational.propsVariantStatsSql,

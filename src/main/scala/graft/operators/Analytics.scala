@@ -217,6 +217,37 @@ object Analytics {
       |  sum_retail / CAST(n_parts AS DOUBLE) AS avg_retail
       |FROM g ORDER BY color""".stripMargin
 
+  /** Keep-first dedup: the earliest event per (user, minute) — the
+    * classic at-least-once ingestion cleanup. Written in the
+    * `row_number() ≤ 1` idiom, which [[graft.plans.TopKRewriteRule]]
+    * rewrites to bounded per-group heaps (k=1: a running min — no
+    * per-group sort, no spill) in sessions with GraftExtensions; in
+    * plain sessions it runs as a standard window. One shuffle on the
+    * dedup key either way. */
+  def firstEventPerUserMinute(events: DataFrame): DataFrame = {
+    val keyed = events.withColumn("minute_key",
+      date_format(date_trunc("minute", col("ts")), "yyyy_MM_dd'T'HH_mm"))
+    val w = Window.partitionBy("user_id", "minute_key")
+      .orderBy("ts", "event_id")
+    keyed
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 1)
+      .select(col("user_id"), col("minute_key"), col("event_id"),
+        col("event_type"))
+      .orderBy("user_id", "minute_key")
+  }
+
+  val firstEventPerUserMinuteSql: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M') AS minute_key,
+      |    event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id,
+      |      date_trunc('minute', ts) ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, minute_key, event_id, event_type
+      |FROM r WHERE rn <= 1 ORDER BY user_id, minute_key""".stripMargin
+
   /** Moment statistics per event_type: mean and sample stddev of
     * `value`, computed from decimal-exact sums (Σx, Σx²) so the result
     * is partition-order independent — `stddev_samp` over raw doubles

@@ -52,6 +52,20 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(q.collect().map(_.getInt(3)).forall(_ == 1))
   }
 
+  test("keep-first dedup (rn <= 1 over a derived key) rewrites to TopKPerGroup") {
+    import ext.implicits._
+    val ev = Seq(
+      (2L, 10L, "2026-01-01 00:00:40", "b"),
+      (1L, 10L, "2026-01-01 00:00:30", "a"), // earlier in same minute — kept
+      (3L, 10L, "2026-01-01 00:01:10", "c")  // next minute — kept
+    ).toDF("event_id", "user_id", "s", "event_type")
+      .select(col("event_id"), col("user_id"),
+        col("s").cast("timestamp").as("ts"), col("event_type"))
+    val q = graft.operators.Analytics.firstEventPerUserMinute(ev)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(q.select("event_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("global top-k (no PARTITION BY) stays on Window and returns results") {
     import ext.implicits._
     // regression: the rewrite used to fire with parts=Nil, producing
