@@ -71,6 +71,8 @@ object SparkEntry {
     "revenue_by_nation" -> ((s, d) => Relational.revenueByNation(s, d)),
     "orders_without_lineitems" -> ((s, d) =>
       Relational.ordersWithoutLineitems(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "order_fill_by_priority" -> ((s, d) =>
+      Relational.orderFillByPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
     "late_shipment_priority" -> ((s, d) =>
       Relational.lateShipmentPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
     "pricing_rollup" -> ((s, d) => Relational.pricingRollup(Tables.lineitem(s, d))),
@@ -239,6 +241,7 @@ object SparkEntry {
     "top_orders_by_revenue" -> Relational.topOrdersByRevenueSql,
     "revenue_by_nation" -> Relational.revenueByNationSql,
     "orders_without_lineitems" -> Relational.ordersWithoutLineitemsSql,
+    "order_fill_by_priority" -> Relational.orderFillByPrioritySql,
     "late_shipment_priority" -> Relational.lateShipmentPrioritySql,
     "pricing_rollup" -> Relational.pricingRollupSql,
     "lineitem_running_window" -> Relational.lineitemRunningWindowSql,

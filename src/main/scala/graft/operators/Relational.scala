@@ -141,6 +141,33 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Left-outer join preserved-side aggregate: per order priority, how
+    * many orders, how many with no lineitems at all, and the total
+    * lineitem count — the join-type counterpart to the anti-join
+    * ([[ordersWithoutLineitems]]). The null-extended probe side is
+    * detected via l_orderkey IS NULL, the idiomatic left-join survival
+    * test. */
+  def orderFillByPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        countDistinct(when(col("l_orderkey").isNull, col("o_orderkey")))
+          .as("n_empty_orders"),
+        count(col("l_orderkey")).as("n_lineitems"))
+      .orderBy("o_orderpriority")
+
+  val orderFillByPrioritySql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_orderkey) AS n_orders,
+      |  count(DISTINCT CASE WHEN l_orderkey IS NULL THEN o_orderkey END)
+      |    AS n_empty_orders,
+      |  count(l_orderkey) AS n_lineitems
+      |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Semi join + interval predicate (TPC-H Q4 flavor): orders with at
     * least one line shipped ≥60 days after the order date, counted per
     * priority. */

@@ -37,6 +37,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() === events.count())
   }
 
+  test("orc round-trip preserves rows, schema, and values") {
+    val events = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    events.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === events.count())
+    assert(back.schema === events.schema)
+    assert(back.agg(sum("user_id")).head().getLong(0) ===
+      events.agg(sum("user_id")).head().getLong(0))
+  }
+
   test("winnowing fingerprints: shared substrings of implanted near-dups overlap heavily") {
     import spark.implicits._
     val docs = Tables.documents(spark, TestSpark.Sf0001)
