@@ -66,5 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())
     }
+    fn(ext, "ngram_stats",
+      "ngram_stats(tokens, n) - struct(n_ngrams, n_distinct_ngrams) per row") {
+      exprs => NgramStats(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }
+    fn(ext, "bounded_collect_long",
+      "bounded_collect_long(col, limit) - collect_list bounded at limit, NULL on overflow") {
+      exprs => BoundedCollectAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }
   }
 }

@@ -130,26 +130,31 @@ object TextAnalysis {
   /** Within-document n-gram repetition — the "repeated n-gram
     * fraction" quality rule of large-corpus filters (docs dominated by
     * repeated phrases are boilerplate/spam): 1 − distinct/total word
-    * n-grams. Computed per-row with array ops (no explode, no shuffle
-    * beyond the final sort) — at 100 TB this is a pure scan-side map,
-    * embarrassingly parallel. Docs shorter than n tokens are excluded
+    * n-grams. Computed per-row by the codegen'd
+    * [[graft.functions.NgramStats ngram_stats]] kernel (no explode, no
+    * shuffle beyond the final sort) — at 100 TB this is a pure
+    * scan-side map, embarrassingly parallel. Docs shorter than n tokens are excluded
     * (no n-grams → no signal). The division is a single double op on
     * exact integers, bit-identical across engines. */
   def ngramRepetition(documents: DataFrame, n: Int = 3,
-      maxDupFrac: Double = 0.2): DataFrame =
+      maxDupFrac: Double = 0.2): DataFrame = {
+    graft.functions.NgramStats.register(documents.sparkSession)
     documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
+      // one codegen'd pass per row — the equivalent higher-order-
+      // function chain (transform + concat_ws + array_distinct) is
+      // interpreted and materializes the n-gram array per row
+      .select(col("doc_id"), expr(s"ngram_stats(toks, $n)").as("st"))
       .select(col("doc_id"),
-        (size(col("toks")) - lit(n - 1)).cast("long").as("n_ngrams"),
-        expr(s"size(array_distinct(transform(sequence(0, size(toks) - $n), " +
-          s"i -> concat_ws(' ', slice(toks, i + 1, $n)))))")
-          .cast("long").as("n_distinct_ngrams"))
+        col("st.n_ngrams").as("n_ngrams"),
+        col("st.n_distinct_ngrams").as("n_distinct_ngrams"))
       .withColumn("dup_ngram_frac",
         lit(1.0) - col("n_distinct_ngrams").cast("double") /
           col("n_ngrams").cast("double"))
       .withColumn("passes_repetition", col("dup_ngram_frac") <= maxDupFrac)
       .orderBy("doc_id")
+  }
 
   def ngramRepetitionSql(n: Int = 3, maxDupFrac: Double = 0.2): String = {
     require(n == 3, "oracle SQL is written for trigrams")
