@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => NgramStats(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())
     }
+    fn(ext, "vec_sum",
+      "vec_sum(vec) - element-wise sum aggregate of float arrays: struct(sum, n)") {
+      exprs => VecSumAgg(exprs(0))
+    }
     fn(ext, "bounded_collect_long",
       "bounded_collect_long(col, limit) - collect_list bounded at limit, NULL on overflow") {
       exprs => BoundedCollectAgg(exprs(0),

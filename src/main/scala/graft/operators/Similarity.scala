@@ -161,6 +161,75 @@ object Similarity {
       }: _*))
   }
 
+  /** Cluster assignment against caller-supplied centroids (spherical:
+    * argmax cosine — dot normalized by the centroid norm only, since
+    * the row's own norm doesn't change its argmax). One scan, k
+    * codegen'd dot products per row, no shuffle. */
+  def assignWith(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val scores = array(cents.map { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      call_function("vec_dot", col("embedding"), typedLit(c)) / lit(norm)
+    }: _*)
+    embeddings
+      .withColumn("cent_scores", scores)
+      .select(col("vec_id"), col("embedding"),
+        (expr("array_position(cent_scores, array_max(cent_scores))")
+          .cast("int") - 1).as("cluster_id"))
+  }
+
+  /** Spherical k-means (Lloyd) training for IVF centroids — the step
+    * [[centroid]]'s deterministic literals stand in for. Per
+    * iteration: broadcast k×dim centroid literals into the assignment
+    * scan (no shuffle), then ONE aggregation whose per-group state is a
+    * double[dim] + count ([[graft.functions.VecSumAgg vec_sum]] — the
+    * shuffle carries k·dim doubles total, input-scale-independent), and
+    * a k-row collect to the driver (bounded by k, never by data).
+    * Empty clusters keep their previous centroid. Deterministic:
+    * splitmix init + exact integer-count division order. At 100 TB one
+    * trains on a sample (`mixtureSample`/`hashSplit` provide
+    * deterministic ones) — the loop is already sample-agnostic. */
+  def kmeansFit(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
+      dim: Int = 64): Array[Array[Float]] = {
+    graft.functions.VecSumAgg.register(embeddings.sparkSession)
+    var cents = Array.tabulate(k)(c => centroid(c, dim))
+    var it = 0
+    while (it < iters) {
+      val sums = assignWith(embeddings, cents)
+        .groupBy(col("cluster_id"))
+        .agg(expr("vec_sum(embedding)").as("s"))
+        .select(col("cluster_id"), col("s.sum").as("sum"), col("s.n").as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        val cid = r.getInt(0)
+        val s = r.getSeq[Double](1)
+        val n = r.getLong(2)
+        if (n > 0L) next(cid) = s.map(x => (x / n).toFloat).toArray
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Mean cosine distance (1 − best cosine) of every vector to its
+    * nearest centroid — the spherical-k-means objective; Lloyd
+    * iterations never increase it (up to FP noise). One scan + a
+    * scalar aggregate. */
+  def inertia(embeddings: DataFrame, cents: Array[Array[Float]]): Double = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val best = array(cents.map { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      call_function("vec_dot", col("embedding"), typedLit(c)) /
+        (lit(norm) * expr("sqrt(vec_dot(embedding, embedding))"))
+    }: _*)
+    embeddings
+      .select((lit(1.0) - array_max(best)).as("d"))
+      .agg(avg(col("d")))
+      .head().getDouble(0)
+  }
+
   /** ANN top-k via IVF: vectors are assigned to their nearest centroid
     * list; each query probes its `nProbe` closest lists and re-ranks
     * only their members exactly. At 100 TB the lists are storage

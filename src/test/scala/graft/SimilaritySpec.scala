@@ -77,6 +77,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(clusters.keys.forall(c => c >= 0 && c < 16))
   }
 
+  test("kmeans: Lloyd iterations never increase inertia; result is deterministic") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val init = Array.tabulate(8)(c =>
+      graft.operators.Similarity.kmeansFit(emb, k = 8, iters = 0)(c))
+    val after1 = graft.operators.Similarity.kmeansFit(emb, k = 8, iters = 1)
+    val after3 = graft.operators.Similarity.kmeansFit(emb, k = 8, iters = 3)
+    val i0 = graft.operators.Similarity.inertia(emb, init)
+    val i1 = graft.operators.Similarity.inertia(emb, after1)
+    val i3 = graft.operators.Similarity.inertia(emb, after3)
+    assert(i1 <= i0 + 1e-9, s"inertia rose after 1 iter: $i0 -> $i1")
+    assert(i3 <= i1 + 1e-9, s"inertia rose after 3 iters: $i1 -> $i3")
+    // stable across runs up to double-merge association order (the
+    // partial-sum merge tree can differ run to run; the per-element
+    // deviation is bounded by a few ulps)
+    val again = graft.operators.Similarity.kmeansFit(emb, k = 8, iters = 3)
+    val maxDiff = after3.zip(again).map { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+    }.max
+    assert(maxDiff < 1e-5, s"centroids unstable across runs: maxDiff=$maxDiff")
+    // trained centroids still induce a total partition
+    val assigned = graft.operators.Similarity.assignWith(emb, after3)
+    assert(assigned.count() === emb.count())
+    assert(assigned.where(col("cluster_id") < 0 || col("cluster_id") >= 8)
+      .count() === 0)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val pairs = Similarity.embeddingNearDup(emb, threshold = 0.40)
       .as[(Long, Long)].collect()
