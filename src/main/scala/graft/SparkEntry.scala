@@ -91,6 +91,8 @@ object SparkEntry {
     "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
     "funnel_setops" -> ((s, d) => Analytics.funnelSetOps(Tables.events(s, d))),
     "order_deciles" -> ((s, d) => Analytics.orderDeciles(Tables.orders(s, d))),
+    "order_price_ranks" -> ((s, d) => Analytics.orderPriceRanks(Tables.orders(s, d))),
+    "orders_by_month" -> ((s, d) => Analytics.ordersByMonth(Tables.orders(s, d))),
     "top_customers_concat" -> ((s, d) =>
       Analytics.topCustomersConcat(Tables.customer(s, d), Tables.nation(s, d))),
     "nation_accounts_full" -> ((s, d) =>
@@ -253,6 +255,8 @@ object SparkEntry {
     "event_gaps" -> Analytics.eventGapsSql,
     "funnel_setops" -> Analytics.funnelSetOpsSql,
     "order_deciles" -> Analytics.orderDecilesSql,
+    "order_price_ranks" -> Analytics.orderPriceRanksSql,
+    "orders_by_month" -> Analytics.ordersByMonthSql,
     "top_customers_concat" -> Analytics.topCustomersConcatSql,
     "nation_accounts_full" -> Analytics.nationAccountsFullSql,
     "part_color_stats" -> Analytics.partColorStatsSql,

@@ -248,6 +248,61 @@ object Analytics {
       |SELECT user_id, minute_key, event_id, event_type
       |FROM r WHERE rn <= 1 ORDER BY user_id, minute_key""".stripMargin
 
+  /** Rank-function family over one window: dense_rank, percent_rank,
+    * and cume_dist of order value within each priority class, for the
+    * 3 largest-value orders per class (row_number-bounded so the output
+    * stays report-sized). percent_rank = (rank−1)/(n−1) and cume_dist =
+    * peers/n are exact rationals of counts — identical doubles on both
+    * engines. One window partition clustering serves all five
+    * functions. */
+  def orderPriceRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dr", dense_rank().over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn").cast("long").as("rn"),
+        col("o_orderkey"), col("dr"), col("pr"), col("cd"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val orderPriceRanksSql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    row_number() OVER w AS rn,
+      |    dense_rank() OVER w AS dr,
+      |    percent_rank() OVER w AS pr,
+      |    cume_dist() OVER w AS cd
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey))
+      |SELECT o_orderpriority, rn, o_orderkey, dr, pr, cd
+      |FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** Calendar rollup: orders per (year, month) with decimal-exact
+    * revenue — the date-part extraction + group-by shape of every
+    * reporting pipeline. Group keys are 8-byte ints derived in the
+    * scan; the string-free grouping is the cheap form at scale. */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("revenue"))
+      .orderBy("o_year", "o_month")
+
+  val ordersByMonthSql: String =
+    """SELECT extract(year FROM o_orderdate) AS o_year,
+      |  extract(month FROM o_orderdate) AS o_month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Moment statistics per event_type: mean and sample stddev of
     * `value`, computed from decimal-exact sums (Σx, Σx²) so the result
     * is partition-order independent — `stddev_samp` over raw doubles
