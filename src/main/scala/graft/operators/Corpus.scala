@@ -134,6 +134,40 @@ object Corpus {
        |  ((n_tokens + $chunkLen - 1) // $chunkLen)::BIGINT)) AS t (chunk_idx)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Chunk-level dedup: fingerprint every fixed-length token chunk and
+    * report duplicated chunks with a representative (min doc_id) — the
+    * pretraining cleanup that catches shared boilerplate/quotes exact
+    * whole-doc dedup misses. Chunking + hashing are per-row scan work
+    * (the md5 shrinks each chunk to 16 bytes BEFORE the shuffle, so the
+    * exchange carries fingerprints, not text); one groupBy on the
+    * fingerprint. */
+  def chunkDedup(documents: DataFrame, chunkLen: Int = 64,
+      minDup: Int = 2): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(toks) + ${chunkLen - 1}) div $chunkLen - 1),
+           |  i -> md5(concat_ws(' ', slice(toks, i * $chunkLen + 1, $chunkLen))))"""
+          .stripMargin)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("rep_doc_id"))
+      .where(col("dup_count") >= minDup)
+      .orderBy("fingerprint")
+
+  def chunkDedupSql(chunkLen: Int = 64, minDup: Int = 2): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(list_slice(toks,
+       |      chunk_idx * $chunkLen + 1, chunk_idx * $chunkLen + $chunkLen), ' '))
+       |      AS fingerprint
+       |  FROM d, LATERAL unnest(range(0,
+       |    ((len(toks) + $chunkLen - 1) // $chunkLen)::BIGINT)) AS t (chunk_idx))
+       |SELECT fingerprint, count(*) AS dup_count, min(doc_id) AS rep_doc_id
+       |FROM c GROUP BY 1 HAVING count(*) >= $minDup
+       |ORDER BY fingerprint""".stripMargin
+
   /** Pattern redaction (PII scrubbing): replace every match of each
     * pattern with its tag, left to right. Codegen'd regexp_replace per
     * pattern — single pass per row, no shuffle. */
