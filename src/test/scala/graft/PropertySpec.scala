@@ -107,6 +107,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("saltedJoin ≡ plain join on generated fact/dim sets for any salt count") {
+    val factGen = Gen.nonEmptyListOf(for {
+      eid <- Gen.chooseNum(1L, 500L)
+      key <- Gen.chooseNum(1L, 8L) // few keys → heavy per-key fan-out
+    } yield (eid, key))
+    forAllSamples(Gen.zip(factGen, Gen.oneOf(1, 3, 16))) { case (rows, salts) =>
+      val fact = rows.distinct.toDF("event_id", "user_id")
+      val dim = (1L to 6L).map(k => (k, s"tag$k")).toDF("user_id", "tag")
+      val salted = graft.operators.Skew
+        .saltedJoin(fact, dim, "user_id", col("event_id"), salts)
+        .select("event_id", "user_id", "tag")
+        .as[(Long, Long, String)].collect().sorted.toList
+      val plain = fact.join(dim, Seq("user_id"))
+        .select("event_id", "user_id", "tag")
+        .as[(Long, Long, String)].collect().sorted.toList
+      assert(salted === plain, s"salts=$salts")
+    }
+  }
+
+  test("funnel set-ops partition the click universe: both + click_only = distinct clickers") {
+    forAllSamples(eventsGen) { rows =>
+      val ev = rows.toDF("uid", "experiment_id", "variant", "ts_str")
+        .selectExpr("CAST(uid AS BIGINT) AS user_id",
+          "CASE WHEN variant = 'default' THEN 'click' " +
+            "WHEN variant = '1' THEN 'purchase' ELSE 'view' END AS event_type")
+      val seg = graft.operators.Analytics.funnelSetOps(ev)
+        .as[(String, Long)].collect().toMap
+      val clickers = ev.where(col("event_type") === "click")
+        .select("user_id").distinct().count()
+      val purchasers = ev.where(col("event_type") === "purchase")
+        .select("user_id").distinct().count()
+      assert(seg("click_and_purchase") + seg("click_only") === clickers)
+      assert(seg("click_and_purchase") + seg("purchase_only") === purchasers)
+    }
+  }
+
   test("permutation invariance: shuffled input yields identical metrics") {
     forAllSamples(Gen.zip(eventsGen, Gen.chooseNum(1L, 999L))) { case (rows, seed) =>
       val df = toDf(rows)
