@@ -30,11 +30,16 @@ object Skew {
     * task re-execution, unlike rand()-based salting). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltSource: Column, nSalts: Int = 16): DataFrame = {
-    val saltedFact = fact.withColumn("_salt",
+    // reserved name, not "_salt": a user column of that name on either
+    // side would silently join on the wrong thing
+    val salt = "__graft_salt"
+    require(!fact.columns.contains(salt) && !dim.columns.contains(salt),
+      s"saltedJoin: inputs must not already carry a '$salt' column")
+    val saltedFact = fact.withColumn(salt,
       pmod(xxhash64(saltSource), lit(nSalts.toLong)))
-    val repDim = dim.withColumn("_salt",
+    val repDim = dim.withColumn(salt,
       explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
-    saltedFact.join(repDim, Seq(key, "_salt")).drop("_salt")
+    saltedFact.join(repDim, Seq(key, salt)).drop(salt)
   }
 
   /** Oracle-checked face of [[saltedJoin]]: enrich each event with its

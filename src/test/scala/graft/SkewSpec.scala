@@ -48,9 +48,9 @@ class SkewSpec extends AnyFunSuite {
       val q = Skew.saltedJoin(fact, dim, "user_id", col("event_id"), 8)
       q.collect() // finalize AQE
       val plan = q.queryExecution.executedPlan.toString
-      assert(plan.contains("_salt"), plan.take(800))
+      assert(plan.contains("__graft_salt"), plan.take(800))
       // both children hash-partition on the two-column key
-      assert("hashpartitioning\\(user_id#\\d+L, _salt".r
+      assert("hashpartitioning\\(user_id#\\d+L, __graft_salt".r
         .findAllIn(plan).length >= 2, plan.take(1200))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
