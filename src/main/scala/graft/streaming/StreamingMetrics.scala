@@ -139,6 +139,26 @@ object StreamingMetrics {
     Seq(visits, usersPerMinute, usersPerVariant, experimentsPerMinute, approxUsers)
   }
 
+  /** The visits branch with a checkpoint location — the restartable
+    * production form. On restart from the same checkpoint the query
+    * resumes from committed offsets, so cleanly-stopped batches are
+    * never re-delivered to the store (`StreamingSpec` asserts no
+    * double-count across a stop/start). foreachBatch is at-least-once
+    * under mid-batch crashes; the reference's INCRBY sink has the same
+    * contract, and the batchId parameter is the dedup key an idempotent
+    * store would use. */
+  def startVisitsCheckpointed(events: Dataset[LogEvent], store: MetricsStore,
+      checkpointDir: String, queryName: String): StreamingQuery =
+    events.toDF()
+      .select(minuteKey("visitCounter").as("k"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy("k").count().collect()
+          .foreach(r => store.incrBy(r.getString(0), r.getLong(1)))
+      }
+      .queryName(queryName).start()
+
   /** Idiomatic-Spark exact distinct: the member set lives in Spark's
     * state store per group key, updated incrementally — the engine-side
     * equivalent of the reference's Redis SADD+SCARD pair, usable with

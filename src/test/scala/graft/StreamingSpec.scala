@@ -158,6 +158,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("checkpointed restart resumes from committed offsets — no double-counting") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val store = new MetricsStore
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    input.addData(
+      ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u2", "e1", "1", "2026-08-12 10:15:40"))
+    val q1 = StreamingMetrics.startVisitsCheckpointed(
+      input.toDS(), store, ckpt, "visits_ckpt_a")
+    q1.processAllAvailable(); q1.stop()
+    assert(store.counter("visitCounter_2026_08_12T10_15") === 2L)
+
+    // restart from the SAME checkpoint with one new event: the first
+    // batch's offsets are committed, so only the new event is delivered
+    // — a replay would leave the counter at 5, not 3
+    input.addData(ev("u3", "e1", "1", "2026-08-12 10:15:55"))
+    val q2 = StreamingMetrics.startVisitsCheckpointed(
+      input.toDS(), store, ckpt, "visits_ckpt_b")
+    q2.processAllAvailable(); q2.stop()
+    assert(store.counter("visitCounter_2026_08_12T10_15") === 3L)
+  }
+
   test("flatMapGroupsWithState exact uniques: state accumulates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
