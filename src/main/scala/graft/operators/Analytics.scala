@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,19 +86,66 @@ object Analytics {
       |  FROM (SELECT * FROM p EXCEPT SELECT * FROM c)
       |ORDER BY segment""".stripMargin
 
-  /** Order-value deciles via ntile(10): per-decile count, min/max and
-    * decimal-exact sum of o_totalprice.
-    *
-    * Scale note: a global ntile forces a single-partition sort in
-    * Spark (WindowExec with empty PARTITION BY). Fine for a
-    * report-sized result; at 100 TB the same decile boundaries come
-    * from `repartitionByRange(n, key)` + per-partition offsets (one
-    * range shuffle, no single-task sort) or approx_percentile
-    * boundaries when ±ε bucket edges are acceptable. */
+  /** Exact global ntile WITHOUT the single-partition sort Spark's
+    * `ntile().over(Window.orderBy(...))` requires: range-repartition on
+    * the sort key (every partition holds a disjoint key range, sorted
+    * between partitions by construction), rank locally per range
+    * partition (parallel — each window partition is one range
+    * partition), then add the partition's global offset from a
+    * P-row count pass and apply the exact ntile bucket formula
+    * (first N mod k buckets get the extra row). Two scans + one range
+    * shuffle; nothing ever concentrates on one task — the 100 TB shape
+    * for exact quantile bucketing. Output: input columns + `bucket`.
+    * Requires the sort to be total (pass tiebreaker columns). */
+  def ntileByRange(df: DataFrame, sortCols: Seq[String], k: Int,
+      partitions: Int = 32): DataFrame = {
+    val cols = sortCols.map(col)
+    // stamp the range-partition id ONCE and persist: the count pass and
+    // the ranking pass must see the same partition assignment, and a
+    // re-executed range exchange does not guarantee that (AQE may remix
+    // the two jobs differently). At cluster scale this materialization
+    // is the sorted staging write an exact global bucketing needs
+    // anyway (checkpoint instead if it outgrows memory+disk).
+    val ranged = df.repartitionByRange(partitions, cols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged
+      .groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val pids = counts.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)))
+      .toMap // pid -> rows in lower-ranged partitions
+    // key the offset off the CAPTURED __pid column: spark_partition_id()
+    // re-evaluated after the window's hash shuffle would read the
+    // shuffle's partition ids, not the range partitions'
+    def offCol(pid: Column): Column = pids.foldLeft(lit(0L)) { (acc, p) =>
+      when(pid === p, lit(offsets(p))).otherwise(acc)
+    }
+    val q = total / k
+    val m = total % k
+    val localW = Window.partitionBy(col("__pid")).orderBy(cols: _*)
+    ranged
+      .withColumn("__rank", row_number().over(localW) + offCol(col("__pid")))
+      // exact ntile: rank r (1-based) → first m buckets hold q+1 rows
+      // (integral div; the q=0 guard is unreachable when total < k
+      // because every rank then lands in the first branch)
+      .withColumn("bucket", expr(
+        s"""CAST(IF($m > 0 AND __rank <= ${m * (q + 1)},
+           |  (__rank - 1) div ${q + 1} + 1,
+           |  $m + (__rank - 1 - ${m * (q + 1)}) div ${math.max(q, 1L)} + 1)
+           |AS BIGINT)""".stripMargin))
+      .drop("__pid", "__rank")
+  }
+
+  /** Order-value deciles: per-decile count, min/max and decimal-exact
+    * sum of o_totalprice, bucketed by [[ntileByRange]] — the
+    * range-partitioned exact-ntile plan (no single-partition
+    * WindowExec; AnalyticsSpec asserts equality with `ntile().over`
+    * and the DuckDB oracle checks it end-to-end). */
   def orderDeciles(orders: DataFrame): DataFrame = {
-    val w = Window.orderBy("o_totalprice", "o_orderkey")
-    orders
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    ntileByRange(orders, Seq("o_totalprice", "o_orderkey"), 10)
+      .withColumnRenamed("bucket", "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_orders"),
         min("o_totalprice").as("min_price"),

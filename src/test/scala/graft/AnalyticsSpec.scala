@@ -63,6 +63,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
+  test("ntileByRange equals ntile().over for even/odd k and tiny inputs") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = graft.sources.Tables.orders(spark, TestSpark.Sf0001)
+    for (k <- Seq(10, 7)) {
+      val w = Window.orderBy("o_totalprice", "o_orderkey")
+      val expect = orders
+        .withColumn("bucket", ntile(k).over(w).cast("long"))
+        .select("o_orderkey", "bucket")
+        .as[(Long, Long)].collect().toMap
+      val got = graft.operators.Analytics
+        .ntileByRange(orders, Seq("o_totalprice", "o_orderkey"), k, partitions = 8)
+        .select("o_orderkey", "bucket")
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect, s"k=$k")
+    }
+    // fewer rows than buckets: every row its own bucket in rank order
+    val tiny = Seq((3L, 30.0), (1L, 10.0), (2L, 20.0)).toDF("o_orderkey", "o_totalprice")
+    val gotTiny = graft.operators.Analytics
+      .ntileByRange(tiny, Seq("o_totalprice", "o_orderkey"), 10, partitions = 4)
+      .select("o_orderkey", "bucket").as[(Long, Long)].collect().toMap
+    assert(gotTiny === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("ngramRepetition: dup fraction on a repeating doc; short docs excluded") {
     val docs = Seq(
       (1L, "a b a b a b"),   // trigrams: aba,bab,aba,bab → 4 total, 2 distinct

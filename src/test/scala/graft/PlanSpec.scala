@@ -76,6 +76,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(1200))
   }
 
+  test("order_deciles never concentrates the sort on a single partition") {
+    val p = plan(Analytics.orderDeciles(Tables.orders(spark, d)))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    assert(p.contains("rangepartitioning") || p.contains("REPARTITION_BY_RANGE"),
+      p.take(1200))
+  }
+
   test("top_customers_concat broadcasts the nation dimension") {
     val p = plan(Analytics.topCustomersConcat(
       Tables.customer(spark, d), Tables.nation(spark, d)))
