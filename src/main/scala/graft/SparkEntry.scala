@@ -106,6 +106,7 @@ object SparkEntry {
     "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
     "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(Tables.events(s, d))),
     "event_type_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
+    "event_type_unpivot" -> ((s, d) => Relational.eventTypeUnpivot(Tables.events(s, d))),
     "value_percentiles_approx" -> ((s, d) =>
       Relational.valuePercentilesApprox(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
@@ -268,6 +269,7 @@ object SparkEntry {
     "value_band_counts" -> Relational.valueBandCountsSql(),
     "props_variant_stats" -> Relational.propsVariantStatsSql,
     "event_type_pivot" -> Relational.eventTypePivotSql(),
+    "event_type_unpivot" -> Relational.eventTypeUnpivotSql(),
     "user_sessions" -> Metrics.userSessionsSql(),
     "user_sessions_window" -> Metrics.userSessionsSql(),
     "min_price_part_per_type" -> Relational.minPricePartPerTypeSql,

@@ -352,6 +352,34 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Unpivot (wide → long), the inverse of [[eventTypePivot]]: melt the
+    * per-type count columns back into (user_bucket, event_type, n)
+    * rows via `stack` — a per-row expression, no shuffle or extra job
+    * beyond the pivot's. Zero counts are kept (the round-trip preserves
+    * the full grid), so the result is the dense long form of the same
+    * aggregate. */
+  def eventTypeUnpivot(events: DataFrame,
+      types: Seq[String] = EventTypes): DataFrame = {
+    val stackArgs = types.map(t => s"'$t', `$t`").mkString(", ")
+    eventTypePivot(events, types)
+      .select(col("user_bucket"),
+        expr(s"stack(${types.length}, $stackArgs) AS (event_type, n)"))
+      .orderBy("user_bucket", "event_type")
+  }
+
+  def eventTypeUnpivotSql(types: Seq[String] = EventTypes): String =
+    s"""WITH spine AS (SELECT unnest([${types.map(t => s"'$t'").mkString(", ")}])
+       |    AS event_type),
+       |buckets AS (SELECT DISTINCT user_id % 10 AS user_bucket FROM events),
+       |agg AS (
+       |  SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT b.user_bucket, s.event_type, coalesce(a.n, 0) AS n
+       |FROM buckets b CROSS JOIN spine s
+       |LEFT JOIN agg a ON a.user_bucket = b.user_bucket
+       |  AND a.event_type = s.event_type
+       |ORDER BY b.user_bucket, s.event_type""".stripMargin
+
   /** Semi-structured access via Spark 4's VARIANT type: `parse_json`
     * once into a variant column, then typed `variant_get` extraction —
     * the engine-native path for schemaless event properties (vs
