@@ -143,6 +143,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ntileByRange ≡ ntile().over on random data for random k") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)),
+      Gen.chooseNum(1, 12))
+    forAllSamples(gen) { case (vs, k) =>
+      // unique sort keys (ntile over a non-total order is tie-arbitrary)
+      val rows = vs.distinct.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v")
+      val expect = df.withColumn("bucket",
+          ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+        .select("id", "bucket").as[(Long, Long)].collect().toMap
+      val got = graft.operators.Analytics
+        .ntileByRange(df, Seq("v", "id"), k, partitions = 5)
+        .select("id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got === expect, s"k=$k n=${rows.size}")
+    }
+  }
+
   test("permutation invariance: shuffled input yields identical metrics") {
     forAllSamples(Gen.zip(eventsGen, Gen.chooseNum(1L, 999L))) { case (rows, seed) =>
       val df = toDf(rows)
