@@ -44,6 +44,7 @@ object SparkEntry {
     "active_experiments_per_minute" -> ((s, d) => Metrics.activeExperimentsPerMinute(ev(s, d))),
     "active_variants_per_minute" -> ((s, d) => Metrics.activeVariantsPerMinute(ev(s, d))),
     "variant_overlap" -> ((s, d) => Metrics.variantOverlap(ev(s, d))),
+    "variant_overlap_approx" -> ((s, d) => Metrics.variantOverlapApprox(ev(s, d))),
     // ---- reference parity: dashboard read shapes (SURVEY.md §2.4) ----
     "visits_timeseries" -> ((s, d) => Metrics.visitsTimeseries(ev(s, d))),
     "users_timeseries" -> ((s, d) => Metrics.usersTimeseries(ev(s, d))),

@@ -129,6 +129,28 @@ object Metrics {
       .orderBy("variant_a", "variant_b")
   }
 
+  /** A9 scale twin — approximate variant overlap via theta sketches
+    * (Spark 4 DataSketches): one sketch per variant (bounded state, a
+    * few KB regardless of user count), then pairwise
+    * `theta_intersection` + estimate on the |variants|²-sized sketch
+    * table. HLL cannot intersect (union only); theta is the sketch
+    * family built for it — at 100 TB the reference's SINTERSTORE over
+    * exact SADD sets is unpayable, this is its replacement. Exact
+    * below ~4k uniques per sketch (theta stores raw hashes until
+    * saturation), so the fixture-scale estimate matches
+    * [[variantOverlap]]; MetricsSpec bounds the error. Rows-only for
+    * the driver (sketch estimates have no SQL oracle). */
+  def variantOverlapApprox(ev: DataFrame): DataFrame = {
+    val sk = ev.groupBy(col(Variant).as("variant"))
+      .agg(expr(s"theta_sketch_agg($Uid)").as("sk"))
+    sk.toDF("variant_a", "sk_a")
+      .join(sk.toDF("variant_b", "sk_b"), col("variant_a") < col("variant_b"))
+      .select(col("variant_a"), col("variant_b"),
+        expr("CAST(theta_sketch_estimate(theta_intersection(sk_a, sk_b)) AS BIGINT)")
+          .as("overlap_users_est"))
+      .orderBy("variant_a", "variant_b")
+  }
+
   /** Q1 — visits time series: last N closed minutes, zero-filled
     * (reference: TimeseriesMetricsController.java:45-67). */
   def visitsTimeseries(ev: DataFrame, lastMinutes: Int = 10): DataFrame = {

@@ -90,6 +90,22 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("theta-sketch overlap tracks exact pairwise intersections") {
+    val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
+    val exact = Metrics.variantOverlap(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val est = Metrics.variantOverlapApprox(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet === est.keySet)
+    exact.foreach { case (pair, e) =>
+      val a = est(pair)
+      // theta stores raw hashes until ~4k entries, so fixture-scale
+      // intersections are near-exact; allow the documented ~3% envelope
+      assert(math.abs(a - e).toDouble <= math.max(1.0, 0.03 * e),
+        s"pair $pair: theta $a vs exact $e")
+    }
+  }
+
   test("hourly uniques from unioned minute sketches stay within HLL bounds of exact") {
     val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
     val est = Metrics.uniqueUsersHourlyFromMinuteSketches(ev)
