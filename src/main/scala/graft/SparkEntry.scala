@@ -110,6 +110,8 @@ object SparkEntry {
     "event_type_unpivot" -> ((s, d) => Relational.eventTypeUnpivot(Tables.events(s, d))),
     "value_percentiles_approx" -> ((s, d) =>
       Relational.valuePercentilesApprox(Tables.events(s, d))),
+    "value_quantiles_hourly_sketch" -> ((s, d) =>
+      Relational.valueQuantileHourlyFromMinuteSketches(Tables.events(s, d))),
     "user_sessions" -> ((s, d) => Metrics.userSessions(par(Tables.events(s, d)))),
     // native session_window formulation, same semantics + oracle
     "user_sessions_window" -> ((s, d) =>

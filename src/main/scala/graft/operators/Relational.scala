@@ -352,6 +352,32 @@ object Relational {
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Quantile rollup from pre-aggregated state — the PFMERGE pattern
+    * for percentiles: one KLL sketch of `value` per minute (bounded
+    * state, mergeable), then hourly percentiles by merging the MINUTE
+    * SKETCHES, never re-reading raw events. At 100 TB this is how a
+    * metrics store answers coarser-grained quantile questions from
+    * stored per-window summaries; `approx_percentile` alone can't —
+    * its result isn't mergeable, the KLL sketch is. Rows-only (sketch
+    * estimates have no SQL oracle); RelationalSpec-style rank-bound
+    * check lives in MetricsSpec. */
+  def valueQuantileHourlyFromMinuteSketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(expr("kll_sketch_agg_double(value)").as("sk"))
+      .groupBy(date_trunc("hour", col("m")).as("h"))
+      // kll_sketch_merge_double is a pairwise scalar merge (no agg
+      // form); fold the ≤60 minute sketches per hour — the fold is
+      // interpreted but touches sketches, never rows
+      .agg(collect_list(col("sk")).as("sks"))
+      .withColumn("hsk", expr(
+        "aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+          "(acc, x) -> kll_sketch_merge_double(acc, x))"))
+      .select(date_format(col("h"), "yyyy_MM_dd'T'HH").as("hour_key"),
+        expr("kll_sketch_get_quantile_double(hsk, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_double(hsk, 0.95)").as("p95"))
+      .orderBy("hour_key")
+
   /** Unpivot (wide → long), the inverse of [[eventTypePivot]]: melt the
     * per-type count columns back into (user_bucket, event_type, n)
     * rows via `stack` — a per-row expression, no shuffle or extra job

@@ -106,6 +106,31 @@ class MetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("hourly quantiles from merged minute KLL sketches sit at the right rank") {
+    val events = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val est = graft.operators.Relational
+      .valueQuantileHourlyFromMinuteSketches(events).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    import org.apache.spark.sql.functions._
+    val perHour = events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy_MM_dd'T'HH").as("h"))
+      .agg(count(lit(1)).as("n"), collect_list(col("value")).as("vs"))
+      .collect()
+    perHour.foreach { r =>
+      val h = r.getString(0); val n = r.getLong(1)
+      val vs = r.getSeq[Double](2).sorted
+      val (p50, p95) = est(h)
+      // KLL default accuracy: normalized rank error well under 2%; the
+      // returned value's true rank must sit inside a ±5% rank window —
+      // widened for sparse edge hours, where rank granularity is 1/n
+      val tol = math.max(0.05, 1.5 / n)
+      def rankOf(x: Double) = vs.count(_ <= x).toDouble / n
+      assert(math.abs(rankOf(p50) - 0.5) <= tol, s"$h p50=$p50 rank=${rankOf(p50)} n=$n")
+      assert(math.abs(rankOf(p95) - 0.95) <= tol, s"$h p95=$p95 rank=${rankOf(p95)} n=$n")
+    }
+  }
+
   test("hourly uniques from unioned minute sketches stay within HLL bounds of exact") {
     val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
     val est = Metrics.uniqueUsersHourlyFromMinuteSketches(ev)
