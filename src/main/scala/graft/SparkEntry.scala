@@ -138,6 +138,7 @@ object SparkEntry {
       Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
     "chunk_dedup" -> ((s, d) => Corpus.chunkDedup(par(Tables.documents(s, d)))),
+    "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
@@ -288,6 +289,7 @@ object SparkEntry {
     "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),
     "chunk_dedup" -> Corpus.chunkDedupSql(),
+    "corpus_pipeline" -> Corpus.corpusPipelineSql(),
     "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),

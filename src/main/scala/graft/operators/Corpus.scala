@@ -134,6 +134,67 @@ object Corpus {
        |  ((n_tokens + $chunkLen - 1) // $chunkLen)::BIGINT)) AS t (chunk_idx)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Capstone composition — the canonical corpus-preparation pipeline
+    * in one plan: quality gate (min token count + trigram-repetition
+    * rule, both per-row scan work) → exact dedup (one shuffle on the
+    * content hash, min-doc representative) → content-stable train/val
+    * split (per-row hash) → per-(split, lang) counts. Demonstrates the
+    * operators COMPOSE: Catalyst pipelines the three per-row stages
+    * into one scan, and the whole pipeline costs two shuffles (dedup
+    * groupBy + final aggregate) regardless of corpus size. */
+  def corpusPipeline(documents: DataFrame, minTokens: Int = 32,
+      maxDupFrac: Double = 0.2, valPct: Int = 10): DataFrame = {
+    graft.functions.NgramStats.register(documents.sparkSession)
+    val quality = documents
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= minTokens)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr("ngram_stats(toks, 3)").as("st"))
+      .where(lit(1.0) - col("st.n_distinct_ngrams").cast("double") /
+        col("st.n_ngrams").cast("double") <= maxDupFrac)
+    val deduped = quality
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"))).as("rep"))
+      .select(col("rep.doc_id").as("doc_id"), col("rep.lang").as("lang"))
+    deduped
+      .withColumn("split",
+        when(hashBucket(col("doc_id")) < valPct, lit("val"))
+          .otherwise(lit("train")))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
+  def corpusPipelineSql(minTokens: Int = 32, maxDupFrac: Double = 0.2,
+      valPct: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS idx
+       |  FROM documents),
+       |tg AS (
+       |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS ng
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2),
+       |rep AS (
+       |  SELECT doc_id, count(*) AS n, count(DISTINCT ng) AS nd
+       |  FROM tg GROUP BY 1),
+       |q AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN rep r USING (doc_id)
+       |  WHERE len(string_split(d.text, ' ')) >= $minTokens
+       |    AND 1.0 - CAST(r.nd AS DOUBLE) / CAST(r.n AS DOUBLE) <= $maxDupFrac),
+       |ded AS (
+       |  SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+       |  FROM q GROUP BY md5(text)),
+       |sp AS (
+       |  SELECT CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+       |      % 100 < $valPct THEN 'val' ELSE 'train' END AS split, lang
+       |  FROM ded)
+       |SELECT split, lang, count(*) AS n_docs
+       |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Chunk-level dedup: fingerprint every fixed-length token chunk and
     * report duplicated chunks with a representative (min doc_id) — the
     * pretraining cleanup that catches shared boilerplate/quotes exact
