@@ -193,6 +193,20 @@ object Similarity {
       dim: Int = 64): Array[Array[Float]] = {
     graft.functions.VecSumAgg.register(embeddings.sparkSession)
     var cents = Array.tabulate(k)(c => centroid(c, dim))
+    // iterative algorithm: cache the training set once, not one source
+    // re-read per Lloyd iteration; released before returning
+    val cached =
+      if (iters > 1)
+        embeddings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else embeddings
+    try {
+      kmeansIterate(cached, cents, k, iters)
+    } finally if (iters > 1) { cached.unpersist(); () }
+  }
+
+  private def kmeansIterate(embeddings: DataFrame,
+      init: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    var cents = init
     var it = 0
     while (it < iters) {
       val sums = assignWith(embeddings, cents)
