@@ -118,6 +118,8 @@ object SparkEntry {
       Metrics.userSessionsViaSessionWindow(par(Tables.events(s, d)))),
     "min_price_part_per_type" -> ((s, d) => Relational.minPricePartPerType(Tables.part(s, d))),
     "asof_purchase_after_click" -> ((s, d) => AsOf.purchaseAfterClick(par(Tables.events(s, d)))),
+    "asof_purchase_after_click_custom" -> ((s, d) =>
+      AsOf.purchaseAfterClickNative(par(Tables.events(s, d)))),
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
     "unique_users_hourly_sketch" -> ((s, d) =>
       Metrics.uniqueUsersHourlyFromMinuteSketches(ev(s, d))),
@@ -278,6 +280,7 @@ object SparkEntry {
     "user_sessions_window" -> Metrics.userSessionsSql(),
     "min_price_part_per_type" -> Relational.minPricePartPerTypeSql,
     "asof_purchase_after_click" -> AsOf.purchaseAfterClickSql,
+    "asof_purchase_after_click_custom" -> AsOf.purchaseAfterClickSql,
     "pricing_summary_sql" -> Relational.pricingSummarySql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,

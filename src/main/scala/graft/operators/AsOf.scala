@@ -62,6 +62,23 @@ object AsOf {
       .orderBy("purchase_id")
   }
 
+  /** Same query through the native sort-merge as-of operator
+    * ([[graft.plans.AsOfJoinExec]]) — no union materialization, no
+    * window state machine; same oracle. */
+  def purchaseAfterClickNative(events: DataFrame): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.plans.NativeAsOf
+      .asofJoin(purchases, clicks, "user_id", "ts", "ts", "click_id",
+        "asof_click_id")
+      .where(col("asof_click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("asof_click_id").as("prior_click_id"))
+      .orderBy("purchase_id")
+  }
+
   val purchaseAfterClickSql: String =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |  c.event_id AS prior_click_id

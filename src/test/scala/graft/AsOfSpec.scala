@@ -27,6 +27,32 @@ class AsOfSpec extends AnyFunSuite {
     assert(got === Set((3L, 10L, 2L), (4L, 10L, 1L), (7L, 30L, 6L)))
   }
 
+  test("native sort-merge as-of matches the composed form on the edge fixture") {
+    val events = df(Seq(
+      (1L, 10L, "click", "2026-08-12 10:00:00"),
+      (2L, 10L, "click", "2026-08-12 10:05:00"),
+      (3L, 10L, "purchase", "2026-08-12 10:07:00"),
+      (4L, 10L, "purchase", "2026-08-12 10:02:00"),
+      (5L, 20L, "purchase", "2026-08-12 10:01:00"), // no prior click
+      (6L, 30L, "click", "2026-08-12 10:03:00"),
+      (7L, 30L, "purchase", "2026-08-12 10:03:00") // inclusive tie
+    ))
+    val native = AsOf.purchaseAfterClickNative(events)
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(native.as[(Long, Long, Long)].collect().toSet ===
+      Set((3L, 10L, 2L), (4L, 10L, 1L), (7L, 30L, 6L)))
+  }
+
+  test("native as-of equals the composed form on the events table") {
+    val events = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val composed = AsOf.purchaseAfterClick(events)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val native = AsOf.purchaseAfterClickNative(events)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(native === composed)
+    assert(native.nonEmpty)
+  }
+
   test("generic asofJoin keeps unmatched left rows with null payload") {
     val left = Seq((100L, 1L, "2026-08-12 09:00:00"))
       .toDF("event_id", "user_id", "ts_str")
