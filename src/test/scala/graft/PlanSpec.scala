@@ -89,6 +89,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("native as-of plans as a two-sided merge: no union, no window") {
+    val p = finalPlan(graft.operators.AsOf.purchaseAfterClickNative(
+      Tables.events(spark, d)))
+    assert(p.contains("AsOfJoin"), p.take(800))
+    assert(!p.contains("Union"), "native as-of should not materialize a union")
+    assert(!p.contains("Window"), "native as-of should not use a window operator")
+    // both sides exchanged onto the key and sorted — exactly two of each
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2, p.take(1500))
+  }
+
   test("metrics store timeseries read partition-prunes to one metric family") {
     val dir = java.nio.file.Files.createTempDirectory("graft_store_plan").toString
     val ev = Tables.logEvents(spark, d)
