@@ -91,6 +91,7 @@ object SparkEntry {
         .orderBy("p_brand", "price_rank")),
     "event_gaps" -> ((s, d) => Analytics.eventGaps(Tables.events(s, d))),
     "funnel_setops" -> ((s, d) => Analytics.funnelSetOps(Tables.events(s, d))),
+    "bag_setops" -> ((s, d) => Analytics.bagSetOps(Tables.events(s, d))),
     "order_deciles" -> ((s, d) => Analytics.orderDeciles(Tables.orders(s, d))),
     "order_price_ranks" -> ((s, d) => Analytics.orderPriceRanks(Tables.orders(s, d))),
     "orders_by_month" -> ((s, d) => Analytics.ordersByMonth(Tables.orders(s, d))),
@@ -262,6 +263,7 @@ object SparkEntry {
     "top_tokens" -> TextAnalysis.topTokensSql(),
     "event_gaps" -> Analytics.eventGapsSql,
     "funnel_setops" -> Analytics.funnelSetOpsSql,
+    "bag_setops" -> Analytics.bagSetOpsSql,
     "order_deciles" -> Analytics.orderDecilesSql,
     "order_price_ranks" -> Analytics.orderPriceRanksSql,
     "orders_by_month" -> Analytics.ordersByMonthSql,

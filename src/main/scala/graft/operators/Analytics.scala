@@ -86,6 +86,45 @@ object Analytics {
       |  FROM (SELECT * FROM p EXCEPT SELECT * FROM c)
       |ORDER BY segment""".stripMargin
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities, unlike [[funnelSetOps]]' set forms: per user, the
+    * click/purchase event multiset overlap (min of the two counts) and
+    * the click surplus (clicks beyond purchases). Spark plans both as
+    * one aggregate per side plus a join on replicated counts — no row
+    * explosion. */
+  def bagSetOps(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click").select("user_id")
+    val purchases = events.where(col("event_type") === "purchase").select("user_id")
+    val common = clicks.intersectAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("n_common"))
+    val surplus = clicks.exceptAll(purchases)
+      .groupBy("user_id").agg(count(lit(1)).as("n_click_surplus"))
+    common.join(surplus, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_click_surplus"), lit(0L)).as("n_click_surplus"))
+      .orderBy("user_id")
+  }
+
+  val bagSetOpsSql: String =
+    """WITH i AS (
+      |  SELECT user_id, count(*) AS n_common FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    INTERSECT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'purchase')
+      |  GROUP BY 1),
+      |e AS (
+      |  SELECT user_id, count(*) AS n_click_surplus FROM (
+      |    SELECT user_id FROM events WHERE event_type = 'click'
+      |    EXCEPT ALL
+      |    SELECT user_id FROM events WHERE event_type = 'purchase')
+      |  GROUP BY 1)
+      |SELECT coalesce(i.user_id, e.user_id) AS user_id,
+      |  coalesce(n_common, 0) AS n_common,
+      |  coalesce(n_click_surplus, 0) AS n_click_surplus
+      |FROM i FULL OUTER JOIN e ON i.user_id = e.user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Exact global ntile WITHOUT the single-partition sort Spark's
     * `ntile().over(Window.orderBy(...))` requires: range-repartition on
     * the sort key (every partition holds a disjoint key range, sorted
