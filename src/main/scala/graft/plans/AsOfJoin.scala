@@ -29,6 +29,10 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
   * last row in partition sort order (same as the composed running
   * `last`); both are deterministic only when (key, ts) is unique on
   * the right — true of event streams keyed by unique event ids.
+  * A right row whose payload is NULL counts as a match here (the
+  * composed form's `last(ignoreNulls = true)` would skip past it to an
+  * earlier non-null row) — supply non-null payloads, or treat a null
+  * result as "no usable match" as the query faces do.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan,
