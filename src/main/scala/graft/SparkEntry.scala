@@ -34,6 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: pipeline aggregates (SURVEY.md §2.3) ----
     "visits_per_minute" -> ((s, d) => Metrics.visitsPerMinute(ev(s, d))),
+    "visits_sliding" -> ((s, d) => Metrics.visitsSliding(ev(s, d))),
     "unique_users_per_minute" -> ((s, d) => Metrics.uniqueUsersPerMinute(ev(s, d))),
     "unique_users_per_minute_approx" -> ((s, d) => Metrics.uniqueUsersPerMinuteApprox(ev(s, d))),
     "unique_users_per_minute_salted" -> ((s, d) => Metrics.uniqueUsersPerMinuteSalted(ev(s, d))),
@@ -141,12 +142,15 @@ object SparkEntry {
       Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
     "chunk_dedup" -> ((s, d) => Corpus.chunkDedup(par(Tables.documents(s, d)))),
+    "sequence_packing" -> ((s, d) => Corpus.packSequences(Tables.documents(s, d), budget = 512)),
+    "pii_redaction" -> ((s, d) => Corpus.redactionReport(par(Tables.documents(s, d)))),
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(par(Tables.documents(s, d)))),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
@@ -181,6 +185,15 @@ object SparkEntry {
       s"""WITH $evCte
          |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
          |  count(*) AS visits FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // each event replays into its 5 covering 1-minute-slide windows:
+    // window starts trunc(ts)-k for k=0..4 (mirrors Spark's
+    // epoch-aligned window(ts, '5 minutes', '1 minute') assignment)
+    "visits_sliding" ->
+      s"""WITH $evCte,
+         |w AS (SELECT date_trunc('minute', "timestamp") - to_minutes(t.k) AS ws
+         |      FROM ev, range(5) AS t(k))
+         |SELECT strftime(ws, '$MinuteFmt') AS window_start, count(*) AS visits
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "unique_users_per_minute" ->
       s"""WITH $evCte
          |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
@@ -298,6 +311,9 @@ object SparkEntry {
     "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
+    "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the
     // exact-Jaccard pair set (candidate recall ≈ 1 at j ≥ 0.8, and the
     // verification stage recomputes the same jaccard) — so the exact

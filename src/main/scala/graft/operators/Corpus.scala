@@ -134,6 +134,63 @@ object Corpus {
        |  ((n_tokens + $chunkLen - 1) // $chunkLen)::BIGINT)) AS t (chunk_idx)
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Sequence packing (the complement of [[docChunks]]): lay the
+    * corpus token stream out contiguously in `doc_id` order and cut it
+    * into `budget`-token bins; a document belongs to the bin its FIRST
+    * token lands in. Returns per-bin fill stats `(bin_id, n_docs,
+    * bin_tokens, first_doc, last_doc)` — the shard manifest a
+    * tokenizer-sharding step consumes.
+    *
+    * The global running sum does NOT use a single-partition window:
+    * like [[Analytics.ntileByRange]], the input is range-partitioned on
+    * doc_id, per-partition token totals (`partitions` longs) are
+    * collected to the driver, and each partition's exclusive global
+    * offset is added to its local window cumsum — an exact distributed
+    * prefix sum whose driver state is O(partitions), not O(rows). The
+    * `__pid` stamp is persisted because the totals pass and the cumsum
+    * pass must observe the SAME range-partition assignment (a
+    * re-executed range exchange does not guarantee that). */
+  def packSequences(documents: DataFrame, budget: Int = 512,
+      partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = documents
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col("tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)))
+      .toMap // pid -> tokens in lower-ranged partitions
+    val offCol = pids.foldLeft(lit(0L)) { (acc, p) =>
+      when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val localW = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+    ranged
+      .withColumn("cum", sum(col("tok")).over(localW) + offCol)
+      .withColumn("bin_id", expr(s"(cum - tok) div $budget"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("bin_id")
+  }
+
+  def packSequencesSql(budget: Int = 512): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tok, sum(tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT ((cum - tok) // $budget)::BIGINT AS bin_id, count(*) AS n_docs,
+       |  sum(tok)::BIGINT AS bin_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Capstone composition — the canonical corpus-preparation pipeline
     * in one plan: quality gate (min token count + trigram-repetition
     * rule, both per-row scan work) → exact dedup (one shuffle on the
@@ -246,4 +303,60 @@ object Corpus {
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<ID>",
     "\\+?[0-9][0-9 ()-]{7,}[0-9]" -> "<PHONE>")
+
+  /** PII suffix planted per document for the oracle-checked redaction
+    * query: the synthetic corpus is letters-only word soup (no natural
+    * PII), so [[redactionReport]] appends one email (doc_id-varying),
+    * one phone and one SSN-shaped id to every doc before scrubbing —
+    * the redaction path then runs against known-nonzero match counts
+    * and both engines must agree on every replacement byte. */
+  private val PiiSeed = "@example.com call +1 555 000 1234 ref 123-45-6789"
+
+  /** Per-document redaction report: match counts per pattern (counted
+    * sequentially — each pattern sees the PREVIOUS pattern's output,
+    * mirroring [[redact]]'s fold order, which matters because the
+    * SSN-shaped id would otherwise also match the looser phone
+    * pattern) and the MD5 of the fully-scrubbed text. Pure per-row
+    * scan work: no shuffle, stays in whole-stage codegen. */
+  def redactionReport(documents: DataFrame): DataFrame = {
+    val Seq((emailPat, emailTag), (idPat, idTag), (phonePat, phoneTag)) =
+      PiiPatterns
+    documents
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit(PiiSeed)).as("t0"))
+      .withColumn("n_email",
+        size(regexp_extract_all(col("t0"), lit(emailPat), lit(0))).cast("long"))
+      .withColumn("t1", regexp_replace(col("t0"), emailPat, emailTag))
+      .withColumn("n_id",
+        size(regexp_extract_all(col("t1"), lit(idPat), lit(0))).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), idPat, idTag))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("t2"), lit(phonePat), lit(0))).cast("long"))
+      .withColumn("t3", regexp_replace(col("t2"), phonePat, phoneTag))
+      .select(col("doc_id"), col("n_email"), col("n_id"), col("n_phone"),
+        md5(col("t3")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  def redactionReportSql: String = {
+    val Seq((emailPat, emailTag), (idPat, idTag), (phonePat, phoneTag)) =
+      PiiPatterns
+    s"""WITH s0 AS (
+       |  SELECT doc_id,
+       |    text || ' contact u' || CAST(doc_id AS VARCHAR) || '$PiiSeed' AS t0
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, t0,
+       |    regexp_replace(t0, '$emailPat', '$emailTag', 'g') AS t1 FROM s0),
+       |s2 AS (SELECT doc_id, t0, t1,
+       |    regexp_replace(t1, '$idPat', '$idTag', 'g') AS t2 FROM s1),
+       |s3 AS (SELECT doc_id, t0, t1, t2,
+       |    regexp_replace(t2, '$phonePat', '$phoneTag', 'g') AS t3 FROM s2)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t0, '$emailPat'))::BIGINT AS n_email,
+       |  len(regexp_extract_all(t1, '$idPat'))::BIGINT AS n_id,
+       |  len(regexp_extract_all(t2, '$phonePat'))::BIGINT AS n_phone,
+       |  md5(t3) AS redacted_md5
+       |FROM s3 ORDER BY doc_id""".stripMargin
+  }
 }

@@ -99,9 +99,12 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  def ngramJaccardPairsSql(k: Int = 4, threshold: Double = 0.5,
-      maxDf: Int = 1000): String =
-    s"""WITH toks AS (
+  /** Shared CTE chain (token → 4-gram shingle → df-capped inverted
+    * index → pair intersection counts) reused by
+    * [[ngramJaccardPairsSql]] and [[dedupClustersSql]]. Ends with the
+    * `pairs` CTE: thresholded `(doc_id_a, doc_id_b, jaccard)`. */
+  private def ngramJaccardCtes(threshold: Double, maxDf: Int): String =
+    s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
        |    generate_subscripts(string_split(text, ' '), 1) AS idx
        |  FROM documents),
@@ -120,13 +123,19 @@ object Dedup {
        |inter AS (
        |  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, count(*) AS inter
        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_id_a, doc_id_b,
-       |  CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON doc_id_a = sa.doc_id
-       |JOIN sizes sb ON doc_id_b = sb.doc_id
-       |WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $threshold
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT doc_id_a, doc_id_b,
+       |    CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_id_a = sa.doc_id
+       |  JOIN sizes sb ON doc_id_b = sb.doc_id
+       |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE) >= $threshold)""".stripMargin
+
+  def ngramJaccardPairsSql(k: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 1000): String =
+    s"""WITH ${ngramJaccardCtes(threshold, maxDf)}
+       |SELECT doc_id_a, doc_id_b, jaccard FROM pairs
        |ORDER BY 1, 2""".stripMargin
 
   /** MinHash signature per document as one `array<bigint>` column,
@@ -240,4 +249,92 @@ object Dedup {
     cand.where(col("hamming") <= maxHamming)
       .orderBy("doc_id_a", "doc_id_b")
   }
+
+  /** Connected components over an undirected edge list: returns
+    * `(id, component)` where `component` is the minimum node id
+    * reachable from `id` — the canonical cluster representative a
+    * dedup pipeline keeps.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label over itself and its neighbors; converges in
+    * O(component diameter) rounds. Near-dup clusters are shallow
+    * (diameter ≤ a few hops — a dup cluster is near-clique by
+    * construction), so the round count stays small even on a 100 TB
+    * corpus; for adversarially long chains the alternating
+    * large-star/small-star formulation (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") drops rounds to
+    * O(log² n) at the cost of re-keying edges — same join/agg
+    * primitives, swap in if profiling demands it.
+    *
+    * Each round is one shuffle join (edges ⋈ labels, both hash-
+    * partitioned on the same key so AQE reuses the exchange) plus a
+    * min-aggregate. `localCheckpoint` truncates lineage per round —
+    * without it the plan doubles every iteration and the convergence
+    * `count()` re-executes the whole chain. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val bidir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint()
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbr = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val stepped = nbr.union(labels)
+        .groupBy("id").agg(min("label").as("next_label"))
+        .join(labels.withColumnRenamed("label", "prev_label"), "id")
+        .localCheckpoint()
+      changed = stepped
+        .where(col("next_label") =!= col("prev_label")).count()
+      labels = stepped.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Near-dup clustering: exact n-gram Jaccard pairs →
+    * [[connectedComponents]] → per-document cluster assignment over the
+    * WHOLE corpus (singletons are their own cluster). `is_dup = 1`
+    * marks the rows a dedup pass drops (cluster member that is not the
+    * minimum-id representative) — the step that turns pairwise
+    * similarity output into an actionable keep/drop list. */
+  def dedupClusters(documents: DataFrame, k: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, k, threshold)
+    val comp = connectedComponents(pairs, "doc_id_a", "doc_id_b")
+    documents.select(col("doc_id"))
+      .join(comp, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("cluster_id")).cast("bigint"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[dedupClusters]]: transitive closure via
+    * recursive CTE (min reachable id == component representative). */
+  def dedupClustersSql(k: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 1000): String =
+    s"""WITH RECURSIVE ${ngramJaccardCtes(threshold, maxDf)},
+       |edges AS (
+       |  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+       |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src)
+       |SELECT d.doc_id,
+       |  coalesce(l.component, d.doc_id) AS cluster_id,
+       |  CAST(d.doc_id <> coalesce(l.component, d.doc_id) AS BIGINT) AS is_dup
+       |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -36,6 +36,20 @@ object Metrics {
       .select(minuteKey(col("m")).as("minute_key"), col("visits"))
       .orderBy("minute_key")
 
+  /** A1 extension — sliding (hopping) event-time windows, a shape the
+    * reference's minute-key encoding cannot express (each event lands
+    * in exactly `minutes` overlapping buckets; the reference's string
+    * keys give tumbling only). Spark's `window(ts, len, slide)`
+    * replicates each row into its covering windows scan-side before
+    * one partial-aggregated shuffle — row growth is ×`minutes`, so
+    * keep spans small relative to slide at scale. */
+  def visitsSliding(ev: DataFrame, minutes: Int = 5): DataFrame =
+    ev.groupBy(window(col(Ts), s"$minutes minutes", "1 minute").as("w"))
+      .agg(count(lit(1)).as("visits"))
+      .select(date_format(col("w.start"), Windows.MinuteKeyFormat)
+        .as("window_start"), col("visits"))
+      .orderBy("window_start")
+
   /** A2 approx — unique users per minute, HLL estimate
     * (reference: PFADD/PFCOUNT, MetricsCalculationPipeline.java:183-189). */
   def uniqueUsersPerMinuteApprox(ev: DataFrame, rsd: Double = 0.05): DataFrame =

@@ -37,6 +37,48 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: bins cut the doc_id-ordered token stream at start offsets") {
+    // tokens: doc1=4, doc2=3, doc3=5, doc4=2; budget 6
+    // starts:  0       4       7       12  -> bins 0, 0, 1, 2
+    val d = Seq(
+      (1L, "a b c d"), (2L, "e f g"), (3L, "h i j k l"), (4L, "m n")
+    ).toDF("doc_id", "text")
+    val got = Corpus.packSequences(d, budget = 6, partitions = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got === List((0L, 2L, 7L, 1L, 2L), (1L, 1L, 5L, 3L, 3L),
+      (2L, 1L, 2L, 4L, 4L)))
+  }
+
+  test("sequence packing is invariant to input partitioning and partition count") {
+    val a = Corpus.packSequences(docs, budget = 128, partitions = 7).collect()
+    val b = Corpus.packSequences(docs.repartition(13), budget = 128,
+      partitions = 3).collect()
+    assert(a.toSeq === b.toSeq)
+    // every doc lands in exactly one bin; token totals are preserved
+    val total = docs.select(sum(size(split(col("text"), " ")))).as[Long].head()
+    assert(a.map(_.getLong(2)).sum === total)
+    assert(a.map(_.getLong(1)).sum === docs.count())
+  }
+
+  test("redaction report: planted PII is found, counted in fold order, and scrubbed") {
+    val d = Seq((5L, "hello world")).toDF("doc_id", "text")
+    val row = Corpus.redactionReport(d).collect().head
+    assert(row.getLong(1) === 1L) // email
+    assert(row.getLong(2) === 1L) // SSN-shaped id (counted BEFORE phone)
+    assert(row.getLong(3) === 1L) // phone
+    // the scrubbed text no longer matches any pattern
+    val redacted = Corpus.redact(
+      d.select(col("doc_id"), org.apache.spark.sql.functions.concat(
+        col("text"), lit(" contact u5@example.com call +1 555 000 1234 ref 123-45-6789")).as("text")),
+      "text", Corpus.PiiPatterns)
+    val txt = redacted.select("text").as[String].head()
+    assert(txt.contains("<EMAIL>") && txt.contains("<ID>") && txt.contains("<PHONE>"))
+    Corpus.PiiPatterns.foreach { case (pat, _) =>
+      assert(!pat.r.findFirstIn(txt.replace("<EMAIL>", "").replace("<ID>", "")
+        .replace("<PHONE>", "")).isDefined)
+    }
+  }
+
   test("mixture sampling honors per-source rates and subsets hash_split determinism") {
     val docs001 = Tables.documents(spark, TestSpark.Sf0001)
     val rates = graft.operators.Corpus.DemoRates

@@ -46,6 +46,36 @@ class DedupSpec extends AnyFunSuite {
     assert(atLimit.get.sorted === Seq(1L, 2L, 3L))
   }
 
+  test("connected components: path, star, and disjoint components get min-id labels") {
+    // path 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // star 10-(11,12,13), disjoint pair 20-21
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (13L, 10L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connected components converges on a long chain within the round cap") {
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(got.length === 20)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("dedupClusters: transitive near-dups share a cluster, singletons keep their own id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again ok"
+    val d = Seq(
+      (1L, base), (2L, base + " x"), // near-dups of each other
+      (9L, "completely different words making an unrelated document here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupClusters(d).as[(Long, Long, Long)].collect().toList
+    assert(got === List((1L, 1L, 0L), (2L, 1L, 1L), (9L, 9L, 0L)))
+  }
+
   test("minhash LSH pairs match exact n-gram Jaccard pairs on the bimodal corpus") {
     val exact = Dedup.ngramJaccardPairs(docs)
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet

@@ -38,6 +38,17 @@ class MetricsSpec extends AnyFunSuite {
       Row("2026_08_12T10_16", 2L)))
   }
 
+  test("sliding windows: each event lands in exactly 5 overlapping 5-min windows") {
+    val one = fixture.where("uid = 'u2'") // single event at 10:16:00
+    val got = Metrics.visitsSliding(one).collect().toSeq
+    // covering windows start at trunc(ts) − k minutes, k = 0..4
+    assert(got === (12 to 16).map(m => Row(f"2026_08_12T10_$m%02d", 1L)))
+    // full fixture: window sums equal the per-minute counts replayed ×5
+    val total = Metrics.visitsSliding(fixture)
+      .agg(org.apache.spark.sql.functions.sum("visits")).collect().head.getLong(0)
+    assert(total === 5L * fixture.count())
+  }
+
   test("unique users dedup within minute; boundary event lands in its own minute") {
     val got = Metrics.uniqueUsersPerMinute(fixture).collect().toSeq
     // 10:15 = {u1, u3}; 10:16 = {u1, u2} — u1 counted once per bucket
