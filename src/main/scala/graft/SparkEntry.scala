@@ -123,6 +123,9 @@ object SparkEntry {
     "asof_purchase_after_click_custom" -> ((s, d) =>
       AsOf.purchaseAfterClickNative(par(Tables.events(s, d)))),
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
+    "pricing_grouping_sets" -> ((s, d) => Relational.groupingSetsViaSql(s, d)),
+    "order_value_extremes" -> ((s, d) => Relational.orderValueExtremes(Tables.orders(s, d))),
+    "user_peak_burst" -> ((s, d) => Analytics.userPeakBurst(Tables.events(s, d))),
     "unique_users_hourly_sketch" -> ((s, d) =>
       Metrics.uniqueUsersHourlyFromMinuteSketches(ev(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
@@ -297,6 +300,9 @@ object SparkEntry {
     "asof_purchase_after_click" -> AsOf.purchaseAfterClickSql,
     "asof_purchase_after_click_custom" -> AsOf.purchaseAfterClickSql,
     "pricing_summary_sql" -> Relational.pricingSummarySql,
+    "pricing_grouping_sets" -> Relational.groupingSetsSql,
+    "order_value_extremes" -> Relational.orderValueExtremesSql,
+    "user_peak_burst" -> Analytics.userPeakBurstSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "text_quality" -> TextAnalysis.textQualitySql,

@@ -419,4 +419,32 @@ object Analytics {
        |  s1 / CAST(n AS DOUBLE) AS mean_value,
        |  sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value
        |FROM g ORDER BY event_type""".stripMargin
+  /** Peak activity burst per user: the maximum number of events any
+    * rolling 10-minute window (time-based RANGE frame, not a row
+    * count) contains — the rate-limit / bot-detection shape the
+    * reference's fixed minute buckets cannot express (a burst striding
+    * a minute boundary splits across two buckets). The frame orders by
+    * epoch seconds: Spark's `rangeBetween` takes numeric offsets, and
+    * a timestamp→long cast floors identically in DuckDB via
+    * `floor(epoch(ts))`. Peers (equal seconds) are frame-included in
+    * both engines. */
+  def userPeakBurst(events: DataFrame, windowSec: Int = 600): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_s"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"))
+      .withColumn("burst", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(max("burst").as("peak_burst"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  def userPeakBurstSql(windowSec: Int = 600): String =
+    s"""WITH b AS (
+       |  SELECT user_id, count(*) OVER (PARTITION BY user_id
+       |    ORDER BY floor(epoch(ts))::BIGINT
+       |    RANGE BETWEEN $windowSec PRECEDING AND CURRENT ROW) AS burst
+       |  FROM events)
+       |SELECT user_id, max(burst) AS peak_burst, count(*) AS n_events
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
 }

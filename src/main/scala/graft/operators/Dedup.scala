@@ -270,12 +270,54 @@ object Dedup {
     * partitioned on the same key so AQE reuses the exchange) plus a
     * min-aggregate. `localCheckpoint` truncates lineage per round —
     * without it the plan doubles every iteration and the convergence
-    * `count()` re-executes the whole chain. */
+    * `count()` re-executes the whole chain.
+    *
+    * Below `localEdgeThreshold` bidirectional edges the whole graph is
+    * collected and solved with driver-side union-find instead — the
+    * same small-side reasoning as a broadcast join (the default, 4M
+    * edges ≈ 64 MB, is driver-trivial), and it replaces diameter×
+    * 2-job rounds with one collect. Set it to 0 to force the
+    * distributed path. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val bidir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      maxIter: Int = 25, localEdgeThreshold: Long = 1L << 22): DataFrame = {
+    val spark = edges.sparkSession
+    // checkpoint the one-directional list FIRST: `union(e, e.swapped)`
+    // references `edges` twice, and a union recomputes each branch's
+    // upstream — for a pair pipeline feeding this, that would double
+    // the dominant cost. Both directions then read the checkpoint.
+    val e1 = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
       .localCheckpoint()
+    val bidir = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
+    // Small-graph fast path — the broadcast-join call, applied to graphs:
+    // near-dup edge lists are proportional to the DUPLICATE count, not
+    // the corpus, and usually fit on the driver with room to spare. One
+    // collect + union-find replaces diameter× (join + agg + count)
+    // rounds; the distributed path below stays the ≥threshold route.
+    if (e1.count() * 2 <= localEdgeThreshold) {
+      val pairs = bidir
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.product[(Long, Long)])
+        .collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min: root IS the representative
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toSeq.sorted.map(idv => (idv, find(idv)))
+      import spark.implicits._
+      return rows.toDF("id", "component")
+    }
     var labels = bidir.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()

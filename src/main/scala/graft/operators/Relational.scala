@@ -512,4 +512,59 @@ object Relational {
        |      ORDER BY p_retailprice DESC, p_partkey) AS price_rank
        |  FROM part)
        |WHERE price_rank <= $k ORDER BY p_brand, price_rank""".stripMargin
+
+  /** Explicit GROUPING SETS with `grouping()` markers — the general
+    * form behind ROLLUP/CUBE (both already covered): four hand-picked
+    * sets including the grand total, disambiguated by grouping flags
+    * (cast to BIGINT: Spark's grouping() is tinyint, DuckDB's is
+    * larger — the shared SQL text pins both to one type). One SQL
+    * string runs verbatim on BOTH engines via [[groupingSetsViaSql]],
+    * like [[pricingSummarySql]]. Spark expands grouping sets into a
+    * single Expand + hash-aggregate: one shuffle for all four sets. */
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |  (l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  def groupingSetsViaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(groupingSetsSql)
+  }
+
+  /** Positional window picks (first_value / nth_value / last_value
+    * over the full-partition frame): each customer's first, second and
+    * latest order price in o_orderdate order. The frame must extend to
+    * UNBOUNDED FOLLOWING — the default frame ends at CURRENT ROW,
+    * which silently turns last_value into "current value" on both
+    * engines. One row per customer via distinct (the windowed values
+    * are partition-constant). */
+  def orderValueExtremes(orders: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    orders.select(col("o_custkey"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        last_value(col("o_totalprice")).over(w).as("last_price"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  val orderValueExtremesSql: String =
+    """SELECT DISTINCT o_custkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  last_value(o_totalprice) OVER w AS last_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
 }

@@ -24,6 +24,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === List((10L, 3L, 60L), (20L, 1L, 0L)))
   }
 
+  test("userPeakBurst: rolling RANGE frame is inclusive at -600s and counts peers") {
+    val ev = Seq(
+      (1L, 10L, "2026-01-01 00:00:00"),
+      (2L, 10L, "2026-01-01 00:10:00"), // exactly 600 s later — in frame
+      (3L, 10L, "2026-01-01 00:30:00"), // isolated
+      (4L, 20L, "2026-01-01 00:00:07"),
+      (5L, 20L, "2026-01-01 00:00:07")  // same-second peer: counted together
+    ).toDF("event_id", "user_id", "s")
+      .select(col("event_id"), col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = Analytics.userPeakBurst(ev)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got === List((10L, 2L, 3L), (20L, 2L, 2L)))
+  }
+
+  test("orderValueExtremes: full frame gives true last; second is null for singletons") {
+    val orders = Seq(
+      (100L, 1L, "1995-01-01", 10.0), (101L, 1L, "1995-02-01", 20.0),
+      (102L, 1L, "1995-03-01", 30.0),
+      (103L, 2L, "1995-01-01", 99.0) // single order: no second value
+    ).toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("d").cast("date").as("o_orderdate"), col("o_totalprice"))
+    val got = graft.operators.Relational.orderValueExtremes(orders)
+      .as[(Long, Double, Option[Double], Double)].collect().toList
+    assert(got === List((1L, 10.0, Some(20.0), 30.0), (2L, 99.0, None, 99.0)))
+  }
+
   test("funnelSetOps: intersect/except segment counts, empty segments are 0") {
     val ev = Seq(
       (1L, "click"), (1L, "purchase"), // both

@@ -46,22 +46,27 @@ class DedupSpec extends AnyFunSuite {
     assert(atLimit.get.sorted === Seq(1L, 2L, 3L))
   }
 
-  test("connected components: path, star, and disjoint components get min-id labels") {
+  test("connected components: path, star, and disjoint components get min-id labels (both paths)") {
     // path 1-2-3-4 (diameter 3: exercises multi-round propagation),
     // star 10-(11,12,13), disjoint pair 20-21
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
       (10L, 11L), (10L, 12L), (13L, 10L), (20L, 21L))
       .toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L)
+    val local = Dedup.connectedComponents(edges, "a", "b")
       .as[(Long, Long)].collect().toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // threshold 0 forces the iterative distributed path
+    val dist = Dedup.connectedComponents(edges, "a", "b",
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(local === want)
+    assert(dist === want)
   }
 
-  test("connected components converges on a long chain within the round cap") {
+  test("connected components (distributed path) converges on a long chain within the round cap") {
     val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.connectedComponents(chain, "a", "b")
-      .as[(Long, Long)].collect()
+    val got = Dedup.connectedComponents(chain, "a", "b",
+      localEdgeThreshold = 0L).as[(Long, Long)].collect()
     assert(got.length === 20)
     assert(got.forall(_._2 == 1L))
   }
