@@ -113,4 +113,68 @@ class PlanSpec extends AnyFunSuite {
     assert("PartitionFilters: \\[[^\\]]*metric".r.findFirstIn(scanLine).isDefined,
       s"store scan not partition-pruned: $scanLine")
   }
+
+  test("pii_redaction: per-row regex chain adds no hash shuffle") {
+    val p = finalPlan(graft.operators.Corpus.redactionReport(
+      Tables.documents(spark, d)))
+    // only the presentation orderBy exchanges (range); the scrub work
+    // itself is scan-fused
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0, p.take(1200))
+  }
+
+  test("sequence_packing never concentrates the prefix sum on a single partition") {
+    val p = plan(graft.operators.Corpus.packSequences(
+      Tables.documents(spark, d), budget = 128, partitions = 4))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+  }
+
+  test("partition-column join prunes the fact scan dynamically from the dim filter") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.orders(spark, d).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim filter is on a NON-join column: the predicate cannot
+    // transit to the fact side statically, so only runtime (dynamic)
+    // pruning can skip fact partitions
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Tables.orders(spark, d).select(col("o_orderpriority").as("prio"))
+      .distinct().withColumn("tag", substring(col("prio"), 1, 1))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("tag") === "1")
+    val q = fact.join(dim, fact("o_orderpriority") === dim("prio"))
+      .groupBy("prio").count()
+    val p = plan(q)
+    val scanLine = p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains(dir))
+      .getOrElse("")
+    assert(scanLine.contains("dynamicpruning"),
+      s"fact scan not DPP-pruned:\n$scanLine\n${p.take(1500)}")
+  }
+
+  test("selective dim filter injects a runtime bloom filter into the fact scan") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      .map(k => k -> conf.get(k)).toMap
+    try {
+      // force a shuffle join and drop the size gates so the tiny test
+      // tables qualify — on a real cluster the defaults (10 GB scan /
+      // 10 MB build) select the same plan for genuinely large facts
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.lineitem(spark, d)
+      val ord = Tables.orders(spark, d)
+        .where(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val p = plan(q)
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        "no runtime bloom filter in plan: " + p.take(1500))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
