@@ -232,6 +232,25 @@ object StreamingMetrics {
     * the gap), the streaming twin of
     * [[graft.operators.Metrics.userSessionsViaSessionWindow]]. Append
     * mode: each session row is final when emitted. */
+  /** Sliding-window visits as an update-mode stream — the streaming
+    * face of [[graft.operators.Metrics.visitsSliding]]: the same
+    * grouping core (each event updates `minutes` overlapping window
+    * rows per micro-batch), minus the presentation sort (sorting an
+    * unbounded stream is undefined; the reader orders). Without a
+    * watermark the per-window state is kept forever, matching the
+    * reference's accept-late-data-forever stance; pass one to bound
+    * state. */
+  def slidingVisitsStream(events: Dataset[LogEvent], minutes: Int = 5,
+      watermark: Option[String] = None): DataFrame = {
+    val base = events.toDF()
+    val wm = watermark.fold(base)(w => base.withWatermark(LogEvent.Ts, w))
+    wm.groupBy(window(col(LogEvent.Ts), s"$minutes minutes", "1 minute"))
+      .agg(count(lit(1)).as("visits"))
+      .select(date_format(col("window.start"),
+        graft.operators.Windows.MinuteKeyFormat).as("window_start"),
+        col("visits"))
+  }
+
   def startSessionization(events: Dataset[LogEvent], queryName: String,
       gapSeconds: Long = 1800, watermark: String = "1 hour"): StreamingQuery =
     events.toDF()

@@ -93,6 +93,29 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sliding-window visits update all covering windows each micro-batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val q = StreamingMetrics.slidingVisitsStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("sliding_stream_t").start()
+    try {
+      input.addData(ev("u1", "e1", "1", "2026-08-12 10:16:00"))
+      q.processAllAvailable()
+      val first = spark.table("sliding_stream_t")
+        .as[(String, Long)].collect().toSet
+      // one event → exactly its 5 covering windows, one visit each
+      assert(first === (12 to 16).map(m => (f"2026_08_12T10_$m%02d", 1L)).toSet)
+      // a second event in the same minute re-emits all 5 rows updated
+      input.addData(ev("u2", "e1", "1", "2026-08-12 10:16:30"))
+      q.processAllAvailable()
+      val updated = spark.table("sliding_stream_t")
+        .as[(String, Long)].collect().filter(_._2 == 2L).map(_._1).toSet
+      assert(updated === (12 to 16).map(m => f"2026_08_12T10_$m%02d").toSet)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed session windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
