@@ -131,6 +131,7 @@ object SparkEntry {
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
+    "token_stats_udaf" -> ((s, d) => TextAnalysis.tokenStats(par(Tables.documents(s, d)))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
     "doc_winnowing" -> ((s, d) => TextAnalysis.winnowingSummary(par(Tables.documents(s, d)))),
@@ -305,6 +306,7 @@ object SparkEntry {
     "user_peak_burst" -> Analytics.userPeakBurstSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "token_stats_udaf" -> TextAnalysis.tokenStatsSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
     "unigram_familiarity" -> TextAnalysis.unigramFamiliaritySql(),

@@ -317,4 +317,30 @@ object TextAnalysis {
        |  USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+  /** Per-source token statistics through the PUBLIC typed-UDAF API
+    * ([[graft.functions.TokenStatsAggregator]] via `functions.udaf`):
+    * one hash-groupBy with map-side partial buffers — demonstrating
+    * that a user-written `Aggregator` gets the same partial/merge
+    * treatment as a built-in. */
+  def tokenStats(documents: DataFrame): DataFrame = {
+    val fn = udaf(graft.functions.TokenStatsAggregator,
+      org.apache.spark.sql.Encoders.scalaLong)
+    documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(fn(col("tok")).as("s"))
+      .select(col("source"), col("s.n_docs").as("n_docs"),
+        col("s.total_tokens").as("total_tokens"),
+        col("s.min_tokens").as("min_tokens"),
+        col("s.max_tokens").as("max_tokens"))
+      .orderBy("source")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+      |  min(len(string_split(text, ' ')))::BIGINT AS min_tokens,
+      |  max(len(string_split(text, ' ')))::BIGINT AS max_tokens
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 }
