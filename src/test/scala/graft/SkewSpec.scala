@@ -54,4 +54,38 @@ class SkewSpec extends AnyFunSuite {
         .findAllIn(plan).length >= 2, plan.take(1200))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("AQE splits a skewed join partition at runtime (no salting needed)") {
+    // the complementary mitigation to explicit salting: for plain
+    // shuffle joins, AQE detects an oversized partition post-shuffle
+    // and fans it out. Thresholds are lowered so the KB-scale fixture
+    // trips the same detection a multi-GB hot key would in production.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.get(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val hot = (1L to 20000L).map(i => (i, 7L)) ++
+        (1L to 200L).map(i => (20000L + i, i % 50))
+      val fact = hot.toDF("event_id", "user_id")
+      val dim = (0L to 50L).map(k => (k, s"t$k")) :+ (7L, "hot")
+      val dimDf = dim.toDF("user_id", "tag")
+      val q = fact.join(dimDf, Seq("user_id")).groupBy("tag").count()
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") && plan.contains("AQEShuffleRead skewed"),
+        "AQE did not mark any partition skewed:\n" + plan.take(1500))
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }
