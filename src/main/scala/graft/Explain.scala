@@ -9,7 +9,10 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("pricing_summary", "revenue_by_nation", "visits_per_minute", "dedup_ngram_jaccard", "knn_bruteforce")) {
+    for (q <- Seq("pricing_summary", "revenue_by_nation", "visits_per_minute",
+        "dedup_ngram_jaccard", "knn_bruteforce", "visits_sliding",
+        "sequence_packing", "pii_redaction", "user_peak_burst",
+        "pricing_grouping_sets", "snapshot_upsert")) {
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

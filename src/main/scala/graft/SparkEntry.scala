@@ -124,6 +124,7 @@ object SparkEntry {
       AsOf.purchaseAfterClickNative(par(Tables.events(s, d)))),
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
     "pricing_grouping_sets" -> ((s, d) => Relational.groupingSetsViaSql(s, d)),
+    "snapshot_upsert" -> ((s, d) => Maintenance.snapshotUpsert(Tables.orders(s, d))),
     "order_value_extremes" -> ((s, d) => Relational.orderValueExtremes(Tables.orders(s, d))),
     "user_peak_burst" -> ((s, d) => Analytics.userPeakBurst(Tables.events(s, d))),
     "unique_users_hourly_sketch" -> ((s, d) =>
@@ -302,6 +303,7 @@ object SparkEntry {
     "asof_purchase_after_click_custom" -> AsOf.purchaseAfterClickSql,
     "pricing_summary_sql" -> Relational.pricingSummarySql,
     "pricing_grouping_sets" -> Relational.groupingSetsSql,
+    "snapshot_upsert" -> Maintenance.snapshotUpsertSql,
     "order_value_extremes" -> Relational.orderValueExtremesSql,
     "user_peak_burst" -> Analytics.userPeakBurstSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
