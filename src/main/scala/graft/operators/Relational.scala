@@ -492,6 +492,28 @@ object Relational {
     spark.sql(pricingSummarySql)
   }
 
+  /** Correlated EXISTS decorrelation: customers with at least one
+    * urgent order, summarized per market segment. One SQL text runs on
+    * BOTH engines; Catalyst decorrelates the EXISTS into a left
+    * semi-join (broadcast or shuffle as sizes dictate) — the subquery
+    * never executes per-row. Complements the scalar-subquery
+    * ([[minPricePartPerTypeSql]]) and anti-join
+    * (`orders_without_lineitems`) decorrelation shapes. */
+  val urgentCustomersSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  def urgentCustomersViaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(urgentCustomersSql)
+  }
+
   /** Top-k per group via ranking window (the "top 3 parts by retail
     * price per brand" shape): rank + filter, no global sort. */
   def topPartsPerBrand(part: DataFrame, k: Int = 3): DataFrame =

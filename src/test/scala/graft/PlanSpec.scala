@@ -128,6 +128,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p.take(1200))
   }
 
+  test("correlated EXISTS decorrelates to a semi-join, never a per-row subquery") {
+    val p = plan(Relational.urgentCustomersViaSql(spark, d))
+    assert(p.contains("LeftSemi"), p.take(1200))
+    assert(!p.contains("InSubquery") && !p.contains("exists#"),
+      "EXISTS survived to the physical plan: " + p.take(1200))
+  }
+
   test("partition-column join prunes the fact scan dynamically from the dim filter") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
