@@ -126,6 +126,7 @@ object SparkEntry {
     "pricing_grouping_sets" -> ((s, d) => Relational.groupingSetsViaSql(s, d)),
     "snapshot_upsert" -> ((s, d) => Maintenance.snapshotUpsert(Tables.orders(s, d))),
     "urgent_customers_exists" -> ((s, d) => Relational.urgentCustomersViaSql(s, d)),
+    "null_safe_join" -> ((s, d) => Relational.nullSafeJoin(Tables.events(s, d))),
     "order_value_extremes" -> ((s, d) => Relational.orderValueExtremes(Tables.orders(s, d))),
     "user_peak_burst" -> ((s, d) => Analytics.userPeakBurst(Tables.events(s, d))),
     "unique_users_hourly_sketch" -> ((s, d) =>
@@ -306,6 +307,7 @@ object SparkEntry {
     "pricing_grouping_sets" -> Relational.groupingSetsSql,
     "snapshot_upsert" -> Maintenance.snapshotUpsertSql,
     "urgent_customers_exists" -> Relational.urgentCustomersSql,
+    "null_safe_join" -> Relational.nullSafeJoinSql,
     "order_value_extremes" -> Relational.orderValueExtremesSql,
     "user_peak_burst" -> Analytics.userPeakBurstSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,

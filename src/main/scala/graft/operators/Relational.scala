@@ -559,6 +559,33 @@ object Relational {
     spark.sql(groupingSetsSql)
   }
 
+  /** Null-safe equality join (`<=>` ≡ SQL IS NOT DISTINCT FROM): the
+    * NULL-keyed group survives the join — a plain `=` join would
+    * silently drop it, the classic bug when a dimension key is
+    * optional. Keys are made nullable deterministically with `nullif`;
+    * Spark plans `<=>` as an ordinary equi-join (hash/broadcast), not
+    * a theta join, because null-safe equality is still a hashable
+    * key comparison. */
+  def nullSafeJoin(events: DataFrame): DataFrame = {
+    val keyed = events.select(
+      nullif(col("event_type"), lit("view")).as("key"))
+    val counts = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"))
+    val dim = keyed.select(col("key"),
+      coalesce(col("key"), lit("(none)")).as("tag")).distinct()
+    counts.join(dim, counts("key") <=> dim("key"))
+      .select(col("tag"), col("n_events"))
+      .orderBy("tag")
+  }
+
+  val nullSafeJoinSql: String =
+    """WITH e AS (SELECT nullif(event_type, 'view') AS key FROM events),
+      |c AS (SELECT key, count(*) AS n_events FROM e GROUP BY 1),
+      |d AS (SELECT DISTINCT key, coalesce(key, '(none)') AS tag FROM e)
+      |SELECT d.tag, c.n_events
+      |FROM c JOIN d ON c.key IS NOT DISTINCT FROM d.key
+      |ORDER BY d.tag""".stripMargin
+
   /** Positional window picks (first_value / nth_value / last_value
     * over the full-partition frame): each customer's first, second and
     * latest order price in o_orderdate order. The frame must extend to

@@ -38,6 +38,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === List((10L, 2L, 3L), (20L, 2L, 2L)))
   }
 
+  test("nullSafeJoin keeps the NULL-keyed group a plain = join would drop") {
+    val ev = Seq((1L, "view"), (2L, "view"), (3L, "click"))
+      .toDF("event_id", "event_type")
+    val got = graft.operators.Relational.nullSafeJoin(ev)
+      .as[(String, Long)].collect().toList
+    assert(got === List(("(none)", 2L), ("click", 1L)))
+    // the control: an = join on the same frames loses the NULL group
+    val keyed = ev.select(nullif(col("event_type"), lit("view")).as("key"))
+    val counts = keyed.groupBy("key").agg(count(lit(1)).as("n"))
+    val dim = keyed.select(col("key")).distinct()
+    assert(counts.join(dim, counts("key") === dim("key")).count() === 1L)
+  }
+
   test("orderValueExtremes: full frame gives true last; second is null for singletons") {
     val orders = Seq(
       (100L, 1L, "1995-01-01", 10.0), (101L, 1L, "1995-02-01", 20.0),
