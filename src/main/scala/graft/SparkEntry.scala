@@ -129,6 +129,7 @@ object SparkEntry {
     "null_safe_join" -> ((s, d) => Relational.nullSafeJoin(Tables.events(s, d))),
     "order_value_extremes" -> ((s, d) => Relational.orderValueExtremes(Tables.orders(s, d))),
     "user_peak_burst" -> ((s, d) => Analytics.userPeakBurst(Tables.events(s, d))),
+    "forward_fill" -> ((s, d) => Analytics.forwardFill(Tables.events(s, d))),
     "unique_users_hourly_sketch" -> ((s, d) =>
       Metrics.uniqueUsersHourlyFromMinuteSketches(ev(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
@@ -310,6 +311,7 @@ object SparkEntry {
     "null_safe_join" -> Relational.nullSafeJoinSql,
     "order_value_extremes" -> Relational.orderValueExtremesSql,
     "user_peak_burst" -> Analytics.userPeakBurstSql(),
+    "forward_fill" -> Analytics.forwardFillSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "token_stats_udaf" -> TextAnalysis.tokenStatsSql,

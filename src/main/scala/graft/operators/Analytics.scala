@@ -419,6 +419,34 @@ object Analytics {
        |  s1 / CAST(n AS DOUBLE) AS mean_value,
        |  sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value
        |FROM g ORDER BY event_type""".stripMargin
+  /** Forward fill (last observation carried forward): per user, the
+    * most recent purchase value as of each event — the gap-filling
+    * primitive for sparse observations in a dense event stream
+    * (sensor readings, prices, consent flags). `last(col,
+    * ignoreNulls)` over a rows-unbounded-preceding frame; carried
+    * values are copied verbatim (no arithmetic), so doubles stay
+    * bit-identical to the oracle. Runs in one shuffle on user_id. */
+  def forwardFill(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("obs"))
+      .withColumn("last_purchase_value",
+        last(col("obs"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"), col("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val forwardFillSql: String =
+    """SELECT user_id, event_id,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+      |    IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS last_purchase_value
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
   /** Peak activity burst per user: the maximum number of events any
     * rolling 10-minute window (time-based RANGE frame, not a row
     * count) contains — the rate-limit / bot-detection shape the

@@ -38,6 +38,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === List((10L, 2L, 3L), (20L, 2L, 2L)))
   }
 
+  test("forwardFill carries the last observation, stays null before the first") {
+    val ev = Seq(
+      (1L, 10L, "click", 0.0, "2026-01-01 00:00:01"),
+      (2L, 10L, "purchase", 5.5, "2026-01-01 00:00:02"),
+      (3L, 10L, "click", 0.0, "2026-01-01 00:00:03"),
+      (4L, 10L, "purchase", 7.0, "2026-01-01 00:00:04"),
+      (5L, 10L, "click", 0.0, "2026-01-01 00:00:05"),
+      (6L, 20L, "click", 0.0, "2026-01-01 00:00:01") // user with no purchase
+    ).toDF("event_id", "user_id", "event_type", "value", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("s").cast("timestamp").as("ts"))
+    val got = Analytics.forwardFill(ev)
+      .as[(Long, Long, Option[Double])].collect().toList
+    assert(got === List((10L, 1L, None), (10L, 2L, Some(5.5)),
+      (10L, 3L, Some(5.5)), (10L, 4L, Some(7.0)), (10L, 5L, Some(7.0)),
+      (20L, 6L, None)))
+  }
+
   test("nullSafeJoin keeps the NULL-keyed group a plain = join would drop") {
     val ev = Seq((1L, "view"), (2L, "view"), (3L, "click"))
       .toDF("event_id", "event_type")
