@@ -127,6 +127,7 @@ object SparkEntry {
     "snapshot_upsert" -> ((s, d) => Maintenance.snapshotUpsert(Tables.orders(s, d))),
     "urgent_customers_exists" -> ((s, d) => Relational.urgentCustomersViaSql(s, d)),
     "null_safe_join" -> ((s, d) => Relational.nullSafeJoin(Tables.events(s, d))),
+    "top_customer_lateral" -> ((s, d) => Relational.topCustomerLateralViaSql(s, d)),
     "order_value_extremes" -> ((s, d) => Relational.orderValueExtremes(Tables.orders(s, d))),
     "user_peak_burst" -> ((s, d) => Analytics.userPeakBurst(Tables.events(s, d))),
     "forward_fill" -> ((s, d) => Analytics.forwardFill(Tables.events(s, d))),
@@ -309,6 +310,7 @@ object SparkEntry {
     "snapshot_upsert" -> Maintenance.snapshotUpsertSql,
     "urgent_customers_exists" -> Relational.urgentCustomersSql,
     "null_safe_join" -> Relational.nullSafeJoinSql,
+    "top_customer_lateral" -> Relational.topCustomerLateralSql,
     "order_value_extremes" -> Relational.orderValueExtremesSql,
     "user_peak_burst" -> Analytics.userPeakBurstSql(),
     "forward_fill" -> Analytics.forwardFillSql,

@@ -559,6 +559,27 @@ object Relational {
     spark.sql(groupingSetsSql)
   }
 
+  /** LATERAL correlated subquery (top-1-per-group as the dependent
+    * join): for each nation, its highest-balance customer via an
+    * ORDER BY … LIMIT 1 subquery that references the outer row. One
+    * SQL text runs on BOTH engines; Catalyst rewrites the lateral into
+    * a DomainJoin-decorrelated ranked join rather than executing the
+    * subquery per outer row — the fourth decorrelation shape next to
+    * scalar, EXISTS and anti. */
+  val topCustomerLateralSql: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 1) t
+      |ORDER BY n.n_name""".stripMargin
+
+  def topCustomerLateralViaSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    spark.sql(topCustomerLateralSql)
+  }
+
   /** Null-safe equality join (`<=>` ≡ SQL IS NOT DISTINCT FROM): the
     * NULL-keyed group survives the join — a plain `=` join would
     * silently drop it, the classic bug when a dimension key is
