@@ -71,6 +71,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("connected components: local and distributed paths agree on the real near-dup graph") {
+    val pairs = Dedup.ngramJaccardPairs(docs).select("doc_id_a", "doc_id_b")
+    val local = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b",
+      localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(local.nonEmpty)
+    assert(dist === local)
+  }
+
   test("dedupClusters: transitive near-dups share a cluster, singletons keep their own id") {
     val base = "the quick brown fox jumps over the lazy dog again and again ok"
     val d = Seq(
