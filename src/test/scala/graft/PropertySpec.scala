@@ -173,4 +173,34 @@ class PropertySpec extends AnyFunSuite {
         Metrics.usersPerExperimentVariantMinute(shuffled).collect().toSeq)
     }
   }
+
+  test("connected components match an independent union-find on random graphs (both paths)") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(1L, 30L)
+      bRaw <- Gen.chooseNum(1L, 29L) // shift past a: total, never a self-loop
+    } yield (a, if (bRaw >= a) bRaw + 1 else bRaw))
+    forAllSamples(edgesGen, n = 4) { edges =>
+      // reference: textbook union-find, written independently of the
+      // operator's internals
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        parent.getOrElseUpdate(x, x)
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (edges.flatMap(e => Seq(e._1, e._2))).distinct
+        .map(v => v -> find(v)).toMap
+      val df = edges.toDF("a", "b")
+      val local = graft.operators.Dedup.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val dist = graft.operators.Dedup.connectedComponents(df, "a", "b",
+        localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+      assert(local === want)
+      assert(dist === want)
+    }
+  }
 }
