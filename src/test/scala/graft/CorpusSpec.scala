@@ -58,6 +58,13 @@ class CorpusSpec extends AnyFunSuite {
     val total = docs.select(sum(size(split(col("text"), " ")))).as[Long].head()
     assert(a.map(_.getLong(2)).sum === total)
     assert(a.map(_.getLong(1)).sum === docs.count())
+    // when no doc exceeds the budget, start-offset packing leaves no
+    // empty bins (a doc longer than the budget strides whole bins and
+    // legitimately gaps them — not the case in this corpus/budget)
+    val maxTok = docs.select(max(size(split(col("text"), " ")))).as[Int].head()
+    assert(maxTok <= 128, s"fixture assumption broken: maxTok=$maxTok")
+    val bins = a.map(_.getLong(0)).toList
+    assert(bins === (0L to bins.max).toList)
   }
 
   test("redaction report: planted PII is found, counted in fold order, and scrubbed") {

@@ -91,6 +91,16 @@ class DedupSpec extends AnyFunSuite {
     assert(got === List((1L, 1L, 0L), (2L, 1L, 1L), (9L, 9L, 0L)))
   }
 
+  test("dedupClusters on a dup-free corpus: every doc is its own singleton cluster") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red green blue yellow purple orange")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupClusters(d).as[(Long, Long, Long)].collect().toList
+    assert(got === List((1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L)))
+  }
+
   test("minhash LSH pairs match exact n-gram Jaccard pairs on the bimodal corpus") {
     val exact = Dedup.ngramJaccardPairs(docs)
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
