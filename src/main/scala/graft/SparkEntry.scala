@@ -35,6 +35,8 @@ object SparkEntry {
     // ---- reference parity: pipeline aggregates (SURVEY.md §2.3) ----
     "visits_per_minute" -> ((s, d) => Metrics.visitsPerMinute(ev(s, d))),
     "visits_sliding" -> ((s, d) => Metrics.visitsSliding(ev(s, d))),
+    "rolling_active_users" -> ((s, d) => Metrics.rollingActiveUsers(ev(s, d))),
+    "cohort_retention" -> ((s, d) => Metrics.cohortRetention(ev(s, d))),
     "unique_users_per_minute" -> ((s, d) => Metrics.uniqueUsersPerMinute(ev(s, d))),
     "unique_users_per_minute_approx" -> ((s, d) => Metrics.uniqueUsersPerMinuteApprox(ev(s, d))),
     "unique_users_per_minute_salted" -> ((s, d) => Metrics.uniqueUsersPerMinuteSalted(ev(s, d))),
@@ -203,6 +205,26 @@ object SparkEntry {
          |      FROM ev, range(5) AS t(k))
          |SELECT strftime(ws, '$MinuteFmt') AS window_start, count(*) AS visits
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rolling_active_users" ->
+      s"""WITH $evCte,
+         |w AS (SELECT date_trunc('minute', "timestamp") - to_minutes(t.k) AS ws,
+         |        uid
+         |      FROM ev, range(5) AS t(k))
+         |SELECT strftime(ws, '$MinuteFmt') AS window_start,
+         |  count(DISTINCT uid) AS active_users
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cohort_retention" ->
+      s"""WITH $evCte,
+         |fs AS (SELECT uid, min(date_trunc('minute', "timestamp")) AS cohort_m
+         |       FROM ev GROUP BY 1),
+         |o AS (SELECT e.uid, fs.cohort_m,
+         |        (floor(epoch(date_trunc('minute', e."timestamp")))::BIGINT -
+         |         floor(epoch(fs.cohort_m))::BIGINT) // 60 AS offset_min
+         |      FROM ev e JOIN fs USING (uid))
+         |SELECT strftime(cohort_m, '$MinuteFmt') AS cohort_minute,
+         |  offset_min::BIGINT AS offset_min,
+         |  count(DISTINCT uid) AS active_users
+         |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "unique_users_per_minute" ->
       s"""WITH $evCte
          |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,

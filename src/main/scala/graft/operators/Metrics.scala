@@ -50,6 +50,47 @@ object Metrics {
         .as("window_start"), col("visits"))
       .orderBy("window_start")
 
+  /** Rolling actives (the DAU/WAU shape at minute granularity):
+    * distinct users over the trailing `minutes`-minute window, one row
+    * per window position. Same covering-window replication as
+    * [[visitsSliding]] but with a distinct-aggregate — the replicated
+    * (window, uid) stream is partially deduplicated map-side before
+    * the shuffle. Spark has no `count(DISTINCT) OVER`, and a
+    * collect_set frame would hold per-window member sets in memory;
+    * the replicate-then-groupBy form is the scalable equivalent (state
+    * per group is a hash of uids, spillable, or swap in
+    * `approx_count_distinct` for sketch-sized state at real DAU/WAU
+    * spans). */
+  def rollingActiveUsers(ev: DataFrame, minutes: Int = 5): DataFrame =
+    ev.groupBy(window(col(Ts), s"$minutes minutes", "1 minute").as("w"))
+      .agg(countDistinct(col(Uid)).as("active_users"))
+      .select(date_format(col("w.start"), Windows.MinuteKeyFormat)
+        .as("window_start"), col("active_users"))
+      .orderBy("window_start")
+
+  /** Cohort retention: users cohorted by their first-seen minute; for
+    * each (cohort, minutes-since-first) offset, how many of the
+    * cohort's users were active. Two shuffles — the min-aggregate that
+    * builds the cohort table and the final (cohort, offset) rollup;
+    * the events⋈cohort join broadcasts when the user dimension is
+    * small and AQE picks the shuffle strategy when it is not. */
+  def cohortRetention(ev: DataFrame): DataFrame = {
+    val firstSeen = ev
+      .groupBy(col(Uid))
+      .agg(min(minuteStart(col(Ts))).as("cohort_m"))
+    val offsets = ev
+      .select(col(Uid), minuteStart(col(Ts)).as("m"))
+      .join(firstSeen, Uid)
+      .groupBy(col("cohort_m"),
+        ((unix_timestamp(col("m")) - unix_timestamp(col("cohort_m"))) / 60)
+          .cast("long").as("offset_min"))
+      .agg(countDistinct(col(Uid)).as("active_users"))
+    offsets
+      .select(minuteKey(col("cohort_m")).as("cohort_minute"),
+        col("offset_min"), col("active_users"))
+      .orderBy("cohort_minute", "offset_min")
+  }
+
   /** A2 approx — unique users per minute, HLL estimate
     * (reference: PFADD/PFCOUNT, MetricsCalculationPipeline.java:183-189). */
   def uniqueUsersPerMinuteApprox(ev: DataFrame, rsd: Double = 0.05): DataFrame =

@@ -49,6 +49,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(total === 5L * fixture.count())
   }
 
+  test("rolling actives dedup the user across the trailing window") {
+    // u1 appears in 10:15 AND 10:16: every window covering both
+    // minutes must count it once. Labels are window STARTS: window s
+    // covers [s, s+5min).
+    val got = Metrics.rollingActiveUsers(fixture).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got("2026_08_12T10_12") === 3L) // covers 10:12-10:16: u1,u2,u3
+    assert(got("2026_08_12T10_11") === 2L) // covers 10:11-10:15: u1,u3
+    assert(got("2026_08_12T10_16") === 2L) // covers 10:16-10:20: u1,u2
+  }
+
+  test("cohort retention: offset 0 holds the full cohort; later offsets only returners") {
+    val got = Metrics.cohortRetention(fixture).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // cohort 10:15 = {u1, u3}; u1 returns at offset 1. cohort 10:16 = {u2}
+    assert(got === Seq(
+      ("2026_08_12T10_15", 0L, 2L),
+      ("2026_08_12T10_15", 1L, 1L),
+      ("2026_08_12T10_16", 0L, 1L)))
+  }
+
   test("unique users dedup within minute; boundary event lands in its own minute") {
     val got = Metrics.uniqueUsersPerMinute(fixture).collect().toSeq
     // 10:15 = {u1, u3}; 10:16 = {u1, u2} — u1 counted once per bucket
