@@ -251,6 +251,24 @@ object StreamingMetrics {
         col("visits"))
   }
 
+  /** Rolling distinct actives as an update-mode stream — the streaming
+    * face of [[graft.operators.Metrics.rollingActiveUsers]], with
+    * `approx_count_distinct` instead of exact distinct: per-window
+    * state is then one HLL sketch (KB-sized) rather than a uid set,
+    * which is what makes real DAU/WAU spans (days of minutes × millions
+    * of uids) streamable — the same sketch-for-state trade the
+    * reference makes with PFADD (README.md:22-30). */
+  def rollingActivesStream(events: Dataset[LogEvent], minutes: Int = 5,
+      rsd: Double = 0.05, watermark: Option[String] = None): DataFrame = {
+    val base = events.toDF()
+    val wm = watermark.fold(base)(w => base.withWatermark(LogEvent.Ts, w))
+    wm.groupBy(window(col(LogEvent.Ts), s"$minutes minutes", "1 minute"))
+      .agg(approx_count_distinct(col(LogEvent.Uid), rsd).as("active_users"))
+      .select(date_format(col("window.start"),
+        graft.operators.Windows.MinuteKeyFormat).as("window_start"),
+        col("active_users"))
+  }
+
   def startSessionization(events: Dataset[LogEvent], queryName: String,
       gapSeconds: Long = 1800, watermark: String = "1 hour"): StreamingQuery =
     events.toDF()

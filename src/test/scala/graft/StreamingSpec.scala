@@ -116,6 +116,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling actives stream dedups a user across batches within each window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val q = StreamingMetrics.rollingActivesStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rolling_stream_t").start()
+    try {
+      input.addData(ev("u1", "e1", "1", "2026-08-12 10:16:00"))
+      q.processAllAvailable()
+      // same user again in a later micro-batch, same minute — the
+      // sketch state must not double-count it
+      input.addData(ev("u1", "e1", "1", "2026-08-12 10:16:30"))
+      q.processAllAvailable()
+      val latest = spark.table("rolling_stream_t")
+        .groupBy("window_start")
+        .agg(org.apache.spark.sql.functions.max("active_users").as("au"))
+        .as[(String, Long)].collect().toMap
+      assert(latest.keySet === (12 to 16).map(m => f"2026_08_12T10_$m%02d").toSet)
+      assert(latest.values.forall(_ === 1L), latest.toString)
+    } finally q.stop()
+  }
+
   test("streaming sessionization emits closed session windows") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
