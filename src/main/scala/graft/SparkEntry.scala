@@ -127,6 +127,7 @@ object SparkEntry {
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
     "pricing_grouping_sets" -> ((s, d) => Relational.groupingSetsViaSql(s, d)),
     "snapshot_upsert" -> ((s, d) => Maintenance.snapshotUpsert(Tables.orders(s, d))),
+    "table_profile" -> ((s, d) => Maintenance.tableProfile(Tables.orders(s, d))),
     "urgent_customers_exists" -> ((s, d) => Relational.urgentCustomersViaSql(s, d)),
     "null_safe_join" -> ((s, d) => Relational.nullSafeJoin(Tables.events(s, d))),
     "top_customer_lateral" -> ((s, d) => Relational.topCustomerLateralViaSql(s, d)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "pricing_summary_sql" -> Relational.pricingSummarySql,
     "pricing_grouping_sets" -> Relational.groupingSetsSql,
     "snapshot_upsert" -> Maintenance.snapshotUpsertSql,
+    "table_profile" -> Maintenance.tableProfileSql,
     "urgent_customers_exists" -> Relational.urgentCustomersSql,
     "null_safe_join" -> Relational.nullSafeJoinSql,
     "top_customer_lateral" -> Relational.topCustomerLateralSql,

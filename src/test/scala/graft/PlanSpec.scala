@@ -47,6 +47,17 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unused columns: $readSchema")
   }
 
+  test("selective predicates reach the parquet scan as PushedFilters") {
+    import org.apache.spark.sql.functions._
+    val q = Tables.orders(spark, d)
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 1000.0)
+      .groupBy("o_orderpriority").count()
+    val p = plan(q)
+    val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("o_orderpriority") && pushed.contains("o_totalprice"),
+      s"filters not pushed to scan: '$pushed'\n${p.take(800)}")
+  }
+
   test("metric queries push the minute filter into partial aggregation") {
     val p = plan(Metrics.visitsPerMinute(Tables.logEvents(spark, d)))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(800))
