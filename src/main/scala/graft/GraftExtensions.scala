@@ -80,5 +80,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => BoundedCollectAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())
     }
+    fn(ext, "char_ngrams",
+      "char_ngrams(text, n) - generator: one row per overlapping character n-gram") {
+      exprs => CharNgrams(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())
+    }
   }
 }

@@ -136,6 +136,20 @@ object SparkEntry {
     "forward_fill" -> ((s, d) => Analytics.forwardFill(Tables.events(s, d))),
     "unique_users_hourly_sketch" -> ((s, d) =>
       Metrics.uniqueUsersHourlyFromMinuteSketches(ev(s, d))),
+    "unique_users_bitmap" -> ((s, d) => Metrics.uniqueUsersBitmap(ev(s, d))),
+    // ---- change-data / SCD maintenance shapes ----
+    "scd2_history" -> ((s, d) => Changes.scd2History(Tables.events(s, d))),
+    "cdc_apply" -> ((s, d) => Changes.cdcApply(Tables.events(s, d))),
+    "orders_in_flight_by_month" -> ((s, d) =>
+      Changes.ordersInFlightByMonth(Tables.orders(s, d))),
+    // ---- sequence / distribution analytics ----
+    "event_transitions" -> ((s, d) => Analytics.eventTransitions(Tables.events(s, d))),
+    "ordered_funnel" -> ((s, d) => Analytics.orderedFunnel(Tables.events(s, d))),
+    "qty_price_correlation" -> ((s, d) =>
+      Analytics.qtyPriceCorrelation(Tables.lineitem(s, d))),
+    "value_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
+    "experiment_entropy" -> ((s, d) => Analytics.experimentEntropy(Tables.events(s, d))),
+    "fuzzy_name_matches" -> ((s, d) => Relational.fuzzyNameMatches(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
@@ -148,6 +162,10 @@ object SparkEntry {
       TextAnalysis.unigramFamiliarity(par(Tables.documents(s, d)))),
     "ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
+    "tfidf_top_terms" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
+    "char_ngram_explode" -> ((s, d) =>
+      TextAnalysis.charNgramExplode(s, par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) =>
@@ -338,6 +356,22 @@ object SparkEntry {
     "order_value_extremes" -> Relational.orderValueExtremesSql,
     "user_peak_burst" -> Analytics.userPeakBurstSql(),
     "forward_fill" -> Analytics.forwardFillSql,
+    // bitmap distinct is EXACT — the plain count-distinct SQL is its oracle
+    "unique_users_bitmap" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(DISTINCT uid) AS unique_users FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    "scd2_history" -> Changes.scd2HistorySql,
+    "cdc_apply" -> Changes.cdcApplySql,
+    "orders_in_flight_by_month" -> Changes.ordersInFlightByMonthSql,
+    "event_transitions" -> Analytics.eventTransitionsSql,
+    "ordered_funnel" -> Analytics.orderedFunnelSql,
+    "qty_price_correlation" -> Analytics.qtyPriceCorrelationSql,
+    "value_histogram" -> Analytics.valueHistogramSql(),
+    "experiment_entropy" -> Analytics.experimentEntropySql,
+    "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),
+    "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
+    "char_ngram_explode" -> TextAnalysis.charNgramExplodeSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "token_stats_udaf" -> TextAnalysis.tokenStatsSql,

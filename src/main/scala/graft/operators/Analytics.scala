@@ -475,4 +475,168 @@ object Analytics {
        |  FROM events)
        |SELECT user_id, max(burst) AS peak_burst, count(*) AS n_events
        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Markov transition counts over the event-type sequence: per user
+    * (ordered by event time, event_id tiebreak) pair each event with
+    * its predecessor and count (prev, next) bigrams — the
+    * session-model / next-event-prediction feature. One shuffle for the
+    * lag window; the bigram rollup is a 25-row hash aggregate with
+    * map-side partials. Ordering is total (event_id unique), so the
+    * bigram multiset is deterministic. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT prev AS prev_type, event_type AS next_type,
+      |  count(*) AS n_transitions
+      |FROM s WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Strictly-ordered funnel: users who viewed, then clicked AFTER
+    * their first view, then purchased AFTER that first qualifying
+    * click. Each stage is a conditional-min aggregate per user; stage
+    * n+1 re-aggregates the events joined against stage n's timestamps.
+    * All three aggregates and both joins cluster on user_id — Spark
+    * reuses one hash partitioning end-to-end (no re-shuffle of events
+    * between stages), and the stage tables (≤1 row per user) broadcast
+    * on a real cluster. min() is order-insensitive, so no tiebreaks
+    * are needed anywhere. */
+  def orderedFunnel(events: DataFrame): DataFrame = {
+    val e = events.select("user_id", "event_type", "ts")
+    val s1 = e.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .where(col("event_type") === "click" && col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .where(col("event_type") === "purchase" && col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage("1_view", s1)
+      .unionByName(stage("2_click_after_view", s2))
+      .unionByName(stage("3_purchase_after_click", s3))
+      .orderBy("stage")
+  }
+
+  val orderedFunnelSql: String =
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |            WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2
+      |       FROM events e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3
+      |       FROM events e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_click_after_view', count(*) FROM s2
+      |UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  /** Pearson correlation and OLS slope of quantity vs extended price
+    * per return flag, computed FROM EXACT DECIMAL SUMS (n, Σx, Σy,
+    * Σx², Σy², Σxy) rather than a streaming double `corr()` — the sums
+    * are order-independent (hash-exact vs the oracle) and the closed
+    * form is a deterministic scalar epilogue on the 3-row result. At
+    * scale this is one map-side-combined pass; the built-in corr()
+    * co-moment buffer has the same shape but a partition-order-
+    * dependent floating accumulation. */
+  def qtyPriceCorrelation(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(CAST(l_quantity AS DECIMAL(18,2)))").as("sx"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").as("sy"),
+        expr("sum(CAST(l_quantity * l_quantity AS DECIMAL(20,4)))").as("sxx"),
+        expr("sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)))").as("syy"),
+        expr("sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4)))").as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               |(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               | sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+          .stripMargin).as("corr_qty_price"),
+        expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               |(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+          .stripMargin).as("regr_slope"))
+      .orderBy("l_returnflag")
+
+  val qtyPriceCorrelationSql: String =
+    """WITH s AS (SELECT l_returnflag, count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+      |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+      |  sum(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS sxx,
+      |  sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4))) AS syy,
+      |  sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n::BIGINT AS n,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    AS corr_qty_price,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    AS regr_slope
+      |FROM s ORDER BY 1""".stripMargin
+
+  /** Fixed-width histogram of event values: bin = floor(value /
+    * width). Purely expression-level binning (no join against a bin
+    * dim), one map-side-combined aggregate; the floor(double/const) is
+    * the same IEEE op on both engines so bin assignment is exact. */
+  def valueHistogram(events: DataFrame, width: Int = 50): DataFrame =
+    events
+      .groupBy(expr(s"CAST(floor(value / $width) AS BIGINT)").as("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+      .select((col("bin") * width).as("bin_start"), col("n_events"),
+        col("sum_value"))
+      .orderBy("bin_start")
+
+  def valueHistogramSql(width: Int = 50): String =
+    s"""SELECT (CAST(floor(value / $width) AS BIGINT) * $width) AS bin_start,
+       |  count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shannon entropy (nats) of each experiment's event-type mix, from
+    * EXACT counts: entropy = ln(total) − Σ c·ln(c) / total. The per-row
+    * `c·ln(c)` doubles are cast to DECIMAL(28,12) BEFORE summing so the
+    * sum is order-independent (a raw double Σ would vary with partition
+    * order); a 1-ulp `ln` divergence between engines sits ~4 orders of
+    * magnitude below the 12-decimal quantization. Two aggregates, both
+    * clustered on experiment_id → one shuffle after the count rollup. */
+  def experimentEntropy(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type"))
+      .groupBy("experiment_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("experiment_id")
+      .agg(sum("c").as("total"),
+        expr("sum(CAST(c * ln(c) AS DECIMAL(28,12)))").as("s"))
+      .select(col("experiment_id"), col("total"),
+        expr("CAST(CAST(ln(total) - CAST(s AS DOUBLE) / total AS DECIMAL(18,9)) AS DOUBLE)")
+          .as("entropy_nats"))
+      .orderBy("experiment_id")
+
+  val experimentEntropySql: String =
+    """WITH c AS (SELECT json_extract_string(props, '$.k') AS experiment_id,
+      |  event_type, count(*) AS c FROM events GROUP BY 1, 2),
+      |t AS (SELECT experiment_id, sum(c)::BIGINT AS total,
+      |  sum(CAST(c * ln(c) AS DECIMAL(28,12))) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT experiment_id, total,
+      |  CAST(CAST(ln(total) - CAST(s AS DOUBLE) / total AS DECIMAL(18,9)) AS DOUBLE)
+      |    AS entropy_nats
+      |FROM t ORDER BY 1""".stripMargin
 }

@@ -353,4 +353,25 @@ object Metrics {
       .select(date_format(col("minute_start"), Windows.MinuteKeyFormat)
         .as("minute_key"))
       .orderBy("minute_key")
+
+  /** A2/A3 third sibling — EXACT distinct users per minute via roaring
+    * bitmaps (`bitmap_construct_agg`), the Spark analogue of keeping a
+    * Redis BITMAP per minute and reading `BITCOUNT` (the third idiom
+    * next to the reference's PFADD/HLL approx and SADD/SCARD exact
+    * sets). Unlike `countDistinct` — whose partial state is the raw
+    * value set — the bitmap buffer is a fixed 4 KB per (minute,
+    * 32k-id bucket) REGARDLESS of cardinality, and merges with
+    * bitwise OR exactly like PFMERGE: the two-level groupBy below is
+    * the same partial/final split Redis gets from per-shard bitmaps
+    * OR-ed at read. For dense integer id spaces this beats both
+    * siblings at scale; the id→position contract is the caller's
+    * (here: numeric uids). */
+  def uniqueUsersBitmap(ev: DataFrame): DataFrame =
+    ev.select(minuteKey(col(Ts)).as("minute_key"),
+        col(Uid).cast("long").as("uid_pos"))
+      .groupBy(col("minute_key"), expr("bitmap_bucket_number(uid_pos)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(uid_pos))").as("bm"))
+      .groupBy("minute_key")
+      .agg(expr("sum(bitmap_count(bm))").as("unique_users"))
+      .orderBy("minute_key")
 }

@@ -637,4 +637,42 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
+
+  /** Blocked fuzzy self-join: near-duplicate part names (edit distance
+    * ≤ maxDist) found WITHOUT an all-pairs scan. The join key is the
+    * (p_brand, p_type) block — an equi-join Catalyst plans as a plain
+    * shuffle/broadcast hash join — and the quadratic levenshtein only
+    * runs within a block (~n/150 rows each), turning O(n²) into
+    * O(Σ blockᵢ²). The standard entity-resolution shape: blocking key
+    * = cheap canopy, edit distance = expensive verifier. Skewed or
+    * over-coarse blocks would re-introduce the quadratic — the same
+    * remedy as [[graft.operators.Dedup]]'s maxDf stop-shingle rule
+    * applies (cap or sub-salt hot blocks). */
+  def fuzzyNameMatches(part: DataFrame, maxDist: Int = 2): DataFrame = {
+    val a = part.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = part.select(col("p_brand"), col("p_type"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_type"))
+      .where(col("key_a") < col("key_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_close_pairs"),
+        sum(when(col("name_a") === col("name_b"), 1L).otherwise(0L))
+          .as("n_exact_dupes"),
+        min(levenshtein(col("name_a"), col("name_b"))).as("min_dist"))
+      .orderBy("p_brand")
+  }
+
+  def fuzzyNameMatchesSql(maxDist: Int = 2): String =
+    s"""WITH pairs AS (
+       |  SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b
+       |  FROM part a JOIN part b
+       |    ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       |   AND a.p_partkey < b.p_partkey
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $maxDist)
+       |SELECT p_brand, count(*) AS n_close_pairs,
+       |  sum(CASE WHEN name_a = name_b THEN 1 ELSE 0 END)::BIGINT AS n_exact_dupes,
+       |  min(levenshtein(name_a, name_b)) AS min_dist
+       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 }

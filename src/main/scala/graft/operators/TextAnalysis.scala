@@ -343,4 +343,87 @@ object TextAnalysis {
       |  min(len(string_split(text, ' ')))::BIGINT AS min_tokens,
       |  max(len(string_split(text, ' ')))::BIGINT AS max_tokens
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top-k TF-IDF terms per document — the classic keyword/feature
+    * extraction over a corpus. tf = term count in doc; idf =
+    * ln((N+1)/(df+1)) + 1 (smoothed); rank by score within doc.
+    *
+    * Plan shape (scales linearly in corpus size):
+    *  1. explode → (doc, term) counts: one shuffle on (doc_id, term);
+    *  2. document frequency: re-aggregate the tf table by term (the
+    *     vocabulary — orders of magnitude smaller than the corpus);
+    *  3. tf ⋈ df on term: the df side is vocabulary-sized → broadcast;
+    *  4. per-doc top-k: written as the row_number ≤ k idiom, which
+    *     [[graft.plans.TopKRewriteRule]] rewrites to bounded heaps (no
+    *     partition sort at scale).
+    *
+    * The ranking key is the score quantized to DECIMAL(20,10) — ties
+    * (same tf, same df) are exact in both engines, and a 1-ulp `ln`
+    * divergence cannot reorder the quantized key; term breaks ties. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val spark = documents.sparkSession
+    val tf = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_dec", expr(
+        "CAST(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS DECIMAL(20,10))"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_dec").desc, col("term"))
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= k)
+      .select(col("doc_id"), col("term_rank"), col("term"),
+        col("score_dec").cast("double").as("tfidf"))
+      .orderBy("doc_id", "term_rank")
+  }
+
+  def tfidfTopTermsSql(k: Int = 3): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (SELECT tf.doc_id, tf.term,
+       |  CAST(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+       |       AS DECIMAL(20,10)) AS score_dec
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score_dec DESC, term) AS term_rank
+       |      FROM scored)
+       |SELECT doc_id, term_rank::BIGINT AS term_rank, term,
+       |  CAST(score_dec AS DOUBLE) AS tfidf
+       |FROM r WHERE term_rank <= $k ORDER BY doc_id, term_rank""".stripMargin
+
+  /** Character n-gram statistics per document via the custom
+    * [[graft.functions.CharNgrams]] Generator (UDTF surface): each doc
+    * streams its overlapping n-grams through `Generate` — no
+    * intermediate gram array — then a two-key hash aggregate counts
+    * totals and distincts. Docs shorter than n are excluded on both
+    * engines (the generator yields no rows for them). */
+  def charNgramExplode(spark: org.apache.spark.sql.SparkSession,
+      documents: DataFrame, n: Int = 4): DataFrame = {
+    graft.functions.CharNgrams.register(spark)
+    documents
+      .where(length(col("text")) >= n)
+      .select(col("doc_id"), expr(s"char_ngrams(text, $n)").as("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        countDistinct(col("gram")).as("n_distinct_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  def charNgramExplodeSql(n: Int = 4): String =
+    s"""WITH g AS (SELECT doc_id, text,
+       |    unnest(generate_series(1, length(text) - ${n - 1})) AS i
+       |  FROM documents WHERE length(text) >= $n)
+       |SELECT doc_id, count(*) AS n_ngrams,
+       |  count(DISTINCT substr(text, i, $n)) AS n_distinct_ngrams
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 }

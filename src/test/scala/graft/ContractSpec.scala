@@ -19,9 +19,11 @@ class ContractSpec extends AnyFunSuite {
     //    batch (bounded by construction)
     //  - value_band_counts: banded range join against a tiny broadcast
     //    band dim; bucketized equi-join is the documented scale path
+    //  - tfidf_top_terms: crossJoin(broadcast(<1-row N-docs agg>)) —
+    //    the scalar corpus size; a 1-row broadcast nested loop is free
     val cartesianOk = Set("variant_overlap", "variant_overlap_approx",
       "knn_bruteforce", "embedding_near_dup", "knn_ivf",
-      "value_band_counts")
+      "value_band_counts", "tfidf_top_terms")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
