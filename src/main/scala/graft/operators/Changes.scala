@@ -51,7 +51,10 @@ object Changes {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val islands = runs.groupBy(col("user_id"), col("grp"))
       .agg(min("variant").as("variant"), min("ts").as("from_ts"))
-    val wSeq = Window.partitionBy("user_id").orderBy("from_ts", "variant")
+    // sequence islands by grp — the running change count IS the island
+    // index in event order, so same-timestamp changes (tiebroken by
+    // event_id upstream) stay correctly ordered where from_ts ties
+    val wSeq = Window.partitionBy("user_id").orderBy("grp")
     islands
       .withColumn("to_ts", lead("from_ts", 1).over(wSeq))
       .select(col("user_id"), col("variant"),
@@ -71,10 +74,10 @@ object Changes {
        |r2 AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS grp
        |       FROM r),
-       |isl AS (SELECT user_id, min(variant) AS variant, min(ts) AS from_ts
+       |isl AS (SELECT user_id, grp, min(variant) AS variant, min(ts) AS from_ts
        |        FROM r2 GROUP BY user_id, grp),
        |s AS (SELECT *, lead(from_ts) OVER
-       |        (PARTITION BY user_id ORDER BY from_ts, variant) AS to_ts
+       |        (PARTITION BY user_id ORDER BY grp) AS to_ts
        |      FROM isl)
        |SELECT user_id, variant,
        |  strftime(from_ts, '$DuckTsFmt') AS effective_from,
