@@ -36,22 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => FloatVecDot(exprs(0), exprs(1))
     }
     fn(ext, "minhash_sig",
-      "minhash_sig(tokens, k, numPerm) - per-row MinHash signature of word k-grams") {
-      exprs => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())
-    }
+      "minhash_sig(tokens, k, numPerm) - per-row MinHash signature of word k-grams")(
+      MinHashFunctions.sigBuilder)
     fn(ext, "minhash_bands",
-      "minhash_bands(sig, bands) - LSH band keys of a MinHash signature") {
-      exprs => MinHashBands(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())
-    }
+      "minhash_bands(sig, bands) - LSH band keys of a MinHash signature")(
+      MinHashFunctions.bandsBuilder)
     fn(ext, "winnow_fingerprints",
-      "winnow_fingerprints(text, k, w) - distinct winnowing fingerprints of k-char grams") {
-      exprs => WinnowFingerprints(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())
-    }
+      "winnow_fingerprints(text, k, w) - distinct winnowing fingerprints of k-char grams")(
+      WinnowFingerprints.builder)
     fn(ext, "simhash_agg",
       "simhash_agg(hash, weight) - 64-bit weighted SimHash aggregate") {
       exprs => SimHashAgg(exprs(0), exprs(1))
@@ -61,29 +53,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHashDoc(exprs(0))
     }
     fn(ext, "topk_sketch",
-      "topk_sketch(col, k, capacity) - Space-Saving heavy-hitters sketch") {
-      exprs => TopKSketchAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())
-    }
+      "topk_sketch(col, k, capacity) - Space-Saving heavy-hitters sketch")(
+      TopKSketchFunctions.builder)
     fn(ext, "ngram_stats",
-      "ngram_stats(tokens, n) - struct(n_ngrams, n_distinct_ngrams) per row") {
-      exprs => NgramStats(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())
-    }
+      "ngram_stats(tokens, n) - struct(n_ngrams, n_distinct_ngrams) per row")(
+      NgramStats.builder)
     fn(ext, "vec_sum",
       "vec_sum(vec) - element-wise sum aggregate of float arrays: struct(sum, n)") {
       exprs => VecSumAgg(exprs(0))
     }
     fn(ext, "bounded_collect_long",
-      "bounded_collect_long(col, limit) - collect_list bounded at limit, NULL on overflow") {
-      exprs => BoundedCollectAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())
-    }
+      "bounded_collect_long(col, limit) - collect_list bounded at limit, NULL on overflow")(
+      BoundedCollectFunctions.builder)
     fn(ext, "char_ngrams",
-      "char_ngrams(text, n) - generator: one row per overlapping character n-gram") {
-      exprs => CharNgrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue())
-    }
+      "char_ngrams(text, n) - generator: one row per overlapping character n-gram")(
+      CharNgrams.builder)
   }
 }

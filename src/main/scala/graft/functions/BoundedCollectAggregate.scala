@@ -115,10 +115,13 @@ object BoundedCollectAgg {
 }
 
 object BoundedCollectFunctions {
+  /** Canonical builder (shared with [[graft.GraftExtensions]]). */
+  def builder(exprs: Seq[Expression]): Expression =
+    BoundedCollectAgg(exprs(0),
+      FunctionArgs.intLit("bounded_collect_long", exprs, 1))
+
   /** Register `bounded_collect_long(col, limit)` (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bounded_collect_long", exprs => BoundedCollectAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      "bounded_collect_long", builder, "built-in")
 }

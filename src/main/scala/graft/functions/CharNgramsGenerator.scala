@@ -66,11 +66,13 @@ case class CharNgrams(child: Expression, n: Int)
 }
 
 object CharNgrams {
+  /** Canonical builder (shared with [[graft.GraftExtensions]]): n must
+    * be a foldable non-null integer literal or analysis fails cleanly. */
+  def builder(exprs: Seq[Expression]): Expression =
+    CharNgrams(exprs(0), FunctionArgs.intLit("char_ngrams", exprs, 1))
+
   /** Register `char_ngrams` for SQL/expr use (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "char_ngrams",
-      exprs => CharNgrams(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      "char_ngrams", builder, "built-in")
 }

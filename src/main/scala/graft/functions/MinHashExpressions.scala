@@ -145,14 +145,19 @@ object MinHashBands {
 }
 
 object MinHashFunctions {
+  /** Canonical builders (shared with [[graft.GraftExtensions]]). */
+  def sigBuilder(exprs: Seq[Expression]): Expression =
+    MinHashSig(exprs(0),
+      FunctionArgs.intLit("minhash_sig", exprs, 1),
+      FunctionArgs.intLit("minhash_sig", exprs, 2))
+  def bandsBuilder(exprs: Seq[Expression]): Expression =
+    MinHashBands(exprs(0), FunctionArgs.intLit("minhash_bands", exprs, 1))
+
   /** Register `minhash_sig` / `minhash_bands` for SQL use (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-      "built-in")
+      "minhash_sig", sigBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", exprs => MinHashBands(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+      "minhash_bands", bandsBuilder, "built-in")
   }
 }

@@ -73,10 +73,12 @@ object NgramStats {
     new GenericInternalRow(Array[Any](total.toLong, seen.size.toLong))
   }
 
+  /** Canonical builder (shared with [[graft.GraftExtensions]]). */
+  def builder(exprs: Seq[Expression]): Expression =
+    NgramStats(exprs(0), FunctionArgs.intLit("ngram_stats", exprs, 1))
+
   /** Register `ngram_stats(col, n)` for SQL use (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_stats", exprs => NgramStats(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      "ngram_stats", builder, "built-in")
 }

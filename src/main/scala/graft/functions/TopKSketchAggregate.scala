@@ -107,11 +107,14 @@ case class TopKSketchAgg(
 }
 
 object TopKSketchFunctions {
+  /** Canonical builder (shared with [[graft.GraftExtensions]]). */
+  def builder(exprs: Seq[Expression]): Expression =
+    TopKSketchAgg(exprs(0),
+      FunctionArgs.intLit("topk_sketch", exprs, 1),
+      FunctionArgs.intLit("topk_sketch", exprs, 2))
+
   /** Register `topk_sketch(col, k, capacity)` (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "topk_sketch", exprs => TopKSketchAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue()),
-      "built-in")
+      "topk_sketch", builder, "built-in")
 }

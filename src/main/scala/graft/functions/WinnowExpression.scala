@@ -97,9 +97,13 @@ object WinnowFingerprints {
     new GenericArrayData(java.util.Arrays.copyOf(minima, out))
   }
 
+  /** Canonical builder (shared with [[graft.GraftExtensions]]). */
+  def builder(exprs: Seq[Expression]): Expression =
+    WinnowFingerprints(exprs(0),
+      FunctionArgs.intLit("winnow_fingerprints", exprs, 1),
+      FunctionArgs.intLit("winnow_fingerprints", exprs, 2))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fingerprints", exprs => WinnowFingerprints(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
-      "built-in")
+      "winnow_fingerprints", builder, "built-in")
 }

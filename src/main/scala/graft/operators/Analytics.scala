@@ -627,7 +627,10 @@ object Analytics {
       .select(col("experiment_id"), col("total"),
         expr("CAST(CAST(ln(total) - CAST(s AS DOUBLE) / total AS DECIMAL(18,9)) AS DOUBLE)")
           .as("entropy_nats"))
-      .orderBy("experiment_id")
+      // explicit null placement: DuckDB defaults ASC to NULLS LAST,
+      // Spark to NULLS FIRST — a null experiment_id (props without $.k)
+      // must land at the same end in both engines
+      .orderBy(asc_nulls_last("experiment_id"))
 
   val experimentEntropySql: String =
     """WITH c AS (SELECT json_extract_string(props, '$.k') AS experiment_id,

@@ -45,8 +45,9 @@ object Changes {
       .select(col("user_id"), col("event_type").as("variant"),
         col("ts"), col("event_id"))
       .withColumn("chg",
-        coalesce(lag("variant", 1).over(w) =!= col("variant"), lit(true))
-          .cast("int"))
+        // null-safe: NULL<=>NULL is true, so consecutive NULL variants
+        // stay one island — exactly DuckDB's IS DISTINCT FROM
+        (!(lag("variant", 1).over(w) <=> col("variant"))).cast("int"))
       .withColumn("grp", sum("chg").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val islands = runs.groupBy(col("user_id"), col("grp"))
@@ -61,8 +62,13 @@ object Changes {
         date_format(col("from_ts"), TsFmt).as("effective_from"),
         coalesce(date_format(col("to_ts"), TsFmt), lit(EndOfTime))
           .as("effective_to"),
-        col("to_ts").isNull.as("is_current"))
-      .orderBy("user_id", "effective_from", "variant")
+        col("to_ts").isNull.as("is_current"),
+        col("grp"))
+      // grp is the island index in true event order — a TOTAL per-user
+      // sort key even when two changes share a second-precision
+      // timestamp (effective_from ties, grp never does)
+      .orderBy("user_id", "grp")
+      .drop("grp")
   }
 
   val scd2HistorySql: String =
@@ -83,7 +89,7 @@ object Changes {
        |  strftime(from_ts, '$DuckTsFmt') AS effective_from,
        |  coalesce(strftime(to_ts, '$DuckTsFmt'), '$EndOfTime') AS effective_to,
        |  (to_ts IS NULL) AS is_current
-       |FROM s ORDER BY user_id, effective_from, variant""".stripMargin
+       |FROM s ORDER BY user_id, grp""".stripMargin
 
   /** Apply a CDC changelog to produce the latest snapshot: last
     * operation per key wins (event time, event_id tiebreak); a trailing

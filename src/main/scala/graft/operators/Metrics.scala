@@ -368,7 +368,14 @@ object Metrics {
     * (here: numeric uids). */
   def uniqueUsersBitmap(ev: DataFrame): DataFrame =
     ev.select(minuteKey(col(Ts)).as("minute_key"),
-        col(Uid).cast("long").as("uid_pos"))
+        // bitmap_bit_position is only defined for positive inputs:
+        // shift ids by +1 so uid 0 is valid, and fail LOUDLY on a
+        // negative id rather than silently corrupting the count (the
+        // raise_error sits in the value path so it can't be pruned)
+        when(col(Uid).cast("long") < 0L,
+          raise_error(lit("uniqueUsersBitmap requires non-negative uids"))
+            .cast("long"))
+          .otherwise(col(Uid).cast("long") + 1L).as("uid_pos"))
       .groupBy(col("minute_key"), expr("bitmap_bucket_number(uid_pos)").as("bucket"))
       .agg(expr("bitmap_construct_agg(bitmap_bit_position(uid_pos))").as("bm"))
       .groupBy("minute_key")
