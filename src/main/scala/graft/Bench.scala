@@ -54,10 +54,20 @@ object Bench {
         name -> obs(1)
       } else name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sorted keys: stable diffs across rounds
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}}"""
+    println(line)
+    // ALSO persist the complete per-query map as an artifact: the
+    // driver's stdout capture has truncated the single line before,
+    // which made round-over-round comparison lie about regressions
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - distinct winnowing fingerprints of k-char grams")(
       WinnowFingerprints.builder)
+    fn(ext, "poly_hash62",
+      "poly_hash62(str) - engine-portable 62-bit polynomial string hash")(
+      PolyHash62.builder)
     fn(ext, "simhash_agg",
       "simhash_agg(hash, weight) - 64-bit weighted SimHash aggregate") {
       exprs => SimHashAgg(exprs(0), exprs(1))

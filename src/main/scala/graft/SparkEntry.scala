@@ -185,8 +185,11 @@ object SparkEntry {
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
+    "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(par(Tables.embeddings(s, d)))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(par(Tables.embeddings(s, d)))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(par(Tables.embeddings(s, d)))),
+    "knn_lsh_recall" -> ((s, d) => Similarity.knnLshRecall(par(Tables.embeddings(s, d)))),
+    "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d)))),
@@ -388,6 +391,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
+    "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the

@@ -99,15 +99,18 @@ object SimHashFunctions {
       "simhash_agg", exprs => SimHashAgg(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHashDoc(exprs(0)), "built-in")
+    PolyHash62.register(spark)
   }
 }
 
 /** Per-row SimHash of a token array: one pass over the token INSTANCES
   * (term-frequency weighting is exactly "one vote per occurrence", so
-  * no per-doc tf map is needed), each hashed with xxhash64 seed 42 —
-  * bit-for-bit the result of `simhash_agg(xxhash64(tok), tf)` over the
-  * exploded/grouped formulation, without the two shuffles of the token
-  * stream that formulation costs. [[SimHashAgg]] remains the
+  * no per-doc tf map is needed), each hashed with the engine-portable
+  * [[PolyHash62]] — bit-for-bit the result of
+  * `simhash_agg(poly_hash62(tok), tf)` over the exploded/grouped
+  * formulation, without the two shuffles of the token stream that
+  * formulation costs, and exactly replayable by the DuckDB oracle
+  * (which xxhash64 was not). [[SimHashAgg]] remains the
   * incremental/streaming face of the same fingerprint. */
 case class SimHashDoc(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -137,18 +140,12 @@ case class SimHashDoc(child: Expression)
 }
 
 object SimHashDoc {
-  /** Seed of the SQL `xxhash64` function, for hash parity with the
-    * aggregate formulation. */
-  private final val XxSeed = 42L
-
   def compute(toks: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val counters = new Array[Long](64)
     val n = toks.numElements()
     var t = 0
     while (t < n) {
-      val s = toks.getUTF8String(t)
-      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, XxSeed)
+      val h = PolyHash62.hash(toks.getUTF8String(t))
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) counters(i) += 1L else counters(i) -= 1L

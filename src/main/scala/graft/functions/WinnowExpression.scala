@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -17,13 +17,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Replaces the `transform(sequence(...)) + slice + array_min +
   * array_distinct` formulation: higher-order functions evaluate
   * interpreted (a closure call per element), while this kernel is a
-  * single static call from generated code. Gram hashes match
-  * `xxhash64(substring(text, i+1, k))` (seed 42, the SQL function's
-  * default) — ASCII fast path hashes byte slices in place, multi-byte
-  * text falls back to per-gram substring.
+  * single static call from generated code. Gram hashes are the
+  * engine-portable [[PolyHash62]] code-point fold, so the full
+  * fingerprint selection — gram hash, window minima, distinct — is
+  * replayed exactly by the DuckDB oracle (`list_reduce` over
+  * `unicode(substr(...))` + a windowed `min`), which the previous
+  * xxhash64 grams were not.
   *
-  * Texts shorter than k+w-1 chars yield an empty array (explode then
-  * emits no rows, the same drop the length filter used to do).
+  * Texts shorter than k+w-1 code points yield an empty array (explode
+  * then emits no rows, the same drop the length filter used to do).
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -49,29 +51,31 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFingerprints {
-  /** Seed of the SQL `xxhash64` function, for gram-hash parity. */
-  private final val XxSeed = 42L
-
   def compute(s: UTF8String, k: Int, w: Int): GenericArrayData = {
     val nChars = s.numChars()
     if (nChars < k + w - 1) return new GenericArrayData(Array.emptyLongArray)
     val nGrams = nChars - k + 1
     val grams = new Array[Long](nGrams)
     if (s.numBytes() == nChars) {
-      // ASCII: char i sits at byte i — hash byte slices in place
-      val base = s.getBaseObject
-      val off = s.getBaseOffset
+      // ASCII: byte i IS code point i — fold slices in place, no decode
       var i = 0
       while (i < nGrams) {
-        grams(i) = XXH64.hashUnsafeBytes(base, off + i, k, XxSeed)
+        var h1 = 0L; var h2 = 0L
+        var j = 0
+        while (j < k) {
+          val cp = s.getByte(i + j).toLong & 0xffL
+          h1 = (h1 * PolyHash62.Base1 + cp) % PolyHash62.Mod
+          h2 = (h2 * PolyHash62.Base2 + cp) % PolyHash62.Mod
+          j += 1
+        }
+        grams(i) = h1 | (h2 << 31)
         i += 1
       }
     } else {
+      val cps = s.toString.codePoints().toArray
       var i = 0
       while (i < nGrams) {
-        val g = s.substringSQL(i + 1, k)
-        grams(i) = XXH64.hashUnsafeBytes(
-          g.getBaseObject, g.getBaseOffset, g.numBytes, XxSeed)
+        grams(i) = PolyHash62.hashSlice(cps, i, k)
         i += 1
       }
     }

@@ -561,13 +561,20 @@ object Analytics {
         expr("sum(CAST(l_quantity * l_quantity AS DECIMAL(20,4)))").as("sxx"),
         expr("sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(24,4)))").as("syy"),
         expr("sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4)))").as("sxy"))
+      // 1e-12 quantization: the engines' DECIMAL->DOUBLE casts can
+      // differ by 1 ulp (~4e-18 here), which a raw double compare
+      // trips on; 12 decimals sit 5 orders above that noise floor
       .select(col("l_returnflag"), col("n"),
-        expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        expr("""CAST(CAST(
+               |(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                |(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-               | sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+               | sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               |AS DECIMAL(18,12)) AS DOUBLE)"""
           .stripMargin).as("corr_qty_price"),
-        expr("""(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-               |(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"""
+        expr("""CAST(CAST(
+               |(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               |(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |AS DECIMAL(18,12)) AS DOUBLE)"""
           .stripMargin).as("regr_slope"))
       .orderBy("l_returnflag")
 
@@ -580,13 +587,15 @@ object Analytics {
       |  sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n::BIGINT AS n,
+      |  CAST(CAST(
       |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |    AS corr_qty_price,
+      |  AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price,
+      |  CAST(CAST(
       |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |    AS regr_slope
+      |  AS DECIMAL(18,12)) AS DOUBLE) AS regr_slope
       |FROM s ORDER BY 1""".stripMargin
 
   /** Fixed-width histogram of event values: bin = floor(value /

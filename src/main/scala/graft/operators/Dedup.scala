@@ -219,8 +219,10 @@ object Dedup {
     * weighting is one vote per token instance, so the whole fingerprint
     * is a single scan-side pass with NO shuffle (the aggregate
     * formulation shuffled the token stream twice). Tie (sum == 0) sets
-    * the bit; bit-identical to `simhash_agg(xxhash64(tok), tf)`, which
-    * remains the incremental/streaming face. */
+    * the bit; bit-identical to `simhash_agg(poly_hash62(tok), tf)`,
+    * which remains the incremental/streaming face. Token hashes are
+    * the engine-portable poly_hash62, so the whole fingerprint is
+    * replayed exactly by the DuckDB oracle. */
   def simhash(documents: DataFrame): DataFrame = {
     graft.functions.SimHashFunctions.register(documents.sparkSession)
     documents
@@ -248,6 +250,46 @@ object Dedup {
       .distinct()
     cand.where(col("hamming") <= maxHamming)
       .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** DuckDB replay of [[simhashPairs]]: poly_hash62 per token, the
+    * 64-counter bit-majority as a (doc, bit) group-by (only bits 0-61
+    * — poly_hash62's top two bits are always 0, so their counters are
+    * always negative and never set), then ALL pairs at hamming ≤
+    * maxHamming. No banding needed: with 8 bands and maxHamming ≤ 3,
+    * pigeonhole makes the banded candidate set complete, so the Spark
+    * plan's bands are purely a pruning optimization and the oracle can
+    * take the direct quadratic route at oracle scale. */
+  def simhashPairsSql(maxHamming: Int = 3): String = {
+    val tokFold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(tok) + 1),
+         |        j -> CAST(unicode(substr(tok, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |th AS (
+       |  SELECT doc_id, tf,
+       |    ${tokFold(131)}
+       |    | (${tokFold(137)} << 31) AS h
+       |  FROM tf),
+       |bits AS (
+       |  SELECT doc_id, CAST(b.bit AS INT) AS bit,
+       |    sum(CASE WHEN (h >> CAST(b.bit AS INT)) & 1 = 1 THEN tf ELSE -tf END) AS c
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, 62)) AS bit) b
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+       |      AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1)
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** Connected components over an undirected edge list: returns

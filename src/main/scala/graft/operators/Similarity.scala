@@ -63,17 +63,77 @@ object Similarity {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Embedding-cosine near-dup pairs above `threshold` — id-only output
-    * (no float in the hash-compared result). All-pairs here (collection
-    * is small at test scale); [[lshKeys]] bucketing is the scale path
-    * for the same predicate. The pair join carries precomputed norms so
-    * the per-pair work is exactly one codegen'd dot product. */
-  def embeddingNearDup(embeddings: DataFrame,
-      threshold: Double = 0.44): DataFrame = {
-    val a = withNorm(embeddings, "vec_id_a", "emb_a", "norm_a")
-    val b = withNorm(embeddings, "vec_id_b", "emb_b", "norm_b")
-    a.join(b, col("vec_id_a") < col("vec_id_b"))
+    * (no float in the hash-compared result). EXACT, so the pairwise
+    * compute is intrinsically O(n²) — what's engineered here is the
+    * PLAN: instead of a BroadcastNestedLoopJoin on `id_a < id_b` (one
+    * driver-broadcast copy of the whole table, undistributable), rows
+    * are hashed into `nBlocks` blocks and each unordered BLOCK PAIR
+    * (i ≤ j) becomes one equi-join key: both sides replicate to the
+    * block pairs they participate in (a broadcast of the tiny
+    * B(B+1)/2-row pair spine), then ONE shuffled equi-join on `pid`
+    * scores members with a single codegen'd dot product per pair.
+    * Replication factor is B per side and every task holds 2/B-th of
+    * the data — at 100 TB you raise B so a task fits an executor, and
+    * the work spreads over B(B+1)/2 independent tasks instead of one
+    * nested loop. [[embeddingNearDupLsh]] is the sub-quadratic
+    * approximate path for the same predicate.
+    *
+    * Pair uniqueness: a pair with distinct blocks (h < k) appears
+    * exactly once (h-side row as a, k-side as b); a same-block pair
+    * appears in the diagonal pid both ways, kept once by `id_a <
+    * id_b`. Off-diagonal ids are canonicalized with least/greatest. */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.44,
+      nBlocks: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val pairSpine = (for { i <- 0 until nBlocks; j <- i until nBlocks }
+      yield (i * nBlocks + j, i, j)).toDF("pid", "blk_lo", "blk_hi")
+    def side(suffix: String, blkCol: String): DataFrame =
+      withNorm(embeddings, s"vec_id_$suffix", s"emb_$suffix", s"norm_$suffix")
+        .withColumn(s"blk_$suffix",
+          pmod(hash(col(s"vec_id_$suffix")), lit(nBlocks)))
+        .join(broadcast(pairSpine.select(col("pid"),
+          col(blkCol).as(s"spine_$suffix"))),
+          col(s"blk_$suffix") === col(s"spine_$suffix"))
+    val a = side("a", "blk_lo")
+    val b = side("b", "blk_hi").withColumnRenamed("pid", "pid_b")
+    a.join(b, col("pid") === col("pid_b"))
+      .where(col("vec_id_a") =!= col("vec_id_b") &&
+        // diagonal block pair sees both orderings — keep one
+        (col("blk_a") =!= col("blk_b") || col("vec_id_a") < col("vec_id_b")))
       .where((expr("vec_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
         >= threshold)
+      .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"))
+      .orderBy("vec_id_a", "vec_id_b")
+  }
+
+  /** Sub-quadratic near-dup twin: candidates = pairs sharing any LSH
+    * table bucket ([[lshKeys]] — an EQUI-join on (table, bucket)),
+    * verified by exact cosine. Precision is exact (every emitted pair
+    * truly clears the threshold: output ⊆ [[embeddingNearDup]]);
+    * recall < 1 by construction (a pair split by every table's
+    * hyperplanes is lost), which is WHY this is a rows-only query with
+    * a recall bound in SimilaritySpec rather than an oracle row — no
+    * hyperplane count makes bucketing exact. At 100 TB the bucket join
+    * touches only co-bucketed pairs: linear-ish in the collision
+    * count, the standard production trade. */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.44,
+      nBits: Int = 6, nTables: Int = 4): DataFrame = {
+    val keyed = lshKeys(embeddings, nBits, nTables)
+    val a = keyed.select(col("vec_id").as("vec_id_a"),
+      col("embedding").as("emb_a"), col("table_id").as("t_a"),
+      col("bucket").as("b_a"))
+    val b = keyed.select(col("vec_id").as("vec_id_b"),
+      col("embedding").as("emb_b"), col("table_id").as("t_b"),
+      col("bucket").as("b_b"))
+    a.join(b, col("t_a") === col("t_b") && col("b_a") === col("b_b") &&
+        col("vec_id_a") < col("vec_id_b"))
+      // a pair colliding in several tables is one candidate
+      .dropDuplicates("vec_id_a", "vec_id_b")
+      .where((expr("vec_dot(emb_a, emb_b)") /
+        (expr("sqrt(vec_dot(emb_a, emb_a))") *
+          expr("sqrt(vec_dot(emb_b, emb_b))"))) >= threshold)
       .select("vec_id_a", "vec_id_b")
       .orderBy("vec_id_a", "vec_id_b")
   }
@@ -272,6 +332,40 @@ object Similarity {
           expr("sqrt(vec_dot(embedding, embedding))"))).as("cos_sim"))
     rankTopK(scored, k)
   }
+
+  /** Recall@k of an approximate ANN result against the exact
+    * brute-force baseline, AS A QUERY — so approximate-index quality
+    * is a number the driver (and a production job) sees every run, not
+    * only a test assertion. One row: method, query/pair counts, hit
+    * count, recall (1e-6-quantized; deterministic because both inputs
+    * are deterministic). */
+  def annRecall(exact: DataFrame, approx: DataFrame,
+      method: String): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .agg(count_distinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(lit(method).as("method"), col("n_queries"), col("n_exact"),
+        col("n_hit"),
+        expr("CAST(CAST(CAST(n_hit AS DOUBLE) / n_exact AS DECIMAL(9,6)) AS DOUBLE)")
+          .as("recall_at_k"))
+  }
+
+  /** recall@10 of [[knnLsh]] vs [[knnBruteForce]] (rows-only: the
+    * approximate side has no SQL twin). */
+  def knnLshRecall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnLsh(embeddings, k, queryMod), "lsh")
+
+  /** recall@10 of [[knnIvf]] vs [[knnBruteForce]] (rows-only). */
+  def knnIvfRecall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnIvf(embeddings, k, queryMod), "ivf")
 
   /** ANN top-k via multi-table LSH bucketing + exact re-rank of the
     * candidate union. Approximate: a neighbor missed by every table is

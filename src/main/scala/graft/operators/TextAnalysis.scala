@@ -277,8 +277,9 @@ object TextAnalysis {
     * the codegen'd [[graft.functions.WinnowFingerprints]] kernel (the
     * earlier `transform`/`slice`/`array_min` chain ran interpreted, a
     * closure call per gram); short texts yield an empty array → no
-    * rows. xxhash64 has no DuckDB twin → rows-only, equivalence-tested
-    * in ScalaTest (near-dup docs share most fingerprints). */
+    * rows. Gram hashes are the engine-portable poly_hash62 fold, so
+    * the DuckDB oracle replays the whole scheme exactly (windowed min
+    * over the same gram-hash sequence). */
   def winnowingFingerprints(documents: DataFrame, k: Int = 8,
       w: Int = 4): DataFrame = {
     graft.functions.WinnowFingerprints.register(documents.sparkSession)
@@ -295,6 +296,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_fingerprints"),
         expr("bit_xor(fingerprint)").as("fingerprint_xor"))
       .orderBy("doc_id")
+
+  /** DuckDB replay of [[winnowingSummary]]: the poly_hash62 gram fold
+    * via `list_reduce` over code points, window minima via a windowed
+    * `min` over gram position, distinct + count/xor per doc. */
+  def winnowingSummarySql(k: Int = 8, w: Int = 4): String = {
+    val gramFold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, ${k + 1}),
+         |        j -> CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, unnest(range(0, length(text) - $k + 1)) AS i
+       |  FROM documents WHERE length(text) >= ${k + w - 1}),
+       |g AS (
+       |  SELECT doc_id, i,
+       |    ${gramFold(131)}
+       |    | (${gramFold(137)} << 31) AS gh
+       |  FROM pos),
+       |m AS (
+       |  SELECT doc_id, i,
+       |    min(gh) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
+       |    count(*) OVER (PARTITION BY doc_id) AS n_grams
+       |  FROM g),
+       |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE i < n_grams - ${w - 1})
+       |SELECT doc_id, count(*) AS n_fingerprints, bit_xor(fp) AS fingerprint_xor
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   val langIdSql: String = {
     val lexValues = Lexicons

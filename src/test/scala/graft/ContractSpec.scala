@@ -13,16 +13,19 @@ class ContractSpec extends AnyFunSuite {
     // scale story:
     //  - variant_overlap*: C(n,2) over a domain-bounded handful of
     //    variants (reference Q4)
-    //  - knn_bruteforce, embedding_near_dup: the EXACT baselines that
-    //    the LSH/IVF/minhash variants are the scale path for
+    //  - knn_bruteforce: the EXACT recall baseline the LSH/IVF variants
+    //    are the scale path for (embedding_near_dup no longer needs an
+    //    exception: its exact plan is now block-pair equi-joins)
     //  - knn_ivf: non-equi probe join against the BROADCAST query
     //    batch (bounded by construction)
     //  - value_band_counts: banded range join against a tiny broadcast
     //    band dim; bucketized equi-join is the documented scale path
     //  - tfidf_top_terms: crossJoin(broadcast(<1-row N-docs agg>)) —
     //    the scalar corpus size; a 1-row broadcast nested loop is free
+    //  - knn_*_recall: join the exact bruteforce baseline (so its
+    //    declared cross join appears as a subplan by definition)
     val cartesianOk = Set("variant_overlap", "variant_overlap_approx",
-      "knn_bruteforce", "embedding_near_dup", "knn_ivf",
+      "knn_bruteforce", "knn_ivf", "knn_lsh_recall", "knn_ivf_recall",
       "value_band_counts", "tfidf_top_terms")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -38,5 +41,21 @@ class ContractSpec extends AnyFunSuite {
         catch { case t: Throwable => Some(s"$name: ${t.getMessage}") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("approximate ANN indexes clear their recall@10 floor") {
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    // deterministic hyperplanes/centroids -> stable recall; floors are
+    // the fixture-observed values with margin, guarding parameter drift
+    // fixture-observed: lsh 0.10 (6-bit x 4-table buckets on a 500-vec
+    // near-uniform collection), ivf 0.42 (4/16 lists probed)
+    val lsh = Similarity.knnLshRecall(emb).collect()(0)
+    assert(lsh.getAs[Double]("recall_at_k") >= 0.05,
+      s"knn_lsh recall@10 ${lsh.getAs[Double]("recall_at_k")} below floor")
+    val ivf = Similarity.knnIvfRecall(emb).collect()(0)
+    assert(ivf.getAs[Double]("recall_at_k") >= 0.25,
+      s"knn_ivf recall@10 ${ivf.getAs[Double]("recall_at_k")} below floor")
   }
 }

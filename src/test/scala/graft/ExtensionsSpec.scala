@@ -36,14 +36,18 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(s.sql("SELECT size(winnow_fingerprints('abcdefghijklmnop', 8, 4)) AS n")
         .collect()(0).getInt(0) >= 1)
       assert(s.sql(
-        "SELECT simhash_agg(xxhash64(t), 1L) AS h FROM VALUES ('a'), ('b') AS v(t)")
+        "SELECT simhash_agg(poly_hash62(t), 1L) AS h FROM VALUES ('a'), ('b') AS v(t)")
         .collect()(0).getLong(0) !== 0L)
       // per-row kernel agrees with the aggregate formulation
       val pair = s.sql(
         """SELECT simhash64(array('a', 'b')) AS d,
-          |  (SELECT simhash_agg(xxhash64(t), 1L) FROM VALUES ('a'), ('b') AS v(t)) AS a"""
+          |  (SELECT simhash_agg(poly_hash62(t), 1L) FROM VALUES ('a'), ('b') AS v(t)) AS a"""
           .stripMargin).collect()(0)
       assert(pair.getLong(0) === pair.getLong(1))
+      // poly_hash62 reference values: portable definition is pinned —
+      // h131("ab") = (97*131+98) = 12805, h137("ab") = (97*137+98) = 13387
+      assert(s.sql("SELECT poly_hash62('ab') AS h").collect()(0).getLong(0)
+        === (12805L | (13387L << 31)))
       val tk = s.sql(
         "SELECT map_keys(topk_sketch(t, 1, 8))[0] AS top FROM VALUES ('a'), ('b'), ('a') AS v(t)")
         .collect()(0).getString(0)

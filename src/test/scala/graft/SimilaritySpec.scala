@@ -108,4 +108,44 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(pairs.forall { case (a, b) => a < b })
   }
+
+  test("block-pair near-dup matches a driver-computed all-pairs reference") {
+    val got = Similarity.embeddingNearDup(emb, threshold = 0.40)
+      .as[(Long, Long)].collect().toSet
+    val vecs = emb.as[(Long, Array[Float], Int)].collect()
+      .map(r => r._1 -> r._2)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.40
+    } yield (ia, ib)).toSet
+    assert(got === want, "block-pair plan must be exactly the all-pairs set")
+    // and the plan must be shuffled equi-joins, not a nested loop
+    val plan = Similarity.embeddingNearDup(emb, threshold = 0.40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "exact near-dup must not plan an all-pairs join")
+  }
+
+  test("LSH near-dup is an exact-verified subset with usable recall") {
+    val exact = Similarity.embeddingNearDup(emb, threshold = 0.40)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.embeddingNearDupLsh(emb, threshold = 0.40)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      "every LSH-emitted pair must clear the exact threshold (precision 1)")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      // deterministic hyperplanes -> stable recall; bound is the floor
+      // observed on the fixture with margin, guarding parameter drift
+      assert(recall >= 0.20, f"LSH near-dup recall $recall%.2f too low")
+    }
+  }
 }
