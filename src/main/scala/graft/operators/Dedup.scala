@@ -302,11 +302,15 @@ object Dedup {
     * O(component diameter) rounds. Near-dup clusters are shallow
     * (diameter ≤ a few hops — a dup cluster is near-clique by
     * construction), so the round count stays small even on a 100 TB
-    * corpus; for adversarially long chains the alternating
-    * large-star/small-star formulation (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") drops rounds to
-    * O(log² n) at the cost of re-keying edges — same join/agg
-    * primitives, swap in if profiling demands it.
+    * corpus. For adversarially long chains, propagation is BOUNDED:
+    * after `starFallbackAfter` non-converged rounds it abandons the
+    * partial labels and re-solves with [[connectedComponentsStar]]
+    * (alternating large-star/small-star, O(log² n) rounds — Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"), so a
+    * pathological dup-chain degrades a 100 TB run to the log² path
+    * instead of stalling it at diameter rounds. Star contraction is
+    * not the default because on the COMMON shallow graphs it costs
+    * ~2× the shuffles per round of plain propagation.
     *
     * Each round is one shuffle join (edges ⋈ labels, both hash-
     * partitioned on the same key so AQE reuses the exchange) plus a
@@ -321,7 +325,8 @@ object Dedup {
     * 2-job rounds with one collect. Set it to 0 to force the
     * distributed path. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25, localEdgeThreshold: Long = 1L << 22): DataFrame = {
+      maxIter: Int = 25, localEdgeThreshold: Long = 1L << 22,
+      starFallbackAfter: Int = 15): DataFrame = {
     val spark = edges.sparkSession
     // checkpoint the one-directional list FIRST: `union(e, e.swapped)`
     // references `edges` twice, and a union recomputes each branch's
@@ -365,7 +370,8 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    val propagationCap = math.min(maxIter, starFallbackAfter)
+    while (changed > 0 && iter < propagationCap) {
       val nbr = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
       val stepped = nbr.union(labels)
@@ -377,9 +383,85 @@ object Dedup {
       labels = stepped.select(col("id"), col("next_label").as("label"))
       iter += 1
     }
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("label").as("component"))
+    if (changed > 0) connectedComponentsStar(e1, "src", "dst")
+    else labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Connected components via the ALTERNATING star algorithm (Kiveris
+    * et al. 2014): converges in O(log² n) rounds regardless of
+    * component diameter — the bounded-round path a pathological graph
+    * falls back to.
+    *
+    *  - large-star: per node u, hook every LARGER neighbor to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: orient edges large→small, then per node u hook u
+    *    and its (all smaller) neighbors to their minimum.
+    *
+    * Both steps are one shuffle each (groupBy + join on the node id)
+    * and strictly never increase the edge count past the input's; each
+    * round `localCheckpoint`s to truncate lineage. Convergence = the
+    * small-star output is a fixpoint (edge multiset unchanged —
+    * checked by count + order-insensitive hash signature, then the
+    * star-forest shape is verified structurally: every src maps to
+    * exactly one root and no root is itself a src). */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 32): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = bidir.groupBy("src")
+        .agg(least(min("dst"), first("src")).as("m"))
+      bidir.join(m, "src")
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val m = oriented.groupBy("u").agg(min("v").as("m"))
+      val hookNbrs = oriented.join(m, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+      val hookSelf = m.select(col("u").as("src"), col("m").as("dst"))
+      hookNbrs.union(hookSelf)
+        .where(col("src") =!= col("dst")).distinct()
+    }
+    // order-insensitive SET signature: edge lists here are distinct(),
+    // so xor of per-edge hashes identifies the set (no ANSI overflow,
+    // unlike sum)
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(cur)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      iter += 1
+    }
+    require(converged, s"star contraction did not converge in $maxIter rounds")
+    // structural star-forest check (guards the probabilistic signature):
+    // each src appears once, and no dst is also a src
+    require(cur.groupBy("src").count().where(col("count") > 1).isEmpty &&
+      cur.select("dst").distinct()
+        .join(cur.select(col("src")), col("dst") === col("src")).isEmpty,
+      "star contraction fixpoint is not a star forest")
+    val roots = cur.select(col("dst")).distinct()
+      .select(col("dst").as("id"), col("dst").as("component"))
+    cur.select(col("src").as("id"), col("dst").as("component"))
+      .union(roots)
   }
 
   /** Near-dup clustering: exact n-gram Jaccard pairs →

@@ -7,6 +7,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.LogEvent
 import graft.operators.Windows
 
+/** The pluggable sink boundary of the streaming pipeline: the three
+  * write verbs the reference issues against Redis
+  * (`RedisIO.write().withMethod(Method.X)`,
+  * MetricsCalculationPipeline.java:54-57), as a trait a real client
+  * drops into. The pipeline only ever WRITES through this interface —
+  * reads (timeseries/overlap, the dashboard face) live on the concrete
+  * store, exactly as the reference's dashboard reads Redis directly.
+  *
+  * Mapping to the reference's sink methods:
+  *  - `incrBy`  ↔ `Method.INCRBY` (visit counters; the pipeline sends
+  *    per-batch PARTIAL counts, so the sink-side merge is commutative
+  *    addition — at-least-once delivery under mid-batch crash, same
+  *    contract as RedisIO)
+  *  - `sadd`    ↔ `Method.SADD` (exact member sets; idempotent)
+  *  - `put`     ↔ `Method.PFADD`'s rollup face: Spark's HLL aggregate
+  *    already holds the merged sketch per key, so the sink receives
+  *    the materialized PFCOUNT as an upsert (last-write-wins), rather
+  *    than raw members. A Redis impl would PFADD members instead and
+  *    let Redis merge — both are order-insensitive.
+  *
+  * Implementations must be Serializable: the sink is captured by
+  * `foreachBatch` closures (driver-side execution, but Spark
+  * checkpoints the closure).
+  */
+trait KeyValueMetricsSink extends Serializable {
+  /** Commutative counter merge (Redis INCRBY). */
+  def incrBy(key: String, n: Long): Unit
+  /** Last-write-wins upsert of a materialized aggregate (the PFCOUNT
+    * of Spark's own merged HLL state). */
+  def put(key: String, v: Long): Unit
+  /** Idempotent member-set union (Redis SADD). */
+  def sadd(key: String, members: Iterable[String]): Unit
+}
+
 /** The streaming metrics store — the engine's stand-in for the
   * reference's Redis instance. Keys follow the reference's key language
   * `{family}_{dims}_{minute}` (MetricsCalculationPipeline.java:198-243);
@@ -17,9 +51,11 @@ import graft.operators.Windows
   *
   * In production this would be an external KV store written from
   * `foreachBatch`; a TrieMap keeps the engine self-contained and the
-  * merge semantics identical.
+  * merge semantics identical. The write face is [[KeyValueMetricsSink]]
+  * — swap in a Redis-backed implementation and the pipeline is the
+  * reference's, verbatim.
   */
-class MetricsStore extends Serializable {
+class MetricsStore extends KeyValueMetricsSink {
   val counters = TrieMap.empty[String, Long]
   val sets = TrieMap.empty[String, Set[String]]
 
@@ -89,7 +125,7 @@ object StreamingMetrics {
   /** Stateless branch projections (P2–P8) + store merges, one streaming
     * query per reference pipeline branch family. Returns the started
     * queries; callers own their lifecycle. */
-  def startPipeline(events: Dataset[LogEvent], store: MetricsStore,
+  def startPipeline(events: Dataset[LogEvent], store: KeyValueMetricsSink,
       watermark: Option[String] = None): Seq[StreamingQuery] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -147,7 +183,7 @@ object StreamingMetrics {
     * under mid-batch crashes; the reference's INCRBY sink has the same
     * contract, and the batchId parameter is the dedup key an idempotent
     * store would use. */
-  def startVisitsCheckpointed(events: Dataset[LogEvent], store: MetricsStore,
+  def startVisitsCheckpointed(events: Dataset[LogEvent], store: KeyValueMetricsSink,
       checkpointDir: String, queryName: String): StreamingQuery =
     events.toDF()
       .select(minuteKey("visitCounter").as("k"))

@@ -71,6 +71,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 1L))
   }
 
+  test("adversarial path graph: propagation budget trips the star fallback, result stays exact") {
+    // diameter 256 ≫ the 15-round propagation budget — without the
+    // fallback this would need 255 rounds (or abort); star contraction
+    // must solve it in ≤ 32 log-rounds
+    val n = 256L
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain, "a", "b",
+      localEdgeThreshold = 0L).as[(Long, Long)].collect()
+    assert(got.length === n)
+    assert(got.forall(_._2 == 1L), "every chain node must label to the min id")
+  }
+
+  test("star contraction solves star/clique/disjoint shapes directly") {
+    // star centered high (hooks go to min), a triangle, and an
+    // isolated pair — mixed shapes in one edge list
+    val edges = Seq((10L, 1L), (10L, 2L), (10L, 3L), // star
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (30L, 31L)) // pair
+      .toDF("a", "b")
+    val got = Dedup.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("connected components: local and distributed paths agree on the real near-dup graph") {
     val pairs = Dedup.ngramJaccardPairs(docs).select("doc_id_a", "doc_id_b")
     val local = Dedup.connectedComponents(pairs, "doc_id_a", "doc_id_b")

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Loggen, Tables}
+import graft.streaming.{MetricsStore, StreamingMetrics}
+import graft.operators.Metrics
+
+/** SURVEY §5.5 parity smoke — the whole reference system in one test:
+  * loggen model → JSON wire → parse (P1, malformed drop) → streaming
+  * pipeline fan-out → store merges → the five dashboard endpoint reads
+  * (Q1–Q5), each asserted equal to its batch twin over the same
+  * events. This is the end-to-end proof that the streaming and batch
+  * faces of the engine compute the SAME metric catalog.
+  */
+class LoggenParitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("loggen → wire → parse → stream → store reads ≡ batch twins (Q1–Q5)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+
+    // ~25 simulated minutes at 4 ev/s — enough closed minutes for the
+    // 10-minute dashboard windows, small enough to stream in seconds
+    val msgs = Loggen.wireMessages(n = 6000, eventsPerSec = 4)
+    val parsed = Tables.parseJsonEvents(msgs.toDF("value")).cache()
+    val events = parsed.collect().map { r =>
+      LogEvent(r.getString(0), r.getString(1), r.getString(2),
+        java.sql.Timestamp.from(r.getTimestamp(3).toInstant))
+    }
+    assert(events.length === 6000, "wire format must parse losslessly")
+
+    // --- streaming face: three micro-batches through the pipeline ---
+    val input = MemoryStream[LogEvent]
+    val store = new MetricsStore
+    val queries = StreamingMetrics.startPipeline(input.toDS(), store)
+    try {
+      events.grouped(2048).foreach { batch =>
+        input.addData(batch.toSeq)
+        queries.foreach(_.processAllAvailable())
+      }
+    } finally queries.foreach(_.stop())
+
+    // --- batch face over the identical events ---
+    val ev = parsed.toDF()
+    val nowMinute = events.map(_.timestamp.toInstant).max
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+
+    // Q1 visits: store read vs zero-filled batch series
+    val q1Batch = Metrics.visitsTimeseries(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(store.timeseries("visitCounter", nowMinute, 10) === q1Batch)
+
+    // Q2 unique users (exact SADD/SCARD face)
+    val q2Batch = Metrics.usersTimeseries(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(store.timeseries("set_dthr", nowMinute, 10, fromSets = true)
+      === q2Batch)
+
+    // Q3 active experiments
+    val q3Batch = Metrics.experimentsTimeseries(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(store.timeseries("set_experiments", nowMinute, 10, fromSets = true)
+      === q3Batch)
+
+    // Q4 variant overlap — all-time pairwise set intersections
+    val q4Batch = Metrics.variantOverlap(ev)
+      .as[(String, String, Long)].collect().toSeq
+    assert(store.overlap("set_var_") === q4Batch)
+    // the generator's 4 variants all appear → C(4,2) pairs
+    assert(q4Batch.length === 6)
+
+    // Q5 times spine: same closed-minute labels from both faces
+    val q5Batch = Metrics.timesSpine(ev).as[String].collect().toSeq
+    assert(store.timeseries("visitCounter", nowMinute, 10).map(_._1)
+      === q5Batch)
+
+    // the uid-drift model must actually drift: multiple distinct uids
+    // per minute AND overlap across minutes (the property the
+    // reference's build_user_id exists to create)
+    val perMin = events.groupBy(e => e.timestamp.toInstant.getEpochSecond / 60)
+      .view.mapValues(_.map(_.uid).toSet).toMap
+    assert(perMin.values.forall(_.size > 1))
+    val minutes = perMin.keys.toSeq.sorted
+    val overlaps = minutes.zip(minutes.tail).map { case (a, b) =>
+      (perMin(a) & perMin(b)).size }
+    assert(overlaps.count(_ > 0) === overlaps.length,
+      "consecutive minutes should share drifting users")
+    parsed.unpersist()
+    ()
+  }
+}

@@ -199,8 +199,11 @@ class PropertySpec extends AnyFunSuite {
         .as[(Long, Long)].collect().toMap
       val dist = graft.operators.Dedup.connectedComponents(df, "a", "b",
         localEdgeThreshold = 0L).as[(Long, Long)].collect().toMap
+      val star = graft.operators.Dedup.connectedComponentsStar(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
       assert(local === want)
       assert(dist === want)
+      assert(star === want)
     }
   }
 }

@@ -54,6 +54,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally queries.foreach(_.stop())
   }
 
+  test("pipeline writes only through the KeyValueMetricsSink trait — a foreign sink is a drop-in") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // a stand-in for a real Redis client: records raw verb calls, shares
+    // no code with MetricsStore — proves the boundary carries everything
+    // the pipeline emits
+    class RecordingSink extends graft.streaming.KeyValueMetricsSink {
+      val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]
+      def incrBy(key: String, n: Long): Unit = { calls.add(("INCRBY", key, n)); () }
+      def put(key: String, v: Long): Unit = { calls.add(("SET", key, v)); () }
+      def sadd(key: String, members: Iterable[String]): Unit = {
+        calls.add(("SADD", key, members.size.toLong)); ()
+      }
+    }
+    val input = MemoryStream[LogEvent]
+    val sink = new RecordingSink
+    val queries = StreamingMetrics.startPipeline(input.toDS(), sink)
+    try {
+      input.addData(
+        ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+        ev("u2", "e1", "2", "2026-08-12 10:15:30"))
+      queries.foreach(_.processAllAvailable())
+      import scala.jdk.CollectionConverters._
+      val byVerb = sink.calls.asScala.toSeq.groupBy(_._1)
+      // INCRBY carries the per-batch partial count for the minute
+      assert(byVerb("INCRBY") === Seq(("INCRBY", "visitCounter_2026_08_12T10_15", 2L)))
+      // every set family reached the sink via SADD
+      val saddKeys = byVerb("SADD").map(_._2).toSet
+      assert(saddKeys === Set("set_dthr_2026_08_12T10_15",
+        "set_var_1", "set_var_2", "set_experiments_2026_08_12T10_15"))
+      // the HLL rollup arrives as a materialized upsert
+      assert(byVerb("SET") === Seq(("SET", "hll_dthr_2026_08_12T10_15", 2L)))
+    } finally queries.foreach(_.stop())
+  }
+
   test("watermarked variant (documented deviation) still folds in-window late data") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
