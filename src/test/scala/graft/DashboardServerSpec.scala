@@ -1,0 +1,56 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serving.DashboardServer
+import graft.streaming.MetricsStore
+
+/** The five REST endpoints against a populated store, with a pinned
+  * clock — response shape and values mirror the reference controller
+  * (nil→0 zero-fill, recent-first times, pairwise overlap). */
+class DashboardServerSpec extends AnyFunSuite {
+
+  private def get(port: Int, path: String): String = {
+    val client = HttpClient.newHttpClient()
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  test("all five endpoints serve the store with reference semantics") {
+    val store = new MetricsStore
+    // two closed minutes of state; 10:17 is "now" (stays incomplete)
+    store.incrBy("visitCounter_2026_08_12T10_15", 3L)
+    store.incrBy("visitCounter_2026_08_12T10_16", 2L)
+    store.put("hll_dthr_2026_08_12T10_15", 2L)
+    store.sadd("set_experiments_2026_08_12T10_16", Seq("e1", "e2"))
+    store.sadd("set_var_1", Seq("u1", "u2"))
+    store.sadd("set_var_2", Seq("u2", "u3"))
+    val clock = () => java.time.LocalDateTime.of(2026, 8, 12, 10, 17, 42)
+    val srv = new DashboardServer(store, port = 0, clock = clock).start()
+    try {
+      val port = srv.boundPort
+      // visits: recent-first, nil -> 0 for the unseen 10:14
+      assert(get(port, "/metrics/timeseries/visits?lastMinutes=3") ===
+        """[{"timestamp":"2026-08-12T10:16:00Z","metric":2},""" +
+        """{"timestamp":"2026-08-12T10:15:00Z","metric":3},""" +
+        """{"timestamp":"2026-08-12T10:14:00Z","metric":0}]""")
+      // users: the PFCOUNT upsert face
+      assert(get(port, "/metrics/timeseries/users?lastMinutes=2") ===
+        """[{"timestamp":"2026-08-12T10:16:00Z","metric":0},""" +
+        """{"timestamp":"2026-08-12T10:15:00Z","metric":2}]""")
+      // experiments: SCARD face
+      assert(get(port, "/metrics/timeseries/experiments?lastMinutes=2") ===
+        """[{"timestamp":"2026-08-12T10:16:00Z","metric":2},""" +
+        """{"timestamp":"2026-08-12T10:15:00Z","metric":0}]""")
+      // variant overlap: one shared user between variants 1 and 2
+      assert(get(port, "/metrics/timeseries/variantsOverlap") ===
+        """[{"dimensions":["1","2"],"metric":1}]""")
+      // times: the spine itself, default lastMinutes=10
+      val times = get(port, "/metrics/timeseries/times")
+      assert(times.startsWith("""["2026-08-12T10:16:00Z","2026-08-12T10:15:00Z""""))
+      assert(times.split(",").length === 10)
+    } finally srv.stop()
+  }
+}
