@@ -104,6 +104,7 @@ object SparkEntry {
       Analytics.nationAccountsFull(Tables.customer(s, d), Tables.supplier(s, d))),
     "part_color_stats" -> ((s, d) => Analytics.partColorStats(Tables.part(s, d))),
     "value_stats_by_type" -> ((s, d) => Analytics.valueStatsByType(Tables.events(s, d))),
+    "value_winsorized" -> ((s, d) => Analytics.valueWinsorized(Tables.events(s, d))),
     "user_enriched_salted" -> ((s, d) => Skew.userEnrichedSalted(Tables.events(s, d))),
     "first_event_per_user_minute" -> ((s, d) =>
       Analytics.firstEventPerUserMinute(Tables.events(s, d))),
@@ -168,6 +169,7 @@ object SparkEntry {
       TextAnalysis.charNgramExplode(s, par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
+    "cap_per_source" -> ((s, d) => Corpus.capPerSource(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) =>
       Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
@@ -337,6 +339,7 @@ object SparkEntry {
     "nation_accounts_full" -> Analytics.nationAccountsFullSql,
     "part_color_stats" -> Analytics.partColorStatsSql,
     "value_stats_by_type" -> Analytics.valueStatsByTypeSql,
+    "value_winsorized" -> Analytics.valueWinsorizedSql,
     "user_enriched_salted" -> Skew.userEnrichedSaltedSql,
     "first_event_per_user_minute" -> Analytics.firstEventPerUserMinuteSql,
     "value_percentiles" -> Relational.valuePercentilesSql,
@@ -383,6 +386,7 @@ object SparkEntry {
     "unigram_familiarity" -> TextAnalysis.unigramFamiliaritySql(),
     "ngram_repetition" -> TextAnalysis.ngramRepetitionSql(),
     "hash_split" -> Corpus.hashSplitSql(),
+    "cap_per_source" -> Corpus.capPerSourceSql(),
     "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),
     "chunk_dedup" -> Corpus.chunkDedupSql(),

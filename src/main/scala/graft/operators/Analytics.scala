@@ -419,6 +419,64 @@ object Analytics {
        |  s1 / CAST(n AS DOUBLE) AS mean_value,
        |  sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value
        |FROM g ORDER BY event_type""".stripMargin
+  /** Winsorized moments per event type: clip values at the exact
+    * per-group p01/p99, then mean/stddev from decimal two-sums — the
+    * outlier-robust normalization stat a feature pipeline computes
+    * before scaling. The bounds come from EXACT interpolated
+    * percentiles (one per-group sort at this stage; the approx sketch
+    * twin of that trade lives in `value_percentiles_approx`), each
+    * quantized through DECIMAL(18,6) so both engines clip against
+    * bit-identical bounds; the clipped stream then reuses the
+    * [[valueStatsByType]] two-sums formulation. Bounds are a 5-row
+    * frame → broadcast join, never a shuffle of events. */
+  def valueWinsorized(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy("event_type")
+      .agg(
+        expr("CAST(CAST(percentile(value, 0.01) AS DECIMAL(18,6)) AS DOUBLE)")
+          .as("lo"),
+        expr("CAST(CAST(percentile(value, 0.99) AS DECIMAL(18,6)) AS DOUBLE)")
+          .as("hi"))
+    events.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("lo"), col("hi"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("v"))
+      .groupBy("event_type")
+      .agg(first("lo").as("lo"), first("hi").as("hi"),
+        count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE)").as("s1"),
+        // wide integer part: v is bounded only by the p99 bound, which
+        // interpolates toward outliers when groups are small
+        expr("CAST(sum(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE)").as("s2"))
+      .select(col("event_type"), col("n"), col("lo"), col("hi"),
+        expr("CAST(CAST(s1 / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)")
+          .as("win_mean"),
+        expr("""CAST(CAST(sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) /
+               |  (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,9)) AS DOUBLE)"""
+          .stripMargin).as("win_stddev"))
+      .orderBy("event_type")
+  }
+
+  val valueWinsorizedSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(CAST(quantile_cont(value, 0.01) AS DECIMAL(18,6)) AS DOUBLE) AS lo,
+      |    CAST(CAST(quantile_cont(value, 0.99) AS DECIMAL(18,6)) AS DOUBLE) AS hi
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT e.event_type, b.lo, b.hi,
+      |    least(greatest(e.value, b.lo), b.hi) AS v
+      |  FROM events e JOIN b USING (event_type)),
+      |s AS (
+      |  SELECT event_type, any_value(lo) AS lo, any_value(hi) AS hi,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE) AS s2
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, n, lo, hi,
+      |  CAST(CAST(s1 / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS win_mean,
+      |  CAST(CAST(sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,9)) AS DOUBLE) AS win_stddev
+      |FROM s ORDER BY event_type""".stripMargin
+
   /** Forward fill (last observation carried forward): per user, the
     * most recent purchase value as of each event — the gap-filling
     * primitive for sparse observations in a dense event stream

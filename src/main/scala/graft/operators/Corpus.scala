@@ -68,6 +68,40 @@ object Corpus {
   val DemoRates: Map[String, Int] =
     (0 until 20).map(i => s"src$i" -> (100 - (i % 4) * 25)).toMap
 
+  /** Deterministic per-source cap: keep at most `k` docs per source,
+    * chosen by content-stable hash RANK (not hash threshold like
+    * [[mixtureSample]] — a rate can't express "exactly k of an
+    * unknown-size source"). The hash order is a uniform shuffle of
+    * each source, so the kept set is an unbiased fixed-size sample
+    * that is stable under re-runs, resharding, and corpus growth
+    * upstream of the capped source. The `row_number ≤ k` idiom is
+    * exactly what [[graft.plans.TopKRewriteRule]] rewrites to bounded
+    * per-group heaps — no per-source sort at 100 TB. Output carries
+    * `sample_rank` so downstream can tighten the cap without
+    * re-ranking. */
+  def capPerSource(documents: DataFrame, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(h.asc, col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("source"),
+        col("rn").cast("long").as("sample_rank"))
+      .orderBy("source", "sample_rank")
+  }
+
+  def capPerSourceSql(k: Int = 50): String =
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT,
+       |        doc_id) AS rn
+       |  FROM documents)
+       |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+       |FROM r WHERE rn <= $k ORDER BY source, sample_rank""".stripMargin
+
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word k-grams with a benchmark/eval doc (here: the
     * deterministic doc_id % benchMod == 0 sample stands in for an eval

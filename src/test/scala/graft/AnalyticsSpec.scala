@@ -157,6 +157,27 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, 2L, 2L, 0.0, true)))
   }
 
+  test("valueWinsorized: outliers clip to the percentile bounds, mean stays robust") {
+    import org.apache.spark.sql.functions.col
+    // 999 tame values + one absurd outlier: p99's interpolation index
+    // (0.99*999 = 989.01) stays inside the tame range
+    val rows = (1 to 999).map(i => ("view", (i % 100).toDouble + 1)) :+ ("view", 1e9)
+    val ev = rows.toDF("event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.lit("2026-01-01 00:00:00").cast("timestamp"))
+    val r = Analytics.valueWinsorized(ev).collect()(0)
+    val (n, lo, hi, mean, sd) = (r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(n === 1000L) // clipping keeps every row
+    // p99 with interpolation sits inside the tame range — the 1e9
+    // outlier must be clipped to it, so the mean stays near 50
+    assert(hi < 1000.0 && lo >= 1.0)
+    assert(mean > 40.0 && mean < 60.0,
+      s"winsorized mean $mean should shrug off the 1e9 outlier")
+    assert(sd > 0.0 && sd < 60.0)
+    // degenerate: raw mean would be ~1e7 — assert we actually beat it
+    assert(mean < 1e6)
+  }
+
   test("nationAccountsFull keeps one-sided nations with zeroed other side") {
     val cust = Seq((1L, "a", 0, 10.0), (2L, "b", 7, 5.0))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")

@@ -129,4 +129,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(0) === "contact <EMAIL> or <PHONE> id <ID>")
     assert(out(1) === "nothing sensitive here")
   }
+
+  test("capPerSource: exactly min(k, |source|) docs, contiguous ranks, cross-source independence") {
+    val docs = ((1L to 30L).map(i => (i, s"doc $i", "srcA")) ++
+      (31L to 33L).map(i => (i, s"doc $i", "srcB")))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.capPerSource(docs, k = 10)
+      .as[(Long, String, Long)].collect()
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("srcA").length === 10) // capped
+    assert(bySrc("srcB").length === 3) // smaller than k -> all kept
+    assert(bySrc("srcA").map(_._3).sorted.toSeq === (1L to 10L))
+    // determinism + independence: srcA's kept set must not change when
+    // OTHER sources grow (the property a per-source cap exists for)
+    val more = docs.union(Seq((99L, "new doc", "srcB")).toDF("doc_id", "text", "source"))
+    val again = Corpus.capPerSource(more, k = 10)
+      .as[(Long, String, Long)].collect()
+    assert(again.filter(_._2 == "srcA").map(_._1).toSet ===
+      bySrc("srcA").map(_._1).toSet)
+    // tightening the cap = prefix of the ranked sample
+    val tighter = Corpus.capPerSource(docs, k = 5)
+      .as[(Long, String, Long)].collect()
+    assert(tighter.filter(_._2 == "srcA").map(_._1).toSet ===
+      bySrc("srcA").filter(_._3 <= 5).map(_._1).toSet)
+  }
 }
