@@ -403,10 +403,19 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         expr(s"$SumValue").as("s1"),
         expr(s"$SumValueSq").as("s2"))
+      // degenerate-group guards, engine-divergence-proof: DuckDB maps
+      // double x/0 to NULL (Spark: NaN/Inf) and ERRORS on sqrt(<0)
+      // (Spark: NaN) — so singleton groups emit NULL stddev on both
+      // engines, and FP cancellation can never push the variance
+      // argument negative (greatest(0, ·) is the identity whenever the
+      // true variance is positive, so non-degenerate values are
+      // bit-identical to the unguarded form)
       .select(col("event_type"), col("n"),
         expr("s1 / CAST(n AS DOUBLE)").as("mean_value"),
-        expr("sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))")
-          .as("stddev_value"))
+        expr("""CASE WHEN n > 1 THEN
+               |  sqrt(greatest(CAST(0 AS DOUBLE),
+               |    s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+               |ELSE NULL END""".stripMargin).as("stddev_value"))
       .orderBy("event_type")
 
   val valueStatsByTypeSql: String =
@@ -417,7 +426,10 @@ object Analytics {
        |  FROM events GROUP BY 1)
        |SELECT event_type, n,
        |  s1 / CAST(n AS DOUBLE) AS mean_value,
-       |  sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS stddev_value
+       |  CASE WHEN n > 1 THEN
+       |    sqrt(greatest(CAST(0 AS DOUBLE),
+       |      s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+       |  ELSE NULL END AS stddev_value
        |FROM g ORDER BY event_type""".stripMargin
   /** Winsorized moments per event type: clip values at the exact
     * per-group p01/p99, then mean/stddev from decimal two-sums — the
@@ -446,12 +458,15 @@ object Analytics {
         // wide integer part: v is bounded only by the p99 bound, which
         // interpolates toward outliers when groups are small
         expr("CAST(sum(CAST(v * v AS DECIMAL(30,6))) AS DOUBLE)").as("s2"))
+      // same degenerate-group guards as [[valueStatsByType]]
       .select(col("event_type"), col("n"), col("lo"), col("hi"),
         expr("CAST(CAST(s1 / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE)")
           .as("win_mean"),
-        expr("""CAST(CAST(sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) /
-               |  (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,9)) AS DOUBLE)"""
-          .stripMargin).as("win_stddev"))
+        expr("""CASE WHEN n > 1 THEN
+               |  CAST(CAST(sqrt(greatest(CAST(0 AS DOUBLE),
+               |    s2 - (s1 * s1) / CAST(n AS DOUBLE)) /
+               |  (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,9)) AS DOUBLE)
+               |ELSE NULL END""".stripMargin).as("win_stddev"))
       .orderBy("event_type")
   }
 
@@ -473,8 +488,11 @@ object Analytics {
       |  FROM c GROUP BY 1)
       |SELECT event_type, n, lo, hi,
       |  CAST(CAST(s1 / CAST(n AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS win_mean,
-      |  CAST(CAST(sqrt((s2 - (s1 * s1) / CAST(n AS DOUBLE)) /
-      |    (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,9)) AS DOUBLE) AS win_stddev
+      |  CASE WHEN n > 1 THEN
+      |    CAST(CAST(sqrt(greatest(CAST(0 AS DOUBLE),
+      |      s2 - (s1 * s1) / CAST(n AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) - 1)) AS DECIMAL(18,9)) AS DOUBLE)
+      |  ELSE NULL END AS win_stddev
       |FROM s ORDER BY event_type""".stripMargin
 
   /** Forward fill (last observation carried forward): per user, the
@@ -621,18 +639,29 @@ object Analytics {
         expr("sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4)))").as("sxy"))
       // 1e-12 quantization: the engines' DECIMAL->DOUBLE casts can
       // differ by 1 ulp (~4e-18 here), which a raw double compare
-      // trips on; 12 decimals sit 5 orders above that noise floor
+      // trips on; 12 decimals sit 5 orders above that noise floor.
+      // Zero-variance guards: a constant column makes the denominator
+      // 0 (or, by FP cancellation, epsilon-negative) — Spark would
+      // emit NaN where DuckDB NULLs double x/0 and ERRORS on
+      // sqrt(<0), so both engines take the same NULL branch instead;
+      // non-degenerate values are untouched (the guard condition
+      // evaluates on identical doubles in both engines)
       .select(col("l_returnflag"), col("n"),
-        expr("""CAST(CAST(
+        expr("""CASE WHEN
+               |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND
+               |  (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+               |THEN CAST(CAST(
                |(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                |(sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                | sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-               |AS DECIMAL(18,12)) AS DOUBLE)"""
+               |AS DECIMAL(18,12)) AS DOUBLE) ELSE NULL END"""
           .stripMargin).as("corr_qty_price"),
-        expr("""CAST(CAST(
+        expr("""CASE WHEN
+               |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+               |THEN CAST(CAST(
                |(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
                |(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-               |AS DECIMAL(18,12)) AS DOUBLE)"""
+               |AS DECIMAL(18,12)) AS DOUBLE) ELSE NULL END"""
           .stripMargin).as("regr_slope"))
       .orderBy("l_returnflag")
 
@@ -645,15 +674,20 @@ object Analytics {
       |  sum(CAST(l_quantity * l_extendedprice AS DECIMAL(22,4))) AS sxy
       |  FROM lineitem GROUP BY 1)
       |SELECT l_returnflag, n::BIGINT AS n,
-      |  CAST(CAST(
+      |  CASE WHEN
+      |    (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0 AND
+      |    (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+      |  THEN CAST(CAST(
       |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |  (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |   sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-      |  AS DECIMAL(18,12)) AS DOUBLE) AS corr_qty_price,
-      |  CAST(CAST(
+      |  AS DECIMAL(18,12)) AS DOUBLE) ELSE NULL END AS corr_qty_price,
+      |  CASE WHEN
+      |    (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+      |  THEN CAST(CAST(
       |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-      |  AS DECIMAL(18,12)) AS DOUBLE) AS regr_slope
+      |  AS DECIMAL(18,12)) AS DOUBLE) ELSE NULL END AS regr_slope
       |FROM s ORDER BY 1""".stripMargin
 
   /** Fixed-width histogram of event values: bin = floor(value /

@@ -308,24 +308,28 @@ object Similarity {
     * list; each query probes its `nProbe` closest lists and re-ranks
     * only their members exactly. At 100 TB the lists are storage
     * partitions, so a probe is a partition-pruned scan instead of a
-    * full pass. Approximate (a true neighbor living outside every
+    * full pass. The probe join is an EQUI-join: each query explodes
+    * into its nProbe (query, cluster_id) probe rows, which hash-join
+    * the assigned collection on `cluster_id` — no nested-loop
+    * `array_contains` scan, and at scale the same key drives partition
+    * pruning. Approximate (a true neighbor living outside every
     * probed list is lost) — rows-only query, recall measured against
-    * [[knnBruteForce]] in tests. */
+    * [[knnBruteForce]] in tests and reported by [[knnIvfRecall]]. */
   def knnIvf(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
       nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
     val assigned = ivfAssign(embeddings, nList, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe set per query: indices of the nProbe best centroid scores
-    val queries = withScores(
+    // probe rows per query: one (query_id, q_emb, cluster_id) row per
+    // probed list — the nProbe best centroid scores
+    val probes = withScores(
         embeddings.where(pmod(col("vec_id"), lit(queryMod)) === 0), nList, dim)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        expr(s"""slice(array_sort(
+        explode(expr(s"""slice(array_sort(
             |  transform(cent_scores, (s, i) -> struct(-s AS ns, i AS idx))),
-            |  1, $nProbe).idx""".stripMargin).as("probes"))
+            |  1, $nProbe).idx""".stripMargin)).as("cluster_id"))
     val candidates = assigned
-      .join(broadcast(queries),
-        array_contains(col("probes"), col("cluster_id")) &&
-          col("vec_id") =!= col("query_id"))
+      .join(broadcast(probes), Seq("cluster_id"))
+      .where(col("vec_id") =!= col("query_id"))
     val scored = candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
       (expr("vec_dot(q_emb, embedding)") /
         (expr("sqrt(vec_dot(q_emb, q_emb))") *

@@ -178,6 +178,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(mean < 1e6)
   }
 
+  test("moment stats: degenerate groups yield NULL, never NaN/Inf (oracle-divergence guard)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // constant-value group (true variance 0, FP cancellation can go
+    // epsilon-negative) and a singleton group (n-1 = 0)
+    val ev = (Seq.fill(50)(("view", 7.25)) :+ ("click", 3.0))
+      .toDF("event_type", "value")
+      .withColumn("ts", lit("2026-01-01 00:00:00").cast("timestamp"))
+    val stats = Analytics.valueStatsByType(ev).collect()
+    val view = stats.find(_.getString(0) == "view").get
+    val click = stats.find(_.getString(0) == "click").get
+    assert(view.getDouble(2) === 7.25)
+    assert(view.isNullAt(3) || view.getDouble(3) == 0.0,
+      "constant group stddev must be 0 or NULL, never NaN")
+    assert(!view.isNullAt(3) && !view.getDouble(3).isNaN)
+    assert(click.isNullAt(3), "singleton group stddev must be NULL")
+    // winsorized face: same guards
+    val win = Analytics.valueWinsorized(ev).collect()
+    val wView = win.find(_.getString(0) == "view").get
+    assert(!wView.getDouble(4).isNaN && !wView.isNullAt(4))
+    val wClick = win.find(_.getString(0) == "click").get
+    assert(wClick.isNullAt(5), "singleton winsorized stddev must be NULL")
+    // correlation: constant quantity -> zero x-variance -> NULL, not NaN
+    val li = Seq.fill(10)(("R", 5.0, 100.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+    val corr = Analytics.qtyPriceCorrelation(li).collect()(0)
+    assert(corr.isNullAt(2) && corr.isNullAt(3),
+      "zero-variance correlation/slope must be NULL on both engines")
+  }
+
   test("nationAccountsFull keeps one-sided nations with zeroed other side") {
     val cust = Seq((1L, "a", 0, 10.0), (2L, "b", 7, 5.0))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")

@@ -16,16 +16,19 @@ class ContractSpec extends AnyFunSuite {
     //  - knn_bruteforce: the EXACT recall baseline the LSH/IVF variants
     //    are the scale path for (embedding_near_dup no longer needs an
     //    exception: its exact plan is now block-pair equi-joins)
-    //  - knn_ivf: non-equi probe join against the BROADCAST query
-    //    batch (bounded by construction)
     //  - value_band_counts: banded range join against a tiny broadcast
     //    band dim; bucketized equi-join is the documented scale path
     //  - tfidf_top_terms: crossJoin(broadcast(<1-row N-docs agg>)) —
     //    the scalar corpus size; a 1-row broadcast nested loop is free
     //  - knn_*_recall: join the exact bruteforce baseline (so its
     //    declared cross join appears as a subplan by definition)
-    val cartesianOk = Set("variant_overlap", "variant_overlap_approx",
-      "knn_bruteforce", "knn_ivf", "knn_lsh_recall", "knn_ivf_recall",
+    // (knn_ivf needs no exception since its probe join became an
+    // explode + equi-join on cluster_id; variant_overlap none since
+    // its pair generation is an equi self-join on uid — only the
+    // _approx twin joins its per-variant sketch rows all-pairs,
+    // bounded by the variant domain)
+    val cartesianOk = Set("variant_overlap_approx",
+      "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
       "value_band_counts", "tfidf_top_terms")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
