@@ -33,7 +33,15 @@ object Bench {
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=parse_events_json,dedup_minhash_lsh)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val firstPass = selected.map { case (name, fn) =>
       name -> timeOne(name, fn)
     }
     // The shared VM suffers multi-second co-tenant CPU bursts that can
