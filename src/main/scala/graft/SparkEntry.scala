@@ -128,6 +128,7 @@ object SparkEntry {
     "pricing_summary_sql" -> ((s, d) => Relational.pricingSummaryViaSql(s, d)),
     "pricing_grouping_sets" -> ((s, d) => Relational.groupingSetsViaSql(s, d)),
     "snapshot_upsert" -> ((s, d) => Maintenance.snapshotUpsert(Tables.orders(s, d))),
+    "snapshot_diff" -> ((s, d) => Maintenance.snapshotDiffOrders(Tables.orders(s, d))),
     "table_profile" -> ((s, d) => Maintenance.tableProfile(Tables.orders(s, d))),
     "urgent_customers_exists" -> ((s, d) => Relational.urgentCustomersViaSql(s, d)),
     "null_safe_join" -> ((s, d) => Relational.nullSafeJoin(Tables.events(s, d))),
@@ -182,6 +183,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(par(Tables.documents(s, d)))),
+    "dedup_incremental" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      Dedup.incrementalLshPairs(docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0))
+    }),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
     // ---- similarity search ----
@@ -355,6 +361,7 @@ object SparkEntry {
     "pricing_summary_sql" -> Relational.pricingSummarySql,
     "pricing_grouping_sets" -> Relational.groupingSetsSql,
     "snapshot_upsert" -> Maintenance.snapshotUpsertSql,
+    "snapshot_diff" -> Maintenance.snapshotDiffOrdersSql,
     "table_profile" -> Maintenance.tableProfileSql,
     "urgent_customers_exists" -> Relational.urgentCustomersSql,
     "null_safe_join" -> Relational.nullSafeJoinSql,
@@ -405,6 +412,7 @@ object SparkEntry {
     // pipeline's SQL doubles as its oracle. DedupSpec asserts the same
     // equivalence in-process.
     "dedup_minhash_lsh" -> Dedup.ngramJaccardPairsSql(),
+    "dedup_incremental" -> Dedup.incrementalLshPairsSql(),
     "multimodal_feature_summary" -> Multimodal.featureSummarySql,
     "multimodal_frame_sample" -> Multimodal.frameSampleStatsSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),

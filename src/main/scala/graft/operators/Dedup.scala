@@ -213,6 +213,90 @@ object Dedup {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Incremental near-dup detection — the shape a 100 TB dedup actually
+    * runs day to day: the existing corpus is already signed and banded
+    * (in production the band keys are a MATERIALIZED index, written
+    * bucketed by `band_hash`, so probing it shuffles only the batch
+    * side), and each arriving batch is signed once, probed against the
+    * index, and checked against itself — the existing corpus is never
+    * re-paired with itself. Candidates are verified with exact Jaccard
+    * over the candidate documents' shingles only, exactly like
+    * [[minhashLshPairs]].
+    *
+    * Output anchors each verified pair at the NEW document:
+    * `(new_id, match_id, jaccard, src)` where `src` says whether the
+    * match is an indexed corpus document or an earlier document of the
+    * same batch (earlier = smaller doc_id — the keep-first convention,
+    * so dropping every `new_id` that appears here leaves the batch
+    * dup-free against both the corpus and itself). */
+  def incrementalLshPairs(corpus: DataFrame, batch: DataFrame, k: Int = 4,
+      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    val bandCols = (df: DataFrame) => minhashSignatures(df, k, numPerm)
+      .select(col("doc_id"),
+        explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash"))
+    // the corpus index — at scale this is a pre-materialized table,
+    // here recomputed; the batch bands are probed twice (index + self)
+    val corpusBands = bandCols(corpus)
+    val batchBands = bandCols(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candCorpus = batchBands.toDF("new_id", "band_hash")
+      .join(corpusBands.toDF("match_id", "band_hash_b"),
+        col("band_hash") === col("band_hash_b"))
+      .select(col("new_id"), col("match_id"), lit("corpus").as("src"))
+    val candBatch = batchBands.toDF("a_id", "band_hash")
+      .join(batchBands.toDF("b_id", "band_hash_b"),
+        col("band_hash") === col("band_hash_b") && col("a_id") < col("b_id"))
+      .select(col("b_id").as("new_id"), col("a_id").as("match_id"),
+        lit("batch").as("src"))
+    // corpus and batch ids are disjoint, so a pair carries exactly one
+    // src tag and the distinct collapses only multi-band collisions
+    val candidates = candCorpus.union(candBatch).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = candidates
+      .select(explode(array(col("new_id"), col("match_id"))).as("doc_id"))
+      .distinct()
+    val candDocs = corpus.unionByName(batch)
+      .join(candIds, Seq("doc_id"), "leftsemi")
+    val sh = shingles(candDocs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.toDF("new_id", "sh_a"), Seq("new_id"))
+      .join(sh.toDF("m_id", "sh_b"),
+        col("match_id") === col("m_id") && col("sh_a") === col("sh_b"))
+      .groupBy(col("new_id"), col("match_id"), col("src"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("new_id", "na"), Seq("new_id"))
+      .join(sizes.toDF("match_id", "nb"), Seq("match_id"))
+      .select(col("new_id"), col("match_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"),
+        col("src"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("new_id", "match_id")
+  }
+
+  /** DuckDB oracle for [[incrementalLshPairs]] with the deterministic
+    * `doc_id % batchMod = 0` batch split: exact all-pairs Jaccard
+    * restricted to pairs touching the batch, re-anchored at the batch
+    * document. Same exact-replay convention as `dedup_minhash_lsh` —
+    * the corpus is strongly bimodal, so banded candidates are complete
+    * at the implanted-dup similarity level. */
+  def incrementalLshPairsSql(threshold: Double = 0.5, maxDf: Int = 1000,
+      batchMod: Int = 5): String =
+    s"""WITH ${ngramJaccardCtes(threshold, maxDf)}
+       |SELECT
+       |  CASE WHEN doc_id_b % $batchMod = 0 THEN doc_id_b ELSE doc_id_a END AS new_id,
+       |  CASE WHEN doc_id_b % $batchMod = 0 THEN doc_id_a ELSE doc_id_b END AS match_id,
+       |  jaccard,
+       |  CASE WHEN (CASE WHEN doc_id_b % $batchMod = 0 THEN doc_id_a ELSE doc_id_b END)
+       |         % $batchMod = 0
+       |       THEN 'batch' ELSE 'corpus' END AS src
+       |FROM pairs
+       |WHERE doc_id_a % $batchMod = 0 OR doc_id_b % $batchMod = 0
+       |ORDER BY 1, 2""".stripMargin
+
   /** 64-bit SimHash fingerprint per document: weighted bit-majority of
     * token hashes (weight = term frequency), computed per-row by the
     * codegen'd [[graft.functions.SimHashDoc simhash64]] kernel — tf

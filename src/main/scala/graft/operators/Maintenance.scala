@@ -45,6 +45,78 @@ object Maintenance {
       .orderBy("o_orderpriority")
   }
 
+  /** CDC extraction between two snapshots of a keyed table — the
+    * inverse of [[upsert]] / [[Changes.cdcApply]]: one row per key
+    * whose state changed, tagged `I` (new key), `U` (any compared
+    * column differs, null-safely), `D` (key gone), with the old and
+    * new value of every compared column side by side.
+    *
+    * One full-outer sort-merge join on the key; each side shuffles
+    * once. At 100 TB the snapshots would be written bucketed on the
+    * key, making this diff shuffle-free — and when the new snapshot
+    * was itself produced from a delta, diff the delta instead (this
+    * operator is the reconciliation path when no changelog exists).
+    * Presence is tracked with marker literals, not key-null checks, so
+    * null-keyed rows diff correctly too. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, kp: String, vp: String, marker: String) =
+      df.select(keys.map(k => col(k).as(s"$kp$k")) ++
+        compareCols.map(c => col(c).as(s"$vp$c")) :+
+        lit(1).as(marker): _*)
+    val o = side(oldSnap, "_ok_", "old_", "_old_present")
+    val n = side(newSnap, "_nk_", "new_", "_new_present")
+    val onKeys = keys.map(k => col(s"_ok_$k") <=> col(s"_nk_$k"))
+      .reduce(_ && _)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c"))).reduce(_ || _)
+    o.join(n, onKeys, "full_outer")
+      .where(col("_old_present").isNull || col("_new_present").isNull ||
+        changed)
+      .select(keys.map(k =>
+        coalesce(col(s"_nk_$k"), col(s"_ok_$k")).as(k)) ++
+        Seq(when(col("_old_present").isNull, "I")
+          .when(col("_new_present").isNull, "D")
+          .otherwise("U").as("op")) ++
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
+
+  /** Oracle-checked diff demo over `orders`: the new snapshot drops
+    * every 13th key (D), re-prioritizes every remaining 7th (U), and
+    * mirrors every 1000th to a negative key (I); the diff must recover
+    * exactly those operations and nothing else. */
+  def snapshotDiffOrders(orders: DataFrame): DataFrame = {
+    val old = orders.select(col("o_orderkey"), col("o_orderpriority"))
+    val neu = old.where(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 7 === 0, lit("X-UPDATED"))
+          .otherwise(col("o_orderpriority")))
+      .unionByName(old.where(col("o_orderkey") % 1000 === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          lit("X-NEW").as("o_orderpriority")))
+    snapshotDiff(old, neu, Seq("o_orderkey"), Seq("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  val snapshotDiffOrdersSql: String =
+    """WITH old AS (SELECT o_orderkey, o_orderpriority FROM orders),
+      |neu AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'X-UPDATED'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM old WHERE o_orderkey % 13 <> 0
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'X-NEW' FROM old WHERE o_orderkey % 1000 = 0)
+      |SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.o_orderkey IS NULL THEN 'I'
+      |       WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS op,
+      |  o.o_orderpriority AS old_o_orderpriority,
+      |  n.o_orderpriority AS new_o_orderpriority
+      |FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+      |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+      |   OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      |ORDER BY 1""".stripMargin
+
   /** Column profiling — the data-quality gate a pipeline runs on every
     * ingested table: per column, null count, distinct count, and
     * stringified min/max. One wide aggregate computes every column's

@@ -138,6 +138,28 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
   }
 
+  test("incremental LSH dedup ≡ batch-touching slice of the exact pairs") {
+    import org.apache.spark.sql.functions._
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val got = Dedup.incrementalLshPairs(corpus, batch)
+      .select("new_id", "match_id", "src")
+      .as[(Long, Long, String)].collect().toSet
+    // expectation derived independently from the full exact pair set
+    val exact = Dedup.ngramJaccardPairs(docs)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    val want = exact.collect {
+      case (a, b) if b % 5 == 0 =>
+        (b, a, if (a % 5 == 0) "batch" else "corpus")
+      case (a, b) if a % 5 == 0 => (a, b, "corpus")
+    }.toSet
+    assert(want.nonEmpty, "fixture should contain batch-touching near-dups")
+    assert(got === want,
+      s"missed=${(want -- got).take(5)} spurious=${(got -- want).take(5)}")
+    // never re-pairs the corpus with itself
+    assert(got.forall(_._1 % 5 == 0))
+  }
+
   test("simhash is a deterministic 64-bit fingerprint; near-identical docs collide") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val sh2 = Dedup.simhash(docs).as[(Long, Long)].collect().toMap

@@ -23,4 +23,32 @@ class MaintenanceSpec extends AnyFunSuite {
       .as[(Long, String)].collect().sortBy(_._1).toList
     assert(got === List((1L, "a"), (2L, "b")))
   }
+
+  test("snapshotDiff tags I/U/D, drops unchanged, and is null-safe") {
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
+      (4L, Option("keep"))).toDF("k", "v")
+    val neu = Seq((1L, Option("a2")), (3L, None), (4L, Option("keep")),
+      (5L, Option("new"))).toDF("k", "v")
+    val got = Maintenance.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .as[(Long, String, Option[String], Option[String])]
+      .collect().sortBy(_._1).toList
+    // k=3 null→null is unchanged (null-safe compare) and k=4 is equal:
+    // neither may appear
+    assert(got === List(
+      (1L, "U", Some("a"), Some("a2")),
+      (2L, "D", Some("b"), None),
+      (5L, "I", None, Some("new"))))
+  }
+
+  test("snapshotDiff round-trips: applying the diff to old rebuilds new") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val neu = Seq((1L, "a"), (2L, "B"), (5L, "e")).toDF("k", "v")
+    val diff = Maintenance.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+    val touched = diff.select("k")
+    val rebuilt = old.join(touched, Seq("k"), "left_anti")
+      .unionByName(diff.where($"op" =!= "D")
+        .select($"k", $"new_v".as("v")))
+    assert(rebuilt.as[(Long, String)].collect().sorted.toList ===
+      neu.as[(Long, String)].collect().sorted.toList)
+  }
 }
