@@ -151,6 +151,7 @@ object SparkEntry {
       Analytics.qtyPriceCorrelation(Tables.lineitem(s, d))),
     "value_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
     "experiment_entropy" -> ((s, d) => Analytics.experimentEntropy(Tables.events(s, d))),
+    "modal_event_type" -> ((s, d) => Analytics.modalEventType(Tables.events(s, d))),
     "fuzzy_name_matches" -> ((s, d) => Relational.fuzzyNameMatches(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
@@ -197,6 +198,7 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(par(Tables.embeddings(s, d)))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(par(Tables.embeddings(s, d)))),
     "knn_lsh_recall" -> ((s, d) => Similarity.knnLshRecall(par(Tables.embeddings(s, d)))),
+    "cosine_sim_histogram" -> ((s, d) => Similarity.cosineSimHistogram(par(Tables.embeddings(s, d)))),
     "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
@@ -382,6 +384,8 @@ object SparkEntry {
     "qty_price_correlation" -> Analytics.qtyPriceCorrelationSql,
     "value_histogram" -> Analytics.valueHistogramSql(),
     "experiment_entropy" -> Analytics.experimentEntropySql,
+    "modal_event_type" -> Analytics.modalEventTypeSql,
+    "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
     "char_ngram_explode" -> TextAnalysis.charNgramExplodeSql(),

@@ -743,4 +743,38 @@ object Analytics {
       |  CAST(CAST(ln(total) - CAST(s AS DOUBLE) / total AS DECIMAL(18,9)) AS DOUBLE)
       |    AS entropy_nats
       |FROM t ORDER BY 1""".stripMargin
+
+  /** Exact mode (most frequent value) per group, deterministic ties →
+    * lexicographically smallest value. The SCALABLE mode formulation:
+    * the count rollup shrinks the stream to |groups × distinct values|
+    * BEFORE any ranking, and the row_number window partitions by group
+    * (no global sort) — versus a naive mode() aggregate that would hold
+    * per-group value maps in aggregation state. Both steps cluster on
+    * experiment_id, so the whole query is the count shuffle plus a
+    * proportionally tiny window pass. */
+  def modalEventType(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy("experiment_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("experiment_id")
+      .orderBy(col("n").desc, col("event_type"))
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("experiment_id"),
+        col("event_type").as("modal_event_type"), col("n").as("n_events"))
+      .orderBy("experiment_id")
+  }
+
+  val modalEventTypeSql: String =
+    """WITH c AS (SELECT json_extract_string(props, '$.k') AS experiment_id,
+      |  event_type, count(*) AS n FROM events
+      |  WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY experiment_id
+      |        ORDER BY n DESC, event_type) AS rn FROM c)
+      |SELECT experiment_id, event_type AS modal_event_type,
+      |  n AS n_events
+      |FROM r WHERE rn = 1 ORDER BY experiment_id""".stripMargin
 }

@@ -83,7 +83,20 @@ object Similarity {
     * appears in the diagonal pid both ways, kept once by `id_a <
     * id_b`. Off-diagonal ids are canonicalized with least/greatest. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.44,
-      nBlocks: Int = 8): DataFrame = {
+      nBlocks: Int = 8): DataFrame =
+    blockPairs(embeddings, nBlocks)
+      .where((expr("vec_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
+        >= threshold)
+      .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
+        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"))
+      .orderBy("vec_id_a", "vec_id_b")
+
+  /** Every unordered pair of distinct vectors, exactly once, as the
+    * block-pair EQUI-join described on [[embeddingNearDup]] — columns
+    * `(vec_id_a, emb_a, norm_a, vec_id_b, emb_b, norm_b)` (plus the
+    * block bookkeeping). Shared by the exact near-dup predicate and the
+    * pairwise-distribution diagnostics. */
+  private def blockPairs(embeddings: DataFrame, nBlocks: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val pairSpine = (for { i <- 0 until nBlocks; j <- i until nBlocks }
@@ -101,12 +114,45 @@ object Similarity {
       .where(col("vec_id_a") =!= col("vec_id_b") &&
         // diagonal block pair sees both orderings — keep one
         (col("blk_a") =!= col("blk_b") || col("vec_id_a") < col("vec_id_b")))
-      .where((expr("vec_dot(emb_a, emb_b)") / (col("norm_a") * col("norm_b")))
-        >= threshold)
-      .select(least(col("vec_id_a"), col("vec_id_b")).as("vec_id_a"),
-        greatest(col("vec_id_a"), col("vec_id_b")).as("vec_id_b"))
-      .orderBy("vec_id_a", "vec_id_b")
   }
+
+  /** Pairwise cosine-similarity histogram over a deterministic sample
+    * (`vec_id % sampleMod == 0`) — the distribution diagnostic that
+    * CALIBRATES a near-dup threshold: on a healthy corpus it is bimodal
+    * (background mass near 0, a dup spike near 1), and the valley is
+    * where [[embeddingNearDup]]'s threshold belongs. Sampling makes the
+    * quadratic pair count a driver-chosen constant (sample m of n →
+    * m²/2 pairs regardless of corpus size) and the block-pair equi-join
+    * keeps the plan distributable, so the diagnostic stays runnable at
+    * any scale. Bins are [-1, 1] split `nBins` ways; empty bins are
+    * omitted. */
+  def cosineSimHistogram(embeddings: DataFrame, sampleMod: Int = 7,
+      nBins: Int = 20, nBlocks: Int = 4): DataFrame = {
+    val sampled = embeddings.where(col("vec_id") % sampleMod === 0)
+    blockPairs(sampled, nBlocks)
+      .select(((expr("vec_dot(emb_a, emb_b)") /
+        (col("norm_a") * col("norm_b")) + 1.0) / 2.0 * nBins).as("x"))
+      .select(least(floor(col("x")), lit(nBins - 1)).cast("bigint").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+      .select(col("bin"),
+        (lit(-1.0) + col("bin") * (2.0 / nBins)).as("sim_lo"),
+        (lit(-1.0) + (col("bin") + 1) * (2.0 / nBins)).as("sim_hi"),
+        col("n_pairs"))
+      .orderBy("bin")
+  }
+
+  def cosineSimHistogramSql(sampleMod: Int = 7, nBins: Int = 20): String =
+    s"""WITH s AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE vec_id % $sampleMod = 0),
+       |bins AS (
+       |  SELECT CAST(least(floor((list_cosine_similarity(a.emb, b.emb) + 1)
+       |    / 2 * $nBins), $nBins - 1) AS BIGINT) AS bin
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+       |SELECT bin, -1 + bin * (2.0 / $nBins) AS sim_lo,
+       |  -1 + (bin + 1) * (2.0 / $nBins) AS sim_hi,
+       |  count(*) AS n_pairs
+       |FROM bins GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Sub-quadratic near-dup twin: candidates = pairs sharing any LSH
     * table bucket ([[lshKeys]] — an EQUI-join on (table, bucket)),

@@ -305,6 +305,70 @@ object StreamingMetrics {
         col("active_users"))
   }
 
+  /** Streaming incremental dedup's index state: MinHash band postings
+    * plus the signature of every ACCEPTED (non-dup) document, and the
+    * dup verdicts. In production these are bucketed tables appended
+    * per micro-batch (the batch face, [[graft.operators.Dedup
+    * .incrementalLshPairs]], shows that join shape); a TrieMap keeps
+    * the streaming unit self-contained with identical semantics, the
+    * same trade [[MetricsStore]] makes for Redis. */
+  class DedupIndexStore extends Serializable {
+    /** band_hash → accepted doc ids posting list. */
+    val bands = TrieMap.empty[Long, List[Long]]
+    /** accepted doc_id → MinHash signature (for candidate verification). */
+    val sigs = TrieMap.empty[Long, Array[Long]]
+    /** rejected doc_id → the accepted doc it duplicates. */
+    val dups = TrieMap.empty[Long, Long]
+  }
+
+  /** Streaming incremental dedup — the ingest-time face of
+    * [[graft.operators.Dedup.incrementalLshPairs]]: each arriving
+    * document is signed once (the codegen'd `minhash_sig` kernel runs
+    * distributed, per-row), probed against the accumulated band index,
+    * and either REJECTED (recorded in `dups`, index untouched) or
+    * ACCEPTED (bands + signature appended) — so the index only ever
+    * holds the deduplicated corpus, exactly like a production ingest
+    * gate. Candidates are verified by signature agreement, the
+    * unbiased MinHash estimate of Jaccard (E[matching positions / k]
+    * = J) — the standard streaming verification, since the corpus
+    * texts are not retained. Docs are processed in doc_id order within
+    * a batch so keep-first is deterministic.
+    *
+    * The per-batch index walk runs driver-side over the COLLECTED
+    * micro-batch (like every foreachBatch branch above); at scale the
+    * probe becomes the batch operator's band equi-join against the
+    * index table, run per micro-batch from foreachBatch. */
+  def startIncrementalDedup(docs: DataFrame, store: DedupIndexStore,
+      queryName: String, k: Int = 4, numPerm: Int = 64, nBands: Int = 16,
+      threshold: Double = 0.5): StreamingQuery =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sigRows = graft.operators.Dedup.minhashSignatures(batch, k, numPerm)
+          .select(col("doc_id"), col("sig"),
+            expr(s"minhash_bands(sig, $nBands)").as("bands"))
+          .collect()
+        sigRows.sortBy(_.getLong(0)).foreach { r =>
+          val id = r.getLong(0)
+          val sig = r.getSeq[Long](1).toArray
+          val bhs = r.getSeq[Long](2)
+          val cands = bhs.flatMap(store.bands.get).flatten.distinct
+          val best = cands.iterator.map { c =>
+            val cs = store.sigs(c)
+            val agree = sig.indices.count(i => sig(i) == cs(i))
+            (c, agree.toDouble / sig.length)
+          }.filter(_._2 >= threshold).toSeq
+            .sortBy { case (cid, est) => (-est, cid) }.headOption
+          best match {
+            case Some((matchId, _)) => store.dups.put(id, matchId)
+            case None =>
+              store.sigs.put(id, sig)
+              bhs.foreach(bh => store.bands.updateWith(bh)(
+                p => Some(id :: p.getOrElse(Nil))))
+          }
+        }
+      }
+      .queryName(queryName).start()
+
   def startSessionization(events: Dataset[LogEvent], queryName: String,
       gapSeconds: Long = 1800, watermark: String = "1 hour"): StreamingQuery =
     events.toDF()

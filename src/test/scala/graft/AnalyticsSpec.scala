@@ -207,6 +207,18 @@ class AnalyticsSpec extends AnyFunSuite {
       "zero-variance correlation/slope must be NULL on both engines")
   }
 
+  test("modalEventType picks the most frequent value, ties break lexicographically") {
+    val ev = (Seq.fill(3)(("""{"k":"e1"}""", "view")) ++
+      Seq.fill(2)(("""{"k":"e1"}""", "click")) ++
+      // e2: exact tie between click and view -> 'click' wins the tie
+      Seq(("""{"k":"e2"}""", "view"), ("""{"k":"e2"}""", "click")) ++
+      Seq(("""{}""", "view"))) // no experiment id -> excluded
+      .toDF("props", "event_type")
+    val got = Analytics.modalEventType(ev)
+      .as[(String, String, Long)].collect().toList
+    assert(got === List(("e1", "view", 3L), ("e2", "click", 1L)))
+  }
+
   test("nationAccountsFull keeps one-sided nations with zeroed other side") {
     val cust = Seq((1L, "a", 0, 10.0), (2L, "b", 7, 5.0))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")

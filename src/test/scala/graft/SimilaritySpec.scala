@@ -134,6 +134,27 @@ class SimilaritySpec extends AnyFunSuite {
       "exact near-dup must not plan an all-pairs join")
   }
 
+  test("cosine similarity histogram matches a driver-computed reference") {
+    val got = Similarity.cosineSimHistogram(emb, sampleMod = 7)
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val vecs = emb.as[(Long, Array[Float], Int)].collect()
+      .collect { case (id, v, _) if id % 7 == 0 => id -> v }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for { (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib }
+      yield math.min(math.floor((cos(va, vb) + 1) / 2 * 20), 19).toLong)
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    assert(got === want)
+    assert(got.values.sum === vecs.size.toLong * (vecs.size - 1) / 2,
+      "every sampled pair lands in exactly one bin")
+  }
+
   test("LSH near-dup is an exact-verified subset with usable recall") {
     val exact = Similarity.embeddingNearDup(emb, threshold = 0.40)
       .as[(Long, Long)].collect().toSet

@@ -128,6 +128,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming incremental dedup: later near-dups rejected, index holds only accepted docs") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val input = MemoryStream[(Long, String)]
+    val store = new StreamingMetrics.DedupIndexStore
+    val q = StreamingMetrics.startIncrementalDedup(
+      input.toDS().toDF("doc_id", "text"), store, "inc_dedup_t")
+    // batch 1: two distinct originals
+    input.addData((10L, base + "one two three four"),
+      (20L, "un deux trois quatre cinq six sept huit neuf dix " * 5))
+    q.processAllAvailable()
+    assert(store.dups.isEmpty && store.sigs.keySet === Set(10L, 20L))
+    // batch 2: a near-dup of doc 10 (one token changed), plus a novel doc
+    input.addData((30L, base + "one two three FIVE"),
+      (40L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 5))
+    q.processAllAvailable()
+    assert(store.dups.toMap === Map(30L -> 10L))
+    // the rejected doc never entered the index
+    assert(store.sigs.keySet === Set(10L, 20L, 40L))
+    assert(!store.bands.values.exists(_.contains(30L)))
+    q.stop()
+  }
+
   test("sliding-window visits update all covering windows each micro-batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
