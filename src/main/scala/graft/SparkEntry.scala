@@ -165,6 +165,7 @@ object SparkEntry {
       TextAnalysis.unigramFamiliarity(par(Tables.documents(s, d)))),
     "ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
+    "collocations" -> ((s, d) => TextAnalysis.collocations(par(Tables.documents(s, d)))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
     "char_ngram_explode" -> ((s, d) =>
@@ -384,6 +385,7 @@ object SparkEntry {
     "qty_price_correlation" -> Analytics.qtyPriceCorrelationSql,
     "value_histogram" -> Analytics.valueHistogramSql(),
     "experiment_entropy" -> Analytics.experimentEntropySql,
+    "collocations" -> TextAnalysis.collocationsSql(),
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),

@@ -455,4 +455,69 @@ object TextAnalysis {
        |SELECT doc_id, count(*) AS n_ngrams,
        |  count(DISTINCT substr(text, i, $n)) AS n_distinct_ngrams
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bigram collocations by pointwise mutual information —
+    * PMI(a,b) = ln(P(ab) / (P(a)·P(b))) with P(ab) over adjacent-bigram
+    * occurrences and P(tok) over token occurrences. The corpus-linguistics
+    * tool for finding multi-word units ("new york") that tokenizers and
+    * dedup shingles should treat as one.
+    *
+    * Plan shape (linear in corpus size): bigrams come from a per-row
+    * `transform` over the token array (no positional self-join), then
+    * ONE hash aggregate each for bigram and unigram counts; the unigram
+    * side is vocabulary-sized, so the two enrichment joins broadcast
+    * (AQE-decided), and the corpus totals are a 1-row broadcast — the
+    * same scalar shape as [[tfidfTopTerms]]. `minCount` keeps only
+    * bigrams with support (PMI is noise below it) and bounds the output
+    * by the frequent-bigram vocabulary.
+    *
+    * Engine-portable math: counts are exact longs; the PMI ratio is
+    * built as two products of count-valued doubles (exact below 2^53)
+    * divided once, and the `ln` result is quantized to DECIMAL(18,9) —
+    * same convention as [[Analytics.experimentEntropy]]. Output ordered
+    * by the (deterministic) bigram, not the float score. */
+  def collocations(documents: DataFrame, minCount: Long = 5): DataFrame = {
+    val toks = documents.select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val bg = toks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS a, t[i + 1] AS b))")).as("g"))
+      .select(col("g.a").as("tok_a"), col("g.b").as("tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val n = toks.agg(sum(size(col("t"))).cast("double").as("n1"),
+      sum(size(col("t")) - 1).cast("double").as("n2"))
+    bg
+      .join(broadcast(uni.toDF("tok_a", "c_a")), "tok_a")
+      .join(broadcast(uni.toDF("tok_b", "c_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        expr("""CAST(CAST(ln((CAST(c_ab AS DOUBLE) * n1 * n1) /
+          (n2 * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+          AS DECIMAL(18,9)) AS DOUBLE)""").as("pmi"))
+      .orderBy("tok_a", "tok_b")
+  }
+
+  def collocationsSql(minCount: Long = 5): String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |uc AS (SELECT tok, count(*) AS c
+       |       FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+       |n AS (SELECT CAST(sum(len(t)) AS DOUBLE) AS n1,
+       |             CAST(sum(len(t) - 1) AS DOUBLE) AS n2 FROM toks),
+       |bg AS (SELECT g.a AS tok_a, g.b AS tok_b, count(*) AS c_ab
+       |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS g
+       |        FROM toks WHERE len(t) >= 2)
+       |  GROUP BY 1, 2 HAVING count(*) >= $minCount)
+       |SELECT tok_a, tok_b, c_ab,
+       |  CAST(CAST(ln((CAST(c_ab AS DOUBLE) * n1 * n1) /
+       |    (n2 * CAST(uca.c AS DOUBLE) * CAST(ucb.c AS DOUBLE)))
+       |    AS DECIMAL(18,9)) AS DOUBLE) AS pmi
+       |FROM bg
+       |JOIN uc uca ON bg.tok_a = uca.tok
+       |JOIN uc ucb ON bg.tok_b = ucb.tok
+       |CROSS JOIN n
+       |ORDER BY 1, 2""".stripMargin
 }

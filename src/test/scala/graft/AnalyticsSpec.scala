@@ -207,6 +207,27 @@ class AnalyticsSpec extends AnyFunSuite {
       "zero-variance correlation/slope must be NULL on both engines")
   }
 
+  test("collocations: PMI ranks the glued bigram above independent ones") {
+    // "new york" adjacent in every doc; "the"/"cat" co-occur everywhere
+    // but are adjacent (either order) in only half the docs each way —
+    // genuinely weaker association, strictly lower PMI
+    val docs = ((1 to 4).map(i => (i.toLong, "new york likes the cat")) ++
+      (5 to 8).map(i => (i.toLong, "new york likes cat the")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.collocations(docs, minCount = 3)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val (nyCount, nyPmi) = got(("new", "york"))
+    assert(nyCount === 8L)
+    // N1=40 tokens, N2=32 bigrams, c_new=c_york=8:
+    // PMI = ln(8·40² / (32·8·8)) = ln(6.25)
+    assert(math.abs(nyPmi - math.log(6.25)) < 1e-6)
+    // "the cat" appears 4x against the same unigram mass → ln(3.125)
+    assert(math.abs(got(("the", "cat"))._2 - math.log(3.125)) < 1e-6)
+    assert(got.keys.forall(k => got(k)._2 <= nyPmi))
+    assert(got(("the", "cat"))._2 < nyPmi)
+  }
+
   test("modalEventType picks the most frequent value, ties break lexicographically") {
     val ev = (Seq.fill(3)(("""{"k":"e1"}""", "view")) ++
       Seq.fill(2)(("""{"k":"e1"}""", "click")) ++

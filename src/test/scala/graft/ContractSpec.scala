@@ -18,8 +18,8 @@ class ContractSpec extends AnyFunSuite {
     //    exception: its exact plan is now block-pair equi-joins)
     //  - value_band_counts: banded range join against a tiny broadcast
     //    band dim; bucketized equi-join is the documented scale path
-    //  - tfidf_top_terms: crossJoin(broadcast(<1-row N-docs agg>)) —
-    //    the scalar corpus size; a 1-row broadcast nested loop is free
+    //  - tfidf_top_terms / collocations: crossJoin(broadcast(<1-row
+    //    corpus-totals agg>)) — a 1-row broadcast nested loop is free
     //  - knn_*_recall: join the exact bruteforce baseline (so its
     //    declared cross join appears as a subplan by definition)
     // (knn_ivf needs no exception since its probe join became an
@@ -29,7 +29,7 @@ class ContractSpec extends AnyFunSuite {
     // bounded by the variant domain)
     val cartesianOk = Set("variant_overlap_approx",
       "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
-      "value_band_counts", "tfidf_top_terms")
+      "value_band_counts", "tfidf_top_terms", "collocations")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
