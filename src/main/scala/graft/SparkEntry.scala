@@ -166,6 +166,7 @@ object SparkEntry {
     "ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
     "collocations" -> ((s, d) => TextAnalysis.collocations(par(Tables.documents(s, d)))),
+    "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
     "char_ngram_explode" -> ((s, d) =>
@@ -386,6 +387,7 @@ object SparkEntry {
     "value_histogram" -> Analytics.valueHistogramSql(),
     "experiment_entropy" -> Analytics.experimentEntropySql,
     "collocations" -> TextAnalysis.collocationsSql(),
+    "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),

@@ -373,6 +373,47 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed batching diagnostic: documents grouped into
+    * power-of-two token-length buckets, reporting what batching at each
+    * bucket's ceiling wastes in padding — the number a training
+    * pipeline uses to choose its sequence-length buckets (and to see
+    * whether [[packSequences]] is worth running). Bucket assignment is
+    * pure INTEGER bit arithmetic (`1 << length(bin(n-1))`), not
+    * floating log2 — a power-of-two length must never flip buckets on
+    * an engine's last-ulp `log` difference. One scan + one tiny
+    * aggregate; output is ~log₂(max doc length) rows. */
+  def lengthBuckets(documents: DataFrame): DataFrame =
+    documents
+      .select(size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .select(col("n_toks"),
+        when(col("n_toks") <= 1L, 1L)
+          .otherwise(expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(n_toks - 1)))"))
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("total_tokens"))
+      .select(col("bucket"), col("n_docs"), col("total_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        expr("""CAST(CAST((bucket * n_docs - total_tokens) * 100.0
+          / (bucket * n_docs) AS DECIMAL(9,4)) AS DOUBLE)""")
+          .as("waste_pct"))
+      .orderBy("bucket")
+
+  val lengthBucketsSql: String =
+    """WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n_toks
+      |  FROM documents),
+      |b AS (SELECT n_toks,
+      |  CASE WHEN n_toks <= 1 THEN 1
+      |       ELSE (1::BIGINT << length(bin(n_toks - 1))) END AS bucket
+      |  FROM t),
+      |g AS (SELECT bucket, count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens
+      |  FROM b GROUP BY 1)
+      |SELECT bucket, n_docs, total_tokens,
+      |  bucket * n_docs AS padded_tokens,
+      |  CAST(CAST((bucket * n_docs - total_tokens) * 100.0
+      |    / (bucket * n_docs) AS DECIMAL(9,4)) AS DOUBLE) AS waste_pct
+      |FROM g ORDER BY 1""".stripMargin
+
   def redactionReportSql: String = {
     val Seq((emailPat, emailTag), (idPat, idTag), (phonePat, phoneTag)) =
       PiiPatterns

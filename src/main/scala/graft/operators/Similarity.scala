@@ -420,17 +420,32 @@ object Similarity {
   /** ANN top-k via multi-table LSH bucketing + exact re-rank of the
     * candidate union. Approximate: a neighbor missed by every table is
     * lost — rows-only query, recall measured against [[knnBruteForce]]
-    * in tests. */
+    * in tests.
+    *
+    * MULTI-PROBE: each query probes its own bucket plus every 1-bit
+    * neighbor bucket per table (`multiProbe = 1`; 0 disables). A true
+    * neighbor lands in an adjacent bucket whenever exactly one
+    * hyperplane splits the pair — by far the most likely miss — so
+    * probing the nBits neighbors recovers most of it for a
+    * ×(nBits+1) fan-out of the (tiny, sampled) QUERY side only; the
+    * index side is untouched. This is the standard probe-vs-tables
+    * trade: same recall lift as ~5× more tables at a fraction of the
+    * index size (Lv et al., "Multi-Probe LSH", VLDB'07). */
   def knnLsh(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
-      nBits: Int = 6, nTables: Int = 4): DataFrame = {
+      nBits: Int = 6, nTables: Int = 4, multiProbe: Int = 1): DataFrame = {
     // both the query side and the candidate side consume the keyed
     // frame — persist the 32-projection hashing pass
     val keyed = lshKeys(embeddings, nBits, nTables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = keyed
+    val qExact = keyed
       .where(pmod(col("vec_id"), lit(queryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("table_id").as("q_table"), col("bucket").as("q_bucket"))
+    val queries =
+      if (multiProbe <= 0) qExact
+      else qExact.select(col("query_id"), col("q_emb"), col("q_table"),
+        explode(array(col("q_bucket") +: (0 until nBits).map(j =>
+          col("q_bucket").bitwiseXOR(lit(1L << j))): _*)).as("q_bucket"))
     val candidates = keyed
       .join(broadcast(queries),
         col("table_id") === col("q_table") &&

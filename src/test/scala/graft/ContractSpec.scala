@@ -52,10 +52,11 @@ class ContractSpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
     // deterministic hyperplanes/centroids -> stable recall; floors are
     // the fixture-observed values with margin, guarding parameter drift
-    // fixture-observed: lsh 0.10 (6-bit x 4-table buckets on a 500-vec
-    // near-uniform collection), ivf 0.42 (4/16 lists probed)
+    // fixture-observed: lsh 0.62 (6-bit x 4-table buckets + 1-bit
+    // multi-probe on a 500-vec near-uniform collection; 0.10 without
+    // multi-probe), ivf 0.42 (4/16 lists probed)
     val lsh = Similarity.knnLshRecall(emb).collect()(0)
-    assert(lsh.getAs[Double]("recall_at_k") >= 0.05,
+    assert(lsh.getAs[Double]("recall_at_k") >= 0.40,
       s"knn_lsh recall@10 ${lsh.getAs[Double]("recall_at_k")} below floor")
     val ivf = Similarity.knnIvfRecall(emb).collect()(0)
     assert(ivf.getAs[Double]("recall_at_k") >= 0.25,

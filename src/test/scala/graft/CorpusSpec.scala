@@ -153,4 +153,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(tighter.filter(_._2 == "srcA").map(_._1).toSet ===
       bySrc("srcA").filter(_._3 <= 5).map(_._1).toSet)
   }
+
+  test("lengthBuckets: exact power-of-two ceilings, integer bucket edges") {
+    // token counts 1, 2, 3, 4, 5, 64, 65 → buckets 1, 2, 4, 4, 8, 64, 128
+    val docs = Seq(1, 2, 3, 4, 5, 64, 65).zipWithIndex.map { case (n, i) =>
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Corpus.lengthBuckets(docs)
+      .as[(Long, Long, Long, Long, Double)].collect().toList
+    assert(got.map(r => r._1 -> r._2) ===
+      List(1L -> 1L, 2L -> 1L, 4L -> 2L, 8L -> 1L, 64L -> 1L, 128L -> 1L))
+    // the exact power of two must land in ITS OWN bucket, not the next
+    val b64 = got.find(_._1 == 64L).get
+    assert(b64._3 === 64L && b64._4 === 64L && b64._5 === 0.0)
+    // waste accounting: bucket 4 holds docs of 3+4 tokens → 1/8 padding
+    val b4 = got.find(_._1 == 4L).get
+    assert(b4._4 === 8L && b4._5 === 12.5)
+  }
 }
