@@ -34,6 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: pipeline aggregates (SURVEY.md §2.3) ----
     "visits_per_minute" -> ((s, d) => Metrics.visitsPerMinute(ev(s, d))),
+    "visits_incremental" -> ((s, d) => Metrics.visitsIncremental(ev(s, d))),
     "visits_sliding" -> ((s, d) => Metrics.visitsSliding(ev(s, d))),
     "rolling_active_users" -> ((s, d) => Metrics.rollingActiveUsers(ev(s, d))),
     "cohort_retention" -> ((s, d) => Metrics.cohortRetention(ev(s, d))),
@@ -227,6 +228,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "visits_per_minute" ->
+      s"""WITH $evCte
+         |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
+         |  count(*) AS visits FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+    // fold-merged arrival batches ≡ the one-shot aggregate (algebraic
+    // merge law) — deliberately the SAME oracle as visits_per_minute
+    "visits_incremental" ->
       s"""WITH $evCte
          |SELECT strftime(date_trunc('minute', "timestamp"), '$MinuteFmt') AS minute_key,
          |  count(*) AS visits FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -45,6 +45,22 @@ object Maintenance {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental maintenance of an algebraic aggregate snapshot: merge
+    * a new delta batch's partial aggregate into the stored snapshot —
+    * `groupBy(keys).sum` over `snapshot ∪ deltaAgg`. Because the
+    * aggregate is algebraic (count/sum), folding batch after batch is
+    * EXACTLY the one-shot aggregate of the full input — the batch twin
+    * of the streaming update-mode store (and of the reference's INCRBY
+    * merges): a 100 TB metrics store is maintained by aggregating only
+    * each day's arrivals, never recomputing history. The merge shuffles
+    * snapshot + delta aggregate rows (both already key-domain-sized,
+    * report-scale), not events. */
+  def mergeCounts(snapshot: DataFrame, deltaAgg: DataFrame,
+      keys: Seq[String], valueCol: String): DataFrame =
+    snapshot.unionByName(deltaAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(valueCol).as(valueCol))
+
   /** CDC extraction between two snapshots of a keyed table — the
     * inverse of [[upsert]] / [[Changes.cdcApply]]: one row per key
     * whose state changed, tagged `I` (new key), `U` (any compared

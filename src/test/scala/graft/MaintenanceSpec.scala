@@ -24,6 +24,23 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got === List((1L, "a"), (2L, "b")))
   }
 
+  test("mergeCounts folds delta aggregates: existing keys sum, new keys insert") {
+    val snap = Seq(("a", 10L), ("b", 5L)).toDF("k", "visits")
+    val delta = Seq(("b", 2L), ("c", 7L)).toDF("k", "visits")
+    val got = Maintenance.mergeCounts(snap, delta, Seq("k"), "visits")
+      .as[(String, Long)].collect().sortBy(_._1).toList
+    assert(got === List(("a", 10L), ("b", 7L), ("c", 7L)))
+  }
+
+  test("incremental visits fold equals the one-shot aggregate (merge law)") {
+    val ev = graft.sources.Tables.logEvents(spark, TestSpark.Sf0001)
+    val folded = graft.operators.Metrics.visitsIncremental(ev)
+      .as[(String, Long)].collect().toList
+    val oneShot = graft.operators.Metrics.visitsPerMinute(ev)
+      .as[(String, Long)].collect().toList
+    assert(folded === oneShot)
+  }
+
   test("snapshotDiff tags I/U/D, drops unchanged, and is null-safe") {
     val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, None),
       (4L, Option("keep"))).toDF("k", "v")
