@@ -12,7 +12,9 @@ object Explain {
     for (q <- Seq("pricing_summary", "revenue_by_nation", "visits_per_minute",
         "dedup_ngram_jaccard", "knn_bruteforce", "visits_sliding",
         "sequence_packing", "pii_redaction", "user_peak_burst",
-        "pricing_grouping_sets", "snapshot_upsert")) {
+        "pricing_grouping_sets", "snapshot_upsert",
+        "snapshot_diff", "dedup_incremental", "cosine_sim_histogram",
+        "collocations", "visits_incremental")) {
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

@@ -73,6 +73,25 @@ class MetricsStore extends KeyValueMetricsSink {
   def counter(key: String): Long = counters.getOrElse(key, 0L)
   def scard(key: String): Long = sets.get(key).map(_.size.toLong).getOrElse(0L)
 
+  private val appliedBatches = TrieMap.empty[(String, Long), Unit]
+
+  /** Exactly-once guard for non-idempotent merges (INCRBY) under
+    * foreachBatch's at-least-once redelivery: runs `body` only if
+    * (queryId, batchId) was not applied yet, marking it applied on
+    * success — the batchId ledger a real store would keep, where
+    * marker + writes commit as ONE transaction (e.g. Redis MULTI /
+    * a WHERE-guarded SQL upsert). In this in-memory sim the body is
+    * not atomic with the marker; the marker is removed on failure so
+    * a crashed batch retries. Returns whether the body ran. */
+  def applyBatchOnce(queryId: String, batchId: Long)(body: => Unit): Boolean =
+    if (appliedBatches.putIfAbsent((queryId, batchId), ()).isEmpty) {
+      try { body; true }
+      catch {
+        case t: Throwable =>
+          appliedBatches.remove((queryId, batchId)); throw t
+      }
+    } else false
+
   /** Q1–Q3 read shape: last N closed minutes before `nowMinute`
     * (exclusive), zero-filled — TimeseriesMetricsController.java:144-152. */
   def timeseries(prefix: String, nowMinute: java.time.LocalDateTime,
@@ -192,6 +211,26 @@ object StreamingMetrics {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.groupBy("k").count().collect()
           .foreach(r => store.incrBy(r.getString(0), r.getLong(1)))
+      }
+      .queryName(queryName).start()
+
+  /** [[startVisitsCheckpointed]] with the redelivery gap closed: each
+    * micro-batch's INCRBY merges run under
+    * [[MetricsStore.applyBatchOnce]], so a batch re-delivered after a
+    * mid-batch crash (foreachBatch is at-least-once) is skipped instead
+    * of double-counted — effectively-once INCRBY, the property the
+    * reference's Redis sink lacks (SURVEY.md §7.3). */
+  def startVisitsIdempotent(events: Dataset[LogEvent], store: MetricsStore,
+      checkpointDir: String, queryName: String): StreamingQuery =
+    events.toDF()
+      .select(minuteKey("visitCounter").as("k"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val _ = store.applyBatchOnce(queryName, batchId) {
+          batch.groupBy("k").count().collect()
+            .foreach(r => store.incrBy(r.getString(0), r.getLong(1)))
+        }
       }
       .queryName(queryName).start()
 

@@ -128,6 +128,33 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("applyBatchOnce makes INCRBY effectively-once under batch redelivery") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val store = new MetricsStore
+    val input = MemoryStream[LogEvent]
+    input.addData(ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u2", "e1", "2", "2026-08-12 10:15:30"))
+    val dir = java.nio.file.Files.createTempDirectory("idem_ckpt").toString
+    val q = StreamingMetrics.startVisitsIdempotent(
+      input.toDS(), store, dir, "visits_idem_t")
+    q.processAllAvailable()
+    val key = "visitCounter_2026_08_12T10_15"
+    assert(store.counter(key) === 2L)
+    // simulate at-least-once redelivery of batch 0: the guard must skip
+    val reRan = store.applyBatchOnce("visits_idem_t", 0L) {
+      store.incrBy(key, 2L)
+    }
+    assert(!reRan && store.counter(key) === 2L, "redelivered batch double-counted")
+    // a FAILED batch releases its marker and retries
+    intercept[RuntimeException] {
+      store.applyBatchOnce("visits_idem_t", 99L)(throw new RuntimeException("boom"))
+    }
+    assert(store.applyBatchOnce("visits_idem_t", 99L) { store.incrBy(key, 1L) })
+    assert(store.counter(key) === 3L)
+    q.stop()
+  }
+
   test("streaming incremental dedup: later near-dups rejected, index holds only accepted docs") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
