@@ -202,6 +202,9 @@ object SparkEntry {
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(par(Tables.embeddings(s, d)))),
     "knn_lsh_recall" -> ((s, d) => Similarity.knnLshRecall(par(Tables.embeddings(s, d)))),
     "cosine_sim_histogram" -> ((s, d) => Similarity.cosineSimHistogram(par(Tables.embeddings(s, d)))),
+    // rows-only: trained-centroid IVF (kmeansFit is deterministic, but
+    // the index is approximate like knn_ivf)
+    "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(par(Tables.embeddings(s, d)))),
     "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>

@@ -365,14 +365,45 @@ object Similarity {
       nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
     val assigned = ivfAssign(embeddings, nList, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // probe rows per query: one (query_id, q_emb, cluster_id) row per
-    // probed list — the nProbe best centroid scores
-    val probes = withScores(
-        embeddings.where(pmod(col("vec_id"), lit(queryMod)) === 0), nList, dim)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(expr(s"""slice(array_sort(
-            |  transform(cent_scores, (s, i) -> struct(-s AS ns, i AS idx))),
-            |  1, $nProbe).idx""".stripMargin)).as("cluster_id"))
+    val probes = probeRows(withScores(
+      embeddings.where(pmod(col("vec_id"), lit(queryMod)) === 0),
+      nList, dim), nProbe)
+    ivfProbeJoin(assigned, probes, k)
+  }
+
+  /** [[knnIvf]] with centroids TRAINED on the collection by
+    * [[kmeansFit]] instead of the deterministic stand-ins — the full
+    * production path (train → assign → probe). On clustered data the
+    * trained lists align with the true structure and recall rises at
+    * the same nProbe; still rows-only (approximate), recall reported
+    * by the trained recall test in `SimilaritySpec`. */
+  def knnIvfTrained(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val cents = kmeansFit(embeddings, nList, iters)
+    val assigned = assignWith(embeddings, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scores = array(cents.map { c =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      call_function("vec_dot", col("embedding"), typedLit(c)) / lit(norm)
+    }: _*)
+    val probes = probeRows(
+      embeddings.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .withColumn("cent_scores", scores), nProbe)
+    ivfProbeJoin(assigned, probes, k)
+  }
+
+  /** One (query_id, q_emb, cluster_id) row per probed list — the
+    * nProbe best entries of `cent_scores`. */
+  private def probeRows(scored: DataFrame, nProbe: Int): DataFrame =
+    scored.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      explode(expr(s"""slice(array_sort(
+          |  transform(cent_scores, (s, i) -> struct(-s AS ns, i AS idx))),
+          |  1, $nProbe).idx""".stripMargin)).as("cluster_id"))
+
+  /** Shared IVF tail: equi-join probes to assigned lists, score
+    * exactly, keep top k. */
+  private def ivfProbeJoin(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val candidates = assigned
       .join(broadcast(probes), Seq("cluster_id"))
       .where(col("vec_id") =!= col("query_id"))

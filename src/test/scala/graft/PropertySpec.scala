@@ -174,6 +174,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff laws on random keyed tables: self-diff empty, apply(diff) rebuilds new") {
+    val tableGen = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 20L)
+      v <- Gen.option(Gen.oneOf("x", "y", "z"))
+    } yield (k, v)).map(_.distinctBy(_._1)) // keyed: one row per key
+    forAllSamples(Gen.zip(tableGen, tableGen), n = 4) { case (oldT, newT) =>
+      val old = oldT.toDF("k", "v")
+      val neu = newT.toDF("k", "v")
+      // self-diff is empty (null-safe compare: None == None)
+      assert(graft.operators.Maintenance
+        .snapshotDiff(old, old, Seq("k"), Seq("v")).isEmpty)
+      // apply(diff, old) == new, for arbitrary old/new
+      val diff = graft.operators.Maintenance
+        .snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      val rebuilt = old.join(diff.select("k"), Seq("k"), "left_anti")
+        .unionByName(diff.where(col("op") =!= "D")
+          .select(col("k"), col("new_v").as("v")))
+        .as[(Long, Option[String])].collect().toSet
+      assert(rebuilt === newT.toSet)
+    }
+  }
+
+  test("mergeCounts fold is batch-split invariant (the algebraic merge law)") {
+    forAllSamples(Gen.zip(eventsGen, Gen.chooseNum(1, 5)), n = 4) {
+      case (events, nBatches) =>
+        val df = events.toDF("uid", "exp", "variant", "ts")
+          .select(col("uid"), to_timestamp(col("ts")).as("m"))
+          .select(col("uid"), date_trunc("minute", col("m")).as("m"))
+        def agg(b: DataFrame) = b.groupBy("m").agg(count(lit(1)).as("visits"))
+        val oneShot = agg(df).as[(java.sql.Timestamp, Long)].collect().toMap
+        val folded = (0 until nBatches)
+          .map(i => agg(df.where(pmod(xxhash64(col("uid")), lit(nBatches)) === i)))
+          .reduce((s, d) => graft.operators.Maintenance
+            .mergeCounts(s, d, Seq("m"), "visits"))
+          .as[(java.sql.Timestamp, Long)].collect().toMap
+        assert(folded === oneShot)
+    }
+  }
+
   test("connected components match an independent union-find on random graphs (both paths)") {
     val edgesGen = Gen.nonEmptyListOf(for {
       a <- Gen.chooseNum(1L, 30L)

@@ -69,6 +69,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.0)
   }
 
+  test("trained-centroid IVF: valid ranked output, recall reported vs stand-in centroids") {
+    val exact = Similarity.knnBruteForce(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val fake = Similarity.knnIvf(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val trained = Similarity.knnIvfTrained(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val rFake = (exact & fake).size.toDouble / exact.size
+    val rTrained = (exact & trained).size.toDouble / exact.size
+    info(f"IVF recall@10: stand-in=$rFake%.2f trained=$rTrained%.2f")
+    assert(trained.nonEmpty)
+    // trained centroids partition the actual data; on the near-uniform
+    // fixture they must at least hold the stand-in floor
+    assert(rTrained >= 0.25, f"trained IVF recall $rTrained%.2f below floor")
+  }
+
   test("IVF assignment is a total partition of the collection") {
     val assigned = Similarity.ivfAssign(emb, nList = 16)
     assert(assigned.count() === emb.count())
