@@ -166,12 +166,33 @@ object Dedup {
     * the scan (no shuffle); the only shuffled data are the 16-per-doc
     * band keys and the shingle streams of CANDIDATE docs only — the
     * expensive exact-Jaccard verification never touches the full
-    * corpus. */
+    * corpus.
+    *
+    * `maxBucket` is the band twin of the shingle df-cap: a band bucket
+    * of b docs contributes O(b²) candidate pairs, so one degenerate
+    * bucket (a boilerplate page duplicated millions of times, input
+    * that skipped [[dedupExact]]) would quadratically swamp the
+    * self-join. Buckets above the cap are dropped — the pairs they
+    * would have found are EXACT-duplicate clusters, which belong to
+    * the cheaper exact pass anyway (this operator's contract is
+    * exact-deduped input; the cap makes violating it degrade to
+    * missing-dups instead of a 100 TB job that never finishes). At
+    * sane dup rates no bucket approaches the default cap and the
+    * output is unchanged. */
   def minhashLshPairs(documents: DataFrame, k: Int = 4, numPerm: Int = 64,
-      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
-    val banded = minhashSignatures(documents, k, numPerm)
+      bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    val bandedAll = minhashSignatures(documents, k, numPerm)
       .select(col("doc_id"),
         explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash"))
+    // count-filter, not bounded-collect: the bucket members are needed
+    // as ROWS for the self-join, so the cap is a windowed count over
+    // the same band_hash clustering the join shuffles on anyway
+    val banded = bandedAll
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_hash")))
+      .where(col("bsize") <= maxBucket)
+      .drop("bsize")
       // consumed by both sides of the self-join
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.toDF("doc_id_a", "band_hash")

@@ -138,6 +138,26 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${(exact -- lsh).take(5)} spurious=${(lsh -- exact).take(5)}")
   }
 
+  test("band-bucket cap drops degenerate exact-dup buckets, keeps true near-dups") {
+    val words = (1 to 30).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val nearDup = words.updated(14, "CHANGED").mkString(" ") // J ≈ 23/31
+    val boiler = "spam spam spam lorem ipsum dolor sit amet ad infinitum " * 3
+    // 50 identical boilerplate docs (should have been exact-deduped) +
+    // one genuine near-dup pair
+    val d = (Seq((1L, base), (2L, nearDup)) ++
+      (100L until 150L).map(i => (i, boiler))).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(d, maxBucket = 10)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // the 50-doc buckets (50 > cap) contribute no pairs; the near-dup
+    // pair's buckets have 2 members and survive
+    assert(got === Set((1L, 2L)))
+    // uncapped control: the boilerplate block floods in quadratically
+    val uncapped = Dedup.minhashLshPairs(d)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
+    assert(uncapped.length === 1 + 50 * 49 / 2)
+  }
+
   test("incremental LSH dedup ≡ batch-touching slice of the exact pairs") {
     import org.apache.spark.sql.functions._
     val batch = docs.where(col("doc_id") % 5 === 0)
