@@ -7,36 +7,83 @@ import graft.operators.Windows
 
 /** The batch materialization of the reference's Redis keyspace
   * (SURVEY.md §1.2): one long-format metrics table
-  * `(metric, dim, window_minute, value)` holding every pipeline
+  * `(metric, dim, window_minute, value, sketch)` holding every pipeline
   * aggregate, written partitioned by metric family so the dashboard
   * read shapes (Q1–Q5) become partition-pruned point/range scans —
   * the relational equivalent of Redis key addressing.
+  *
+  * Distinct-count families carry their HLL SKETCH alongside the
+  * materialized estimate — the store analog of the reference keeping
+  * PFADD state rather than a number (README.md:22-30): sketches make
+  * the store MERGEABLE, so a delta batch folds in with [[merge]]
+  * (counter families by addition — INCRBY; sketch families by
+  * register-max union — PFMERGE) without touching event history.
+  * `value` for sketch families is the estimate (what PFCOUNT returns);
+  * the exact oracle-checked variants live in the query surface, not
+  * the store, exactly as in the reference.
   *
   * At 100 TB the store is the small output of the big aggregation;
   * partitioning by `metric` + sorting within files by `window_minute`
   * gives the 1 Hz dashboard reads (BASELINE.md) a path that touches
   * one partition directory and skips row groups by minute range.
+  * Updates write a NEW versioned snapshot directory and flip a
+  * pointer (the same atomic-replace convention as
+  * [[graft.operators.Maintenance.upsert]]) — never overwrite a
+  * directory being read.
   */
 object MetricsTables {
 
-  /** All per-minute metric families in one pass over the events — a
-    * single wide aggregation, unioned into long format. `dim` is the
-    * non-time dimension value ('' when the family has none). */
+  private val Keys = Seq("metric", "dim", "window_minute")
+
+  /** All per-minute metric families in one pass over the events,
+    * unioned into long format. `dim` is the non-time dimension value
+    * ('' when the family has none). */
   def materialize(ev: DataFrame): DataFrame = {
     val m = Windows.minuteKey(col(Ts))
-    def fam(name: String, dim: org.apache.spark.sql.Column,
-        agg: org.apache.spark.sql.Column): DataFrame =
+    def counterFam(name: String, dim: org.apache.spark.sql.Column): DataFrame =
       ev.groupBy(m.as("window_minute"), dim.as("dim"))
-        .agg(agg.as("value"))
-        .select(lit(name).as("metric"), col("dim"),
-          col("window_minute"), col("value"))
-    fam("visitCounter", lit(""), count(lit(1)))
-      .unionByName(fam("users", lit(""), countDistinct(col(Uid))))
-      .unionByName(fam("experiments", lit(""), countDistinct(col(ExperimentId))))
-      .unionByName(fam("variants", lit(""), countDistinct(col(Variant))))
-      .unionByName(fam("evcounter", concat_ws("|", col(ExperimentId), col(Variant)),
-        countDistinct(col(Uid))))
+        .agg(count(lit(1)).as("value"))
+        .select(lit(name).as("metric"), col("dim"), col("window_minute"),
+          col("value"), lit(null).cast("binary").as("sketch"))
+    def sketchFam(name: String, dim: org.apache.spark.sql.Column,
+        member: String): DataFrame =
+      ev.groupBy(m.as("window_minute"), dim.as("dim"))
+        .agg(expr(s"hll_sketch_agg($member)").as("sketch"))
+        .select(lit(name).as("metric"), col("dim"), col("window_minute"),
+          expr("hll_sketch_estimate(sketch)").cast("long").as("value"),
+          col("sketch"))
+    counterFam("visitCounter", lit(""))
+      .unionByName(sketchFam("users", lit(""), Uid))
+      .unionByName(sketchFam("experiments", lit(""), ExperimentId))
+      .unionByName(sketchFam("variants", lit(""), Variant))
+      .unionByName(sketchFam("evcounter",
+        concat_ws("|", col(ExperimentId), col(Variant)), Uid))
   }
+
+  /** Fold a delta snapshot into the current store: counters add
+    * (INCRBY), sketches union by register max (PFMERGE — exactly the
+    * one-shot sketch, so folding is estimate-identical to a full
+    * rebuild), estimates recomputed from the merged sketch. Both
+    * inputs are key-domain-sized; events never re-aggregate. */
+  def merge(cur: DataFrame, delta: DataFrame): DataFrame =
+    cur.unionByName(delta)
+      .groupBy(Keys.map(col): _*)
+      .agg(sum(when(col("sketch").isNull, col("value"))).as("csum"),
+        expr("hll_union_agg(sketch)").as("usk"))
+      // branch on csum, not on the union result: hll_union_agg over an
+      // all-null (counter) group returns an EMPTY sketch, not null —
+      // its 0 estimate must never shadow the counter sum, and counter
+      // rows keep a null sketch instead of the bogus empty one
+      .select(col("metric"), col("dim"), col("window_minute"),
+        when(col("csum").isNotNull, col("csum"))
+          .otherwise(expr("hll_sketch_estimate(usk)"))
+          .cast("long").as("value"),
+        when(col("csum").isNotNull, lit(null).cast("binary"))
+          .otherwise(col("usk")).as("sketch"))
+
+  /** [[merge]] of the store with a new batch of raw events. */
+  def update(cur: DataFrame, deltaEv: DataFrame): DataFrame =
+    merge(cur, materialize(deltaEv))
 
   /** Write the store partitioned by metric family (Redis key-family ↔
     * partition directory), minute-sorted within files. */

@@ -45,6 +45,30 @@ class StoreSpec extends AnyFunSuite {
     assert(series.length === 10)
   }
 
+  test("sketch-backed store: folding deltas is value-identical to a full rebuild") {
+    val ev = Tables.logEvents(spark, TestSpark.Sf0001)
+    val h1 = ev.where(pmod(xxhash64(col("uid")), lit(2)) === 0)
+    val h2 = ev.where(pmod(xxhash64(col("uid")), lit(2)) === 1)
+    def values(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("metric"), col("dim"), col("window_minute"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    // v1 snapshot from the first half, then fold the second half in —
+    // counters add (INCRBY), sketches union (PFMERGE, register-max ⇒
+    // estimate-identical to one-shot aggregation)
+    val folded = values(
+      MetricsTables.update(MetricsTables.materialize(h1), h2))
+    val full = values(MetricsTables.materialize(ev))
+    assert(folded === full)
+    // sketch families carry real HLL state; counters carry none
+    val bySketch = MetricsTables.materialize(ev)
+      .groupBy(col("metric"), col("sketch").isNull.as("noSketch"))
+      .count().collect().map(r => r.getString(0) -> r.getBoolean(1)).toSet
+    assert(bySketch.contains("visitCounter" -> true))
+    assert(bySketch.contains("users" -> false))
+  }
+
   test("salted exact distinct equals plain exact distinct") {
     val ev = Tables.logEvents(spark, TestSpark.Sf0001)
     val plain = Metrics.uniqueUsersPerMinute(ev).collect().toSeq
