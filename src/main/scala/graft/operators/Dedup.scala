@@ -251,10 +251,18 @@ object Dedup {
     * so dropping every `new_id` that appears here leaves the batch
     * dup-free against both the corpus and itself). */
   def incrementalLshPairs(corpus: DataFrame, batch: DataFrame, k: Int = 4,
-      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+      numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    // same degenerate-bucket cap as [[minhashLshPairs]]: an
+    // exact-dup-flooded bucket on EITHER side would multiply into the
+    // probe join (|corpus bucket| × |batch bucket| candidate rows)
     val bandCols = (df: DataFrame) => minhashSignatures(df, k, numPerm)
       .select(col("doc_id"),
         explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash"))
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_hash")))
+      .where(col("bsize") <= maxBucket)
+      .drop("bsize")
     // the corpus index — at scale this is a pre-materialized table,
     // here recomputed; the batch bands are probed twice (index + self)
     val corpusBands = bandCols(corpus)
