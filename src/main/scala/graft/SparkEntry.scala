@@ -99,6 +99,7 @@ object SparkEntry {
     "order_deciles" -> ((s, d) => Analytics.orderDeciles(Tables.orders(s, d))),
     "order_price_ranks" -> ((s, d) => Analytics.orderPriceRanks(Tables.orders(s, d))),
     "orders_by_month" -> ((s, d) => Analytics.ordersByMonth(Tables.orders(s, d))),
+    "revenue_mom_change" -> ((s, d) => Analytics.revenueMomChange(Tables.orders(s, d))),
     "top_customers_concat" -> ((s, d) =>
       Analytics.topCustomersConcat(Tables.customer(s, d), Tables.nation(s, d))),
     "nation_accounts_full" -> ((s, d) =>
@@ -355,6 +356,7 @@ object SparkEntry {
     "order_deciles" -> Analytics.orderDecilesSql,
     "order_price_ranks" -> Analytics.orderPriceRanksSql,
     "orders_by_month" -> Analytics.ordersByMonthSql,
+    "revenue_mom_change" -> Analytics.revenueMomChangeSql,
     "top_customers_concat" -> Analytics.topCustomersConcatSql,
     "nation_accounts_full" -> Analytics.nationAccountsFullSql,
     "part_color_stats" -> Analytics.partColorStatsSql,

@@ -389,6 +389,45 @@ object Analytics {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Month-over-month revenue change — the period-over-period reporting
+    * shape (lag over an ordered calendar axis + relative delta). The
+    * global-ORDER-BY window runs AFTER the monthly rollup, over a
+    * calendar-domain-sized frame (≤ 12·years rows regardless of input
+    * scale), so the single-partition WindowExec that is forbidden on
+    * fact data is harmless here. Revenue stays DECIMAL through the
+    * rollup and the lag; the relative change divides identical
+    * decimal-derived doubles and quantizes to 8 decimals — engine-
+    * reproducible like every float edge in this file. First month has
+    * no predecessor → NULL change on both engines. */
+  def revenueMomChange(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"))
+      .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
+    val w = Window.orderBy("o_year", "o_month")
+    monthly
+      .withColumn("prev", lag("rev", 1).over(w))
+      .select(col("o_year"), col("o_month"),
+        expr("CAST(rev AS DOUBLE)").as("revenue"),
+        expr("""CAST(CAST(
+          (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE)
+          AS DECIMAL(18,8)) AS DOUBLE)""").as("mom_change"))
+      .orderBy("o_year", "o_month")
+  }
+
+  val revenueMomChangeSql: String =
+    """WITH m AS (
+      |  SELECT extract(year FROM o_orderdate) AS o_year,
+      |    extract(month FROM o_orderdate) AS o_month,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (SELECT *, lag(rev) OVER (ORDER BY o_year, o_month) AS prev FROM m)
+      |SELECT o_year, o_month, CAST(rev AS DOUBLE) AS revenue,
+      |  CAST(CAST(
+      |    (CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE)
+      |    AS DECIMAL(18,8)) AS DOUBLE) AS mom_change
+      |FROM l ORDER BY 1, 2""".stripMargin
+
   /** Moment statistics per event_type: mean and sample stddev of
     * `value`, computed from decimal-exact sums (Σx, Σx²) so the result
     * is partition-order independent — `stddev_samp` over raw doubles

@@ -207,6 +207,19 @@ class AnalyticsSpec extends AnyFunSuite {
       "zero-variance correlation/slope must be NULL on both engines")
   }
 
+  test("revenueMomChange: first month NULL, relative deltas exact") {
+    val o = Seq(("1995-01-15", 100.0), ("1995-02-10", 150.0),
+      ("1995-02-20", 50.0), ("1995-03-05", 100.0))
+      .toDF("d", "o_totalprice")
+      .select(to_date(col("d")).as("o_orderdate"), col("o_totalprice"))
+    val got = Analytics.revenueMomChange(o)
+      .as[(Long, Long, Double, Option[Double])].collect().toList
+    assert(got === List(
+      (1995L, 1L, 100.0, None),          // no predecessor
+      (1995L, 2L, 200.0, Some(1.0)),     // doubled
+      (1995L, 3L, 100.0, Some(-0.5))))   // halved
+  }
+
   test("collocations: PMI ranks the glued bigram above independent ones") {
     // "new york" adjacent in every doc; "the"/"cat" co-occur everywhere
     // but are adjacent (either order) in only half the docs each way —
