@@ -344,6 +344,40 @@ object StreamingMetrics {
         col("active_users"))
   }
 
+  /** Streaming materialization of the BATCH store: every micro-batch
+    * folds into the running [[graft.store.MetricsTables]] snapshot via
+    * its PFMERGE/INCRBY merge — so the streaming face and the batch
+    * face are literally the same table (the merge law tested in
+    * `StoreSpec` makes the fold value-identical to one-shot
+    * materialization of everything seen). The snapshot is
+    * key-domain-sized; `localCheckpoint` truncates the per-batch fold
+    * lineage exactly as the iterative operators do. In production the
+    * fold writes a new versioned snapshot directory per batch (or
+    * interval) and flips the reader pointer. */
+  class StoreMaterializer {
+    @volatile private var snap: Option[DataFrame] = None
+    def fold(batchEvents: DataFrame): Unit = synchronized {
+      val next = snap match {
+        case None => graft.store.MetricsTables.materialize(batchEvents)
+        case Some(s) => graft.store.MetricsTables.update(s, batchEvents)
+      }
+      snap = Some(next.localCheckpoint())
+    }
+    /** The current snapshot (empty option before the first batch). */
+    def snapshot: Option[DataFrame] = snap
+  }
+
+  /** Wire a LogEvent stream into a [[StoreMaterializer]]. */
+  def startStoreMaterialization(events: Dataset[LogEvent],
+      mat: StoreMaterializer, queryName: String): StreamingQuery =
+    events.toDF()
+      .withColumnRenamed("experimentId", LogEvent.ExperimentId)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mat.fold(batch)
+      }
+      .queryName(queryName).start()
+
   /** Streaming incremental dedup's index state: MinHash band postings
     * plus the signature of every ACCEPTED (non-dup) document, and the
     * dup verdicts. In production these are bucketed tables appended

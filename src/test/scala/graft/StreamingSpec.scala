@@ -128,6 +128,31 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming store materialization folds micro-batches ≡ one-shot batch store") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val b1 = Seq(ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u2", "e1", "2", "2026-08-12 10:15:30"))
+    val b2 = Seq(ev("u1", "e2", "1", "2026-08-12 10:16:00"),
+      ev("u3", "e1", "1", "2026-08-12 10:15:40"))
+    val input = MemoryStream[LogEvent]
+    val mat = new StreamingMetrics.StoreMaterializer
+    val q = StreamingMetrics.startStoreMaterialization(
+      input.toDS(), mat, "store_mat_t")
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    def values(df: org.apache.spark.sql.DataFrame) = df
+      .select("metric", "dim", "window_minute", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    val streamed = values(mat.snapshot.get)
+    val oneShot = values(graft.store.MetricsTables.materialize(
+      (b1 ++ b2).toDS().toDF()
+        .withColumnRenamed("experimentId", "experiment_id")))
+    assert(streamed === oneShot)
+    q.stop()
+  }
+
   test("applyBatchOnce makes INCRBY effectively-once under batch redelivery") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
