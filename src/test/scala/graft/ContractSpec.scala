@@ -46,6 +46,18 @@ class ContractSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("driver-contract lint: oracle keys resolve, names are driver-safe") {
+    // every oracle entry must name an implemented query (an orphan
+    // oracle silently becomes a missing-dump row in the driver compare)
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // names are [a-z0-9_]: they become parquet directory names and JSON
+    // keys in the driver pipeline
+    val bad = (SparkEntry.queries.keySet ++ SparkEntry.oracleSql.keySet)
+      .filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"driver-unsafe query names: $bad")
+  }
+
   test("approximate ANN indexes clear their recall@10 floor") {
     import graft.operators.Similarity
     import graft.sources.Tables

@@ -51,6 +51,9 @@ class DashboardServerSpec extends AnyFunSuite {
       val times = get(port, "/metrics/timeseries/times")
       assert(times.startsWith("""["2026-08-12T10:16:00Z","2026-08-12T10:15:00Z""""))
       assert(times.split(",").length === 10)
+      // malformed query param: a JSON error payload, not a hung socket
+      val bad = get(port, "/metrics/timeseries/visits?lastMinutes=abc")
+      assert(bad.contains("\"error\""), s"expected error payload, got: $bad")
     } finally srv.stop()
   }
 }
