@@ -94,6 +94,14 @@ class DashboardServer(store: MetricsStore, port: Int = 0,
       s"""{"dimensions":["$a","$b"],"metric":$n}"""
     }.mkString("[", ",", "]")
   }
+  // scale twin of /variantsOverlap: theta-sketch intersection reads
+  // (the store keeps KB sketches instead of raw uid sets — the only
+  // serving shape that survives 100 TB of distinct users)
+  route("/metrics/timeseries/variantsOverlapApprox") { _ =>
+    store.overlapApprox("theta_var_").map { case (a, b, n) =>
+      s"""{"dimensions":["$a","$b"],"metric":$n}"""
+    }.mkString("[", ",", "]")
+  }
   route("/metrics/timeseries/times") { ex =>
     closedMinutes(lastMinutesParam(ex))
       .map(m => s""""${IsoFmt.format(m)}"""").mkString("[", ",", "]")

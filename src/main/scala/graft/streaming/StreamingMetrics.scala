@@ -73,6 +73,30 @@ class MetricsStore extends KeyValueMetricsSink {
   def counter(key: String): Long = counters.getOrElse(key, 0L)
   def scard(key: String): Long = sets.get(key).map(_.size.toLong).getOrElse(0L)
 
+  /** Serialized theta sketches per key — the sketch flavor of the set
+    * family: at 100 TB the serving store cannot hold raw uid sets, and
+    * HLL cannot intersect, so the overlap endpoint's scale path keeps
+    * theta sketches (KB each) and intersects them at read. */
+  val sketches = TrieMap.empty[String, Array[Byte]]
+  def putSketch(key: String, sk: Array[Byte]): Unit = sketches.put(key, sk)
+
+  /** Q4 read, sketch flavor: pairwise intersection ESTIMATES over a
+    * theta-sketch key family (exact while sketches are in the
+    * raw-hash regime, < nominal entries) — the serving-side
+    * `theta_intersection` without a Spark job per HTTP read. */
+  def overlapApprox(prefix: String): Seq[(String, String, Long)] = {
+    import org.apache.datasketches.theta.{CompactSketch, SetOperation}
+    import org.apache.datasketches.memory.Memory
+    val fams = sketches.keys.filter(_.startsWith(prefix)).toSeq.sorted
+    for { a <- fams; b <- fams if a < b } yield {
+      val inter = SetOperation.builder().buildIntersection()
+      inter.intersect(CompactSketch.wrap(Memory.wrap(sketches(a))))
+      inter.intersect(CompactSketch.wrap(Memory.wrap(sketches(b))))
+      (a.stripPrefix(prefix), b.stripPrefix(prefix),
+        Math.round(inter.getResult.getEstimate))
+    }
+  }
+
   private val appliedBatches = TrieMap.empty[(String, Long), Unit]
 
   /** Exactly-once guard for non-idempotent merges (INCRBY) under
@@ -343,6 +367,24 @@ object StreamingMetrics {
         graft.operators.Windows.MinuteKeyFormat).as("window_start"),
         col("active_users"))
   }
+
+  /** A5's sketch face as a stream: all-time per-variant theta sketches
+    * in an update-mode aggregate, upserted into the store per
+    * micro-batch. Spark's own sketch state is the mergeable half
+    * (PFADD analog); [[MetricsStore.overlapApprox]] is the read half
+    * (SINTERSTORE analog) — together the scale path for the overlap
+    * endpoint, whose exact-set twin keeps raw uid sets. */
+  def startVariantSketches(events: Dataset[LogEvent],
+      store: MetricsStore, queryName: String): StreamingQuery =
+    events.toDF()
+      .groupBy(concat_ws("_", lit("theta_var"), col(LogEvent.Variant)).as("k"))
+      .agg(expr(s"theta_sketch_agg(${LogEvent.Uid})").as("sk"))
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.collect().foreach(r =>
+          store.putSketch(r.getString(0), r.getAs[Array[Byte]](1)))
+      }
+      .queryName(queryName).start()
 
   /** Streaming materialization of the BATCH store: every micro-batch
     * folds into the running [[graft.store.MetricsTables]] snapshot via

@@ -27,6 +27,13 @@ class DashboardServerSpec extends AnyFunSuite {
     store.sadd("set_experiments_2026_08_12T10_16", Seq("e1", "e2"))
     store.sadd("set_var_1", Seq("u1", "u2"))
     store.sadd("set_var_2", Seq("u2", "u3"))
+    def sketchOf(ids: String*): Array[Byte] = {
+      val s = org.apache.datasketches.theta.UpdateSketch.builder().build()
+      ids.foreach(s.update)
+      s.compact().toByteArray
+    }
+    store.putSketch("theta_var_1", sketchOf("u1", "u2"))
+    store.putSketch("theta_var_2", sketchOf("u2", "u3"))
     val clock = () => java.time.LocalDateTime.of(2026, 8, 12, 10, 17, 42)
     val srv = new DashboardServer(store, port = 0, clock = clock).start()
     try {
@@ -51,6 +58,9 @@ class DashboardServerSpec extends AnyFunSuite {
       val times = get(port, "/metrics/timeseries/times")
       assert(times.startsWith("""["2026-08-12T10:16:00Z","2026-08-12T10:15:00Z""""))
       assert(times.split(",").length === 10)
+      // sketch twin of the overlap endpoint: u2 shared
+      assert(get(port, "/metrics/timeseries/variantsOverlapApprox") ===
+        """[{"dimensions":["1","2"],"metric":1}]""")
       // malformed query param: a JSON error payload, not a hung socket
       val bad = get(port, "/metrics/timeseries/visits?lastMinutes=abc")
       assert(bad.contains("\"error\""), s"expected error payload, got: $bad")

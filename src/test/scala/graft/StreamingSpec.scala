@@ -128,6 +128,27 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming theta sketches serve exact overlap in the raw-hash regime") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LogEvent]
+    val store = new MetricsStore
+    val q = StreamingMetrics.startVariantSketches(
+      input.toDS(), store, "theta_var_t")
+    // variant 1: u1 u2 u3 ; variant 2: u2 u3 u4 — overlap 2, split
+    // across two micro-batches so the sketch state must accumulate
+    input.addData(ev("u1", "e1", "1", "2026-08-12 10:15:03"),
+      ev("u2", "e1", "1", "2026-08-12 10:15:10"),
+      ev("u2", "e1", "2", "2026-08-12 10:15:20"))
+    q.processAllAvailable()
+    input.addData(ev("u3", "e1", "1", "2026-08-12 10:16:00"),
+      ev("u3", "e1", "2", "2026-08-12 10:16:05"),
+      ev("u4", "e1", "2", "2026-08-12 10:16:10"))
+    q.processAllAvailable()
+    assert(store.overlapApprox("theta_var_") === Seq(("1", "2", 2L)))
+    q.stop()
+  }
+
   test("streaming store materialization folds micro-batches ≡ one-shot batch store") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
