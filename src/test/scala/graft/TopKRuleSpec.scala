@@ -66,6 +66,26 @@ class TopKRuleSpec extends AnyFunSuite {
     assert(q.select("event_id").as[Long].collect().toSet === Set(1L, 3L))
   }
 
+  test("capPerSource's hash-rank cap rewrites to TopKPerGroup under the extensions") {
+    import ext.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, s"t$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val q = graft.operators.Corpus.capPerSource(docs, k = 3)
+    assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"),
+      q.queryExecution.executedPlan.toString.take(600))
+    // identical rows to the no-rule session
+    import TestSpark.spark.implicits.{localSeqToDatasetHolder => baseSeq}
+    val baseDocs = baseSeq((1L to 40L)
+      .map(i => (i, s"t$i", if (i % 2 == 0) "a" else "b")).toList)
+      .toDF("doc_id", "text", "source")
+    val base = graft.operators.Corpus.capPerSource(baseDocs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === base)
+  }
+
   test("global top-k (no PARTITION BY) stays on Window and returns results") {
     import ext.implicits._
     // regression: the rewrite used to fire with parts=Nil, producing
