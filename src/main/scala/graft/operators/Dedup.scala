@@ -306,6 +306,23 @@ object Dedup {
       .orderBy("new_id", "match_id")
   }
 
+  /** Materialize a corpus's MinHash band index as a BUCKETED table —
+    * what "the index is pre-materialized" means concretely for
+    * [[incrementalLshPairs]] at 100 TB: the (doc_id, band_hash) rows
+    * are written bucketed on `band_hash`, so probing them with a
+    * batch's band keys shuffles ONLY the batch side (the index scan is
+    * already hash-clustered on the join key — zero index-side
+    * exchange, plan-asserted in `BucketingSpec`). Appending a day's
+    * accepted docs rewrites nothing: new band rows land in the same
+    * bucket scheme. */
+  def writeBandIndex(documents: DataFrame, tableName: String, k: Int = 4,
+      numPerm: Int = 64, bands: Int = 16, buckets: Int = 8): Unit =
+    graft.sources.Tables.writeBucketed(
+      minhashSignatures(documents, k, numPerm)
+        .select(col("doc_id"),
+          explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash")),
+      tableName, "band_hash", buckets)
+
   /** DuckDB oracle for [[incrementalLshPairs]] with the deterministic
     * `doc_id % batchMod = 0` batch split: exact all-pairs Jaccard
     * restricted to pairs touching the batch, re-anchored at the batch

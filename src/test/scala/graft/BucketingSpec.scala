@@ -47,4 +47,44 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("materialized band index: probe join shuffles only the batch side") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    graft.operators.Dedup.writeBandIndex(
+      docs.where(col("doc_id") % 5 =!= 0), "band_index_t", buckets = 8)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      graft.functions.MinHashFunctions.register(spark)
+      val batchBands = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("new_id"),
+          split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 4)
+        .select(col("new_id"),
+          explode(expr("minhash_bands(minhash_sig(toks, 4, 64), 16)"))
+            .as("band_hash"))
+      val probed = spark.table("band_index_t")
+        .join(batchBands, "band_hash")
+      assert(probed.count() > 0, "implanted dups should collide")
+      // exactly ONE exchange: the batch side. The index scan is
+      // bucket-clustered on band_hash and must not shuffle.
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        "index scan not bucket-aware: " + plan.take(500))
+      val exchanges = "(?<!Broadcast)Exchange".r
+        .findAllIn(plan.replace("BroadcastExchange", "BX")).length
+      assert(exchanges === 1,
+        s"expected one probe-side shuffle, got $exchanges:\n${plan.take(1500)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS band_index_t")
+    }
+  }
 }
