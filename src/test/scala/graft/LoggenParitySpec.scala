@@ -34,7 +34,8 @@ class LoggenParitySpec extends AnyFunSuite {
     // --- streaming face: three micro-batches through the pipeline ---
     val input = MemoryStream[LogEvent]
     val store = new MetricsStore
-    val queries = StreamingMetrics.startPipeline(input.toDS(), store)
+    val queries = StreamingMetrics.startPipeline(input.toDS(), store) :+
+      StreamingMetrics.startVariantSketches(input.toDS(), store, "theta_parity")
     try {
       events.grouped(2048).foreach { batch =>
         input.addData(batch.toSeq)
@@ -71,6 +72,10 @@ class LoggenParitySpec extends AnyFunSuite {
     assert(store.overlap("set_var_") === q4Batch)
     // the generator's 4 variants all appear → C(4,2) pairs
     assert(q4Batch.length === 6)
+    // Q4 sketch twin: theta intersections stay exact in the raw-hash
+    // regime (generator uids ≪ nominal entries), so the scale path
+    // reproduces the exact endpoint on this corpus
+    assert(store.overlapApprox("theta_var_") === q4Batch)
 
     // Q5 times spine: same closed-minute labels from both faces
     val q5Batch = Metrics.timesSpine(ev).as[String].collect().toSeq
