@@ -20,6 +20,13 @@ object Verify {
     // as Bench); the driver runs unfiltered
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // fail fast on unknown names: a typo'd subset would otherwise run
+    // empty/partial and look like success
+    only.map(_ -- SparkEntry.queries.keySet).filter(_.nonEmpty).foreach { bad =>
+      System.err.println(
+        s"[verify] ABORT unknown SPARK_GRAFT_ONLY names: ${bad.toSeq.sorted.mkString(",")}")
+      spark.stop(); sys.exit(2)
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries

@@ -404,6 +404,9 @@ object Analytics {
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"),
         month(col("o_orderdate")).cast("long").as("o_month"))
       .agg(expr("sum(CAST(o_totalprice AS DECIMAL(18,2)))").as("rev"))
+    // unpartitioned Window = single-partition WindowExec: safe ONLY
+    // because `monthly` is calendar-bounded (≤ 12·years rows) — do not
+    // copy this shape onto anything that scales with the fact table
     val w = Window.orderBy("o_year", "o_month")
     monthly
       .withColumn("prev", lag("rev", 1).over(w))

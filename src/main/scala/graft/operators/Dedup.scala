@@ -179,6 +179,30 @@ object Dedup {
     * missing-dups instead of a 100 TB job that never finishes). At
     * sane dup rates no bucket approaches the default cap and the
     * output is unchanged. */
+  /** Apply the degenerate-bucket cap to a (doc_id, band_hash) stream —
+    * and make the drop VISIBLE (the repo's no-silent-caps rule): an
+    * `observe` node named `obsName` records `dropped_band_rows` (band
+    * rows above the cap) and `capped_buckets` (distinct buckets hit —
+    * each of a bucket's b dropped rows contributes 1/b, so the sum is
+    * the bucket count) in the query's observed metrics, readable from
+    * any `QueryExecutionListener` and shown in the Spark UI. Zero
+    * extra jobs: the metric rides the window pass the cap already
+    * pays for. A real run can now tell missing-dups (capped_buckets
+    * > 0 → re-run the exact pass) from a clean pass. */
+  private def capBandBuckets(bandedAll: DataFrame, maxBucket: Int,
+      obsName: String): DataFrame =
+    bandedAll
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band_hash")))
+      .observe(obsName,
+        sum(when(col("bsize") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_band_rows"),
+        round(coalesce(sum(when(col("bsize") > maxBucket,
+          lit(1.0) / col("bsize"))), lit(0.0))).cast("bigint")
+          .as("capped_buckets"))
+      .where(col("bsize") <= maxBucket)
+      .drop("bsize")
+
   def minhashLshPairs(documents: DataFrame, k: Int = 4, numPerm: Int = 64,
       bands: Int = 16, threshold: Double = 0.5,
       maxBucket: Int = 10000): DataFrame = {
@@ -188,11 +212,7 @@ object Dedup {
     // count-filter, not bounded-collect: the bucket members are needed
     // as ROWS for the self-join, so the cap is a windowed count over
     // the same band_hash clustering the join shuffles on anyway
-    val banded = bandedAll
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_hash")))
-      .where(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val banded = capBandBuckets(bandedAll, maxBucket, "dedup_lsh_band_cap")
       // consumed by both sides of the self-join
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = banded.toDF("doc_id_a", "band_hash")
@@ -256,17 +276,15 @@ object Dedup {
     // same degenerate-bucket cap as [[minhashLshPairs]]: an
     // exact-dup-flooded bucket on EITHER side would multiply into the
     // probe join (|corpus bucket| × |batch bucket| candidate rows)
-    val bandCols = (df: DataFrame) => minhashSignatures(df, k, numPerm)
-      .select(col("doc_id"),
-        explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash"))
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band_hash")))
-      .where(col("bsize") <= maxBucket)
-      .drop("bsize")
+    val bandCols = (df: DataFrame, obsName: String) => capBandBuckets(
+      minhashSignatures(df, k, numPerm)
+        .select(col("doc_id"),
+          explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash")),
+      maxBucket, obsName)
     // the corpus index — at scale this is a pre-materialized table,
     // here recomputed; the batch bands are probed twice (index + self)
-    val corpusBands = bandCols(corpus)
-    val batchBands = bandCols(batch)
+    val corpusBands = bandCols(corpus, "dedup_inc_band_cap_corpus")
+    val batchBands = bandCols(batch, "dedup_inc_band_cap_batch")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candCorpus = batchBands.toDF("new_id", "band_hash")
       .join(corpusBands.toDF("match_id", "band_hash_b"),
@@ -295,7 +313,7 @@ object Dedup {
         col("match_id") === col("m_id") && col("sh_a") === col("sh_b"))
       .groupBy(col("new_id"), col("match_id"), col("src"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .join(sizes.toDF("new_id", "na"), Seq("new_id"))
       .join(sizes.toDF("match_id", "nb"), Seq("match_id"))
       .select(col("new_id"), col("match_id"),
@@ -304,6 +322,19 @@ object Dedup {
         col("src"))
       .where(col("jaccard") >= threshold)
       .orderBy("new_id", "match_id")
+      // eager localCheckpoint: materialize the (small — verified pairs
+      // only) result NOW, truncating its lineage off the persisted
+      // intermediates so they can be unpersisted here instead of
+      // accumulating across foreachBatch micro-batches (Bench's
+      // clearCache only covers the bench harness). The checkpoint
+      // keeps the sorted partitions, so the ORDER BY survives;
+      // executor-local durability is exactly the micro-batch contract
+      // this operator is documented for.
+      .localCheckpoint()
+    batchBands.unpersist()
+    candidates.unpersist()
+    sh.unpersist()
+    result
   }
 
   /** Materialize a corpus's MinHash band index as a BUCKETED table —

@@ -125,14 +125,24 @@ object Similarity {
     * m²/2 pairs regardless of corpus size) and the block-pair equi-join
     * keeps the plan distributable, so the diagnostic stays runnable at
     * any scale. Bins are [-1, 1] split `nBins` ways; empty bins are
-    * omitted. */
+    * omitted.
+    *
+    * The cosine is quantized through DECIMAL(18,9) before binning (the
+    * repo's float-edge convention — both engines then floor the same
+    * double, so a last-ulp divergence at a bin boundary cannot flip
+    * bins), and the bin is clamped on BOTH ends: float error can push
+    * a cosine a hair outside [-1, 1], and an unclamped low end would
+    * mint a nonsense bin = -1 row. */
   def cosineSimHistogram(embeddings: DataFrame, sampleMod: Int = 7,
       nBins: Int = 20, nBlocks: Int = 4): DataFrame = {
     val sampled = embeddings.where(col("vec_id") % sampleMod === 0)
     blockPairs(sampled, nBlocks)
-      .select(((expr("vec_dot(emb_a, emb_b)") /
-        (col("norm_a") * col("norm_b")) + 1.0) / 2.0 * nBins).as("x"))
-      .select(least(floor(col("x")), lit(nBins - 1)).cast("bigint").as("bin"))
+      .select(expr(
+        """CAST(CAST(vec_dot(emb_a, emb_b) / (norm_a * norm_b)
+          |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin).as("cos"))
+      .select(greatest(lit(0L),
+        least(floor((col("cos") + 1.0) / 2.0 * nBins), lit(nBins - 1L)))
+        .cast("bigint").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
       .select(col("bin"),
         (lit(-1.0) + col("bin") * (2.0 / nBins)).as("sim_lo"),
@@ -146,8 +156,10 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
        |  FROM embeddings WHERE vec_id % $sampleMod = 0),
        |bins AS (
-       |  SELECT CAST(least(floor((list_cosine_similarity(a.emb, b.emb) + 1)
-       |    / 2 * $nBins), $nBins - 1) AS BIGINT) AS bin
+       |  SELECT CAST(greatest(0, least(floor((CAST(CAST(
+       |      list_cosine_similarity(a.emb, b.emb)
+       |    AS DECIMAL(18,9)) AS DOUBLE) + 1) / 2 * $nBins), $nBins - 1))
+       |    AS BIGINT) AS bin
        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
        |SELECT bin, -1 + bin * (2.0 / $nBins) AS sim_lo,
        |  -1 + (bin + 1) * (2.0 / $nBins) AS sim_hi,

@@ -380,8 +380,16 @@ object TextAnalysis {
     * Plan shape (scales linearly in corpus size):
     *  1. explode → (doc, term) counts: one shuffle on (doc_id, term);
     *  2. document frequency: re-aggregate the tf table by term (the
-    *     vocabulary — orders of magnitude smaller than the corpus);
-    *  3. tf ⋈ df on term: the df side is vocabulary-sized → broadcast;
+    *     vocabulary — smaller than the corpus, but UNFILTERED: every
+    *     hapax/typo/URL token is a row, so at web scale it is 10⁸–10⁹
+    *     rows and nothing a driver can hold);
+    *  3. tf ⋈ df on term: deliberately NOT broadcast-hinted — the df
+    *     side scales with corpus content, and SCALE.md's rule is that
+    *     anything fact-table-sized is never hinted. AQE broadcasts at
+    *     runtime when the measured vocab is genuinely small and
+    *     degrades to a shuffle join (same term-hash both sides, no
+    *     extra exchange of tf beyond the one it already pays) when it
+    *     is not;
     *  4. per-doc top-k: written as the row_number ≤ k idiom, which
     *     [[graft.plans.TopKRewriteRule]] rewrites to bounded heaps (no
     *     partition sort at scale).
@@ -398,7 +406,7 @@ object TextAnalysis {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score_dec", expr(
         "CAST(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS DECIMAL(20,10))"))
@@ -464,12 +472,15 @@ object TextAnalysis {
     *
     * Plan shape (linear in corpus size): bigrams come from a per-row
     * `transform` over the token array (no positional self-join), then
-    * ONE hash aggregate each for bigram and unigram counts; the unigram
-    * side is vocabulary-sized, so the two enrichment joins broadcast
-    * (AQE-decided), and the corpus totals are a 1-row broadcast — the
-    * same scalar shape as [[tfidfTopTerms]]. `minCount` keeps only
-    * bigrams with support (PMI is noise below it) and bounds the output
-    * by the frequent-bigram vocabulary.
+    * ONE hash aggregate each for bigram and unigram counts; the two
+    * unigram enrichment joins are genuinely AQE-decided (no hint): the
+    * unigram table is UNFILTERED vocabulary — `minCount` bounds only
+    * the bigram side — so at web scale it is hapax-heavy and far too
+    * big to pin to the driver; AQE broadcasts it when the measured
+    * size is small and shuffles otherwise. The corpus totals are a
+    * 1-row broadcast — the same scalar shape as [[tfidfTopTerms]].
+    * `minCount` keeps only bigrams with support (PMI is noise below
+    * it) and bounds the OUTPUT by the frequent-bigram vocabulary.
     *
     * Engine-portable math: counts are exact longs; the PMI ratio is
     * built as two products of count-valued doubles (exact below 2^53)
@@ -490,8 +501,8 @@ object TextAnalysis {
     val n = toks.agg(sum(size(col("t"))).cast("double").as("n1"),
       sum(size(col("t")) - 1).cast("double").as("n2"))
     bg
-      .join(broadcast(uni.toDF("tok_a", "c_a")), "tok_a")
-      .join(broadcast(uni.toDF("tok_b", "c_b")), "tok_b")
+      .join(uni.toDF("tok_a", "c_a"), "tok_a")
+      .join(uni.toDF("tok_b", "c_b"), "tok_b")
       .crossJoin(broadcast(n))
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
         expr("""CAST(CAST(ln((CAST(c_ab AS DOUBLE) * n1 * n1) /

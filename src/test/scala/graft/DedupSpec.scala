@@ -158,6 +158,37 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.length === 1 + 50 * 49 / 2)
   }
 
+  test("band-bucket cap is observable: dropped rows / capped buckets metrics") {
+    val words = (1 to 30).map(i => s"w$i")
+    val base = words.mkString(" ")
+    val nearDup = words.updated(14, "CHANGED").mkString(" ")
+    val boiler = "spam spam spam lorem ipsum dolor sit amet ad infinitum " * 3
+    val d = (Seq((1L, base), (2L, nearDup)) ++
+      (100L until 150L).map(i => (i, boiler))).toDF("doc_id", "text")
+    @volatile var seen: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.get("dedup_lsh_band_cap")
+          .foreach(r => seen = Some(r))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.minhashLshPairs(d, maxBucket = 10).count()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val row = seen.getOrElse(fail("cap metrics never surfaced"))
+      // 50 identical docs × 16 bands = 800 dropped band rows, 16 buckets
+      assert(row.getAs[Long]("dropped_band_rows") === 800L)
+      assert(row.getAs[Long]("capped_buckets") === 16L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("incremental LSH dedup ≡ batch-touching slice of the exact pairs") {
     import org.apache.spark.sql.functions._
     val batch = docs.where(col("doc_id") % 5 === 0)

@@ -24,10 +24,21 @@ def load(path):
             except json.JSONDecodeError:
                 pass
     # driver wrapper with a (possibly truncated) "tail" capture: salvage
-    # whatever "name":seconds pairs survive
+    # whatever "name":seconds pairs survive. Anchor to the "queries"
+    # object when one is present so unrelated "name":float pairs
+    # elsewhere in the wrapper don't leak into the map.
+    m = re.search(r'\\?"queries\\?":\s*\{', text)
+    scope = text[m.end():] if m else text
+    if m:
+        # stop at the first unescaped close brace of the queries object
+        # (query maps are flat, so the first '}' ends it)
+        scope = scope.split("}", 1)[0]
+    # the lookbehind rejects the wrapper's own '"tail": "' opening quote
+    # gluing onto a front-truncated first key (e.g. '…_json' cut to 'n')
     pairs = dict(
         (k, float(v))
-        for k, v in re.findall(r'\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)', text)
+        for k, v in re.findall(
+            r'(?<!"tail": )\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)', scope)
         if k not in ("value", "sf")
     )
     if pairs:
@@ -43,9 +54,13 @@ def main():
     common = sorted(set(oq) & set(nq))
     rows = [(nq[k] / oq[k] if oq[k] > 0 else float("inf"), k) for k in common]
     rows.sort(reverse=True)
-    print(f"total: {old['value']:.1f}s ({len(oq)}q) -> "
-          f"{new['value']:.1f}s ({len(nq)}q)  "
-          f"ratio {new['value'] / old['value']:.2f}")
+    # guard like the per-query path: a salvaged/empty artifact can have
+    # total 0, which must read as "no baseline", not a crash
+    ratio = (f"{new['value'] / old['value']:.2f}"
+             if old.get("value") else "n/a (old total 0)")
+    print(f"total: {old.get('value', 0.0):.1f}s ({len(oq)}q) -> "
+          f"{new.get('value', 0.0):.1f}s ({len(nq)}q)  "
+          f"ratio {ratio}")
     slower = [(r, k) for r, k in rows if r >= min_ratio]
     faster = [(r, k) for r, k in rows if r <= 1 / min_ratio]
     if slower:
