@@ -30,6 +30,10 @@ import graft.operators.Windows
   * Implementations must be Serializable: the sink is captured by
   * `foreachBatch` closures (driver-side execution, but Spark
   * checkpoints the closure).
+  *
+  * Shipped implementations: [[MetricsStore]] (in-memory, the test
+  * double) and [[graft.store.RedisMetricsSink]] (RESP over a socket —
+  * the real-Redis deployment, pipeline-capable).
   */
 trait KeyValueMetricsSink extends Serializable {
   /** Commutative counter merge (Redis INCRBY). */
