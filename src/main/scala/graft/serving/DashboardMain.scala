@@ -36,7 +36,10 @@ object DashboardMain {
 
     val input = MemoryStream[LogEvent]
     val store = new MetricsStore
-    val queries = StreamingMetrics.startPipeline(input.toDS(), store)
+    // the five reference branches + the theta-sketch overlap twin, so
+    // the page's variantsOverlapApprox panel is live alongside the exact
+    val queries = StreamingMetrics.startPipeline(input.toDS(), store) :+
+      StreamingMetrics.startVariantSketches(input.toDS(), store, "theta_variants")
     val server = new DashboardServer(store, port).start()
     println(s"dashboard listening on http://localhost:${server.boundPort}" +
       "/metrics/timeseries/{visits,users,experiments,variantsOverlap,times}")

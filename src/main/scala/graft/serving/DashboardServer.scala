@@ -62,9 +62,10 @@ class DashboardServer(store: MetricsStore, port: Int = 0,
       s"""{"timestamp":"${IsoFmt.format(m)}","metric":${metric(m)}}"""
     }.mkString("[", ",", "]")
 
-  private def respond(ex: HttpExchange, body: String, status: Int = 200): Unit = {
+  private def respond(ex: HttpExchange, body: String, status: Int = 200,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
@@ -106,6 +107,22 @@ class DashboardServer(store: MetricsStore, port: Int = 0,
     closedMinutes(lastMinutesParam(ex))
       .map(m => s""""${IsoFmt.format(m)}"""").mkString("[", ",", "]")
   }
+
+  // The browser face (reference: static/index.html + metrics_ui.js):
+  // one self-contained page — inline vanilla-JS SVG charts + the 1 Hz
+  // auto-update toggle — served from the jar, so the dashboard works
+  // with zero egress (the reference pulls Google Charts off a CDN).
+  // "/" is also httpserver's fallback context, so unknown paths 404
+  // here instead of leaking the page.
+  private lazy val indexHtml: String = {
+    val in = getClass.getResourceAsStream("/graft/dashboard/index.html")
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+  server.createContext("/", (ex: HttpExchange) =>
+    ex.getRequestURI.getPath match {
+      case "/" | "/index.html" => respond(ex, indexHtml, 200, "text/html")
+      case p => respond(ex, s"""{"error":"no such path: $p"}""", 404)
+    })
 
   def start(): DashboardServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

@@ -64,6 +64,18 @@ class DashboardServerSpec extends AnyFunSuite {
       // malformed query param: a JSON error payload, not a hung socket
       val bad = get(port, "/metrics/timeseries/visits?lastMinutes=abc")
       assert(bad.contains("\"error\""), s"expected error payload, got: $bad")
+      // the browser face: self-contained page wired to every endpoint
+      val page = get(port, "/")
+      assert(page.startsWith("<!DOCTYPE html>"))
+      Seq("/metrics/timeseries/visits", "/metrics/timeseries/users",
+        "/metrics/timeseries/experiments", "/metrics/timeseries/variantsOverlap",
+        "/metrics/timeseries/variantsOverlapApprox")
+        .foreach(e => assert(page.contains(e), s"page does not poll $e"))
+      // self-contained: no external script/style fetch
+      assert(!page.contains("src=\"http"), "page must not pull external scripts")
+      assert(get(port, "/index.html") === page)
+      // the "/" fallback context must 404 unknown paths, not serve the page
+      assert(get(port, "/no/such/path").contains("\"error\""))
     } finally srv.stop()
   }
 }
