@@ -211,7 +211,11 @@ object SparkEntry {
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d)))),
     "multimodal_frame_sample" -> ((s, d) =>
-      Multimodal.frameSampleStats(s, par(Tables.documents(s, d))))
+      Multimodal.frameSampleStats(s, par(Tables.documents(s, d)))),
+    // real container-header decode (BMP/WAV/PNG byte layout) over
+    // fabricated-but-real payload files — see MediaCodecs
+    "media_metadata" -> ((s, d) =>
+      MediaCodecs.mediaMetadata(s, par(Tables.documents(s, d))))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).
@@ -435,6 +439,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalLshPairsSql(),
     "multimodal_feature_summary" -> Multimodal.featureSummarySql,
     "multimodal_frame_sample" -> Multimodal.frameSampleStatsSql,
+    "media_metadata" -> MediaCodecs.mediaMetadataSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql()
   )

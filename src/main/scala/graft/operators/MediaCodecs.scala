@@ -1,0 +1,319 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parsed container metadata for an opaque media payload. Image-only
+  * fields (width/height) are None for audio and vice versa. */
+case class MediaMeta(
+    media_id: Long,
+    format: String, // "bmp" | "wav" | "png" | "gif" | "jpeg" | "unknown"
+    width: Option[Int],
+    height: Option[Int],
+    bit_depth: Option[Int],
+    channels: Option[Int],
+    sample_rate: Option[Int],
+    duration_ms: Option[Long])
+
+/** REAL media container decoding — the round-6 gap closed: where
+  * [[Multimodal.decodeStub]] stands in for the deep pixel/sample →
+  * tensor decode (which needs codec libraries this container doesn't
+  * ship), the HEADER layer of the common containers is fully public
+  * byte layout (PNG: W3C/RFC 2083; BMP: BITMAPINFOHEADER; WAV: RIFF;
+  * GIF: GIF89a spec; JPEG: ISO/IEC 10918 marker segments) and is
+  * parsed here for real — no stub, no fake. This is the step a
+  * training pipeline runs corpus-wide (validate + extract dimensions,
+  * sample rates, durations BEFORE spending GPU decode on the payload),
+  * so it earns a first-class oracle-checked operator.
+  *
+  * Scale shape: [[parse]] is a pure per-row byte walk over the header
+  * prefix (no allocation beyond the result), run inside
+  * `mapPartitions` on the scan side — zero shuffle, parallel by
+  * construction, and indifferent to payload size because only the
+  * first KB is touched. The writers ([[encodeBmp]]/[[encodeWav]]/
+  * [[encodePng]]) produce real, viewer-openable files and exist so a
+  * query can fabricate deterministic payloads from the test corpus;
+  * the spec proves [[parse]] against the INDEPENDENT JDK encoders
+  * (ImageIO, AudioSystem) so a symmetric encode/parse bug cannot
+  * hide. */
+object MediaCodecs {
+
+  // ---------------------------------------------------------------- parse
+
+  /** Sniff + parse a payload's container header. Unknown or truncated
+    * payloads yield format="unknown" with all fields None — corrupt
+    * inputs are DATA at 100 TB, never exceptions. */
+  def parse(mediaId: Long, payload: Array[Byte]): MediaMeta = {
+    def none = MediaMeta(mediaId, "unknown", None, None, None, None, None, None)
+    if (payload == null || payload.length < 12) none
+    else try {
+      if (payload(0) == 'B' && payload(1) == 'M') parseBmp(mediaId, payload)
+      else if (startsWith(payload, "RIFF", 0) && startsWith(payload, "WAVE", 8))
+        parseWav(mediaId, payload)
+      else if ((payload(0) & 0xff) == 0x89 && startsWith(payload, "PNG", 1))
+        parsePng(mediaId, payload)
+      else if (startsWith(payload, "GIF8", 0)) parseGif(mediaId, payload)
+      else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8)
+        parseJpeg(mediaId, payload)
+      else none
+    } catch { case _: IndexOutOfBoundsException | _: BufferUnderflow => none }
+  }
+
+  private class BufferUnderflow extends RuntimeException
+  private def startsWith(b: Array[Byte], s: String, off: Int): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i))
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def i32le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+  private def i32be(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  /** BITMAPINFOHEADER layout: 'BM', u32 file size, u32 reserved,
+    * u32 pixel offset, u32 header size, i32 width, i32 height (may be
+    * negative = top-down), u16 planes, u16 bpp — all little-endian. */
+  private def parseBmp(id: Long, b: Array[Byte]): MediaMeta = {
+    if (b.length < 30) throw new BufferUnderflow
+    val bpp = u16le(b, 28)
+    MediaMeta(id, "bmp", Some(i32le(b, 18)), Some(math.abs(i32le(b, 22))),
+      Some(bpp), Some(if (bpp >= 24) 3 else 1), None, None)
+  }
+
+  /** RIFF chunk walk: 'RIFF' size 'WAVE', then chunks `id size body`
+    * (word-aligned). 'fmt ' carries format/channels/rate/bits; 'data'
+    * carries the sample byte count → duration = bytes·1000/byteRate. */
+  private def parseWav(id: Long, b: Array[Byte]): MediaMeta = {
+    var pos = 12
+    var channels, rate, bits, byteRate = 0
+    var dataBytes = -1L
+    while (pos + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
+      val size = i32le(b, pos + 4)
+      if (startsWith(b, "fmt ", pos)) {
+        channels = u16le(b, pos + 10)
+        rate = i32le(b, pos + 12)
+        byteRate = i32le(b, pos + 16)
+        bits = u16le(b, pos + 22)
+      } else if (startsWith(b, "data", pos)) dataBytes = size.toLong
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels == 0) throw new BufferUnderflow
+    val dur = if (dataBytes >= 0 && byteRate > 0)
+      Some(dataBytes * 1000L / byteRate) else None
+    MediaMeta(id, "wav", None, None, Some(bits), Some(channels), Some(rate), dur)
+  }
+
+  /** PNG signature + IHDR (always the first chunk): u32be width, u32be
+    * height, u8 bit depth, u8 color type (0 grey, 2 truecolor, 3
+    * palette, 4 grey+alpha, 6 truecolor+alpha). */
+  private def parsePng(id: Long, b: Array[Byte]): MediaMeta = {
+    if (b.length < 26 || !startsWith(b, "IHDR", 12)) throw new BufferUnderflow
+    val channels = (b(25) & 0xff) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => throw new BufferUnderflow
+    }
+    MediaMeta(id, "png", Some(i32be(b, 16)), Some(i32be(b, 20)),
+      Some(b(24) & 0xff), Some(channels), None, None)
+  }
+
+  /** GIF87a/89a logical screen descriptor: u16le width, u16le height
+    * at offset 6; color resolution bits in the packed byte. */
+  private def parseGif(id: Long, b: Array[Byte]): MediaMeta = {
+    if (b.length < 11) throw new BufferUnderflow
+    val packed = b(10) & 0xff
+    MediaMeta(id, "gif", Some(u16le(b, 6)), Some(u16le(b, 8)),
+      Some(((packed >> 4) & 0x7) + 1), Some(1), None, None)
+  }
+
+  /** JPEG marker walk to the first SOFn (0xC0–0xCF except DHT/JPG/DAC):
+    * segment = 0xFF marker u16be length payload; SOF payload = u8
+    * precision, u16be height, u16be width, u8 components. */
+  private def parseJpeg(id: Long, b: Array[Byte]): MediaMeta = {
+    var pos = 2
+    while (pos + 4 <= b.length) {
+      if ((b(pos) & 0xff) != 0xff) throw new BufferUnderflow
+      val marker = b(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+      else {
+        val len = ((b(pos + 2) & 0xff) << 8) | (b(pos + 3) & 0xff)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (pos + 9 >= b.length) throw new BufferUnderflow
+          val height = ((b(pos + 5) & 0xff) << 8) | (b(pos + 6) & 0xff)
+          val width = ((b(pos + 7) & 0xff) << 8) | (b(pos + 8) & 0xff)
+          return MediaMeta(id, "jpeg", Some(width), Some(height),
+            Some(b(pos + 4) & 0xff), Some(b(pos + 9) & 0xff), None, None)
+        }
+        if (marker == 0xda) throw new BufferUnderflow // SOS before any SOF
+        pos += 2 + len
+      }
+    }
+    throw new BufferUnderflow
+  }
+
+  // --------------------------------------------------------------- encode
+
+  /** A real 24bpp BMP (BITMAPINFOHEADER, bottom-up, 4-byte-padded
+    * rows). Pixel (x,y) channels derive from `seed` so payloads are
+    * content-addressed and deterministic. */
+  def encodeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val rowSize = (width * 3 + 3) & ~3
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        buf.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** A real PCM WAV: RIFF/fmt/data with 16-bit samples derived from
+    * `seed` (a simple deterministic ramp — real files, real duration
+    * math, content-addressed bytes). */
+  def encodeWav(sampleRate: Int, channels: Int, nSamplesPerChannel: Int,
+      seed: Long): Array[Byte] = {
+    val dataSize = nSamplesPerChannel * channels * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < nSamplesPerChannel * channels) {
+      buf.putShort(((seed + i * 257) & 0xffff).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** A real PNG: signature, IHDR (8-bit truecolor), one zlib-deflated
+    * IDAT of filter-0 scanlines, IEND — each chunk CRC32-correct, so
+    * any PNG reader opens it. */
+  def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      val row = y * (1 + width * 3)
+      raw(row) = 0 // filter type: None
+      var x = 0
+      while (x < width) {
+        val v = seed + y.toLong * width + x
+        raw(row + 1 + x * 3) = (v & 0xff).toByte
+        raw(row + 2 + x * 3) = ((v >> 8) & 0xff).toByte
+        raw(row + 3 + x * 3) = ((v >> 16) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = ByteBuffer.allocate(12 + body.length)
+      out.putInt(body.length).put(tag.getBytes).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out.array(), 4, 4 + body.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height).put(8.toByte).put(2.toByte) // truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(137.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      13.toByte, 10.toByte, 26.toByte, 10.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  // --------------------------------------------------------------- query
+
+  /** Fabricate a deterministic media-binary table from `documents`:
+    * doc_id ≡ 0 (mod 3) → BMP, ≡ 1 → WAV, ≡ 2 → PNG, with dimensions /
+    * rates / sample counts that are pure functions of doc_id — so a
+    * SQL oracle can state the expected metadata without parsing a
+    * byte. Payloads are REAL files (any image/audio tool opens them);
+    * construction runs in `mapPartitions` on the scan side. */
+  def mediaBinaries(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val payload = (id % 3) match {
+          case 0 => encodeBmp(bmpW(id), bmpH(id), id)
+          case 1 => encodeWav(wavRate(id), wavChannels(id), wavSamples(id), id)
+          case _ => encodePng(pngW(id), pngH(id), id)
+        }
+        (id, payload)
+      }
+    }.toDF("media_id", "payload")
+  }
+
+  // dimension formulas shared by the builder and the SQL oracle
+  private def bmpW(id: Long): Int = (id % 31).toInt + 1
+  private def bmpH(id: Long): Int = (id % 17).toInt + 1
+  private def wavRate(id: Long): Int = 8000 + (id % 8).toInt * 1000
+  private def wavChannels(id: Long): Int = (id % 2).toInt + 1
+  private def wavSamples(id: Long): Int = (id % 100).toInt + 1
+  private def pngW(id: Long): Int = (id % 23).toInt + 1
+  private def pngH(id: Long): Int = (id % 13).toInt + 1
+
+  /** The oracle-checked metadata-extraction query: build real files,
+    * parse their real headers back, one row per item. A mismatch
+    * anywhere in the byte layout — ours or the oracle formulas' —
+    * breaks the hash compare. */
+  def mediaMetadata(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    mediaBinaries(spark, documents)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => parse(id, payload) })
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of [[mediaMetadata]]: the metadata formulas stated
+    * directly. duration_ms replays the parser's integer math
+    * bytes·1000 / byteRate = samples·1000 / rate exactly (both
+    * integer-divide). */
+  val mediaMetadataSql: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'png' END
+      |    AS format,
+      |  CASE doc_id % 3 WHEN 0 THEN (doc_id % 31 + 1)::INT
+      |       WHEN 2 THEN (doc_id % 23 + 1)::INT END AS width,
+      |  CASE doc_id % 3 WHEN 0 THEN (doc_id % 17 + 1)::INT
+      |       WHEN 2 THEN (doc_id % 13 + 1)::INT END AS height,
+      |  CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 16 ELSE 8 END::INT
+      |    AS bit_depth,
+      |  CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN (doc_id % 2 + 1)::INT
+      |       ELSE 3 END AS channels,
+      |  CASE doc_id % 3 WHEN 1 THEN (8000 + (doc_id % 8) * 1000)::INT END
+      |    AS sample_rate,
+      |  CASE doc_id % 3 WHEN 1 THEN
+      |    ((doc_id % 100 + 1) * (doc_id % 2 + 1) * 2 * 1000)
+      |      // ((8000 + (doc_id % 8) * 1000) * (doc_id % 2 + 1) * 2)
+      |  END AS duration_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+}

@@ -31,8 +31,12 @@ case class MediaFrame(
   * batched decode / feature extraction / frame sampling as
   * `mapPartitions` over typed Datasets.
   *
-  * The actual byte decode (JPEG/PCM/H.264) is STUBBED — the container
-  * has no media libraries — with a deterministic fake
+  * The CONTAINER-HEADER decode (dimensions, sample rates, durations —
+  * the corpus-wide validate/probe pass) is real: see [[MediaCodecs]],
+  * which parses actual BMP/WAV/PNG/GIF/JPEG byte layouts and is
+  * oracle-checked as `media_metadata`. Only the deep pixel/sample →
+  * tensor decode (JPEG entropy decoding, H.264) is STUBBED — the
+  * container has no media libraries — with a deterministic fake
   * ([[decodeStub]]), clearly marked. Everything around it (binary
   * schema, encoders, partition-level batching, explode of sampled
   * frames, downstream aggregation) is the real Spark plumbing a
