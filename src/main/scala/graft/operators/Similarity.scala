@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -412,12 +412,45 @@ object Similarity {
           |  transform(cent_scores, (s, i) -> struct(-s AS ns, i AS idx))),
           |  1, $nProbe).idx""".stripMargin)).as("cluster_id"))
 
+  /** Materialize an IVF index as a BUCKETED table on `cluster_id` —
+    * the ANN counterpart of [[Dedup.writeBandIndex]], and what "the
+    * lists are storage partitions" means concretely at 100 TB: the
+    * (vec_id, embedding, cluster_id) rows are hash-clustered into
+    * bucket files at write time, so a LARGE query batch (too big to
+    * broadcast) probes the index with a join in which ONLY the probe
+    * side shuffles — the billion-vector side is read already
+    * clustered on the join key (zero index-side exchange,
+    * plan-asserted in `BucketingSpec`). Appending new vectors lands
+    * in the same bucket scheme without rewriting the index. */
+  def writeIvfIndex(embeddings: DataFrame, tableName: String,
+      nList: Int = 16, dim: Int = 64, buckets: Int = 8): Unit =
+    graft.sources.Tables.writeBucketed(ivfAssign(embeddings, nList, dim),
+      tableName, "cluster_id", buckets)
+
+  /** [[knnIvf]] probing a pre-materialized bucketed index — the
+    * day-to-day production shape (index built once, query batches
+    * arrive forever). Deliberately NOT broadcasting the probe side:
+    * this is the large-batch path where the probe rows themselves are
+    * fact-scaled; the bucketed index keeps its half of the join
+    * exchange-free and the batch pays the only shuffle. Results are
+    * identical to [[knnIvf]] at equal parameters (same deterministic
+    * assignment, same exact re-rank). */
+  def knnIvfIndexed(spark: SparkSession, tableName: String,
+      queries: DataFrame, k: Int = 10, nList: Int = 16, nProbe: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val assigned = spark.table(tableName)
+    val probes = probeRows(withScores(queries, nList, dim), nProbe)
+    ivfProbeJoin(assigned, probes, k, broadcastProbes = false)
+  }
+
   /** Shared IVF tail: equi-join probes to assigned lists, score
-    * exactly, keep top k. */
+    * exactly, keep top k. `broadcastProbes` is the small-batch hint;
+    * the indexed path disables it (see [[knnIvfIndexed]]). */
   private def ivfProbeJoin(assigned: DataFrame, probes: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, broadcastProbes: Boolean = true): DataFrame = {
     val candidates = assigned
-      .join(broadcast(probes), Seq("cluster_id"))
+      .join(if (broadcastProbes) broadcast(probes) else probes,
+        Seq("cluster_id"))
       .where(col("vec_id") =!= col("query_id"))
     val scored = candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
       (expr("vec_dot(q_emb, embedding)") /

@@ -87,4 +87,43 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS band_index_t")
     }
   }
+
+  test("materialized IVF index: large-batch probe shuffles only the query side") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    Similarity.writeIvfIndex(emb, "ivf_index_t", buckets = 8)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // force the non-broadcast regime the indexed path is built for
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+      val indexed = Similarity.knnIvfIndexed(spark, "ivf_index_t", queries)
+      val direct = Similarity.knnIvf(emb)
+      // identical results to the from-scratch plan at equal parameters
+      assert(indexed.collect().toSet === direct.collect().toSet)
+      // AdaptiveSparkPlan prints Final AND Initial sections — count
+      // exchanges in the final plan only
+      val plan = indexed.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(plan.contains("SelectedBucketsCount"),
+        "index scan not bucket-aware: " + plan.take(500))
+      // exact budget: probe-side hash (into the bucket scheme) + top-k
+      // window hash + final ORDER BY range = 3. The index side adds a
+      // 4th if it ever starts shuffling.
+      val exchanges = "(?<!Broadcast)Exchange".r
+        .findAllIn(plan.replace("BroadcastExchange", "BX")).length
+      assert(exchanges === 3,
+        s"expected 3 non-index exchanges, got $exchanges:\n${plan.take(2000)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS ivf_index_t")
+    }
+  }
 }
