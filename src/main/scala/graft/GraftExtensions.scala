@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vec_dot(a, b) - codegen'd double dot product of two float arrays") {
       exprs => FloatVecDot(exprs(0), exprs(1))
     }
+    fn(ext, "vec_dot_i8",
+      "vec_dot_i8(a, b) - codegen'd exact long dot product of two tinyint arrays") {
+      exprs => Int8VecDot(exprs(0), exprs(1))
+    }
     fn(ext, "minhash_sig",
       "minhash_sig(tokens, k, numPerm) - per-row MinHash signature of word k-grams")(
       MinHashFunctions.sigBuilder)

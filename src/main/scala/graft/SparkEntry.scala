@@ -207,6 +207,12 @@ object SparkEntry {
     // the index is approximate like knn_ivf)
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(par(Tables.embeddings(s, d)))),
     "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
+    // int8 vector-store compression: exact integer-summary oracle row,
+    // plus the quantized-search twin and its recall-as-data row
+    "embedding_quantization" -> ((s, d) =>
+      Similarity.embeddingQuantization(par(Tables.embeddings(s, d)))),
+    "knn_int8" -> ((s, d) => Similarity.knnBruteForceInt8(par(Tables.embeddings(s, d)))),
+    "knn_int8_recall" -> ((s, d) => Similarity.knnInt8Recall(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d)))),
@@ -440,6 +446,7 @@ object SparkEntry {
     "multimodal_feature_summary" -> Multimodal.featureSummarySql,
     "multimodal_frame_sample" -> Multimodal.frameSampleStatsSql,
     "media_metadata" -> MediaCodecs.mediaMetadataSql,
+    "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql()
   )

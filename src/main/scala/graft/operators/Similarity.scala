@@ -493,6 +493,95 @@ object Similarity {
     annRecall(knnBruteForce(embeddings, k, queryMod),
       knnIvf(embeddings, k, queryMod), "ivf")
 
+  /** Symmetric per-vector int8 quantization — the vector-store
+    * compression step (4× smaller than float32, integer SIMD dots):
+    * scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋ clamped to ±127.
+    * The rounding is written as floor(y + 0.5) — NOT round() — on
+    * both engines, because floor is IEEE-exact while the engines'
+    * round() tie conventions are not guaranteed to agree; with
+    * identical double inputs both sides then produce identical codes.
+    * All-zero vectors quantize to scale 0 and zero codes. Per-row
+    * higher-order functions, scan-side, no shuffle. */
+  def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    embeddings
+      .withColumn("max_abs",
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+      .withColumn("scale",
+        expr("CASE WHEN max_abs = 0.0 THEN CAST(0.0 AS DOUBLE) " +
+          "ELSE max_abs / 127.0 END"))
+      .withColumn("q", expr(
+        """CASE WHEN max_abs = 0.0
+          |  THEN transform(embedding, x -> CAST(0 AS TINYINT))
+          |  ELSE transform(embedding, x -> CAST(greatest(-127.0,
+          |    least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5)))
+          |    AS TINYINT)) END""".stripMargin))
+  }
+
+  /** Oracle face of [[quantizeEmbeddings]]: per-vector integer
+    * summaries of the code array (exact — no float leaves the row)
+    * plus the DECIMAL-quantized scale. A disagreement in ANY code
+    * element moves q_sum/q_min/q_max and breaks the hash. */
+  def embeddingQuantization(embeddings: DataFrame): DataFrame =
+    quantizeEmbeddings(embeddings)
+      .select(col("vec_id"),
+        expr("CAST(CAST(scale AS DECIMAL(18,9)) AS DOUBLE)").as("scale_q"),
+        expr("CAST(array_min(q) AS INT)").as("q_min"),
+        expr("CAST(array_max(q) AS INT)").as("q_max"),
+        expr("aggregate(q, 0L, (a, v) -> a + CAST(v AS BIGINT))").as("q_sum"),
+        expr("CAST(vec_dot_i8(q, q) AS BIGINT)").as("q_sq_sum"))
+      .orderBy("vec_id")
+
+  def embeddingQuantizationSql: String =
+    """WITH s AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+      |    list_max([abs(x) for x in CAST(embedding AS DOUBLE[])]) AS max_abs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    CASE WHEN max_abs = 0 THEN 0.0 ELSE max_abs / 127.0 END AS scale,
+      |    CASE WHEN max_abs = 0 THEN [0 for x in emb]
+      |      ELSE [CAST(greatest(-127.0, least(127.0,
+      |        floor(x / (max_abs / 127.0) + 0.5))) AS INT) for x in emb]
+      |    END AS ql
+      |  FROM s)
+      |SELECT vec_id,
+      |  CAST(CAST(scale AS DECIMAL(18,9)) AS DOUBLE) AS scale_q,
+      |  list_min(ql)::INT AS q_min, list_max(ql)::INT AS q_max,
+      |  list_sum(ql)::BIGINT AS q_sum,
+      |  list_sum([x * x for x in ql])::BIGINT AS q_sq_sum
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Brute-force top-k over the QUANTIZED codes — proof the compressed
+    * store answers the same queries: cosine over int8 codes needs only
+    * integer dots (the per-vector scales cancel inside the cosine), so
+    * scoring is exact 64-bit arithmetic via the codegen'd
+    * [[graft.functions.Int8VecDot vec_dot_i8]] kernel — no float fold
+    * anywhere in the hot loop. Rows-only (quantization perturbs
+    * rankings near ties); fidelity is measured by [[knnInt8Recall]]
+    * and floor-asserted in ContractSpec. */
+  def knnBruteForceInt8(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame = {
+    val quant = quantizeEmbeddings(embeddings).select(col("vec_id"), col("q"))
+    val queries = quant.toDF("query_id", "q_a")
+      .where(pmod(col("query_id"), lit(queryMod)) === 0)
+    val scored = quant.toDF("neighbor_id", "q_b")
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("CAST(vec_dot_i8(q_a, q_b) AS DOUBLE)") /
+          (expr("sqrt(CAST(vec_dot_i8(q_a, q_a) AS DOUBLE))") *
+            expr("sqrt(CAST(vec_dot_i8(q_b, q_b) AS DOUBLE))"))).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** recall@10 of int8-quantized search vs the float32 exact baseline
+    * (rows-only) — the number that says whether 4× compression is free
+    * at this corpus's similarity structure. */
+  def knnInt8Recall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnBruteForceInt8(embeddings, k, queryMod), "int8")
+
   /** ANN top-k via multi-table LSH bucketing + exact re-rank of the
     * candidate union. Approximate: a neighbor missed by every table is
     * lost — rows-only query, recall measured against [[knnBruteForce]]

@@ -27,8 +27,11 @@ class ContractSpec extends AnyFunSuite {
     // its pair generation is an equi self-join on uid — only the
     // _approx twin joins its per-variant sketch rows all-pairs,
     // bounded by the variant domain)
+    // knn_int8 / knn_int8_recall: same broadcast-queries-vs-collection
+    // shape as knn_bruteforce (the int8 twin scores the same pair set)
     val cartesianOk = Set("variant_overlap_approx",
       "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
+      "knn_int8", "knn_int8_recall",
       "value_band_counts", "tfidf_top_terms", "collocations")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -73,5 +76,10 @@ class ContractSpec extends AnyFunSuite {
     val ivf = Similarity.knnIvfRecall(emb).collect()(0)
     assert(ivf.getAs[Double]("recall_at_k") >= 0.25,
       s"knn_ivf recall@10 ${ivf.getAs[Double]("recall_at_k")} below floor")
+    // int8 quantization barely perturbs cosine rankings — near-perfect
+    // recall is the point of the compression (sf0.01 observed 1.0)
+    val int8 = Similarity.knnInt8Recall(emb).collect()(0)
+    assert(int8.getAs[Double]("recall_at_k") >= 0.90,
+      s"knn_int8 recall@10 ${int8.getAs[Double]("recall_at_k")} below floor")
   }
 }

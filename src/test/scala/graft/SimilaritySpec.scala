@@ -185,4 +185,41 @@ class SimilaritySpec extends AnyFunSuite {
       assert(recall >= 0.20, f"LSH near-dup recall $recall%.2f too low")
     }
   }
+
+  test("int8 quantization invariants: clamp, max-element code, reconstruction bound") {
+    val rows = Similarity.quantizeEmbeddings(emb)
+      .select("embedding", "scale", "q").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      // Spark hands back mutable.ArraySeq — use the collection.Seq LUB
+      val emb = row.getAs[scala.collection.Seq[Float]](0)
+      val scale = row.getDouble(1)
+      val codes = row.getAs[scala.collection.Seq[Byte]](2)
+      assert(codes.length === emb.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (scale == 0.0) assert(codes.forall(_ === 0))
+      else {
+        // the max-|x| element must map to a +/-127 code
+        val iMax = emb.indices.maxBy(i => math.abs(emb(i).toDouble))
+        assert(math.abs(codes(iMax).toInt) === 127,
+          s"max element coded ${codes(iMax)}")
+        // dequantization error is at most half a step (+ float slack)
+        emb.indices.foreach { i =>
+          val err = math.abs(codes(i) * scale - emb(i).toDouble)
+          assert(err <= scale / 2 + 1e-9,
+            s"elem $i: err $err > half-step ${scale / 2}")
+        }
+      }
+    }
+  }
+
+  test("vec_dot_i8 kernel equals the interpreted integer fold") {
+    import org.apache.spark.sql.functions._
+    val both = Similarity.quantizeEmbeddings(emb)
+      .select(expr("vec_dot_i8(q, q)").as("kernel"),
+        expr("aggregate(zip_with(q, q, (a, b) -> CAST(a AS BIGINT) * b), " +
+          "0L, (acc, v) -> acc + v)").as("fold"))
+      .where(col("kernel") =!= col("fold"))
+    assert(both.count() === 0)
+  }
 }
