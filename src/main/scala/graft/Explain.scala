@@ -9,12 +9,14 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("pricing_summary", "revenue_by_nation", "visits_per_minute",
-        "dedup_ngram_jaccard", "knn_bruteforce", "visits_sliding",
-        "sequence_packing", "pii_redaction", "user_peak_burst",
-        "pricing_grouping_sets", "snapshot_upsert",
-        "snapshot_diff", "dedup_incremental", "cosine_sim_histogram",
-        "collocations", "visits_incremental")) {
+    // args override the default audit set: `runMain graft.Explain q1 q2`
+    val defaults = Seq("pricing_summary", "revenue_by_nation", "visits_per_minute",
+      "dedup_ngram_jaccard", "knn_bruteforce", "visits_sliding",
+      "sequence_packing", "pii_redaction", "user_peak_burst",
+      "pricing_grouping_sets", "snapshot_upsert",
+      "snapshot_diff", "dedup_incremental", "cosine_sim_histogram",
+      "collocations", "visits_incremental")
+    for (q <- if (args.nonEmpty) args.toSeq else defaults) {
       println(s"===== $q =====")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }
