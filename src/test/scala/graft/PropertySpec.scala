@@ -245,4 +245,58 @@ class PropertySpec extends AnyFunSuite {
       assert(star === want)
     }
   }
+
+  test("media codecs: encode/parse round-trips for any dims/rates") {
+    import graft.operators.MediaCodecs
+    val bmpGen = Gen.zip(Gen.chooseNum(1, 300), Gen.chooseNum(1, 200),
+      Gen.long)
+    forAllSamples(bmpGen, n = 8) { case (w, h, seed) =>
+      val m = MediaCodecs.parse(0L, MediaCodecs.encodeBmp(w, h, seed))
+      assert(m.format === "bmp" && m.width === Some(w) && m.height === Some(h))
+      val p = MediaCodecs.parse(0L, MediaCodecs.encodePng(w, h, seed))
+      assert(p.format === "png" && p.width === Some(w) && p.height === Some(h))
+    }
+    val wavGen = Gen.zip(Gen.chooseNum(1, 192000), Gen.chooseNum(1, 8),
+      Gen.chooseNum(0, 10000))
+    forAllSamples(wavGen, n = 8) { case (rate, ch, nSamples) =>
+      val m = MediaCodecs.parse(0L, MediaCodecs.encodeWav(rate, ch, nSamples, 1L))
+      assert(m.format === "wav" && m.sample_rate === Some(rate) &&
+        m.channels === Some(ch))
+      // the parser's integer duration math, restated
+      assert(m.duration_ms ===
+        Some(nSamples.toLong * ch * 2 * 1000 / (rate.toLong * ch * 2)))
+    }
+    // arbitrary junk never throws and never misidentifies as a known
+    // format unless it genuinely carries that magic
+    forAllSamples(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)), n = 10) {
+      bytes =>
+        val m = MediaCodecs.parse(0L, bytes.toArray)
+        assert(m.media_id === 0L) // total function: always returns
+    }
+  }
+
+  test("int8 quantization: scales cancel — integer cosine tracks float cosine") {
+    import graft.operators.Similarity
+    val vecGen = Gen.zip(
+      Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0f)),
+      Gen.listOfN(16, Gen.chooseNum(-1000, 1000).map(_ / 250.0f)))
+      .suchThat { case (a, b) =>
+        a.exists(_ != 0f) && b.exists(_ != 0f) }
+    forAllSamples(vecGen, n = 8) { case (a, b) =>
+      val df = Seq((1L, a.toArray), (2L, b.toArray)).toDF("vec_id", "embedding")
+      val q = Similarity.quantizeEmbeddings(df)
+        .select("vec_id", "q").as[(Long, Seq[Byte])].collect().toMap
+      def dotI(x: Seq[Byte], y: Seq[Byte]): Double =
+        x.zip(y).map { case (p, r) => p.toDouble * r }.sum
+      val cosQ = dotI(q(1L), q(2L)) /
+        (math.sqrt(dotI(q(1L), q(1L))) * math.sqrt(dotI(q(2L), q(2L))))
+      def dotF(x: Seq[Float], y: Seq[Float]): Double =
+        x.zip(y).map { case (p, r) => p.toDouble * r }.sum
+      val cosF = dotF(a, b) /
+        (math.sqrt(dotF(a, a)) * math.sqrt(dotF(b, b)))
+      // 16-dim int8: quantization shifts cosine by well under 0.05
+      assert(math.abs(cosQ - cosF) < 0.05,
+        s"int8 cosine $cosQ drifted from float $cosF")
+    }
+  }
 }
