@@ -213,6 +213,10 @@ object SparkEntry {
       Similarity.embeddingQuantization(par(Tables.embeddings(s, d)))),
     "knn_int8" -> ((s, d) => Similarity.knnBruteForceInt8(par(Tables.embeddings(s, d)))),
     "knn_int8_recall" -> ((s, d) => Similarity.knnInt8Recall(par(Tables.embeddings(s, d)))),
+    // product quantization: 64-bit codes (16x compression), ADC search;
+    // rows-only like every approximate index, trained-recall as data
+    "knn_pq" -> ((s, d) => Similarity.knnPq(par(Tables.embeddings(s, d)))),
+    "knn_pq_recall" -> ((s, d) => Similarity.knnPqRecall(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d)))),

