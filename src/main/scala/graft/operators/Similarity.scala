@@ -283,11 +283,20 @@ object Similarity {
     * argmax cosine — dot normalized by the centroid norm only, since
     * the row's own norm doesn't change its argmax). One scan, k
     * codegen'd dot products per row, no shuffle. */
-  def assignWith(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame = {
+  def assignWith(embeddings: DataFrame, cents: Array[Array[Float]],
+      l2: Boolean = false): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
+    // two assignment geometries, one argmax shape:
+    //  - spherical (default): argmax cosine = dot / ||c|| — IVF's
+    //    convention (the row's own norm can't change its argmax);
+    //  - l2: argmin ||x−c||² = argmax (dot − ||c||²/2) — what PQ needs,
+    //    where the centroid RECONSTRUCTS the subvector and trained
+    //    centroids have unequal norms (coding by raw dot there biases
+    //    toward long centroids; measured as an IVF-PQ recall drop).
     val scores = array(cents.map { c =>
-      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
-      call_function("vec_dot", col("embedding"), typedLit(c)) / lit(norm)
+      val sq = c.map(x => x.toDouble * x).sum
+      val dot = call_function("vec_dot", col("embedding"), typedLit(c))
+      if (l2) dot - lit(sq / 2.0) else dot / lit(math.sqrt(sq))
     }: _*)
     embeddings
       .withColumn("cent_scores", scores)
@@ -323,11 +332,12 @@ object Similarity {
   }
 
   private def kmeansIterate(embeddings: DataFrame,
-      init: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+      init: Array[Array[Float]], k: Int, iters: Int,
+      l2: Boolean = false): Array[Array[Float]] = {
     var cents = init
     var it = 0
     while (it < iters) {
-      val sums = assignWith(embeddings, cents)
+      val sums = assignWith(embeddings, cents, l2)
         .groupBy(col("cluster_id"))
         .agg(expr("vec_sum(embedding)").as("s"))
         .select(col("cluster_id"), col("s.sum").as("sum"), col("s.n").as("n"))
@@ -615,18 +625,44 @@ object Similarity {
     val norm = expr("sqrt(vec_dot(embedding, embedding))")
     val unit = expr(s"transform(embedding, x -> CAST(x / " +
       s"sqrt(vec_dot(embedding, embedding)) AS FLOAT))")
+    // L2 assignment (argmax dot − ||c||²/2): the centroid RECONSTRUCTS
+    // the subvector, so nearest-by-distance is the coding rule — same
+    // geometry pqFit trains with. (Equivalent to raw-dot argmax for the
+    // equal-norm ±1 default books; it matters for trained ones.)
     val codes = array((0 until m).map { j =>
       val sub = expr(s"slice(u, ${j * subDim + 1}, $subDim)")
-      val scores = array(books(j).map(c =>
-        call_function("vec_dot", sub, typedLit(c))): _*)
+      val scores = array(books(j).map { c =>
+        val sq = c.map(x => x.toDouble * x).sum
+        call_function("vec_dot", sub, typedLit(c)) - lit(sq / 2.0)
+      }: _*)
       (array_position(scores, array_max(scores)).cast("int") - 1).cast("byte")
     }: _*)
+    // keeps every input column (so a coarse cluster_id rides along for
+    // IVF-PQ); adds `codes`
     embeddings
       .where(norm > 0.0)
       .withColumn("u", unit)
       .withColumn("codes", codes)
-      .select(col("vec_id"), col("embedding"), col("codes"))
+      .drop("u")
   }
+
+  /** The ADC sum: score = Σ_j tbl[j·ksub + codes[j]] — m lookups into
+    * the query's precomputed table. */
+  private def adcScore(m: Int, ksub: Int): Column =
+    expr(s"""aggregate(sequence(0, ${m - 1}),
+      |CAST(0.0 AS DOUBLE),
+      |(acc, j) -> acc + element_at(tbl,
+      |  j * $ksub + CAST(element_at(codes, j + 1) AS INT) + 1))"""
+      .stripMargin)
+
+  /** Per-query flat ADC table column: entry j·ksub + c =
+    * dot(q_j, cent_{j,c}) over the unit-normalized query in `u`. */
+  private def adcTable(books: Array[Array[Array[Float]]],
+      subDim: Int): Column =
+    array(books.indices.flatMap { j =>
+      val sub = expr(s"slice(u, ${j * subDim + 1}, $subDim)")
+      books(j).map(c => call_function("vec_dot", sub, typedLit(c)))
+    }: _*)
 
   /** ANN top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes: each
     * (unit-normalized) query precomputes its m×ksub dot table against
@@ -645,27 +681,67 @@ object Similarity {
       Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
     val encoded = pqEncode(embeddings, m, ksub, dim, codebooks)
       .select(col("vec_id").as("neighbor_id"), col("codes"))
-    // per-query ADC table: flat array, entry j*ksub + c = dot(q_j, cent_jc)
-    val table = array((0 until m).flatMap { j =>
-      val sub = expr(s"slice(u, ${j * subDim + 1}, $subDim)")
-      books(j).map(c => call_function("vec_dot", sub, typedLit(c)))
-    }: _*)
     val queries = embeddings
       .where(pmod(col("vec_id"), lit(queryMod)) === 0)
       .where(expr("vec_dot(embedding, embedding)") > 0.0)
       .withColumn("u", expr("transform(embedding, x -> CAST(x / " +
         "sqrt(vec_dot(embedding, embedding)) AS FLOAT))"))
-      .select(col("vec_id").as("query_id"), table.as("tbl"))
+      .select(col("vec_id").as("query_id"),
+        adcTable(books, subDim).as("tbl"))
     val scored = encoded
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        expr(s"""aggregate(sequence(0, ${m - 1}),
-          |CAST(0.0 AS DOUBLE),
-          |(acc, j) -> acc + element_at(tbl,
-          |  j * $ksub + CAST(element_at(codes, j + 1) AS INT) + 1))"""
-          .stripMargin).as("cos_sim"))
+        adcScore(m, ksub).as("cos_sim"))
     rankTopK(scored, k)
   }
+
+  /** IVF-PQ — the composition that IS the production ANN architecture
+    * at 100 TB (coarse quantizer + product codes, the FAISS IndexIVFPQ
+    * shape): [[ivfAssign]]'s lists prune the search to nProbe clusters
+    * per query, then PQ codes score only the survivors by ADC. The
+    * probe is the same equi-join on `cluster_id` as [[knnIvf]] (at
+    * scale: a bucket-pruned scan of a [[writeIvfIndex]]-style table
+    * that stores CODES instead of vectors — 16× less storage AND a
+    * fraction of it read per query). Two stacked approximations →
+    * rows-only; fidelity reported by [[knnIvfPqRecall]]. */
+  def knnIvfPq(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
+      nList: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64,
+      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val subDim = dim / m
+    val books = codebooks.getOrElse(
+      Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
+    // one scan: coarse list + codes per row, then only codes travel
+    val encoded = pqEncode(ivfAssign(embeddings, nList, dim), m, ksub,
+      dim, codebooks)
+      .select(col("vec_id").as("neighbor_id"), col("cluster_id"), col("codes"))
+    val probes = probeRows(withScores(
+      embeddings.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .where(expr("vec_dot(embedding, embedding)") > 0.0), nList, dim),
+      nProbe)
+      .withColumn("u", expr("transform(q_emb, x -> CAST(x / " +
+        "sqrt(vec_dot(q_emb, q_emb)) AS FLOAT))"))
+      .select(col("query_id"), col("cluster_id"),
+        adcTable(books, subDim).as("tbl"))
+    val scored = encoded
+      .join(broadcast(probes), Seq("cluster_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcScore(m, ksub).as("cos_sim"))
+    // no dedup needed: each vector lives in exactly ONE coarse list, so
+    // a (query, vector) pair joins at most once even with nProbe > 1
+    rankTopK(scored, k)
+  }
+
+  /** recall@10 of IVF-PQ (trained codebooks) vs exact float32
+    * (rows-only) — list pruning × code quantization, the full
+    * compressed-index fidelity number. */
+  def knnIvfPqRecall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnIvfPq(embeddings, k, queryMod,
+        codebooks = Some(pqFit(embeddings))), "ivfpq")
 
   /** Train PQ codebooks: spherical k-means per subspace over the
     * unit-normalized slices — m independent [[kmeansIterate]] runs,
@@ -696,7 +772,8 @@ object Similarity {
       val fits = (0 until m).map { j => Future {
         val sub = unit.select(col("vec_id"),
           expr(s"slice(u, ${j * subDim + 1}, $subDim)").as("embedding"))
-        kmeansIterate(sub, pqCodebook(j, ksub, subDim), ksub, iters)
+        // l2 = reconstruction k-means, matching pqEncode's coding rule
+        kmeansIterate(sub, pqCodebook(j, ksub, subDim), ksub, iters, l2 = true)
       }}
       Await.result(Future.sequence(fits),
         scala.concurrent.duration.Duration.Inf).toArray
