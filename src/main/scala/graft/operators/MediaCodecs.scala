@@ -98,6 +98,9 @@ object MediaCodecs {
         byteRate = i32le(b, pos + 16)
         bits = u16le(b, pos + 22)
       } else if (startsWith(b, "data", pos)) dataBytes = size.toLong
+      // a corrupt size of -8/-9 would make the advance a no-op and hang
+      // the task forever — reject non-positive progress as malformed
+      if (size < 0) throw new BufferUnderflow
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     if (channels == 0) throw new BufferUnderflow

@@ -622,6 +622,11 @@ object Similarity {
     val subDim = dim / m
     val books = codebooks.getOrElse(
       Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
+    // codes are stored as signed bytes: a caller-supplied book with >128
+    // centroids would silently wrap codes negative and adcScore would
+    // read a wrong table slot — fail loudly instead
+    require(books.forall(_.length <= 128),
+      s"codebooks must have <=128 centroids (byte codes); got ${books.map(_.length).max}")
     val norm = expr("sqrt(vec_dot(embedding, embedding))")
     val unit = expr(s"transform(embedding, x -> CAST(x / " +
       s"sqrt(vec_dot(embedding, embedding)) AS FLOAT))")

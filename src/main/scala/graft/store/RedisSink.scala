@@ -67,7 +67,11 @@ final class RespClient(host: String, port: Int, timeoutMs: Int = 5000) {
       out.flush()
       cmds.map(_ => readReply())
     } catch {
-      case e: IOException => close(); throw e
+      // ANY failure mid-pipeline (I/O or a malformed reply) leaves unread
+      // replies buffered on the socket — a later command would read a
+      // stale, mismatched reply. Tear the connection down so the next
+      // call reconnects into protocol sync.
+      case scala.util.control.NonFatal(e) => close(); throw e
     }
   }
 
