@@ -5,11 +5,14 @@ import java.nio.charset.StandardCharsets
 import java.time.LocalDateTime
 import java.time.format.DateTimeFormatter
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import graft.streaming.MetricsStore
+import graft.streaming.MetricsReader
 
 /** The dashboard's REST face — the reference's five endpoints
   * (reference: dashboard/.../TimeseriesMetricsController.java:45-142)
-  * served over the engine's [[MetricsStore]] instead of Redis:
+  * served over any [[MetricsReader]] — the in-memory
+  * [[graft.streaming.MetricsStore]] or a live Redis via
+  * [[graft.store.RedisMetricsSink]], which closes the reference
+  * topology end-to-end (Spark writes Redis, dashboard reads Redis):
   *
   *  - `GET /metrics/timeseries/visits?lastMinutes=N` — MGET over
   *    visitCounter keys, nil→0 (controller :45-67)
@@ -33,7 +36,7 @@ import graft.streaming.MetricsStore
   * reference reads wall clock (`DateTime.now`), which is what the
   * default does.
   */
-class DashboardServer(store: MetricsStore, port: Int = 0,
+class DashboardServer(store: MetricsReader, port: Int = 0,
     clock: () => LocalDateTime = () => LocalDateTime.now(java.time.ZoneOffset.UTC)) {
 
   private val MinuteKeyFmt = DateTimeFormatter.ofPattern("yyyy_MM_dd'T'HH_mm")
@@ -84,7 +87,7 @@ class DashboardServer(store: MetricsStore, port: Int = 0,
   }
   route("/metrics/timeseries/users") { ex =>
     timeseriesJson(closedMinutes(lastMinutesParam(ex)),
-      m => store.counter(s"hll_dthr_${MinuteKeyFmt.format(m)}"))
+      m => store.hllCount(s"hll_dthr_${MinuteKeyFmt.format(m)}"))
   }
   route("/metrics/timeseries/experiments") { ex =>
     timeseriesJson(closedMinutes(lastMinutesParam(ex)),

@@ -140,7 +140,8 @@ final class RespClient(host: String, port: Int, timeoutMs: Int = 5000) {
   * micro-batch verb — the whole batch's key set in ONE pipelined flush.
   */
 class RedisMetricsSink(host: String, port: Int)
-    extends graft.streaming.KeyValueMetricsSink {
+    extends graft.streaming.KeyValueMetricsSink
+    with graft.streaming.MetricsReader {
 
   @transient private var _client: RespClient = _
   private def client: RespClient = {
@@ -159,9 +160,16 @@ class RedisMetricsSink(host: String, port: Int)
   def put(key: String, v: Long): Unit = { run("SET", key, v.toString); () }
   def sadd(key: String, members: Iterable[String]): Unit =
     if (members.nonEmpty) { run(("SADD" +: key +: members.toSeq): _*); () }
+  /** Real PFADD — members reach Redis and the server's HLL sketches
+    * merge across concurrent writers (the reference's sink fidelity,
+    * MetricsCalculationPipeline.java:73-87), unlike a SET of a
+    * Spark-computed estimate which is last-writer-wins. */
+  override def pfadd(key: String, members: Iterable[String]): Unit =
+    if (members.nonEmpty) { run(("PFADD" +: key +: members.toSeq): _*); () }
 
-  /** Read faces mirroring [[graft.streaming.MetricsStore]], so serving
-    * code can point at either store. */
+  /** Read faces ([[graft.streaming.MetricsReader]]), so the dashboard
+    * serves from a live Redis exactly as it serves from the in-memory
+    * store. */
   def counter(key: String): Long = run("GET", key) match {
     case b: RespReply.Bulk => b.asString.map(_.toLong).getOrElse(0L)
     case RespReply.Num(n) => n
@@ -171,17 +179,49 @@ class RedisMetricsSink(host: String, port: Int)
     case RespReply.Num(n) => n
     case other => throw new IOException(s"unexpected SCARD reply: $other")
   }
+  def hllCount(key: String): Long = run("PFCOUNT", key) match {
+    case RespReply.Num(n) => n
+    case other => throw new IOException(s"unexpected PFCOUNT reply: $other")
+  }
+  /** Key-family discovery for the overlap read. KEYS is O(keyspace) —
+    * fine for the dashboard's small families (one key per variant); a
+    * giant keyspace would use SCAN cursors instead. */
+  private def keysByPrefix(prefix: String): Seq[String] =
+    run("KEYS", prefix + "*") match {
+      case RespReply.Arr(items) =>
+        items.collect { case b: RespReply.Bulk => b.asString }.flatten
+      case other => throw new IOException(s"unexpected KEYS reply: $other")
+    }
+  /** Pairwise set intersection the reference's way: SINTERSTORE into a
+    * scratch key, SCARD it, DEL it
+    * (TimeseriesMetricsController.java:109-136). */
+  def overlap(prefix: String): Seq[(String, String, Long)] = {
+    val fams = keysByPrefix(prefix).sorted
+    for { a <- fams; b <- fams if a < b } yield {
+      val tmp = s"graft_overlap_tmp:$a:$b"
+      run("SINTERSTORE", tmp, a, b)
+      val n = scard(tmp)
+      run("DEL", tmp)
+      (a.stripPrefix(prefix), b.stripPrefix(prefix), n)
+    }
+  }
 
-  /** One micro-batch, one flush: every INCRBY/SET/SADD of the batch in
-    * a single pipeline. Errors in any reply surface after the full
-    * read so the connection stays in protocol sync. */
+  private def batchCmds(incrs: Seq[(String, Long)], puts: Seq[(String, Long)],
+      sadds: Seq[(String, Iterable[String])],
+      pfadds: Seq[(String, Iterable[String])]): Seq[Seq[String]] =
+    incrs.map { case (k, n) => Seq("INCRBY", k, n.toString) } ++
+    puts.map { case (k, v) => Seq("SET", k, v.toString) } ++
+    sadds.collect { case (k, ms) if ms.nonEmpty => "SADD" +: k +: ms.toSeq } ++
+    pfadds.collect { case (k, ms) if ms.nonEmpty => "PFADD" +: k +: ms.toSeq }
+
+  /** One micro-batch, one flush: every INCRBY/SET/SADD/PFADD of the
+    * batch in a single pipeline. Errors in any reply surface after the
+    * full read so the connection stays in protocol sync. */
   override def writeBatch(incrs: Seq[(String, Long)],
       puts: Seq[(String, Long)],
-      sadds: Seq[(String, Iterable[String])]): Unit = this.synchronized {
-    val cmds: Seq[Seq[String]] =
-      incrs.map { case (k, n) => Seq("INCRBY", k, n.toString) } ++
-      puts.map { case (k, v) => Seq("SET", k, v.toString) } ++
-      sadds.collect { case (k, ms) if ms.nonEmpty => "SADD" +: k +: ms.toSeq }
+      sadds: Seq[(String, Iterable[String])],
+      pfadds: Seq[(String, Iterable[String])]): Unit = this.synchronized {
+    val cmds = batchCmds(incrs, puts, sadds, pfadds)
     if (cmds.nonEmpty) {
       val errs = client.pipeline(cmds).collect { case RespReply.Err(m) => m }
       if (errs.nonEmpty)
@@ -189,16 +229,41 @@ class RedisMetricsSink(host: String, port: Int)
     }
   }
 
-  /** The batchId ledger of [[graft.streaming.MetricsStore.applyBatchOnce]]
-    * against a real store: `SET ledgerKey NX` is the atomic
-    * claim-marker — a re-delivered foreachBatch (at-least-once under
-    * mid-batch crash) finds the marker and skips, making INCRBY
-    * effectively-once. The marker is deleted on body failure so a
-    * crashed batch retries. NOTE the same honesty caveat as the
-    * in-memory store: marker and writes are not one transaction here;
-    * a production deployment puts body + marker inside MULTI/EXEC on
-    * this connection (the client's pipeline carries it) or accepts the
-    * tiny crash window between body and marker commit. */
+  /** The effectively-once batch write against a real store: body AND
+    * ledger marker commit in ONE `MULTI…EXEC` transaction on the
+    * pipelined connection, closing the crash window the plain SET-NX
+    * ledger left open — a crash anywhere before EXEC applies NOTHING
+    * (marker unset → the re-delivered batch retries in full), a crash
+    * after EXEC applied EVERYTHING (marker set → the redelivery is
+    * skipped). No double-INCRBY, no lost batch.
+    *
+    * The check-then-transact read of the marker is race-free because
+    * Structured Streaming serializes foreachBatch per query — there is
+    * exactly one writer per (queryId, batchId), retries included; a
+    * multi-writer deployment would WATCH the marker instead. */
+  override def writeBatchOnce(queryId: String, batchId: Long,
+      incrs: Seq[(String, Long)] = Nil,
+      puts: Seq[(String, Long)] = Nil,
+      sadds: Seq[(String, Iterable[String])] = Nil,
+      pfadds: Seq[(String, Iterable[String])] = Nil): Boolean = this.synchronized {
+    val marker = s"graft_batch_ledger:$queryId:$batchId"
+    run("GET", marker) match {
+      case RespReply.Bulk(Some(_)) => false // already applied
+      case _ =>
+        val body = batchCmds(incrs, puts, sadds, pfadds)
+        val cmds = Seq(Seq("MULTI")) ++ body ++
+          Seq(Seq("SET", marker, "1"), Seq("EXEC"))
+        val replies = client.pipeline(cmds)
+        replies.collectFirst { case RespReply.Err(m) =>
+          throw new IOException(s"redis transaction error: $m")
+        }
+        true
+    }
+  }
+
+  /** Legacy SET-NX ledger (non-transactional; see [[writeBatchOnce]]
+    * for the closed-window form): claims the marker, runs `body`,
+    * deletes the marker if the body fails so the batch retries. */
   def applyBatchOnce(queryId: String, batchId: Long)(body: => Unit): Boolean = {
     val marker = s"graft_batch_ledger:$queryId:$batchId"
     run("SET", marker, "1", "NX") match {
@@ -209,7 +274,38 @@ class RedisMetricsSink(host: String, port: Int)
     }
   }
 
+  /** Worker-side writes: each partition task opens its own RESP
+    * connection (only (host, port) ship in the closure), buffers its
+    * SADD/PFADD commands, and flushes them as ONE pipelined round trip
+    * on close — the reference's executor→Redis shape (`RedisIO.write()`,
+    * MetricsCalculationPipeline.java:54-57). The driver never sees a
+    * member. */
+  override def partitionWriter: Option[graft.streaming.PartitionWriterFactory] =
+    Some(new RedisPartitionWriterFactory(host, port))
+
   def close(): Unit = this.synchronized {
     if (_client != null) { _client.close(); _client = null }
   }
+}
+
+/** See [[RedisMetricsSink.partitionWriter]]. One writer per partition
+  * task; not shared, not thread-safe, closed by its opener. */
+final class RedisPartitionWriterFactory(host: String, port: Int)
+    extends graft.streaming.PartitionWriterFactory {
+  def open(): graft.streaming.PartitionMetricsWriter =
+    new graft.streaming.PartitionMetricsWriter {
+      private val cmds = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      def sadd(key: String, members: Iterable[String]): Unit =
+        if (members.nonEmpty) cmds += ("SADD" +: key +: members.toSeq)
+      def pfadd(key: String, members: Iterable[String]): Unit =
+        if (members.nonEmpty) cmds += ("PFADD" +: key +: members.toSeq)
+      def close(): Unit = if (cmds.nonEmpty) {
+        val cl = new RespClient(host, port)
+        try {
+          val errs = cl.pipeline(cmds.toSeq).collect { case RespReply.Err(m) => m }
+          if (errs.nonEmpty)
+            throw new IOException(s"redis pipeline errors: ${errs.mkString("; ")}")
+        } finally cl.close()
+      }
+    }
 }

@@ -43,6 +43,15 @@ trait KeyValueMetricsSink extends Serializable {
   def put(key: String, v: Long): Unit
   /** Idempotent member-set union (Redis SADD). */
   def sadd(key: String, members: Iterable[String]): Unit
+  /** Mergeable approx-distinct member add (Redis PFADD): the store
+    * folds members into a sketch and serves the estimate at read —
+    * order-insensitive and idempotent like SADD, but O(KB) state per
+    * key regardless of cardinality. The default keeps an exact set
+    * (an in-memory store has no reason to approximate); the Redis
+    * implementation issues real PFADD so sketches merge SERVER-side
+    * across concurrent writers (reference
+    * MetricsCalculationPipeline.java:73-87). */
+  def pfadd(key: String, members: Iterable[String]): Unit = sadd(key, members)
   /** One micro-batch of writes in a single call — the verb the
     * pipeline's foreachBatch actually issues, so a remote store can
     * pipeline the whole batch (1 round trip per micro-batch instead of
@@ -51,11 +60,53 @@ trait KeyValueMetricsSink extends Serializable {
     * stores. */
   def writeBatch(incrs: Seq[(String, Long)] = Nil,
       puts: Seq[(String, Long)] = Nil,
-      sadds: Seq[(String, Iterable[String])] = Nil): Unit = {
+      sadds: Seq[(String, Iterable[String])] = Nil,
+      pfadds: Seq[(String, Iterable[String])] = Nil): Unit = {
     incrs.foreach { case (k, n) => incrBy(k, n) }
     puts.foreach { case (k, v) => put(k, v) }
     sadds.foreach { case (k, m) => sadd(k, m) }
+    pfadds.foreach { case (k, m) => pfadd(k, m) }
   }
+  /** [[writeBatch]] under a (queryId, batchId) ledger: applies the
+    * batch only if that id was not applied before, returning whether it
+    * ran — the effectively-once contract for non-idempotent INCRBY
+    * under foreachBatch's at-least-once redelivery. The default is the
+    * at-least-once fallback (no ledger — always applies); stores with
+    * a ledger override: [[MetricsStore]] with its in-memory marker map,
+    * [[graft.store.RedisMetricsSink]] with a MULTI/EXEC transaction
+    * that commits marker + body atomically. */
+  def writeBatchOnce(queryId: String, batchId: Long,
+      incrs: Seq[(String, Long)] = Nil,
+      puts: Seq[(String, Long)] = Nil,
+      sadds: Seq[(String, Iterable[String])] = Nil,
+      pfadds: Seq[(String, Iterable[String])] = Nil): Boolean = {
+    writeBatch(incrs, puts, sadds, pfadds); true
+  }
+  /** A serializable recipe for EXECUTOR-side writes, or None when the
+    * sink can only merge driver-side (an in-memory store: executor
+    * copies of its maps would be lost with the task JVM... and in
+    * local mode closures are still serialized per task). When Some,
+    * the pipeline's set/HLL branches ship members worker→store via
+    * `foreachPartition` — the reference's RedisIO shape
+    * (MetricsCalculationPipeline.java:54-57), with NO driver hop: at
+    * 100 TB the driver never materializes a member list. */
+  def partitionWriter: Option[PartitionWriterFactory] = None
+}
+
+/** Serializable factory captured by `foreachPartition` closures; opens
+  * one writer per partition task on the executor. */
+trait PartitionWriterFactory extends Serializable {
+  def open(): PartitionMetricsWriter
+}
+
+/** Partition-local write face: buffered member adds, flushed (e.g. as
+  * one pipelined RESP flush) on close. Implementations need not be
+  * thread-safe — one instance per partition task. */
+trait PartitionMetricsWriter {
+  def sadd(key: String, members: Iterable[String]): Unit
+  def pfadd(key: String, members: Iterable[String]): Unit
+  /** Flush buffered writes and release the connection. */
+  def close(): Unit
 }
 
 /** The streaming metrics store — the engine's stand-in for the
@@ -72,9 +123,12 @@ trait KeyValueMetricsSink extends Serializable {
   * — swap in a Redis-backed implementation and the pipeline is the
   * reference's, verbatim.
   */
-class MetricsStore extends KeyValueMetricsSink {
+class MetricsStore extends KeyValueMetricsSink with MetricsReader {
   val counters = TrieMap.empty[String, Long]
   val sets = TrieMap.empty[String, Set[String]]
+  /** PFADD's exact in-memory fake: a set per HLL key (estimate = true
+    * cardinality — an in-memory store has no reason to approximate). */
+  val hlls = TrieMap.empty[String, Set[String]]
 
   /** INCRBY analog (MetricsCalculationPipeline.java:54-71). */
   def incrBy(key: String, n: Long): Unit =
@@ -87,8 +141,15 @@ class MetricsStore extends KeyValueMetricsSink {
   def sadd(key: String, members: Iterable[String]): Unit =
     sets.updateWith(key) { case prev => Some(prev.getOrElse(Set.empty) ++ members) }
 
+  override def pfadd(key: String, members: Iterable[String]): Unit =
+    hlls.updateWith(key) { case prev => Some(prev.getOrElse(Set.empty) ++ members) }
+
   def counter(key: String): Long = counters.getOrElse(key, 0L)
   def scard(key: String): Long = sets.get(key).map(_.size.toLong).getOrElse(0L)
+  /** PFCOUNT face: members folded via [[pfadd]] win; otherwise the
+    * materialized estimate the HLL-aggregate branch `put`s. */
+  def hllCount(key: String): Long =
+    hlls.get(key).map(_.size.toLong).getOrElse(counter(key))
 
   /** Serialized theta sketches per key — the sketch flavor of the set
     * family: at 100 TB the serving store cannot hold raw uid sets, and
@@ -101,7 +162,7 @@ class MetricsStore extends KeyValueMetricsSink {
     * theta-sketch key family (exact while sketches are in the
     * raw-hash regime, < nominal entries) — the serving-side
     * `theta_intersection` without a Spark job per HTTP read. */
-  def overlapApprox(prefix: String): Seq[(String, String, Long)] = {
+  override def overlapApprox(prefix: String): Seq[(String, String, Long)] = {
     import org.apache.datasketches.theta.{CompactSketch, SetOperation}
     import org.apache.datasketches.memory.Memory
     val fams = sketches.keys.filter(_.startsWith(prefix)).toSeq.sorted
@@ -133,17 +194,13 @@ class MetricsStore extends KeyValueMetricsSink {
       }
     } else false
 
-  /** Q1–Q3 read shape: last N closed minutes before `nowMinute`
-    * (exclusive), zero-filled — TimeseriesMetricsController.java:144-152. */
-  def timeseries(prefix: String, nowMinute: java.time.LocalDateTime,
-      lastMinutes: Int, fromSets: Boolean = false): Seq[(String, Long)] = {
-    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd'T'HH_mm")
-    (lastMinutes to 1 by -1).map { back =>
-      val m = nowMinute.minusMinutes(back).format(fmt)
-      val key = s"${prefix}_$m"
-      m -> (if (fromSets) scard(key) else counter(key))
-    }
-  }
+  /** The ledgered batch write: marker + body under [[applyBatchOnce]]. */
+  override def writeBatchOnce(queryId: String, batchId: Long,
+      incrs: Seq[(String, Long)] = Nil,
+      puts: Seq[(String, Long)] = Nil,
+      sadds: Seq[(String, Iterable[String])] = Nil,
+      pfadds: Seq[(String, Iterable[String])] = Nil): Boolean =
+    applyBatchOnce(queryId, batchId) { writeBatch(incrs, puts, sadds, pfadds) }
 
   /** Q4 read shape: pairwise set intersection over a key family —
     * SINTERSTORE/SCARD (TimeseriesMetricsController.java:109-136), all
@@ -182,6 +239,33 @@ object StreamingMetrics {
   private def minuteKey(prefix: String) =
     concat_ws("_", lit(prefix), Windows.minuteKey(col(LogEvent.Ts)))
 
+  /** Executor-side member shipping: fold this partition task's
+    * (key, member) rows into bounded per-key buffers, emitting a
+    * command whenever a buffer fills (so a hot key never accumulates
+    * unboundedly), then flush everything in the writer's single
+    * pipelined close. Key cardinality per partition is minutes ×
+    * dimensions — small; the MEMBER stream is what's big, and it never
+    * exists anywhere but this iterator and the wire. */
+  private def shipMembers(rows: Iterator[org.apache.spark.sql.Row],
+      factory: PartitionWriterFactory, approx: Boolean,
+      flushAt: Int = 512): Unit = {
+    val w = factory.open()
+    try {
+      val buf = scala.collection.mutable.Map
+        .empty[String, scala.collection.mutable.ArrayBuffer[String]]
+      def emit(k: String, b: scala.collection.mutable.ArrayBuffer[String]): Unit =
+        if (b.nonEmpty) { if (approx) w.pfadd(k, b.toSeq) else w.sadd(k, b.toSeq) }
+      rows.foreach { r =>
+        val k = r.getString(0)
+        val b = buf.getOrElseUpdate(k,
+          new scala.collection.mutable.ArrayBuffer[String](16))
+        b += r.getString(1)
+        if (b.length >= flushAt) { emit(k, b); b.clear() }
+      }
+      buf.foreach { case (k, b) => emit(k, b) }
+    } finally w.close()
+  }
+
   /** Stateless branch projections (P2–P8) + store merges, one streaming
     * query per reference pipeline branch family. Returns the started
     * queries; callers own their lifecycle. */
@@ -193,30 +277,52 @@ object StreamingMetrics {
       .withColumnRenamed("experimentId", LogEvent.ExperimentId)
     val ev = watermark.fold(ev0)(w => ev0.withWatermark(LogEvent.Ts, w))
 
-    // visitCounter branch (A1): per-batch partial count → INCRBY.
-    // All branches write through writeBatch — ONE sink call per
-    // micro-batch, which a remote store turns into one pipelined round
-    // trip (in-memory stores fall back to per-key merges).
+    // visitCounter branch (A1): per-batch partial count → INCRBY,
+    // applied under the (queryName, batchId) ledger so a re-delivered
+    // micro-batch (foreachBatch is at-least-once under mid-batch crash)
+    // is skipped, not double-counted. The collect here is the
+    // POST-aggregation per-minute counts — bounded by key cardinality,
+    // not data volume — which is why the driver hop is acceptable on
+    // this branch and only this branch.
     val visits = ev
       .select(minuteKey("visitCounter").as("k"))
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.writeBatch(incrs = batch.groupBy("k").count().collect()
-          .toSeq.map(r => r.getString(0) -> r.getLong(1)))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val _ = store.writeBatchOnce("visits_counter", batchId,
+          incrs = batch.groupBy("k").count().collect()
+            .toSeq.map(r => r.getString(0) -> r.getLong(1)))
       }
       .queryName("visits_counter").start()
 
-    // set branches (A3/A5/A7 exact families): distinct members → SADD
+    // set branches (A3/A5/A7 exact families): distinct members → SADD.
+    // With a partition-capable store the members ship worker→store
+    // directly (the reference's RedisIO shape: every executor writes
+    // its partitions, MetricsCalculationPipeline.java:54-57) — the
+    // driver NEVER materializes a member list, which is the only shape
+    // that survives a hot minute at 100 TB. SADD is idempotent and
+    // commutative, so partitions of the same key union server-side and
+    // at-least-once redelivery is safe without a ledger. In-memory
+    // stores (no partitionWriter) merge driver-side as before.
     def setBranch(name: String, keyCol: org.apache.spark.sql.Column,
-        memberCol: org.apache.spark.sql.Column): StreamingQuery =
-      ev.select(keyCol.as("k"), memberCol.as("m"))
-        .writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          store.writeBatch(sadds = batch.distinct().collect()
-            .groupBy(_.getString(0)).toSeq
-            .map { case (k, rows) => k -> rows.toSeq.map(_.getString(1)) })
-        }
-        .queryName(name).start()
+        memberCol: org.apache.spark.sql.Column): StreamingQuery = {
+      val proj = ev.select(keyCol.as("k"), memberCol.as("m"))
+      (store.partitionWriter match {
+        case Some(factory) =>
+          proj.writeStream.outputMode("append")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.distinct().foreachPartition(
+                (rows: Iterator[org.apache.spark.sql.Row]) =>
+                  shipMembers(rows, factory, approx = false))
+            }
+        case None =>
+          proj.writeStream.outputMode("append")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              store.writeBatch(sadds = batch.distinct().collect()
+                .groupBy(_.getString(0)).toSeq
+                .map { case (k, rows) => k -> rows.toSeq.map(_.getString(1)) })
+            }
+      }).queryName(name).start()
+    }
 
     val usersPerMinute = setBranch("set_users_minute",
       minuteKey("set_dthr"), col(LogEvent.Uid))
@@ -225,16 +331,30 @@ object StreamingMetrics {
     val experimentsPerMinute = setBranch("set_experiments_minute",
       minuteKey("set_experiments"), col(LogEvent.ExperimentId))
 
-    // approx distinct branch (A2): update-mode HLL aggregate → upsert
-    val approxUsers = ev
-      .groupBy(minuteKey("hll_dthr").as("k"))
-      .agg(approx_count_distinct(col(LogEvent.Uid)).as("v"))
-      .writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.writeBatch(puts = batch.collect().toSeq
-          .map(r => r.getString(0) -> r.getLong(1)))
-      }
-      .queryName("hll_users_minute").start()
+    // approx distinct branch (A2). Partition-capable store: the
+    // reference shape VERBATIM — raw members ship worker→store as
+    // PFADD and the store's sketches merge server-side across writers
+    // and batches (MetricsCalculationPipeline.java:73-87); idempotent,
+    // so no ledger. In-memory store: Spark's own HLL aggregate
+    // (update mode) holds the merged sketch and upserts the estimate.
+    val approxUsers = (store.partitionWriter match {
+      case Some(factory) =>
+        ev.select(minuteKey("hll_dthr").as("k"), col(LogEvent.Uid).as("m"))
+          .writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.distinct().foreachPartition(
+              (rows: Iterator[org.apache.spark.sql.Row]) =>
+                shipMembers(rows, factory, approx = true))
+          }
+      case None =>
+        ev.groupBy(minuteKey("hll_dthr").as("k"))
+          .agg(approx_count_distinct(col(LogEvent.Uid)).as("v"))
+          .writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            store.writeBatch(puts = batch.collect().toSeq
+              .map(r => r.getString(0) -> r.getLong(1)))
+          }
+    }).queryName("hll_users_minute").start()
 
     Seq(visits, usersPerMinute, usersPerVariant, experimentsPerMinute, approxUsers)
   }

@@ -78,4 +78,42 @@ class DashboardServerSpec extends AnyFunSuite {
       assert(get(port, "/no/such/path").contains("\"error\""))
     } finally srv.stop()
   }
+
+  test("the same endpoints serve from a live Redis store — the full reference topology") {
+    val redis = new RespTestServer
+    val sink = new graft.store.RedisMetricsSink("127.0.0.1", redis.port)
+    // populate through the SINK verbs — exactly what the streaming
+    // pipeline writes (INCRBY / PFADD members / SADD), then read the
+    // same five endpoint shapes back through Redis commands
+    sink.incrBy("visitCounter_2026_08_12T10_15", 3L)
+    sink.incrBy("visitCounter_2026_08_12T10_16", 2L)
+    sink.pfadd("hll_dthr_2026_08_12T10_15", Seq("u1", "u2"))
+    sink.sadd("set_experiments_2026_08_12T10_16", Seq("e1", "e2"))
+    sink.sadd("set_var_1", Seq("u1", "u2"))
+    sink.sadd("set_var_2", Seq("u2", "u3"))
+    val clock = () => java.time.LocalDateTime.of(2026, 8, 12, 10, 17, 42)
+    val srv = new DashboardServer(sink, port = 0, clock = clock).start()
+    try {
+      val port = srv.boundPort
+      assert(get(port, "/metrics/timeseries/visits?lastMinutes=3") ===
+        """[{"timestamp":"2026-08-12T10:16:00Z","metric":2},""" +
+        """{"timestamp":"2026-08-12T10:15:00Z","metric":3},""" +
+        """{"timestamp":"2026-08-12T10:14:00Z","metric":0}]""")
+      // users: PFCOUNT over the PFADDed members
+      assert(get(port, "/metrics/timeseries/users?lastMinutes=2") ===
+        """[{"timestamp":"2026-08-12T10:16:00Z","metric":0},""" +
+        """{"timestamp":"2026-08-12T10:15:00Z","metric":2}]""")
+      assert(get(port, "/metrics/timeseries/experiments?lastMinutes=2") ===
+        """[{"timestamp":"2026-08-12T10:16:00Z","metric":2},""" +
+        """{"timestamp":"2026-08-12T10:15:00Z","metric":0}]""")
+      // overlap: SINTERSTORE/SCARD server-side, like the reference
+      assert(get(port, "/metrics/timeseries/variantsOverlap") ===
+        """[{"dimensions":["1","2"],"metric":1}]""")
+      val times = get(port, "/metrics/timeseries/times")
+      assert(times.startsWith("""["2026-08-12T10:16:00Z","2026-08-12T10:15:00Z""""))
+      // the sketch twin needs engine-held theta sketches — a plain
+      // Redis store keeps none, and the endpoint degrades to empty
+      assert(get(port, "/metrics/timeseries/variantsOverlapApprox") === "[]")
+    } finally { srv.stop(); sink.close(); redis.close() }
+  }
 }

@@ -82,6 +82,37 @@ class LoggenParitySpec extends AnyFunSuite {
     assert(store.timeseries("visitCounter", nowMinute, 10).map(_._1)
       === q5Batch)
 
+    // --- the same replay over a LIVE Redis store: generator → stream →
+    // worker-side RESP writes → Redis reads ≡ the same batch twins.
+    // This closes the reference topology end-to-end (Spark writes
+    // Redis, dashboard reads Redis) with zero driver materialization
+    // of members. ---
+    val redis = new RespTestServer
+    val sink = new graft.store.RedisMetricsSink("127.0.0.1", redis.port)
+    val redisInput = MemoryStream[LogEvent]
+    val redisQueries = StreamingMetrics.startPipeline(redisInput.toDS(), sink)
+    try {
+      events.grouped(2048).foreach { batch =>
+        redisInput.addData(batch.toSeq)
+        redisQueries.foreach(_.processAllAvailable())
+      }
+      assert(sink.timeseries("visitCounter", nowMinute, 10) === q1Batch)
+      assert(sink.timeseries("set_dthr", nowMinute, 10, fromSets = true)
+        === q2Batch)
+      assert(sink.timeseries("set_experiments", nowMinute, 10, fromSets = true)
+        === q3Batch)
+      assert(sink.overlap("set_var_") === q4Batch)
+      // the PFADD face: estimates equal exact uniques under the test
+      // server's exact-count fake — proving the raw members arrived
+      q2Batch.foreach { case (minute, uniques) =>
+        assert(sink.hllCount(s"hll_dthr_$minute") === uniques)
+      }
+      // members shipped from partition tasks, not one driver socket
+      assert(redis.connectionsAccepted > 2)
+    } finally {
+      redisQueries.foreach(_.stop()); sink.close(); redis.close()
+    }
+
     // the uid-drift model must actually drift: multiple distinct uids
     // per minute AND overlap across minutes (the property the
     // reference's build_user_id exists to create)

@@ -61,6 +61,55 @@ class RedisSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("PFADD members merge server-side across independent writers") {
+    withServer { (srv, sink) =>
+      val writer2 = new RedisMetricsSink("127.0.0.1", srv.port)
+      try {
+        // two sinks (two Spark jobs / executors) feed the same HLL key:
+        // PFADD merges on the server — union, not last-writer-wins,
+        // which a SET of a locally-computed estimate could never give
+        sink.pfadd("hll_k", Seq("a", "b"))
+        writer2.pfadd("hll_k", Seq("b", "c"))
+        assert(sink.hllCount("hll_k") === 3L)
+        assert(srv.hlls("hll_k") === Set("a", "b", "c"))
+        sink.pfadd("hll_k", Nil) // no-op, no protocol error
+        assert(sink.hllCount("never_added") === 0L)
+      } finally writer2.close()
+    }
+  }
+
+  test("overlap reads via SINTERSTORE/SCARD with scratch-key cleanup") {
+    withServer { (srv, sink) =>
+      sink.sadd("set_var_1", Seq("u1", "u2"))
+      sink.sadd("set_var_2", Seq("u2", "u3"))
+      sink.sadd("set_var_3", Seq("u9"))
+      assert(sink.overlap("set_var_") ===
+        Seq(("1", "2", 1L), ("1", "3", 0L), ("2", "3", 0L)))
+      assert(!srv.sets.keys.exists(_.startsWith("graft_overlap_tmp")),
+        "scratch intersection keys must be deleted")
+    }
+  }
+
+  test("writeBatchOnce: crash before EXEC applies nothing; retry applies once; redelivery skips") {
+    withServer { (srv, sink) =>
+      srv.crashOnExec = true
+      intercept[java.io.IOException] {
+        sink.writeBatchOnce("q", 7L, incrs = Seq("c" -> 5L),
+          sadds = Seq("s" -> Seq("m1")))
+      }
+      // the transaction died before commit: no counter, no set, no marker
+      assert(srv.strings.isEmpty && srv.sets.isEmpty)
+      srv.crashOnExec = false
+      // the re-delivered batch finds no marker and applies — exactly once
+      assert(sink.writeBatchOnce("q", 7L, incrs = Seq("c" -> 5L),
+        sadds = Seq("s" -> Seq("m1"))))
+      assert(sink.counter("c") === 5L && sink.scard("s") === 1L)
+      // a second redelivery finds the marker and skips: no double-INCRBY
+      assert(!sink.writeBatchOnce("q", 7L, incrs = Seq("c" -> 5L)))
+      assert(sink.counter("c") === 5L)
+    }
+  }
+
   test("applyBatchOnce: SET NX ledger skips redelivery, clears marker on failure") {
     withServer { (_, sink) =>
       var runs = 0
@@ -110,9 +159,61 @@ class RedisSinkSpec extends AnyFunSuite {
         assert(sink.scard("set_dthr_2026_08_12T10_15") === 2L)
         assert(sink.scard("set_var_1") === 1L)
         assert(sink.scard("set_var_2") === 1L)
-        assert(sink.counter("hll_dthr_2026_08_12T10_15") === 2L)
+        // approx branch against Redis ships raw MEMBERS as PFADD
+        // (reference fidelity) — read via PFCOUNT, not GET
+        assert(sink.hllCount("hll_dthr_2026_08_12T10_15") === 2L)
+        assert(srv.hlls.contains("hll_dthr_2026_08_12T10_15"))
         assert(srv.commandsServed > 0)
       } finally queries.foreach(_.stop())
+    }
+  }
+
+  test("worker-side writes match the driver-side path and never hop the driver") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ev(uid: String, exp: String, variant: String, ts: String) =
+      LogEvent(uid, exp, variant, java.sql.Timestamp.valueOf(ts))
+    // enough events to spread across many shuffle partitions
+    val events = (1 to 400).map { i =>
+      ev(s"u${i % 50}", s"e${i % 5}", (i % 4).toString,
+        f"2026-08-12 10:${15 + i % 3}%02d:${i % 60}%02d")
+    }
+    withServer { (srv, sink) =>
+      assert(sink.partitionWriter.isDefined)
+      val input = MemoryStream[LogEvent]
+      val queries = StreamingMetrics.startPipeline(input.toDS(), sink)
+      try {
+        input.addData(events)
+        queries.foreach(_.processAllAvailable())
+      } finally queries.foreach(_.stop())
+
+      // identical events through the driver-side in-memory path
+      val memInput = MemoryStream[LogEvent]
+      val mem = new graft.streaming.MetricsStore
+      val memQueries = StreamingMetrics.startPipeline(memInput.toDS(), mem)
+      try {
+        memInput.addData(events)
+        memQueries.foreach(_.processAllAvailable())
+      } finally memQueries.foreach(_.stop())
+
+      // byte-identical store state: every set family...
+      assert(srv.sets.toMap === mem.sets.toMap)
+      // ...every visit counter (markers aside — the worker path keeps
+      // its INCRBY ledger on the driver)...
+      assert(srv.strings.filter(_._1.startsWith("visitCounter"))
+        .map { case (k, v) => k -> v.toLong }.toMap ===
+        mem.counters.toMap.filter(_._1.startsWith("visitCounter")))
+      // ...and the HLL families hold exactly the true member sets
+      // (worker path PFADDs raw members; the fake counts them exactly)
+      val expectedHll = events
+        .groupBy(e => "hll_dthr_" + e.timestamp.toLocalDateTime.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy_MM_dd'T'HH_mm")))
+        .view.mapValues(_.map(_.uid).toSet).toMap
+      assert(srv.hlls.toMap === expectedHll)
+      // no driver hop: the members arrived over SEVERAL partition-task
+      // connections, not one driver-pipelined socket
+      assert(srv.connectionsAccepted > 2,
+        s"expected parallel partition connections, saw ${srv.connectionsAccepted}")
     }
   }
 }
