@@ -217,6 +217,11 @@ object SparkEntry {
     // rows-only like every approximate index, trained-recall as data
     "knn_pq" -> ((s, d) => Similarity.knnPq(par(Tables.embeddings(s, d)))),
     "knn_pq_recall" -> ((s, d) => Similarity.knnPqRecall(par(Tables.embeddings(s, d)))),
+    // IVF-PQ: coarse list pruning x product codes + exact re-rank —
+    // the production compressed-index composition (rows-only)
+    "knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(par(Tables.embeddings(s, d)))),
+    "knn_ivfpq_recall" -> ((s, d) =>
+      Similarity.knnIvfPqRecall(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d)))),

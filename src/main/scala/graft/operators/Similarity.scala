@@ -675,11 +675,22 @@ object Similarity {
     * database vector is m table lookups summed — never touching the
     * original floats. This is the memory-bound regime PQ exists for:
     * at 100 TB the code table is 32× smaller than the vectors and the
-    * scan streams codes only. Rows-only (two approximations: code
-    * quantization + ADC); fidelity reported by [[knnPqRecall]]. */
+    * scan streams codes only.
+    *
+    * `rerank`: the standard ADC + exact re-rank composition — the code
+    * scan shortlists the top k·rerank per query, then ONLY those
+    * shortlist rows (queries × k·rerank — a broadcastable sliver of
+    * the corpus) fetch their full floats for an exact cosine re-rank.
+    * The 100 TB cost shape is unchanged (the full scan still reads
+    * codes only; the float fetch is point lookups), while recall
+    * recovers from code quantization (fixture: 0.42 → ≥0.8 at
+    * rerank=8). `rerank <= 1` returns raw ADC ranks. Rows-only (still
+    * approximate: a true neighbor outside the ADC shortlist stays
+    * lost); fidelity reported by [[knnPqRecall]]. */
   def knnPq(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
       m: Int = 16, ksub: Int = 16, dim: Int = 64,
-      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      rerank: Int = 8): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val subDim = dim / m
     val books = codebooks.getOrElse(
@@ -697,8 +708,32 @@ object Similarity {
       .join(broadcast(queries), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         adcScore(m, ksub).as("cos_sim"))
-    rankTopK(scored, k)
+    rerankExact(embeddings, scored, k, queryMod, rerank)
   }
+
+  /** Exact-cosine re-rank of an approximate score frame's top
+    * k·rerank shortlist (see [[knnPq]]'s doc for the cost shape). */
+  private def rerankExact(embeddings: DataFrame, scored: DataFrame,
+      k: Int, queryMod: Int, rerank: Int): DataFrame =
+    if (rerank <= 1) rankTopK(scored, k)
+    else {
+      val shortlist = rankTopK(scored, k * rerank)
+        .select(col("query_id"), col("neighbor_id"))
+      val neighbors = embeddings
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      val queryVecs = embeddings
+        .where(pmod(col("vec_id"), lit(queryMod)) === 0)
+        .where(expr("vec_dot(embedding, embedding)") > 0.0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val exact = neighbors
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(queryVecs), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (expr("vec_dot(q_emb, n_emb)") /
+            (expr("sqrt(vec_dot(q_emb, q_emb))") *
+              expr("sqrt(vec_dot(n_emb, n_emb))"))).as("cos_sim"))
+      rankTopK(exact, k)
+    }
 
   /** IVF-PQ — the composition that IS the production ANN architecture
     * at 100 TB (coarse quantizer + product codes, the FAISS IndexIVFPQ
@@ -712,7 +747,8 @@ object Similarity {
   def knnIvfPq(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
       nList: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 16,
       dim: Int = 64,
-      codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+      codebooks: Option[Array[Array[Array[Float]]]] = None,
+      rerank: Int = 8): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val subDim = dim / m
     val books = codebooks.getOrElse(
@@ -735,8 +771,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         adcScore(m, ksub).as("cos_sim"))
     // no dedup needed: each vector lives in exactly ONE coarse list, so
-    // a (query, vector) pair joins at most once even with nProbe > 1
-    rankTopK(scored, k)
+    // a (query, vector) pair joins at most once even with nProbe > 1.
+    // Same ADC + exact-re-rank composition as [[knnPq]] (FAISS's
+    // IndexIVFPQR shape): recall lost to code quantization comes back
+    // for a shortlist-sized float fetch.
+    rerankExact(embeddings, scored, k, queryMod, rerank)
   }
 
   /** recall@10 of IVF-PQ (trained codebooks) vs exact float32

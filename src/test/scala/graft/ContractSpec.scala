@@ -32,6 +32,7 @@ class ContractSpec extends AnyFunSuite {
     val cartesianOk = Set("variant_overlap_approx",
       "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
       "knn_int8", "knn_int8_recall", "knn_pq", "knn_pq_recall",
+      "knn_ivfpq_recall",
       "value_band_counts", "tfidf_top_terms", "collocations")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -81,10 +82,18 @@ class ContractSpec extends AnyFunSuite {
     val int8 = Similarity.knnInt8Recall(emb).collect()(0)
     assert(int8.getAs[Double]("recall_at_k") >= 0.90,
       s"knn_int8 recall@10 ${int8.getAs[Double]("recall_at_k")} below floor")
-    // PQ at 64-bit codes: near-uniform synthetic data is PQ's hardest
-    // regime; fixture-observed trained recall 0.42 (0.52 at sf0.01)
+    // PQ at 64-bit codes + exact re-rank of the top-8k ADC shortlist:
+    // re-ranking recovers the recall code quantization loses (raw ADC
+    // fixture-observed 0.42; with rerank=8: 0.90 here, 0.96 at sf0.01)
     val pq = Similarity.knnPqRecall(emb).collect()(0)
-    assert(pq.getAs[Double]("recall_at_k") >= 0.30,
+    assert(pq.getAs[Double]("recall_at_k") >= 0.70,
       s"knn_pq recall@10 ${pq.getAs[Double]("recall_at_k")} below floor")
+    // IVF-PQ stacks list pruning on top — bounded by ivf's pruning
+    // recall (a neighbor outside every probed list never reaches the
+    // shortlist), so re-rank recovers only the quantization share:
+    // fixture-observed 0.42 (0.38 at sf0.01), ≈ knn_ivf's own recall
+    val ivfpq = Similarity.knnIvfPqRecall(emb).collect()(0)
+    assert(ivfpq.getAs[Double]("recall_at_k") >= 0.25,
+      s"knn_ivfpq recall@10 ${ivfpq.getAs[Double]("recall_at_k")} below floor")
   }
 }
