@@ -54,6 +54,14 @@ object SparkEntry {
     "users_timeseries" -> ((s, d) => Metrics.usersTimeseries(ev(s, d))),
     "experiments_timeseries" -> ((s, d) => Metrics.experimentsTimeseries(ev(s, d))),
     "times_spine" -> ((s, d) => Metrics.timesSpine(ev(s, d))),
+    // spine zero-fill across a UTC day boundary: cutting the stream at
+    // 00:04 pins "now" just past midnight, so the 10-minute window
+    // spans two calendar days and the minute_key's DATE part flips
+    // mid-series (hardens the yyyy_MM_dd'T'HH_mm rendering + zero-fill
+    // against day-edge off-by-ones; at sf0.01 max(ts) lands 00:01)
+    "visits_timeseries_dayedge" -> ((s, d) => Metrics.visitsTimeseries(
+      ev(s, d).where(col(graft.LogEvent.Ts) <
+        lit("2024-01-15 00:04:00").cast("timestamp")))),
     // ---- reference parity: JSON parse path (SURVEY.md §2.2 P1) ----
     "parse_events_json" -> ((s, d) => {
       // par() before the JSON build: the string construction is as
@@ -331,6 +339,19 @@ object SparkEntry {
       s"""${spineCte()},
          |agg AS (SELECT date_trunc('minute', ts) AS minute_start, count(*) AS visits
          |  FROM events GROUP BY 1)
+         |SELECT strftime(spine.minute_start, '$MinuteFmt') AS minute_key,
+         |  coalesce(agg.visits, 0) AS visits
+         |FROM spine LEFT JOIN agg USING (minute_start) ORDER BY minute_key""".stripMargin,
+    "visits_timeseries_dayedge" ->
+      s"""WITH evf AS (SELECT ts FROM events
+         |  WHERE ts < TIMESTAMP '2024-01-15 00:04:00'),
+         |now_m AS (SELECT date_trunc('minute', max(ts)) AS m FROM evf),
+         |spine AS (SELECT unnest(generate_series(
+         |  (SELECT m FROM now_m) - INTERVAL 10 MINUTE,
+         |  (SELECT m FROM now_m) - INTERVAL 1 MINUTE,
+         |  INTERVAL 1 MINUTE)) AS minute_start),
+         |agg AS (SELECT date_trunc('minute', ts) AS minute_start, count(*) AS visits
+         |  FROM evf GROUP BY 1)
          |SELECT strftime(spine.minute_start, '$MinuteFmt') AS minute_key,
          |  coalesce(agg.visits, 0) AS visits
          |FROM spine LEFT JOIN agg USING (minute_start) ORDER BY minute_key""".stripMargin,

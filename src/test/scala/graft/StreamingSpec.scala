@@ -360,6 +360,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.counter("visitCounter_2026_08_12T10_15") === 3L)
   }
 
+  test("file-source E2E: JSON files drive the full pipeline; checkpointed restart skips processed files") {
+    import spark.implicits._
+    // the source boundary the sandbox can exercise: the reference reads
+    // Pub/Sub JSON strings (S1); a file stream delivers the same wire
+    // format through the same parse (P1) into the same pipeline
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_src")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_fs_ckpt").toString
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft_stage", ".json")
+      java.nio.file.Files.write(tmp,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // atomic move so the source never lists a half-written file
+      java.nio.file.Files.move(tmp, srcDir.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def wire(uid: String, exp: String, variant: String, iso: String) =
+      s"""{"uid":"$uid","experiment_id":"$exp","variant":"$variant","timestamp":"$iso"}"""
+    def fileEvents = {
+      val raw = spark.readStream.text(srcDir.toString)
+      graft.sources.Tables.parseJsonEvents(raw)
+        .withColumnRenamed(LogEvent.ExperimentId, "experimentId")
+        .as[LogEvent]
+    }
+
+    writeFile("batch1.json", Seq(
+      wire("u1", "e1", "1", "2026-08-12T10:15:03Z"),
+      wire("u2", "e1", "2", "2026-08-12T10:15:30Z"),
+      """not json — must be dropped, not crash the stream""",
+      wire("u1", "e2", "1", "2026-08-12T10:16:01Z")))
+
+    // full fan-out over the file source (no checkpoint: fresh read)
+    val store = new MetricsStore
+    val queries = StreamingMetrics.startPipeline(fileEvents, store)
+    try queries.foreach(_.processAllAvailable())
+    finally queries.foreach(_.stop())
+    assert(store.counter("visitCounter_2026_08_12T10_15") === 2L)
+    assert(store.counter("visitCounter_2026_08_12T10_16") === 1L)
+    assert(store.scard("set_dthr_2026_08_12T10_15") === 2L)
+    assert(store.scard("set_experiments_2026_08_12T10_16") === 1L)
+
+    // checkpointed restart across a file boundary: file1's offsets are
+    // committed, so the restarted query delivers ONLY file2 — the
+    // INCRBY counter proves no re-delivery (a replay would double it)
+    val ckptStore = new MetricsStore
+    val q1 = StreamingMetrics.startVisitsCheckpointed(
+      fileEvents, ckptStore, ckptDir, "file_visits_a")
+    q1.processAllAvailable(); q1.stop()
+    assert(ckptStore.counter("visitCounter_2026_08_12T10_15") === 2L)
+
+    writeFile("batch2.json", Seq(
+      wire("u3", "e1", "1", "2026-08-12T10:15:55Z")))
+    val q2 = StreamingMetrics.startVisitsCheckpointed(
+      fileEvents, ckptStore, ckptDir, "file_visits_b")
+    q2.processAllAvailable(); q2.stop()
+    assert(ckptStore.counter("visitCounter_2026_08_12T10_15") === 3L)
+    assert(ckptStore.counter("visitCounter_2026_08_12T10_16") === 1L)
+  }
+
   test("flatMapGroupsWithState exact uniques: state accumulates across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
