@@ -7,7 +7,7 @@ import graft.sources.{Loggen, Tables}
 import graft.streaming.{MetricsStore, StreamingMetrics}
 
 /** The whole reference system, runnable:
-  * `sbt "runMain graft.serving.DashboardMain [durationSec] [port]"`.
+  * `sbt "runMain graft.serving.DashboardMain [durationSec] [port] [redisHost:redisPort]"`.
   *
   * loggen replica → JSON wire → parse (P1) → streaming pipeline →
   * metrics store → HTTP dashboard — the same topology as
@@ -16,11 +16,21 @@ import graft.streaming.{MetricsStore, StreamingMetrics}
   * services. Events are generated against the wall clock in 1-second
   * micro-batches; while it runs, the five endpoints are live, e.g.
   * `curl localhost:<port>/metrics/timeseries/visits?lastMinutes=3`.
+  *
+  * With a third `host:port` argument the in-memory store is swapped
+  * for a live Redis(-compatible) server: the pipeline writes it
+  * worker-side over RESP and the dashboard reads it back — the
+  * reference deployment, verbatim (the variantsOverlapApprox panel
+  * then serves empty: theta sketches are engine-held state).
   */
 object DashboardMain {
   def main(args: Array[String]): Unit = {
     val durationSec = args.headOption.map(_.toInt).getOrElse(60)
     val port = args.lift(1).map(_.toInt).getOrElse(8080)
+    val redis = args.lift(2).map { hp =>
+      val Array(h, p) = hp.split(":", 2)
+      new graft.store.RedisMetricsSink(h, p.toInt)
+    }
     val eventsPerSec = 200
 
     val spark = SparkSession.builder()
@@ -35,12 +45,17 @@ object DashboardMain {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val input = MemoryStream[LogEvent]
-    val store = new MetricsStore
-    // the five reference branches + the theta-sketch overlap twin, so
-    // the page's variantsOverlapApprox panel is live alongside the exact
-    val queries = StreamingMetrics.startPipeline(input.toDS(), store) :+
-      StreamingMetrics.startVariantSketches(input.toDS(), store, "theta_variants")
-    val server = new DashboardServer(store, port).start()
+    val memStore = new MetricsStore
+    val sink: graft.streaming.KeyValueMetricsSink = redis.getOrElse(memStore)
+    val reader: graft.streaming.MetricsReader = redis.getOrElse(memStore)
+    // the five reference branches + (in-memory mode) the theta-sketch
+    // overlap twin, so the page's variantsOverlapApprox panel is live
+    val queries = StreamingMetrics.startPipeline(input.toDS(), sink) ++
+      (if (redis.isEmpty)
+        Seq(StreamingMetrics.startVariantSketches(input.toDS(), memStore,
+          "theta_variants"))
+      else Nil)
+    val server = new DashboardServer(reader, port).start()
     println(s"dashboard listening on http://localhost:${server.boundPort}" +
       "/metrics/timeseries/{visits,users,experiments,variantsOverlap,times}")
 
@@ -71,13 +86,16 @@ object DashboardMain {
         val elapsed = (System.currentTimeMillis() - t0) / 1000L
         if (batch % 10 == 0)
           println(s"[$elapsed s] $batch batches, " +
-            s"${batch * eventsPerSec} events, " +
-            s"${store.counters.size} counter keys, ${store.sets.size} set keys")
+            s"${batch * eventsPerSec} events" +
+            (if (redis.isEmpty) s", ${memStore.counters.size} counter keys, " +
+              s"${memStore.sets.size} set keys"
+            else " → redis"))
         Thread.sleep(1000L)
       }
     } finally {
       queries.foreach(_.stop())
       server.stop()
+      redis.foreach(_.close())
       spark.stop()
     }
     println(s"done: $batch batches, ${batch * eventsPerSec} events")

@@ -289,23 +289,36 @@ class RedisMetricsSink(host: String, port: Int)
 }
 
 /** See [[RedisMetricsSink.partitionWriter]]. One writer per partition
-  * task; not shared, not thread-safe, closed by its opener. */
-final class RedisPartitionWriterFactory(host: String, port: Int)
+  * task; not shared, not thread-safe, closed by its opener.
+  *
+  * Memory contract: commands are flushed every `chunkCmds` (one
+  * pipelined round trip per chunk over a single connection opened at
+  * first flush), so the writer holds O(chunk) — a partition is
+  * STREAMED to the store, never fully buffered. The last partial chunk
+  * flushes on close. */
+final class RedisPartitionWriterFactory(host: String, port: Int,
+    chunkCmds: Int = 1024)
     extends graft.streaming.PartitionWriterFactory {
   def open(): graft.streaming.PartitionMetricsWriter =
     new graft.streaming.PartitionMetricsWriter {
       private val cmds = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
-      def sadd(key: String, members: Iterable[String]): Unit =
-        if (members.nonEmpty) cmds += ("SADD" +: key +: members.toSeq)
-      def pfadd(key: String, members: Iterable[String]): Unit =
-        if (members.nonEmpty) cmds += ("PFADD" +: key +: members.toSeq)
-      def close(): Unit = if (cmds.nonEmpty) {
-        val cl = new RespClient(host, port)
-        try {
-          val errs = cl.pipeline(cmds.toSeq).collect { case RespReply.Err(m) => m }
-          if (errs.nonEmpty)
-            throw new IOException(s"redis pipeline errors: ${errs.mkString("; ")}")
-        } finally cl.close()
+      private var cl: RespClient = null
+      private def flush(): Unit = if (cmds.nonEmpty) {
+        if (cl == null) cl = new RespClient(host, port)
+        val errs = cl.pipeline(cmds.toSeq).collect { case RespReply.Err(m) => m }
+        cmds.clear()
+        if (errs.nonEmpty)
+          throw new IOException(s"redis pipeline errors: ${errs.mkString("; ")}")
       }
+      private def add(cmd: Seq[String]): Unit = {
+        cmds += cmd
+        if (cmds.length >= chunkCmds) flush()
+      }
+      def sadd(key: String, members: Iterable[String]): Unit =
+        if (members.nonEmpty) add("SADD" +: key +: members.toSeq)
+      def pfadd(key: String, members: Iterable[String]): Unit =
+        if (members.nonEmpty) add("PFADD" +: key +: members.toSeq)
+      def close(): Unit =
+        try flush() finally if (cl != null) cl.close()
     }
 }

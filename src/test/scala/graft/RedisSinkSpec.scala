@@ -168,6 +168,20 @@ class RedisSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("partition writer streams in chunks over one connection — O(chunk) memory") {
+    withServer { (srv, _) =>
+      val w = new graft.store.RedisPartitionWriterFactory(
+        "127.0.0.1", srv.port, chunkCmds = 2).open()
+      (1 to 5).foreach(i => w.sadd(s"ck_$i", Seq(s"m$i", s"m${i}b")))
+      w.pfadd("ck_hll", Seq("x", "y"))
+      w.close()
+      (1 to 5).foreach(i => assert(srv.sets(s"ck_$i") === Set(s"m$i", s"m${i}b")))
+      assert(srv.hlls("ck_hll") === Set("x", "y"))
+      // 6 commands at chunk=2 → 3 pipelined flushes, ONE connection
+      assert(srv.connectionsAccepted === 1)
+    }
+  }
+
   test("worker-side writes match the driver-side path and never hop the driver") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
