@@ -176,6 +176,9 @@ object SparkEntry {
     "ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
     "collocations" -> ((s, d) => TextAnalysis.collocations(par(Tables.documents(s, d)))),
+    // CCNet-shape LM quality filter: corpus-trained bigram model,
+    // per-doc mean negative log-prob (low = fluent, high = garbage)
+    "lm_bigram_score" -> ((s, d) => TextAnalysis.lmBigramScore(par(Tables.documents(s, d)))),
     "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
@@ -206,6 +209,9 @@ object SparkEntry {
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
+    // SemDeDup: connected components over embedding-cosine near-dup
+    // pairs, keep-smallest-id (exact pair stage -> exact oracle)
+    "semantic_dedup" -> ((s, d) => Similarity.semanticDedup(par(Tables.embeddings(s, d)))),
     "embedding_near_dup_lsh" -> ((s, d) => Similarity.embeddingNearDupLsh(par(Tables.embeddings(s, d)))),
     "knn_lsh" -> ((s, d) => Similarity.knnLsh(par(Tables.embeddings(s, d)))),
     "knn_ivf" -> ((s, d) => Similarity.knnIvf(par(Tables.embeddings(s, d)))),
@@ -439,6 +445,7 @@ object SparkEntry {
     "value_histogram" -> Analytics.valueHistogramSql(),
     "experiment_entropy" -> Analytics.experimentEntropySql,
     "collocations" -> TextAnalysis.collocationsSql(),
+    "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
@@ -478,6 +485,7 @@ object SparkEntry {
     "media_metadata" -> MediaCodecs.mediaMetadataSql,
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
-    "embedding_near_dup" -> Similarity.embeddingNearDupSql()
+    "embedding_near_dup" -> Similarity.embeddingNearDupSql(),
+    "semantic_dedup" -> Similarity.semanticDedupSql()
   )
 }

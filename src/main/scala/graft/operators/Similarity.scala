@@ -203,6 +203,56 @@ object Similarity {
        |  CAST(b.embedding AS DOUBLE[])) >= $threshold
        |ORDER BY 1, 2""".stripMargin
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al.,
+    * arXiv 2303.09540): vectors whose embeddings are near-identical
+    * (cosine ≥ threshold) form connected components and every member
+    * except the smallest id is marked duplicate — the embedding-space
+    * twin of [[graft.operators.Dedup.dedupClusters]] (lexical n-gram
+    * clusters), catching paraphrases and re-encodings that share no
+    * shingles. Pair generation is [[embeddingNearDup]]'s exact
+    * block-pair equi-join; components use
+    * [[graft.operators.Dedup.connectedComponents]]'s budgeted label
+    * propagation. At 100 TB the pair stage swaps for
+    * [[embeddingNearDupLsh]] candidates — identical downstream shape.
+    * Output: (vec_id, cluster_id, is_dup) — keep `is_dup = 0`. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.44,
+      nBlocks: Int = 8): DataFrame = {
+    val pairs = embeddingNearDup(embeddings, threshold, nBlocks)
+    val comp = graft.operators.Dedup.connectedComponents(
+      pairs, "vec_id_a", "vec_id_b")
+    embeddings.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_dup",
+        (col("vec_id") =!= col("cluster_id")).cast("bigint"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB oracle for [[semanticDedup]]: transitive closure via
+    * recursive CTE over the same exact-cosine pair predicate. */
+  def semanticDedupSql(threshold: Double = 0.44): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])) >= $threshold),
+       |edges AS (
+       |  SELECT vec_id_a AS src, vec_id_b AS dst FROM pairs
+       |  UNION SELECT vec_id_b, vec_id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src)
+       |SELECT e.vec_id,
+       |  coalesce(l.component, e.vec_id) AS cluster_id,
+       |  CAST(e.vec_id <> coalesce(l.component, e.vec_id) AS BIGINT) AS is_dup
+       |FROM embeddings e LEFT JOIN lbl l ON e.vec_id = l.id
+       |ORDER BY e.vec_id""".stripMargin
+
   /** Deterministic ±1 hyperplane (table t, bit j) via a splitmix64-style
     * mix — generated driver-side as a literal array so the projection is
     * a single codegen'd `vec_dot`. */

@@ -511,6 +511,70 @@ object TextAnalysis {
       .orderBy("tok_a", "tok_b")
   }
 
+  /** CCNet-style language-model quality signal (Wenzek et al.,
+    * arXiv 1911.00359 use KenLM perplexity to rank CommonCrawl docs;
+    * same shape here with a corpus-trained bigram model): every
+    * document scored by the mean negative log-probability of its
+    * bigrams under add-one smoothing — low `nll` ≈ fluent/typical,
+    * high `nll` ≈ rare constructions (or garbage). The "model" is two
+    * distributed count tables (unigram, bigram), never collected: at
+    * 100 TB this is two token-keyed aggregate shuffles + one
+    * instance-to-count join, the exact plan of [[collocations]] with a
+    * per-doc fold on top.
+    *
+    * p(b|a) = (c(a,b) + 1) / (c(a) + V); per-instance −ln p is
+    * quantized to DECIMAL(18,9) before the per-doc sum so the fold is
+    * exact and order-free (the engine-parity discipline every ln/÷
+    * query here follows). The MEAN is deliberately not materialized:
+    * dividing the exact decimal sum by a small n lands on 1e-9
+    * rounding-tie boundaries where engines' double→decimal casts
+    * disagree (observed 2/500 docs off by exactly 1e-9) — consumers
+    * compute `nll_sum / n_bigrams`. Docs with fewer than 2 tokens have
+    * no bigrams and are absent. Output: (doc_id, n_bigrams, nll_sum). */
+  def lmBigramScore(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_a"))
+    val vocab = uni.agg(count(lit(1)).cast("double").as("v"))
+    val docBigrams = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS a, t[i + 1] AS b))")).as("g"))
+      .select(col("doc_id"), col("g.a").as("tok_a"), col("g.b").as("tok_b"))
+    val bigramCounts = docBigrams.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("c_ab"))
+    docBigrams
+      .join(bigramCounts, Seq("tok_a", "tok_b"))
+      .join(uni.withColumnRenamed("tok", "tok_a"), "tok_a")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("""CAST(-ln((CAST(c_ab AS DOUBLE) + 1.0) /
+          (CAST(c_a AS DOUBLE) + v)) AS DECIMAL(18,9))""").as("nll_i"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(nll_i) AS DOUBLE)").as("nll_sum"))
+      .orderBy("doc_id")
+  }
+
+  def lmBigramScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uc AS (SELECT tok, count(*) AS c_a
+      |       FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+      |dbg AS (SELECT doc_id, g.a AS tok_a, g.b AS tok_b
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS g
+      |        FROM toks WHERE len(t) >= 2)),
+      |bc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM dbg GROUP BY 1, 2),
+      |inst AS (SELECT doc_id,
+      |    CAST(-ln((CAST(c_ab AS DOUBLE) + 1.0) /
+      |      (CAST(uc.c_a AS DOUBLE) + v.v)) AS DECIMAL(18,9)) AS nll_i
+      |  FROM dbg JOIN bc USING (tok_a, tok_b)
+      |  JOIN uc ON dbg.tok_a = uc.tok CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(nll_i) AS DOUBLE) AS nll_sum
+      |FROM inst GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def collocationsSql(minCount: Long = 5): String =
     s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
        |uc AS (SELECT tok, count(*) AS c

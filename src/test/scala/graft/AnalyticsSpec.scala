@@ -241,6 +241,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(("the", "cat"))._2 < nyPmi)
   }
 
+  test("lm bigram score: repeated common bigrams beat rare constructions") {
+    // docs 1-4 repeat ONE bigram pattern (high corpus counts → high
+    // p(b|a) → low nll); doc 5 strings together bigrams seen nowhere
+    // else (count 1 each → low p → high nll)
+    val docs = ((1 to 4).map(i => (i.toLong, "a b a b a b a b")) :+
+      (5L, "q w e r t y u i")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmBigramScore(docs)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // every doc has 8 tokens → 7 bigram instances
+    assert(got.values.forall(_._1 === 7L))
+    val fluent = got(1L)._2 / got(1L)._1
+    val garbage = got(5L)._2 / got(5L)._1
+    assert(fluent < garbage,
+      s"common-bigram doc must score lower mean nll: $fluent vs $garbage")
+    // identical docs score identically
+    assert((2 to 4).forall(i => got(i.toLong) === got(1L)))
+    // spot-check the smoothed model: V=10 distinct tokens, c(a)=c(b)=16;
+    // per doc 4x "a b" (c=16 → p=(16+1)/(16+10)) and 3x "b a"
+    // (c=12 → p=(12+1)/(16+10))
+    val expected = (4 * -math.log(17.0 / 26.0) + 3 * -math.log(13.0 / 26.0)) / 7
+    assert(math.abs(fluent - expected) < 1e-6)
+    assert(math.abs(garbage - -math.log(2.0 / 11.0)) < 1e-6)
+  }
+
   test("modalEventType picks the most frequent value, ties break lexicographically") {
     val ev = (Seq.fill(3)(("""{"k":"e1"}""", "view")) ++
       Seq.fill(2)(("""{"k":"e1"}""", "click")) ++

@@ -33,7 +33,9 @@ class ContractSpec extends AnyFunSuite {
       "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
       "knn_int8", "knn_int8_recall", "knn_pq", "knn_pq_recall",
       "knn_ivfpq_recall",
-      "value_band_counts", "tfidf_top_terms", "collocations")
+      "value_band_counts", "tfidf_top_terms", "collocations",
+      // same 1-row corpus-totals broadcast as collocations (vocab size)
+      "lm_bigram_score")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

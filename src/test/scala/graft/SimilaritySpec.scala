@@ -125,6 +125,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("semantic dedup: transitive chain clusters to the smallest id; orthogonal survives") {
+    val d = 8
+    def planar(theta: Double): Array[Float] = {
+      val v = Array.fill(d)(0f)
+      v(0) = math.cos(theta).toFloat; v(1) = math.sin(theta).toFloat; v
+    }
+    val ortho = { val v = Array.fill(d)(0f); v(2) = 1f; v }
+    // cos(v0,v1) = cos(v1,v2) = cos(0.6) ≈ 0.825 ≥ 0.75, but
+    // cos(v0,v2) = cos(1.2) ≈ 0.362 < 0.75 — {0,1,2} must cluster
+    // TRANSITIVELY through v1; v3 is orthogonal to the plane
+    val df = Seq((0L, planar(0.0)), (1L, planar(0.6)), (2L, planar(1.2)),
+      (3L, ortho)).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(df, threshold = 0.75, nBlocks = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 1L), (3L, 3L, 0L)))
+  }
+
   test("block-pair near-dup matches a driver-computed all-pairs reference") {
     val got = Similarity.embeddingNearDup(emb, threshold = 0.40)
       .as[(Long, Long)].collect().toSet
