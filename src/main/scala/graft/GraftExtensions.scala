@@ -72,6 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "bounded_collect_long",
       "bounded_collect_long(col, limit) - collect_list bounded at limit, NULL on overflow")(
       BoundedCollectFunctions.builder)
+    fn(ext, "zvalue",
+      "zvalue(bits, c1, c2, ...) - Morton (Z-order) bit-interleave of integer codes")(
+      ZValue.builder)
     fn(ext, "char_ngrams",
       "char_ngrams(text, n) - generator: one row per overlapping character n-gram")(
       CharNgrams.builder)

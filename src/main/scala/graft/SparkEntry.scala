@@ -140,6 +140,9 @@ object SparkEntry {
     "snapshot_upsert" -> ((s, d) => Maintenance.snapshotUpsert(Tables.orders(s, d))),
     "snapshot_diff" -> ((s, d) => Maintenance.snapshotDiffOrders(Tables.orders(s, d))),
     "table_profile" -> ((s, d) => Maintenance.tableProfile(Tables.orders(s, d))),
+    // Morton-interleave data layout: oracle pins the codegen'd zvalue
+    // expression + min/max code scaling (layout effect in MaintenanceSpec)
+    "zorder_value" -> ((s, d) => Maintenance.zorderValue(Tables.events(s, d))),
     "urgent_customers_exists" -> ((s, d) => Relational.urgentCustomersViaSql(s, d)),
     "null_safe_join" -> ((s, d) => Relational.nullSafeJoin(Tables.events(s, d))),
     "top_customer_lateral" -> ((s, d) => Relational.topCustomerLateralViaSql(s, d)),
@@ -179,6 +182,9 @@ object SparkEntry {
     // CCNet-shape LM quality filter: corpus-trained bigram model,
     // per-doc mean negative log-prob (low = fluent, high = garbage)
     "lm_bigram_score" -> ((s, d) => TextAnalysis.lmBigramScore(par(Tables.documents(s, d)))),
+    // Gopher rule battery (word count / mean len / symbols / alpha /
+    // stop words), one verdict column per rule for ablation
+    "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(par(Tables.documents(s, d)))),
     "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
@@ -425,6 +431,7 @@ object SparkEntry {
     "snapshot_upsert" -> Maintenance.snapshotUpsertSql,
     "snapshot_diff" -> Maintenance.snapshotDiffOrdersSql,
     "table_profile" -> Maintenance.tableProfileSql,
+    "zorder_value" -> Maintenance.zorderValueSql(),
     "urgent_customers_exists" -> Relational.urgentCustomersSql,
     "null_safe_join" -> Relational.nullSafeJoinSql,
     "top_customer_lateral" -> Relational.topCustomerLateralSql,
@@ -446,6 +453,7 @@ object SparkEntry {
     "experiment_entropy" -> Analytics.experimentEntropySql,
     "collocations" -> TextAnalysis.collocationsSql(),
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
+    "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),

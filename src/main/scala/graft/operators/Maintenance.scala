@@ -175,6 +175,90 @@ object Maintenance {
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n") + "\nORDER BY column_name"
 
+  /** Z-order (Morton) layout: append a `__z` column interleaving the
+    * min/max-scaled codes of `cols` via the codegen'd
+    * [[graft.functions.ZValue zvalue]] expression. Range-partitioning +
+    * sorting by `__z` clusters rows close in EVERY dimension into the
+    * same files/row-groups, so parquet min/max footer statistics prune
+    * multi-dimensional range scans — the layout half of data skipping
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY` semantics, on plain parquet).
+    *
+    * The min/max pass is one aggregate collecting a single driver row
+    * (2·n doubles — legitimate at any scale); scaling + interleave are
+    * scan-side codegen. Min/max scaling is the simple variant: heavy
+    * skew wants rank-based codes (range-boundary sampling) — at that
+    * point reuse `repartitionByRange` on the raw column instead. Nulls
+    * propagate to a null z (they sort together, first). */
+  def zorderLayout(df: DataFrame, cols: Seq[String],
+      bits: Int = 16): DataFrame = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"need 1 <= n cols and n*bits <= 63, got n=${cols.size} bits=$bits")
+    graft.functions.ZValue.register(df.sparkSession)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxCode = (1L << bits) - 1
+    val codes = cols.zipWithIndex.map { case (c, k) =>
+      val lo = mm.getDouble(2 * k)
+      val hi = mm.getDouble(2 * k + 1)
+      val raw =
+        if (hi == lo) lit(0L)
+        else floor((col(c).cast("double") - lit(lo)) * lit(maxCode.toDouble) /
+          lit(hi - lo)).cast("long")
+      least(greatest(raw, lit(0L)), lit(maxCode)).as(s"__code_$k")
+    }
+    val withCodes = df.select(df.columns.map(col) ++ codes: _*)
+    withCodes.withColumn("__z", expr(
+      s"zvalue($bits, ${cols.indices.map(k => s"__code_$k").mkString(", ")})"))
+      .drop(cols.indices.map(k => s"__code_$k"): _*)
+  }
+
+  /** Rewrite `df` as `numFiles` parquet files z-ordered on `cols`:
+    * range-partition by the z-value (sampled boundaries — balanced
+    * files even when z-space is unevenly populated), sort within each
+    * partition, drop the helper column. The table reads back
+    * identically; only file/row-group locality changes. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], outPath: String,
+      numFiles: Int, bits: Int = 16): Unit =
+    zorderLayout(df, cols, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outPath)
+
+  /** Oracle-checked face of the z-value computation over `events`
+    * (user_id × value, 16 bits each): scaled codes plus the interleaved
+    * z — pins the codegen'd expression and the scaling arithmetic
+    * against an independent engine. */
+  def zorderValue(events: DataFrame, bits: Int = 16): DataFrame =
+    zorderLayout(events, Seq("user_id", "value"), bits)
+      .select(col("event_id"), col("__z").as("zval"))
+      .orderBy("event_id")
+
+  def zorderValueSql(bits: Int = 16): String = {
+    val maxCode = (1L << bits) - 1
+    def code(v: String, lo: String, hi: String) =
+      s"""CAST(least(greatest(CASE WHEN $hi = $lo THEN 0
+         |    ELSE CAST(floor(((CAST($v AS DOUBLE) - $lo) * $maxCode.0)
+         |      / ($hi - $lo)) AS BIGINT) END, 0), $maxCode) AS BIGINT)""".stripMargin
+    s"""WITH mm AS (
+       |  SELECT CAST(min(user_id) AS DOUBLE) AS lo_u,
+       |    CAST(max(user_id) AS DOUBLE) AS hi_u,
+       |    CAST(min(value) AS DOUBLE) AS lo_v,
+       |    CAST(max(value) AS DOUBLE) AS hi_v
+       |  FROM events),
+       |c AS (
+       |  SELECT event_id,
+       |    ${code("user_id", "lo_u", "hi_u")} AS c0,
+       |    ${code("value", "lo_v", "hi_v")} AS c1
+       |  FROM events CROSS JOIN mm)
+       |SELECT event_id,
+       |  CAST(list_sum(list_transform(range(0, $bits), i ->
+       |    (((c0 >> i) & 1) << (2 * i)) + (((c1 >> i) & 1) << (2 * i + 1))
+       |  )) AS BIGINT) AS zval
+       |FROM c ORDER BY event_id""".stripMargin
+  }
+
   val snapshotUpsertSql: String =
     """WITH upd AS (
       |  SELECT o_orderkey, 'X-UPSERTED' AS o_orderpriority, o_totalprice

@@ -127,6 +127,98 @@ object TextAnalysis {
       |  p.n_tokens >= 32 AS passes_min_len
       |FROM per_doc p JOIN d USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
+  /** Stop-word list for the Gopher "contains ≥ 2 stop words" rule —
+    * the original's 8-word English list (Rae et al., arXiv 2112.11446
+    * table A1). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al.,
+    * arXiv 2112.11446 §A.1.1, the filter battery behind MassiveText and
+    * most open-corpus pipelines since): each document is checked
+    * against surface heuristics — word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, fraction of words containing an
+    * alphabetic character, and distinct stop-word hits — and the
+    * verdict per rule plus the conjunction is emitted so downstream
+    * filters can ablate rules individually.
+    *
+    * Every rule is a per-row column expression over the token array
+    * (higher-order `filter`/`array_intersect`, no explode, no UDF), so
+    * the whole operator is scan-side map work inside whole-stage
+    * codegen — at 100 TB it is embarrassingly parallel with zero
+    * shuffles before the output sort. Ratios are single double
+    * divisions of exact integers, bit-identical across engines.
+    * Bounds default to the paper's, with the word-count window scaled
+    * to this corpus' 10–99-token documents so both tails are
+    * exercised. */
+  def gopherQuality(documents: DataFrame, minWords: Int = 25,
+      maxWords: Int = 90, minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8, minStopHits: Int = 2): DataFrame = {
+    val stopLit = GopherStopWords.map(w => s"'$w'").mkString("array(", ", ", ")")
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+          .as("n_symbols"))
+      .select(
+        col("doc_id"),
+        size(col("t")).as("n_words"),
+        (expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").cast("double") /
+          size(col("t")).cast("double")).as("mean_word_len"),
+        (col("n_symbols").cast("double") / size(col("t")).cast("double"))
+          .as("symbol_word_ratio"),
+        (expr("size(filter(t, x -> x rlike '[a-z]'))").cast("double") /
+          size(col("t")).cast("double")).as("alpha_word_frac"),
+        expr(s"size(array_intersect(t, $stopLit))").as("n_stop_hits"))
+      .withColumn("passes_word_count",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("passes_mean_word_len",
+        col("mean_word_len").between(minMeanLen, maxMeanLen))
+      .withColumn("passes_symbol_ratio", col("symbol_word_ratio") <= maxSymbolRatio)
+      .withColumn("passes_alpha_frac", col("alpha_word_frac") >= minAlphaFrac)
+      .withColumn("passes_stop_words", col("n_stop_hits") >= minStopHits)
+      .withColumn("passes_gopher",
+        col("passes_word_count") && col("passes_mean_word_len") &&
+          col("passes_symbol_ratio") && col("passes_alpha_frac") &&
+          col("passes_stop_words"))
+      .orderBy("doc_id")
+  }
+
+  def gopherQualitySql(minWords: Int = 25, maxWords: Int = 90,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): String = {
+    val stopLit = GopherStopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_symbols
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(t) AS n_words,
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+       |      / CAST(len(t) AS DOUBLE) AS mean_word_len,
+       |    CAST(n_symbols AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |      AS symbol_word_ratio,
+       |    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+       |      / CAST(len(t) AS DOUBLE) AS alpha_word_frac,
+       |    len(list_intersect(t, $stopLit)) AS n_stop_hits
+       |  FROM base)
+       |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       |  alpha_word_frac, n_stop_hits,
+       |  n_words BETWEEN $minWords AND $maxWords AS passes_word_count,
+       |  mean_word_len BETWEEN $minMeanLen AND $maxMeanLen
+       |    AS passes_mean_word_len,
+       |  symbol_word_ratio <= $maxSymbolRatio AS passes_symbol_ratio,
+       |  alpha_word_frac >= $minAlphaFrac AS passes_alpha_frac,
+       |  n_stop_hits >= $minStopHits AS passes_stop_words,
+       |  (n_words BETWEEN $minWords AND $maxWords)
+       |    AND (mean_word_len BETWEEN $minMeanLen AND $maxMeanLen)
+       |    AND symbol_word_ratio <= $maxSymbolRatio
+       |    AND alpha_word_frac >= $minAlphaFrac
+       |    AND n_stop_hits >= $minStopHits AS passes_gopher
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Within-document n-gram repetition — the "repeated n-gram
     * fraction" quality rule of large-corpus filters (docs dominated by
     * repeated phrases are boilerplate/spam): 1 − distinct/total word

@@ -267,6 +267,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(garbage - -math.log(2.0 / 11.0)) < 1e-6)
   }
 
+  test("gopher rules: each rule fails exactly its crafted violator") {
+    // doc 1 passes everything; docs 2-6 each violate ONE rule
+    val pass = "the quick brown fox jumps over that lazy dog pack " * 3 // 30 words, stop hits {the,that}
+    val docs = Seq(
+      (1L, pass.trim),
+      (2L, "the that wolf bear lion"), // 5 words < 25 → word count only
+      (3L, ("the that " + "abcdefghijklmnopqrstuvwxyz " * 28).trim), // mean len > 10
+      (4L, ("the that " + "#### " * 28).trim), // 28/30 symbols words → symbol ratio + alpha
+      (5L, ("the that " + "123 456 " * 14).trim), // digit words → alpha frac < 0.8
+      (6L, ("cat dog bird fish " * 8).trim) // 32 words, zero stop hits
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherQuality(docs)
+      .select("doc_id", "passes_word_count", "passes_mean_word_len",
+        "passes_symbol_ratio", "passes_alpha_frac", "passes_stop_words",
+        "passes_gopher")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, true, true, true, true, true, true)))
+    assert(!got(2L)._2 && got(2L)._3 && got(2L)._6 && !got(2L)._7)
+    assert(got(3L)._2 && !got(3L)._3 && !got(3L)._7)
+    // '####' is 28 symbol hits over 30 words (ratio .93 > .1) and the
+    // same words lack letters (alpha 2/30 < .8)
+    assert(!got(4L)._4 && !got(4L)._5 && !got(4L)._7)
+    assert(got(5L)._4 && !got(5L)._5 && !got(5L)._7)
+    assert(got(6L)._2 && got(6L)._5 && !got(6L)._6 && !got(6L)._7)
+  }
+
   test("modalEventType picks the most frequent value, ties break lexicographically") {
     val ev = (Seq.fill(3)(("""{"k":"e1"}""", "view")) ++
       Seq.fill(2)(("""{"k":"e1"}""", "click")) ++
