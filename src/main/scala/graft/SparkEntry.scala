@@ -185,6 +185,12 @@ object SparkEntry {
     // Gopher rule battery (word count / mean len / symbols / alpha /
     // stop words), one verdict column per rule for ablation
     "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(par(Tables.documents(s, d)))),
+    // BPE tokenizer training: iterative argmax over the word-frequency
+    // table — no SQL oracle (rows-only); reference-impl parity in
+    // AnalyticsSpec, encode consistency (sum of subwords == corpus
+    // words) checked here via bpe_encode
+    "bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(par(Tables.documents(s, d)))),
+    "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(par(Tables.documents(s, d)))),
     "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
@@ -226,6 +232,9 @@ object SparkEntry {
     // rows-only: trained-centroid IVF (kmeansFit is deterministic, but
     // the index is approximate like knn_ivf)
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(par(Tables.embeddings(s, d)))),
+    // trained k-means corpus clustering (size + majority-label purity
+    // per cluster) — rows-only; invariants in SimilaritySpec
+    "embedding_clusters" -> ((s, d) => Similarity.embeddingClusters(par(Tables.embeddings(s, d)))),
     "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
     // int8 vector-store compression: exact integer-summary oracle row,
     // plus the quantized-search twin and its recall-as-data row

@@ -464,6 +464,38 @@ object Similarity {
     ivfProbeJoin(assigned, probes, k)
   }
 
+  /** Corpus clustering as a first-class output: train spherical
+    * k-means ([[kmeansFit]] — per Lloyd iteration one scan + one
+    * k·dim-wide aggregate, driver traffic bounded by k), assign every
+    * vector, and summarize each cluster with its size and majority
+    * `label` (the embeddings table carries a generator label, so
+    * cluster↔label purity is the natural human-readable face —
+    * the same summary a cluster-balanced mixture sampler consumes).
+    * K-means output is not SQL-expressible → rows-only by the twin
+    * convention; determinism + partition invariants in
+    * `SimilaritySpec`. Output: (cluster_id, n_vectors, top_label,
+    * top_label_n). */
+  def embeddingClusters(embeddings: DataFrame, k: Int = 16,
+      iters: Int = 5, dim: Int = 64): DataFrame = {
+    val cents = kmeansFit(embeddings.select(col("vec_id"), col("embedding")),
+      k, iters, dim)
+    val assigned = assignWith(embeddings, cents)
+      .select(col("vec_id"), col("cluster_id"))
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val byLabel = assigned.groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("n_label"))
+    val top = byLabel.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(desc("n_label"), asc("label"))))
+      .where(col("rk") === 1)
+      .select(col("cluster_id"), col("label").as("top_label"),
+        col("n_label").as("top_label_n"))
+    byLabel.groupBy("cluster_id").agg(sum(col("n_label")).as("n_vectors"))
+      .join(top, Seq("cluster_id"))
+      .orderBy("cluster_id")
+  }
+
   /** One (query_id, q_emb, cluster_id) row per probed list — the
     * nProbe best entries of `cent_scores`. */
   private def probeRows(scored: DataFrame, nProbe: Int): DataFrame =

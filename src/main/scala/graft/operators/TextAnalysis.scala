@@ -667,6 +667,118 @@ object TextAnalysis {
       |  CAST(sum(nll_i) AS DOUBLE) AS nll_sum
       |FROM inst GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Byte-pair-encoding merge training (Sennrich et al.,
+    * arXiv 1508.07909 — the tokenizer-training algorithm behind BPE/
+    * WordPiece-family vocabularies): learn the `nMerges` most frequent
+    * adjacent symbol pairs, greedily, each merge rewriting the
+    * vocabulary before the next count.
+    *
+    * The scale shape is the whole point: BPE statistics live on the
+    * WORD-FREQUENCY table, not the corpus — the single corpus-sized
+    * pass is the word count (one shuffle, map-side combined, bounded
+    * output ≈ vocabulary size regardless of corpus size). Every
+    * iteration then runs on that small cached table: explode adjacent
+    * symbol pairs weighted by word count, aggregate, take the argmax
+    * (1 driver row per merge — legitimate), and rewrite symbol arrays
+    * with a greedy left-to-right fold. `localCheckpoint` truncates the
+    * per-iteration lineage so plan depth stays O(1), not O(merges).
+    * At 100 TB the word count dominates and parallelizes perfectly;
+    * training is also routinely run on a sample (`samplePct`).
+    *
+    * Ties break deterministically (higher weight, then lexicographic
+    * pair); merges stop early when the best pair drops below
+    * `minCount`. Output: (rank, pair_a, pair_b, merged, weight). */
+  def bpeTrain(documents: DataFrame, nMerges: Int = 16,
+      minCount: Long = 2, samplePct: Int = 100): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    bpeTrainSeg(documents, nMerges, minCount, samplePct)._1
+      .toDF("rank", "pair_a", "pair_b", "merged", "weight")
+      .orderBy("rank")
+  }
+
+  /** Shared trainer: returns the merge list AND the post-training
+    * word→symbols vocabulary (which IS the segmentation table
+    * [[bpeEncode]] joins against — no replay at encode time). */
+  private def bpeTrainSeg(documents: DataFrame, nMerges: Int,
+      minCount: Long, samplePct: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sampled =
+      if (samplePct >= 100) documents
+      else documents.where(
+        pmod(xxhash64(col("doc_id")), lit(100)) < samplePct)
+    // the one corpus-sized pass: word -> frequency (bounded by vocab)
+    var vocab = sampled
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"), col("cnt"))
+      .localCheckpoint()
+    def lit1(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val best = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("weight"))
+        .orderBy(desc("weight"), asc("a"), asc("b"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      best.headOption match {
+        case Some((a, b, w)) if w >= minCount =>
+          merges += ((rank, a, b, a + b, w))
+          // greedy left-to-right rewrite: a fold that merges [.., a] + b
+          // into [.., ab]; a freshly merged symbol never re-merges in
+          // the same pass ('aaa' + (a,a) -> [aa, a], per the algorithm)
+          val (ea, eb, eab) = (lit1(a), lit1(b), lit1(a + b))
+          vocab = vocab.select(col("w"), expr(
+            s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+               |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea'
+               |            AND x = '$eb'
+               |  THEN concat(slice(acc, 1, size(acc) - 1), array('$eab'))
+               |  ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
+            col("cnt")).localCheckpoint()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), vocab.select(col("w"), col("syms")))
+  }
+
+  /** Segment every word of the corpus with a learned merge table (the
+    * inference half of [[bpeTrain]]): the post-training vocabulary IS
+    * the word→symbols mapping, so encoding is one broadcast-or-shuffle
+    * equi-join from corpus words to their segmentation — no per-merge
+    * work at read time. Output: per-source subword statistics. */
+  def bpeEncode(documents: DataFrame, nMerges: Int = 16,
+      minCount: Long = 2, samplePct: Int = 100): DataFrame = {
+    val (_, seg) = bpeTrainSeg(documents, nMerges, minCount, samplePct)
+    documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      // left join: words outside a sampled training set fall back to
+      // their character segmentation (the untrained encoding)
+      .join(seg, Seq("w"), "left")
+      .withColumn("syms", coalesce(col("syms"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_bpe_tokens"),
+        sum(when(size(col("syms")) === 1, 1L).otherwise(0L))
+          .as("n_whole_words"))
+      .orderBy("source")
+  }
+
   def collocationsSql(minCount: Long = 5): String =
     s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
        |uc AS (SELECT tok, count(*) AS c

@@ -294,6 +294,63 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(6L)._2 && got(6L)._5 && !got(6L)._6 && !got(6L)._7)
   }
 
+  test("bpeTrain matches an independent single-node BPE reference") {
+    // independent reference: classic in-memory BPE over word counts
+    def refBpe(words: Map[String, Long], n: Int): List[(String, String, Long)] = {
+      var vocab = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = List.newBuilder[(String, String, Long)]
+      for (_ <- 0 until n) {
+        val pairCounts = vocab.toSeq.flatMap { case (syms, c) =>
+          syms.zip(syms.tail).map(p => p -> c)
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+        if (pairCounts.nonEmpty) {
+          val ((a, b), w) = pairCounts.minBy { case ((a, b), w) => (-w, a, b) }
+          if (w >= 2) {
+            out += ((a, b, w))
+            vocab = vocab.map { case (syms, c) =>
+              val merged = List.newBuilder[String]
+              var rest = syms
+              while (rest.nonEmpty) rest match {
+                case x :: y :: t if x == a && y == b =>
+                  merged += (a + b); rest = t
+                case x :: t => merged += x; rest = t
+                case Nil =>
+              }
+              (merged.result(), c)
+            }
+          }
+        }
+      }
+      out.result()
+    }
+    val docs = Seq(
+      (1L, "lower lower lowest low low low"),
+      (2L, "newer newest new new wider wide"),
+      (3L, "lower newer slower slow slowest")).toDF("doc_id", "text")
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val want = refBpe(words, 8)
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, nMerges = 8)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(got.map(r => (r._2, r._3, r._5)) === want)
+    assert(got.map(_._1) === got.indices.toList)
+    assert(got.forall(r => r._4 === r._2 + r._3))
+  }
+
+  test("bpeEncode: subword totals reconcile with the corpus word count") {
+    val docs = Seq(
+      (1L, "sea shell sea shore", "web"),
+      (2L, "she sells sea shells", "web"),
+      (3L, "down by the sea shore", "books")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.bpeEncode(docs, nMerges = 4)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("web", "books"))
+    // every word segments into >= 1 subword, whole words into exactly 1
+    assert(got("web")._2 === 8L && got("books")._2 === 5L)
+    assert(got.values.forall(r => r._3 >= r._2 && r._4 <= r._2))
+  }
+
   test("modalEventType picks the most frequent value, ties break lexicographically") {
     val ev = (Seq.fill(3)(("""{"k":"e1"}""", "view")) ++
       Seq.fill(2)(("""{"k":"e1"}""", "click")) ++

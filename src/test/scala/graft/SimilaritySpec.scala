@@ -142,6 +142,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 1L), (3L, 3L, 0L)))
   }
 
+  test("embeddingClusters: partitions the corpus; training beats stand-in centroids") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val a = Similarity.embeddingClusters(emb, k = 8, iters = 3)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(a.map(_._2).sum === emb.count(), "clusters partition the corpus")
+    assert(a.forall(r => r._4 <= r._2 && r._4 >= 1))
+    assert(a.size >= 2 && a.forall(r => r._1 >= 0 && r._1 < 8))
+    // labels in this synthetic table are independent of geometry
+    // (checked: cos>0.44 pairs match labels at chance), so coherence
+    // is asserted geometrically: training must beat the untrained
+    // stand-in centroids on the spherical k-means objective
+    val cents = Similarity.kmeansFit(emb.select($"vec_id", $"embedding"),
+      k = 8, iters = 3)
+    val init = Similarity.kmeansFit(emb, k = 8, iters = 0)
+    assert(Similarity.inertia(emb, cents) < Similarity.inertia(emb, init))
+  }
+
   test("block-pair near-dup matches a driver-computed all-pairs reference") {
     val got = Similarity.embeddingNearDup(emb, threshold = 0.40)
       .as[(Long, Long)].collect().toSet
