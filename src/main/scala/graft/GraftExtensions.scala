@@ -78,5 +78,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "char_ngrams",
       "char_ngrams(text, n) - generator: one row per overlapping character n-gram")(
       CharNgrams.builder)
+    fn(ext, "bloom_agg",
+      "bloom_agg(key, n_items, n_bits) - Bloom-filter aggregate over xxhash64'd longs")(
+      BloomFunctions.aggBuilder)
+    fn(ext, "bloom_probe",
+      "bloom_probe(bloom, key) - membership probe against a bloom_agg blob")(
+      BloomFunctions.probeBuilder)
   }
 }

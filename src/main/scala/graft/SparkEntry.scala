@@ -218,6 +218,18 @@ object SparkEntry {
     }),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
+    // bloom membership gate: exact is-this-key-already-known — the
+    // 1996+ cohort's customers probed against a filter built from the
+    // pre-1996 order history (~20% genuinely first-time); the bloom
+    // layer is performance-only (oracle-invisible)
+    "dedup_bloom_gate" -> ((s, d) => {
+      val orders = par(Tables.orders(s, d))
+      Dedup.bloomGate(
+        orders.where(col("o_orderdate") < "1996-01-01"),
+        orders.where(col("o_orderdate") >= "1996-01-01")
+          .select(col("o_custkey")).distinct(),
+        "o_custkey")
+    }),
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
@@ -486,6 +498,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),
+    "dedup_bloom_gate" -> Dedup.bloomGateSql,
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),

@@ -354,6 +354,70 @@ object Dedup {
           explode(expr(s"minhash_bands(sig, $bands)")).as("band_hash")),
       tableName, "band_hash", buckets)
 
+  /** Bloom-probe face of the gate, exposed for composition and tests:
+    * every `batch` row tagged `maybe_known` by a corpus-side Bloom
+    * filter over `keyCol`. The filter is ONE map-side-combined
+    * aggregate over the corpus producing a single binary blob
+    * (`n_bits/8` bytes — ~120 KB at the 100k/1% default, megabytes
+    * for a billion keys), collected once at the driver (bounded, like
+    * k-means centroids) and shipped back as a literal, so the probe
+    * runs scan-side inside codegen with ZERO corpus I/O per batch and
+    * zero shuffle. The blob is the standard Spark sketch serialization
+    * and can be persisted across jobs — build daily, probe every
+    * arriving batch. Both sides hash `xxhash64(keyCol)`, so the two
+    * key columns must share a data type. */
+  def bloomProbe(corpus: DataFrame, batch: DataFrame, keyCol: String,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.BloomFunctions.register(spark)
+    val nBits = math.max(64L, math.ceil(
+      -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val blob = corpus
+      .select(expr(s"bloom_agg(xxhash64($keyCol), ${expectedItems}L, ${nBits}L)"))
+      .head.getAs[Array[Byte]](0)
+    if (blob == null) batch.withColumn("maybe_known", lit(false))
+    else batch.withColumn("maybe_known",
+      call_function("bloom_probe", lit(blob), xxhash64(col(keyCol))))
+  }
+
+  /** Bloom-filter membership gate — the cheapest incremental-dedup
+    * shape at 100 TB: is this batch row's key (a document fingerprint,
+    * a user id, a URL) already in the corpus? Semantics are EXACT (the
+    * result is value-identical to joining against the corpus —
+    * oracle-checked); the Bloom filter is purely the performance
+    * layer. Batch rows whose probe says "definitely new" (the
+    * overwhelming majority at any realistic dup rate) never shuffle at
+    * all; only the maybe-knowns (true members + the ~`fpp` false
+    * positives) are confirmed against the distinct corpus key set with
+    * semi/anti joins. No-false-negative and FP-bound properties are
+    * tested in `DedupSpec`.
+    * Output: (keyCol, is_known) for every batch row. */
+  def bloomGate(corpus: DataFrame, batch: DataFrame, keyCol: String,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
+    val probed = bloomProbe(corpus, batch, keyCol, expectedItems, fpp)
+    val maybes = probed.where(col("maybe_known")).select(col(keyCol))
+    val corpusKeys = corpus.select(col(keyCol)).distinct()
+    probed.where(!col("maybe_known"))
+      .select(col(keyCol), lit(false).as("is_known"))
+      .unionAll(maybes.join(corpusKeys, Seq(keyCol), "left_semi")
+        .select(col(keyCol), lit(true).as("is_known")))
+      .unionAll(maybes.join(corpusKeys, Seq(keyCol), "left_anti")
+        .select(col(keyCol), lit(false).as("is_known")))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle for the catalog's [[bloomGate]] face (returning-vs-
+    * first-time customers across a date split): exact membership — the
+    * gate's bloom layer must be output-invisible. */
+  val bloomGateSql: String =
+    """SELECT DISTINCT b.o_custkey,
+      |  EXISTS(SELECT 1 FROM orders c
+      |         WHERE c.o_orderdate < DATE '1996-01-01'
+      |           AND c.o_custkey = b.o_custkey) AS is_known
+      |FROM orders b WHERE b.o_orderdate >= DATE '1996-01-01'
+      |ORDER BY o_custkey""".stripMargin
+
+
   /** DuckDB oracle for [[incrementalLshPairs]] with the deterministic
     * `doc_id % batchMod = 0` batch split: exact all-pairs Jaccard
     * restricted to pairs touching the batch, re-anchored at the batch

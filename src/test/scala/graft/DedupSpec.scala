@@ -211,6 +211,46 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._1 % 5 == 0))
   }
 
+  test("bloomGate: exact membership semantics; probe has no false negatives, bounded FPs") {
+    import org.apache.spark.sql.functions._
+    // string keys with implanted overlaps: corpus holds fingerprints
+    // f0..f499, batch probes f250..f749 (half known, half new)
+    val corpus = spark.range(0, 500).select(concat(lit("f"), col("id")).as("fp"))
+    val batch = spark.range(250, 750).select(concat(lit("f"), col("id")).as("fp"))
+    val got = Dedup.bloomGate(corpus, batch, "fp")
+      .as[(String, Boolean)].collect()
+    assert(got.length === 500)
+    val want = (250 until 750).map(i => s"f$i" -> (i < 500)).toMap
+    assert(got.toMap === want, "bloom layer must be output-invisible")
+    // probe face: every true member is flagged maybe (no false
+    // negatives), and false positives stay within a loose fpp multiple
+    val probed = Dedup.bloomProbe(corpus, batch, "fp", fpp = 0.01)
+      .select(col("fp"), col("maybe_known")).as[(String, Boolean)]
+      .collect().toMap
+    assert((250 until 500).forall(i => probed(s"f$i")),
+      "bloom must never miss a true member")
+    val fps = (500 until 750).count(i => probed(s"f$i"))
+    assert(fps <= math.max(3, 0.05 * 250),
+      s"false-positive rate too high: $fps of 250")
+    // empty corpus: nothing can be known
+    val none = Dedup.bloomGate(corpus.where(lit(false)), batch, "fp")
+      .as[(String, Boolean)].collect()
+    assert(none.length === 500 && none.forall(!_._2))
+    // real-table fixture (long keys): the 1996+ cohort's customers
+    // probed against the pre-1996 order history
+    val orders = Tables.orders(spark, TestSpark.Sf0001)
+    val corpusO = orders.where(col("o_orderdate") < "1996-01-01")
+    val batchO = orders.where(col("o_orderdate") >= "1996-01-01")
+      .select("o_custkey").distinct()
+    val known = corpusO.select("o_custkey").as[Long].collect().toSet
+    val gotC = Dedup.bloomGate(corpusO, batchO, "o_custkey")
+      .as[(Long, Boolean)].collect()
+    assert(gotC.length === batchO.count())
+    assert(gotC.forall { case (k, v) => v === known.contains(k) })
+    assert(gotC.exists(_._2) && gotC.exists(!_._2),
+      "fixture should mix known and new keys")
+  }
+
   test("simhash is a deterministic 64-bit fingerprint; near-identical docs collide") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val sh2 = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
