@@ -217,6 +217,9 @@ object SparkEntry {
         docs.where(col("doc_id") % 5 === 0))
     }),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(par(Tables.documents(s, d)))),
+    // substring-level dup signal: share of each doc's word 4-grams
+    // that occur in at least one other document (Lee et al. shape)
+    "cross_doc_ngram_dup" -> ((s, d) => Dedup.crossDocNgramDup(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
     // bloom membership gate: exact is-this-key-already-known — the
     // 1996+ cohort's customers probed against a filter built from the
@@ -499,6 +502,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_bloom_gate" -> Dedup.bloomGateSql,
+    "cross_doc_ngram_dup" -> Dedup.crossDocNgramDupSql(),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),

@@ -406,6 +406,60 @@ object Dedup {
       .orderBy(keyCol)
   }
 
+  /** Per-document CROSS-document n-gram duplication fraction — the
+    * substring-level dup signal of Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better" (arXiv 2107.06499): what share
+    * of a document's word k-grams also occur in at least one OTHER
+    * document? Complements `ngram_repetition` (within-doc) and the
+    * pairwise dedup family (whole-doc similarity): a doc can be unique
+    * as a whole yet assembled from heavily duplicated passages —
+    * boilerplate, licenses, templating — which this surfaces for
+    * span-level filtering.
+    *
+    * Scale shape: one shuffle builds per-shingle document frequency
+    * (map-side combined counts — hot boilerplate shingles aggregate,
+    * never materialize posting lists), a shingle-keyed join tags each
+    * doc's shingles with their df (same key as the df shuffle, so AQE
+    * reuses the clustering), and a doc-keyed aggregate closes it.
+    * No pair enumeration anywhere — linear in the shingle stream, so
+    * the O(df²) blowup of the pairwise path never appears.
+    * Output: (doc_id, n_shingles, n_shared, dup_frac). */
+  def crossDocNgramDup(documents: DataFrame, k: Int = 4): DataFrame = {
+    val sh = shingles(documents, k)
+    // distinct per doc, so per-shingle row count == document frequency
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB oracle for [[crossDocNgramDup]]: replay the distinct
+    * doc-shingle stream and its document frequencies. */
+  def crossDocNgramDupSql(k: Int = 4): String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) AS idx
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id,
+      |    a.tok || ' ' || b.tok || ' ' || c.tok || ' ' || d.tok AS shingle
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.idx = a.idx + 2
+      |  JOIN toks d ON a.doc_id = d.doc_id AND d.idx = a.idx + 3),
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_frac
+      |FROM sh s JOIN df USING (shingle)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   /** DuckDB oracle for the catalog's [[bloomGate]] face (returning-vs-
     * first-time customers across a date split): exact membership — the
     * gate's bloom layer must be output-invisible. */

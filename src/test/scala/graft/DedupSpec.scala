@@ -251,6 +251,24 @@ class DedupSpec extends AnyFunSuite {
       "fixture should mix known and new keys")
   }
 
+  test("crossDocNgramDup: hand-computed shared-shingle fractions; short docs excluded") {
+    val d = Seq(
+      (1L, "a b c d e"),       // shingles: "a b c d", "b c d e"
+      (2L, "a b c d x"),       // shingles: "a b c d" (shared with 1)
+      (3L, "p q r s t"),       // shingles all unique
+      (4L, "x y"))             // too short -> excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocNgramDup(d)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got === List(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+    // within-doc repetition alone is NOT cross-doc duplication
+    val solo = Seq((9L, "m n o p m n o p")).toDF("doc_id", "text")
+    val g2 = Dedup.crossDocNgramDup(solo)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(g2.forall(_._3 == 0L))
+  }
+
   test("simhash is a deterministic 64-bit fingerprint; near-identical docs collide") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val sh2 = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
