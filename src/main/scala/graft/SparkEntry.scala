@@ -191,6 +191,11 @@ object SparkEntry {
     // words) checked here via bpe_encode
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(par(Tables.documents(s, d)))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(par(Tables.documents(s, d)))),
+    // distilled linear quality classifier (hashed features, logistic
+    // GD) — rows-only (iterative FP training isn't SQL-expressible);
+    // learnability floors + analytic gradient check in ClassifierSpec
+    "quality_classifier" -> ((s, d) =>
+      Classifier.qualityClassifier(par(Tables.documents(s, d)))),
     "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),

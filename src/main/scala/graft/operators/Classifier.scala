@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** A fastText-shaped linear text classifier trained INSIDE the engine:
+  * hashed bag-of-words features (feature hashing, Weinberger et al.
+  * arXiv 0902.2206), mean-pooled per document, logistic loss, trained
+  * by full-batch gradient descent — the distillation workhorse of
+  * training-data pipelines (CCNet / DCLM style: fit a cheap linear
+  * model to an expensive quality signal, then score the whole corpus
+  * with one scan).
+  *
+  * Scale design — the model is small, the data is not, so every
+  * iteration moves the MODEL to the data and only model-sized state
+  * back:
+  *  - features are per-row codegen'd array work (`split` →
+  *    `transform` + `xxhash64` mod dim) — no vocabulary pass, no
+  *    dictionary shuffle, the whole point of feature hashing;
+  *  - the weight vector (`dim + 1` doubles, a few KB) ships to
+  *    executors as ONE array literal per iteration (broadcast-sized,
+  *    like k-means centroids);
+  *  - the gradient is `explode(idxs)` → per-index partial sums —
+  *    map-side combined, one shuffle of at most `dim` rows per
+  *    partition, then a `dim`-row collect (bounded by the model, not
+  *    the data — same discipline as `kmeansFit`);
+  *  - scoring a corpus is a single scan-side pass, no shuffle, no
+  *    join: exactly the deployment profile a 100 TB quality filter
+  *    needs.
+  */
+object Classifier {
+
+  /** Sigmoid of the mean-pooled hashed-feature margin under weights
+    * `w` (indices `0 until dim` are feature weights, `w(dim)` is the
+    * bias). Pure column expression — scoring stays in codegen. */
+  private def probCol(w: Array[Double], dim: Int): Column = {
+    require(w.length == dim + 1, s"weights must be dim+1, got ${w.length}")
+    val wLit = typedLit(w)
+    val margin =
+      aggregate(col("idxs"), lit(0d),
+        (acc, i) => acc + element_at(wLit, i + lit(1))) /
+        col("n_toks") + element_at(wLit, lit(dim + 1))
+    lit(1d) / (lit(1d) + exp(-margin))
+  }
+
+  /** Teacher label for the catalog face: mean token length ≥ `th`
+    * (a text-derived quality rule — the classifier distills it back
+    * out of hashed unigrams; 4.5 splits the synthetic corpus ~53/47). */
+  def meanTokenLenLabel(th: Double = 4.5): Column =
+    when(aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+      .cast("double") / col("n_toks") >= th, 1d).otherwise(0d)
+
+  /** Hashed feature extraction: one row per doc with the token-index
+    * array, token count, and a label column evaluated over `toks`.
+    * Index = `xxhash64(token) mod dim` — collisions are part of the
+    * contract (they cost a little accuracy, never correctness). */
+  def hashedFeatures(documents: DataFrame, dim: Int,
+      label: Column): DataFrame =
+    documents
+      .withColumn("toks",
+        filter(split(col("text"), " "), t => length(t) > 0))
+      .where(size(col("toks")) > 0)
+      .withColumn("n_toks", size(col("toks")).cast("double"))
+      .select(col("doc_id"),
+        transform(col("toks"),
+          t => pmod(xxhash64(t), lit(dim.toLong)).cast("int")).as("idxs"),
+        col("n_toks"), label.as("label"))
+
+  /** Full-batch logistic regression over `(idxs, n_toks, label)` rows
+    * with Adagrad per-coordinate steps (Duchi et al., JMLR 2011) —
+    * plain GD needs one global rate to serve both the dense bias and
+    * rare hashed features, which either crawls or diverges; Adagrad's
+    * accumulated-squared-gradient scaling handles the mismatch, and
+    * its state is another model-sized array on the driver.
+    * Returns the trained weights and (when `trackLoss`) the mean
+    * log-loss before each update — tests assert it decreases; at scale
+    * leave it off to halve the per-iteration passes. The input should
+    * be cached by the caller (each iteration scans it). */
+  def trainLogReg(feats: DataFrame, dim: Int, iters: Int = 20,
+      lr: Double = 0.5, trackLoss: Boolean = false)
+      : (Array[Double], Seq[Double]) = {
+    val n = feats.count().toDouble
+    require(n > 0, "empty training set")
+    val w = Array.fill(dim + 1)(0d)
+    val gsq = Array.fill(dim + 1)(0d)
+    def step(i: Int, g: Double): Unit = {
+      gsq(i) += g * g
+      w(i) -= lr * g / math.sqrt(gsq(i) + 1e-10)
+    }
+    val losses = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val p = probCol(w, dim)
+      val errored = feats.withColumn("err", p - col("label"))
+      if (trackLoss) {
+        val pc = least(greatest(p, lit(1e-12)), lit(1 - 1e-12))
+        losses += feats.select(avg(-col("label") * log(pc)
+          - (lit(1d) - col("label")) * log(lit(1d) - pc))).head.getDouble(0)
+      }
+      // model-sized shuffle: per-index partial gradients combine
+      // map-side; collect is bounded by dim, not by the corpus
+      val grad = errored
+        .select(explode(col("idxs")).as("idx"),
+          (col("err") / col("n_toks")).as("g"))
+        .groupBy(col("idx")).agg(sum(col("g")).as("g"))
+        .collect()
+      grad.foreach(r => step(r.getInt(0), r.getDouble(1) / n))
+      val biasGrad = errored.select(sum(col("err"))).head.getDouble(0)
+      step(dim, biasGrad / n)
+    }
+    (w, losses.result())
+  }
+
+  /** Score `documents` with trained weights: (doc_id, p, predicted). */
+  def score(documents: DataFrame, w: Array[Double], dim: Int,
+      label: Column): DataFrame = {
+    val p = probCol(w, dim)
+    hashedFeatures(documents, dim, label)
+      .select(col("doc_id"), col("label"), p.as("p"),
+        (p >= 0.5).cast("double").as("predicted"))
+  }
+
+  /** Catalog face — quality-classifier distillation end to end: derive
+    * the teacher label, train on the hash-split 80% and evaluate on
+    * both splits. Output: (split, n_docs, n_pos, n_correct, accuracy),
+    * rows-only by the twin convention (iterative FP training is not
+    * SQL-expressible); learnability floors live in `ClassifierSpec`. */
+  def qualityClassifier(documents: DataFrame, dim: Int = 4096,
+      iters: Int = 30, lr: Double = 8.0, valPct: Int = 20): DataFrame = {
+    val feats = hashedFeatures(documents, dim, meanTokenLenLabel())
+      .withColumn("split",
+        when(pmod(xxhash64(col("doc_id")), lit(100)) < lit(100 - valPct),
+          "train").otherwise("val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (w, _) = trainLogReg(feats.where(col("split") === "train"),
+        dim, iters, lr)
+      val p = probCol(w, dim)
+      feats
+        .withColumn("correct",
+          ((p >= 0.5) === (col("label") >= 0.5)).cast("long"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).cast("long").as("n_pos"),
+          sum(col("correct")).as("n_correct"))
+        .select(col("split"), col("n_docs"), col("n_pos"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_docs").cast("double"))
+            .as("accuracy"))
+        .orderBy("split")
+    } finally feats.unpersist()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+import graft.sources.Tables
+
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def syntheticDocs = {
+    // linearly separable: class 1 draws from vocab g0..g9, class 0
+    // from b0..b9 (deterministic round-robin "sampling")
+    val rows = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) (0 until 10).map(j => s"g$j")
+                  else (0 until 10).map(j => s"b$j")
+      val toks = (0 until 12).map(t => vocab((i * 7 + t * 3) % 10))
+      (i.toLong, toks.mkString(" "), if (i % 2 == 0) 1d else 0d)
+    }
+    rows.toDF("doc_id", "text", "y")
+  }
+
+  test("one GD step matches the analytic logistic gradient exactly") {
+    val d = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    val dim = 8
+    val feats = Classifier.hashedFeatures(d, dim, lit(1d))
+    val (w, _) = Classifier.trainLogReg(feats, dim, iters = 1, lr = 1.0)
+    // p0 = sigmoid(0) = 0.5, err = -0.5; both tokens hash to one index
+    // j with g = 2 * (err / 2) = -0.5; bias gradient likewise. First
+    // Adagrad step: w += lr * g / sqrt(g^2 + eps)
+    val g = -0.5
+    val expected = -1.0 * g / math.sqrt(g * g + 1e-10)
+    assert(math.abs(w(dim) - expected) < 1e-12)
+    val nonzero = w.dropRight(1).zipWithIndex.filter(_._1 != 0d)
+    assert(nonzero.length === 1)
+    assert(math.abs(nonzero.head._1 - expected) < 1e-12)
+  }
+
+  test("training separates a separable corpus; loss decreases") {
+    val dim = 256
+    val feats = Classifier.hashedFeatures(syntheticDocs, dim, col("y"))
+      .persist()
+    try {
+      val (w, losses) = Classifier.trainLogReg(feats, dim, iters = 10,
+        lr = 4.0, trackLoss = true)
+      assert(losses.head > losses.last,
+        s"loss should fall: ${losses.head} -> ${losses.last}")
+      assert(losses.last < 0.3, s"final loss too high: ${losses.last}")
+      val scored = Classifier.score(syntheticDocs, w, dim, col("y"))
+        .select(avg((col("predicted") === col("label")).cast("double")))
+        .head.getDouble(0)
+      assert(scored >= 0.99, s"train accuracy $scored on separable data")
+    } finally feats.unpersist()
+  }
+
+  test("quality_classifier distills the teacher rule above the majority baseline") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val got = Classifier.qualityClassifier(docs)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("train", "val"))
+    val (_, nVal, nPosVal, _, accVal) = got("val")
+    val majority = math.max(nPosVal.toDouble, (nVal - nPosVal).toDouble) / nVal
+    assert(accVal > majority,
+      s"val accuracy $accVal must beat majority baseline $majority")
+    assert(got("train")._5 >= 0.85,
+      s"train accuracy ${got("train")._5} should be high on a text-derived rule")
+  }
+}
