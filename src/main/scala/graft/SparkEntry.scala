@@ -203,6 +203,14 @@ object SparkEntry {
       TextAnalysis.charNgramExplode(s, par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
+    // budget-driven mixture assembly: per-source token budgets spent in
+    // content-stable hash order (the way training mixes are specified)
+    "token_budget_mix" -> ((s, d) => Corpus.tokenBudgetMix(Tables.documents(s, d))),
+    // epoch-seeded deterministic shuffle into shards (training-order
+    // randomization without a global sort)
+    "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
+    // BM25 probe-query retrieval over the corpus (top-k per query)
+    "bm25_search" -> ((s, d) => Retrieval.bm25Search(par(Tables.documents(s, d)))),
     "cap_per_source" -> ((s, d) => Corpus.capPerSource(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) =>
       Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
@@ -497,6 +505,9 @@ object SparkEntry {
     "unigram_familiarity" -> TextAnalysis.unigramFamiliaritySql(),
     "ngram_repetition" -> TextAnalysis.ngramRepetitionSql(),
     "hash_split" -> Corpus.hashSplitSql(),
+    "token_budget_mix" -> Corpus.tokenBudgetMixSql(),
+    "corpus_shuffle" -> Corpus.corpusShuffleSql(),
+    "bm25_search" -> Retrieval.bm25SearchSql(),
     "cap_per_source" -> Corpus.capPerSourceSql(),
     "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),

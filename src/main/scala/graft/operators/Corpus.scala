@@ -102,6 +102,88 @@ object Corpus {
        |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
        |FROM r WHERE rn <= $k ORDER BY source, sample_rank""".stripMargin
 
+  /** Token-budget mixture assembly: the inverse of [[mixtureSample]] —
+    * instead of a per-source RATE, each source gets a token BUDGET, and
+    * docs are admitted in content-stable hash order until their
+    * source's budget is spent (a doc is kept iff it STARTS inside the
+    * budget, so each source overshoots by at most one document). This
+    * is how a training mix is actually specified ("20 B tokens of web,
+    * 5 B of code"): rates assume you know source sizes; budgets don't.
+    * Returns the per-source manifest `(source, n_docs, n_tokens)`.
+    *
+    * One shuffle (the per-source window); the hash order makes the
+    * admitted set an unbiased sample that is stable under re-runs and
+    * corpus growth — appending new docs upstream only perturbs
+    * admission near the budget boundary, it never reshuffles the
+    * whole source. */
+  def tokenBudgetMix(documents: DataFrame, budget: Long = 800L): DataFrame = {
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(h.asc, col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .where(col("cum") - col("tok") < budget)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  def tokenBudgetMixSql(budget: Long = 800L): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, tok, sum(tok) OVER (PARTITION BY source
+       |    ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs, sum(tok)::BIGINT AS n_tokens
+       |FROM c WHERE cum - tok < $budget
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Seeded global shuffle into shards — the training-order
+    * randomization step: every epoch reads the corpus in a fresh
+    * deterministic permutation, laid out as `shards` independent
+    * streams. `(doc_id, shard, pos)` where shard and position derive
+    * from the content-stable hash of (epoch, doc_id): same epoch →
+    * identical layout on any engine or rerun; different epoch → an
+    * unrelated permutation.
+    *
+    * Scale: there is deliberately NO global sequence number — a total
+    * order would need a global sort. Each shard orders its own members
+    * (per-shard window, shard-parallel); a consumer reading shards
+    * round-robin sees a uniform shuffle. At 100 TB `shards` is sized so
+    * one shard's manifest fits an executor (e.g. 10k shards → 10 GB
+    * each). */
+  def corpusShuffle(documents: DataFrame, epoch: Int = 0,
+      shards: Int = 8): DataFrame = {
+    val h = conv(substring(md5(
+        concat(lit(epoch.toString), lit(":"), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col("doc_id"))
+    documents
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", col("h") % shards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  def corpusShuffleSql(epoch: Int = 0, shards: Int = 8): String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$epoch:' || doc_id::VARCHAR), 1, 15))::BIGINT
+       |      AS h
+       |  FROM documents)
+       |SELECT doc_id, h % $shards AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % $shards ORDER BY h, doc_id)
+       |    AS BIGINT) AS pos
+       |FROM h ORDER BY shard, pos""".stripMargin
+
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word k-grams with a benchmark/eval doc (here: the
     * deterministic doc_id % benchMod == 0 sample stands in for an eval

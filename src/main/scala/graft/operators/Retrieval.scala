@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over the corpus: BM25 (Robertson/Spärck Jones
+  * probabilistic weighting — the standard lexical ranker) serving a
+  * batch of queries in one pass. A training-data pipeline runs exactly
+  * this shape for targeted corpus curation: retrieve the top-k
+  * documents per probe query (benchmark prompts, domain seeds, known
+  * contaminants) across the whole corpus.
+  *
+  * Scale design — corpus-side postings, query-side broadcast:
+  *  - term frequencies are one `explode` + one (doc_id, term) groupBy —
+  *    the only corpus-sized shuffle in the plan (the one-shot form
+  *    scans the corpus again for document frequencies and collection
+  *    stats; at 100 TB build the postings ONCE with [[writeBm25Index]]
+  *    and amortize across query batches via [[bm25SearchIndexed]]);
+  *  - document frequencies and collection stats are term-keyed /
+  *    single-row aggregates (tiny), joined back by BROADCAST — the
+  *    corpus-sized postings stream is never re-shuffled;
+  *  - the query set (thousands of terms at most) broadcasts to the
+  *    postings scan, so scoring touches only postings whose term
+  *    appears in some query — filter-by-join, no full-corpus scoring;
+  *  - per-query top-k is the `row_number ≤ k` idiom that
+  *    [[graft.plans.TopKRewriteRule]] lowers to bounded per-group
+  *    heaps — no per-query global sort at 100 TB.
+  *
+  * Cross-engine determinism: the only non-IEEE-reproducible step is
+  * `ln`, so the idf is quantized to DECIMAL(18,9) once per term; the
+  * per-term contribution is then exact double arithmetic, quantized to
+  * DECIMAL(28,12) BEFORE the per-document sum (decimal addition is
+  * order-independent, double addition is not), and the final score to
+  * DECIMAL(20,10) — the ranking key, with doc_id as the total
+  * tiebreak.
+  */
+object Retrieval {
+
+  /** Deterministic probe queries over the synthetic corpus vocabulary. */
+  val DemoQueries: Seq[(String, String)] = Seq(
+    "q_exec" -> "hash join table scan",
+    "q_plan" -> "query filter sort merge",
+    "q_stream" -> "stream window batch",
+    "q_store" -> "column row group value")
+
+  private def queryTermsDf(documents: DataFrame,
+      queries: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    queries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(qid -> _) }
+      .toDF("qid", "term")
+  }
+
+  /** The corpus-wide postings list `(term, doc_id, dl, tf)`: one
+    * `explode` + one groupBy — the only corpus-sized shuffle of the
+    * whole retrieval pipeline. */
+  private def postings(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      // dl is functionally dependent on doc_id — keying the groupBy with
+      // it costs nothing and saves a join back for length normalization
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** Shared scoring tail over a postings list `(term, doc_id, dl,
+    * tf)`: per-term BM25 contributions, per-document decimal-exact
+    * sum, per-query top-k. `dfc` is `(term, df)`; `stats` a single row
+    * `(n, sumdl)`. */
+  private def scoreTopK(tf: DataFrame, dfc: DataFrame, stats: DataFrame,
+      queryTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val idfQ = expr(
+      """CAST(CAST(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |  / (CAST(df AS DOUBLE) + 0.5) + 1.0) AS DECIMAL(18,9)) AS DOUBLE)"""
+        .stripMargin)
+    val tfNorm = col("tf") * lit(k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+
+    val contrib = tf
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (idfQ * tfNorm).cast("decimal(28,12)").as("c"))
+    // the exact decimal sum goes through DOUBLE before the final
+    // quantize: DuckDB TRUNCATES decimal→decimal downscales while Spark
+    // rounds, but both engines ROUND double→decimal identically (and
+    // scale-12 decimal→double is correctly rounded in both)
+    val scored = contrib
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(expr(
+        "CAST(CAST(CAST(sum(c) AS DOUBLE) AS DECIMAL(20,10)) AS DOUBLE)")
+        .as("score"))
+    scored
+      .withColumn("bm25_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .where(col("bm25_rank") <= k)
+      .select(col("qid"), col("bm25_rank"), col("doc_id"), col("score"))
+      .orderBy("qid", "bm25_rank")
+  }
+
+  /** BM25 top-`k` documents per query: `(qid, bm25_rank, doc_id,
+    * score)`. `k1` saturates term frequency; `b` mixes in document
+    * length normalization (0 = none, 1 = full). */
+  def bm25Search(documents: DataFrame,
+      queries: Seq[(String, String)] = DemoQueries, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val tf = postings(documents)
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("ts"))).cast("long").as("sumdl"))
+    scoreTopK(tf, dfc, stats, queryTermsDf(documents, queries), k, k1, b)
+  }
+
+  /** Materialize the inverted index: `<name>_postings` bucketed on
+    * `term` (the retrieval counterpart of [[Similarity.writeIvfIndex]]
+    * — at 100 TB the postings are the corpus-sized artifact, so they
+    * are hash-clustered on the probe key at write time) plus the tiny
+    * `<name>_doclen` (one `(doc_id, dl)` row per document, the source
+    * of collection stats). Built once, amortized over every query
+    * batch that follows. */
+  def writeBm25Index(documents: DataFrame, tableName: String,
+      buckets: Int = 8): Unit = {
+    graft.sources.Tables.writeBucketed(postings(documents),
+      s"${tableName}_postings", "term", buckets)
+    documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("double").as("dl"))
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tableName}_doclen")
+  }
+
+  /** [[bm25Search]] over a pre-built [[writeBm25Index]]: document
+    * frequencies aggregate on the postings table's OWN bucket
+    * clustering (term-keyed groupBy with zero index-side exchange),
+    * collection stats come from the doc-length table, and the query
+    * terms broadcast to the bucketed scan. Identical output to the
+    * one-shot form at equal parameters. */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, queries: Seq[(String, String)] = DemoQueries,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = spark.table(s"${tableName}_postings")
+    val doclen = spark.table(s"${tableName}_doclen")
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = doclen.agg(count(lit(1)).as("n"),
+      sum(col("dl")).cast("long").as("sumdl"))
+    scoreTopK(tf, dfc, stats, queryTermsDf(doclen, queries), k, k1, b)
+  }
+
+  def bm25SearchSql(queries: Seq[(String, String)] = DemoQueries,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+    val qvals = queries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(qid -> _) }
+      .map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
+    s"""WITH q (qid, term) AS (VALUES $qvals),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tfg AS (
+       |  SELECT doc_id, len(ts)::DOUBLE AS dl, unnest(ts) AS term
+       |  FROM toks),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+       |  FROM tfg GROUP BY 1, 2, 3),
+       |dfc AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*)::BIGINT AS n, sum(len(ts))::BIGINT AS sumdl
+       |  FROM toks),
+       |contrib AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(CAST(CAST(ln((s.n::DOUBLE - d.df::DOUBLE + 0.5)
+       |          / (d.df::DOUBLE + 0.5) + 1.0) AS DECIMAL(18,9)) AS DOUBLE)
+       |      * (t.tf * ${k1 + 1.0} / (t.tf + $k1 *
+       |          (${1.0 - b} + $b * t.dl / (s.sumdl::DOUBLE / s.n::DOUBLE))))
+       |      AS DECIMAL(28,12)) AS c
+       |  FROM tf t JOIN q USING (term) JOIN dfc d USING (term)
+       |  CROSS JOIN stats s),
+       |sc AS (
+       |  SELECT qid, doc_id,
+       |    CAST(CAST(CAST(sum(c) AS DOUBLE) AS DECIMAL(20,10)) AS DOUBLE)
+       |      AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |r AS (
+       |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id) AS bm25_rank
+       |  FROM sc)
+       |SELECT qid, CAST(bm25_rank AS BIGINT) AS bm25_rank, doc_id, score
+       |FROM r WHERE bm25_rank <= $k ORDER BY qid, bm25_rank""".stripMargin
+  }
+}

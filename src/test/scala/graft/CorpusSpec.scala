@@ -170,4 +170,49 @@ class CorpusSpec extends AnyFunSuite {
     val b4 = got.find(_._1 == 4L).get
     assert(b4._4 === 8L && b4._5 === 12.5)
   }
+
+  test("tokenBudgetMix admits hash-ordered docs until the budget, +≤1 doc overshoot") {
+    // one source, docs of 10 tokens each, budget 35 → 4 docs admitted
+    // (4th STARTS at 30 < 35), 40 tokens — overshoot bounded by one doc
+    val d = (0 until 10).map(i =>
+      (i.toLong, Seq.fill(10)("w").mkString(" "), "s0")).toDF("doc_id", "text", "source")
+    val got = Corpus.tokenBudgetMix(d, budget = 35)
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("s0", 4L, 40L)))
+
+    // real corpus: every source obeys budget-start rule; totals bounded
+    val perSrc = Corpus.tokenBudgetMix(docs, budget = 300)
+      .as[(String, Long, Long)].collect()
+    assert(perSrc.nonEmpty)
+    val maxDoc = docs.select(max(size(split(col("text"), " ")))).as[Int].head()
+    perSrc.foreach { case (src, n, toks) =>
+      assert(n > 0, src)
+      assert(toks < 300 + maxDoc, s"$src overshoot: $toks")
+    }
+    // determinism: identical on rerun and under different partitioning
+    val again = Corpus.tokenBudgetMix(docs.repartition(13), budget = 300)
+      .as[(String, Long, Long)].collect()
+    assert(perSrc.toSeq === again.toSeq)
+  }
+
+  test("corpusShuffle: epoch-stable total permutation with contiguous per-shard positions") {
+    val e0 = Corpus.corpusShuffle(docs, epoch = 0, shards = 8).collect()
+    // total: every doc exactly once
+    assert(e0.map(_.getLong(0)).toSet.size === docs.count())
+    // per-shard positions are 1..n_s (dense, no gaps)
+    e0.groupBy(_.getLong(1)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // stable under rerun + repartitioning
+    val e0b = Corpus.corpusShuffle(docs.repartition(7), epoch = 0, shards = 8)
+      .collect()
+    assert(e0.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      e0b.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+    // a different epoch is a genuinely different permutation
+    val e1 = Corpus.corpusShuffle(docs, epoch = 1, shards = 8).collect()
+    val m0 = e0.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val moved = e1.count(r => m0(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
+    assert(moved > e1.length / 2, s"only $moved/${e1.length} docs moved")
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Retrieval
+import graft.sources.Tables
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25: rarer matching terms and higher tf rank a doc higher") {
+    // 'zebra' appears in 2/6 docs, 'data' in all 6 → idf(zebra) ≫
+    // idf(data); equal lengths so length-norm cancels
+    val d = Seq(
+      (1L, "zebra data data data"),
+      (2L, "zebra zebra data data"),
+      (3L, "data data data data"),
+      (4L, "data data data data"),
+      (5L, "data data data data"),
+      (6L, "data data data data")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Search(d, Seq("q" -> "zebra data"), k = 6)
+      .as[(String, Long, Long, Double)].collect().toList
+    // doc 2 (tf_zebra=2) above doc 1 (tf_zebra=1) above the zebra-less
+    assert(got.map(_._3).take(2) === List(2L, 1L))
+    assert(got.map(_._2) === (1L to got.length).toList, "dense ranks")
+    assert(got(0)._4 > got(1)._4)
+    assert(got(1)._4 > got(2)._4)
+  }
+
+  test("bm25: length normalization prefers the shorter doc at equal tf") {
+    val d = Seq(
+      (1L, "rare " + Seq.fill(9)("pad").mkString(" ")),
+      (2L, "rare " + Seq.fill(49)("pad").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Search(d, Seq("q" -> "rare"), k = 2)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got.map(_._3) === List(1L, 2L))
+  }
+
+  test("bm25 over the corpus: k bound, dense ranks, scores descend per query") {
+    val got = Retrieval.bm25Search(Tables.documents(spark, TestSpark.Sf0001))
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length <= 10, qid)
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq, qid)
+      val scores = rows.sortBy(_._2).map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$qid scores not descending")
+    }
+  }
+
+  test("bm25: a query of unseen terms returns no rows, not an error") {
+    val d = Seq((1L, "only these words")).toDF("doc_id", "text")
+    val got = Retrieval.bm25Search(d, Seq("q" -> "absent vocabulary"), k = 5)
+    assert(got.count() === 0)
+  }
+
+  test("bm25 indexed: identical output to one-shot; df aggregate rides the bucket clustering") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    Retrieval.writeBm25Index(docs, "bm25_t", buckets = 8)
+    try {
+      val oneShot = Retrieval.bm25Search(docs)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val indexed = Retrieval.bm25SearchIndexed(spark, "bm25_t")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(oneShot === indexed)
+      // the term-keyed df aggregate over the postings table must not
+      // shuffle: the table is bucket-clustered on term at write time
+      val dfc = spark.table("bm25_t_postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      assert(dfc.count() > 0)
+      val plan = dfc.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SelectedBucketsCount"),
+        "postings scan not bucket-aware: " + plan.take(500))
+      assert(!plan.replace("BroadcastExchange", "BX").contains("Exchange"),
+        s"df aggregate shuffled a bucketed table:\n${plan.take(1200)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_t_postings")
+      spark.sql("DROP TABLE IF EXISTS bm25_t_doclen")
+    }
+  }
+}
