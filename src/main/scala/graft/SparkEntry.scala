@@ -234,6 +234,9 @@ object SparkEntry {
     // that occur in at least one other document (Lee et al. shape)
     "cross_doc_ngram_dup" -> ((s, d) => Dedup.crossDocNgramDup(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
+    // exact substring-span removal (Lee et al. ExactSubstr): duplicated
+    // k-token spans cut from every doc, cleaned text reconstructed
+    "dedup_span_removal" -> ((s, d) => Dedup.spanRemoval(par(Tables.documents(s, d)))),
     // bloom membership gate: exact is-this-key-already-known — the
     // 1996+ cohort's customers probed against a filter built from the
     // pre-1996 order history (~20% genuinely first-time); the bloom
@@ -520,6 +523,7 @@ object SparkEntry {
     "dedup_bloom_gate" -> Dedup.bloomGateSql,
     "cross_doc_ngram_dup" -> Dedup.crossDocNgramDupSql(),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
+    "dedup_span_removal" -> Dedup.spanRemovalSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "pii_redaction" -> Corpus.redactionReportSql,

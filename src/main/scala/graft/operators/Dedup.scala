@@ -782,4 +782,88 @@ object Dedup {
        |  CAST(d.doc_id <> coalesce(l.component, d.doc_id) AS BIGINT) AS is_dup
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Exact substring-span REMOVAL (the harder sibling of
+    * [[crossDocNgramDup]]'s scoring): any `k`-token span occurring at
+    * least `minCount` times in the corpus — within or across documents,
+    * Lee et al. 2107.06499's ExactSubstr criterion at token
+    * granularity — is cut from every document it covers, and the
+    * cleaned text is reconstructed from the surviving tokens. Returns
+    * `(doc_id, n_tokens, n_removed, kept_md5)` — counts plus the MD5 of
+    * the cleaned text (both engines must agree on every surviving
+    * byte), with `md5('')` for fully-removed documents.
+    *
+    * Scale shape — linear, never pairwise:
+    *  - spans hash to 16-byte MD5s BEFORE the shuffle (the exchange
+    *    carries fingerprints, not text);
+    *  - occurrence counting is one window over the span hash (a single
+    *    corpus-sized shuffle, no join-back: the count rides the same
+    *    exchange the grouping would);
+    *  - covered positions fold per document (second shuffle, doc-keyed)
+    *    and the reconstruction is per-row array work — position
+    *    filtering is O(n·cov) per doc, bounded by document length,
+    *    never by corpus size. */
+  def spanRemoval(documents: DataFrame, k: Int = 8,
+      minCount: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = documents.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val grams = d
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("toks")) - (k - 1))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"concat_ws(' ', slice(toks, pos, $k))")).as("g"))
+    val dupStarts = grams
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("cnt") >= minCount)
+      .select(col("doc_id"), col("pos"))
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("cp"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("cp")).as("cov"))
+    d.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr(
+          """filter(zip_with(toks, sequence(1, size(toks)), (t, i) ->
+            |  struct(t AS tok, i AS pos)),
+            |  s -> NOT array_contains(coalesce(cov, array()), s.pos)).tok"""
+            .stripMargin))).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  def spanRemovalSql(k: Int = 8, minCount: Long = 2L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i:i + $k - 1], ' ')) AS g
+       |  FROM d, LATERAL unnest(range(1, len(toks) - $k + 2)) AS t (i)
+       |  WHERE len(toks) >= $k),
+       |ds AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM g)
+       |  WHERE cnt >= $minCount),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + o AS cp
+       |  FROM ds, LATERAL unnest(range(0, $k)) AS t (o)),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+       |  WHERE c.cp IS NULL),
+       |r AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+       |  FROM kept GROUP BY doc_id),
+       |cnts AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov GROUP BY 1)
+       |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       |  coalesce(c.n_removed, 0)::BIGINT AS n_removed,
+       |  md5(coalesce(r.cleaned, '')) AS kept_md5
+       |FROM d LEFT JOIN r USING (doc_id) LEFT JOIN cnts c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

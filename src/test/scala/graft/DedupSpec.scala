@@ -278,4 +278,29 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect()
     assert(pairs.nonEmpty)
   }
+
+  test("spanRemoval: duplicated spans cut everywhere, unique text survives byte-exact") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    val boiler = (1 to 4).map(i => s"b$i").mkString(" ") // shared 4-gram
+    val d = Seq(
+      (1L, s"u1 u2 $boiler u3 u4"),       // boilerplate mid-doc
+      (2L, s"$boiler v1 v2 v3 v4 v5"),    // boilerplate at head
+      (3L, boiler),                       // nothing but the span
+      (4L, "w1 w2 w3 w4 w5 w6"),          // clean doc, untouched
+      (5L, "s1 s2"),                      // shorter than k: never cut
+      (6L, s"r1 r2 r3 r4 r1 r2 r3 r4")    // WITHIN-doc repeat of r1..r4
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanRemoval(d, k = 4)
+      .as[(Long, Long, Long, String)].collect().toList
+    def h(s: String) = spark.range(1).select(md5(lit(s))).as[String].head()
+    // doc1: positions 3-6 covered -> kept "u1 u2 u3 u4"
+    assert(got(0) === ((1L, 8L, 4L, h("u1 u2 u3 u4"))))
+    assert(got(1) === ((2L, 9L, 4L, h("v1 v2 v3 v4 v5"))))
+    assert(got(2) === ((3L, 4L, 4L, h(""))))
+    assert(got(3) === ((4L, 6L, 0L, h("w1 w2 w3 w4 w5 w6"))))
+    assert(got(4) === ((5L, 2L, 0L, h("s1 s2"))))
+    // doc6: spans at pos 1 and 5 are identical (r1 r2 r3 r4) -> the
+    // window count sees 2 occurrences, ALL 8 positions covered
+    assert(got(5) === ((6L, 8L, 8L, h(""))))
+  }
 }
