@@ -211,6 +211,11 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     // BM25 probe-query retrieval over the corpus (top-k per query)
     "bm25_search" -> ((s, d) => Retrieval.bm25Search(par(Tables.documents(s, d)))),
+    // DSIR importance weights: hashed-unigram target/raw log-ratio
+    "dsir_weights" -> ((s, d) => Corpus.dsirWeights(par(Tables.documents(s, d)))),
+    // group-relative quality gate: most fluent half per source by LM NLL
+    "quality_filter_by_source" -> ((s, d) =>
+      Corpus.qualityFilterBySource(par(Tables.documents(s, d)))),
     "cap_per_source" -> ((s, d) => Corpus.capPerSource(Tables.documents(s, d))),
     "mixture_sample" -> ((s, d) =>
       Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
@@ -511,6 +516,8 @@ object SparkEntry {
     "token_budget_mix" -> Corpus.tokenBudgetMixSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "bm25_search" -> Retrieval.bm25SearchSql(),
+    "dsir_weights" -> Corpus.dsirWeightsSql(),
+    "quality_filter_by_source" -> Corpus.qualityFilterBySourceSql,
     "cap_per_source" -> Corpus.capPerSourceSql(),
     "mixture_sample" -> Corpus.mixtureSampleSql(Corpus.DemoRates),
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),

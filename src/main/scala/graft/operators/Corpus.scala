@@ -184,6 +184,122 @@ object Corpus {
        |    AS BIGINT) AS pos
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** DSIR-shape importance weighting (Xie et al. 2302.03169): score
+    * every raw document by how much more likely its hashed-unigram
+    * features are under a TARGET distribution than under the raw-corpus
+    * distribution — `logw = Σ_tokens ln p_target(f) − ln p_raw(f)` with
+    * add-one smoothing over `dim` hashed feature buckets. High `logw` ≈
+    * "looks like the target domain"; a selection step resamples
+    * proportionally to `exp(logw)`. The target here is the
+    * deterministic `doc_id % targetMod == 0` slice (standing in for a
+    * curated seed corpus loaded from elsewhere, as [[contamination]]
+    * does for its benchmark).
+    *
+    * Scale design: both feature-count tables are bounded by `dim`
+    * (4096 rows), so they BROADCAST to the corpus scan — the only
+    * corpus-sized work is the token explode and the per-doc fold (one
+    * doc-keyed shuffle). Feature hashing (md5-bucket, the same
+    * engine-portable hash as [[hashSplit]]) means no vocabulary pass
+    * and no dictionary join. Per-instance ln-ratios are quantized to
+    * DECIMAL(18,9) before the per-doc sum (exact, order-free fold).
+    * Output: `(doc_id, n_toks, logw_sum)` for raw (non-target) docs. */
+  def dsirWeights(documents: DataFrame, dim: Int = 4096,
+      targetMod: Int = 50): DataFrame = {
+    val f = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % dim
+    val toks = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), f.as("f"))
+    val isTarget = pmod(col("doc_id"), lit(targetMod)) === 0
+    val tCounts = toks.where(isTarget)
+      .groupBy(col("f")).agg(count(lit(1)).as("c_t"))
+    val tTotal = toks.where(isTarget).agg(count(lit(1)).as("n_t"))
+    val rCounts = toks.where(!isTarget)
+      .groupBy(col("f")).agg(count(lit(1)).as("c_r"))
+    val rTotal = toks.where(!isTarget).agg(count(lit(1)).as("n_r"))
+    toks.where(!isTarget)
+      .join(broadcast(tCounts), Seq("f"), "left")
+      .join(broadcast(rCounts), Seq("f"), "left")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("doc_id"), expr(
+        s"""CAST(ln((CAST(coalesce(c_t, 0) AS DOUBLE) + 1.0)
+           |       / (CAST(n_t AS DOUBLE) + $dim))
+           |   - ln((CAST(coalesce(c_r, 0) AS DOUBLE) + 1.0)
+           |       / (CAST(n_r AS DOUBLE) + $dim))
+           | AS DECIMAL(18,9))""".stripMargin).as("lw_i"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        expr("CAST(sum(lw_i) AS DOUBLE)").as("logw_sum"))
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsSql(dim: Int = 4096, targetMod: Int = 50): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $dim AS f
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |tc AS (SELECT f, count(*) AS c_t FROM toks
+       |  WHERE doc_id % $targetMod = 0 GROUP BY 1),
+       |tt AS (SELECT count(*) AS n_t FROM toks WHERE doc_id % $targetMod = 0),
+       |rc AS (SELECT f, count(*) AS c_r FROM toks
+       |  WHERE doc_id % $targetMod <> 0 GROUP BY 1),
+       |rt AS (SELECT count(*) AS n_r FROM toks WHERE doc_id % $targetMod <> 0),
+       |inst AS (
+       |  SELECT t.doc_id,
+       |    CAST(ln((coalesce(tc.c_t, 0)::DOUBLE + 1.0) / (tt.n_t::DOUBLE + $dim))
+       |       - ln((coalesce(rc.c_r, 0)::DOUBLE + 1.0) / (rt.n_r::DOUBLE + $dim))
+       |      AS DECIMAL(18,9)) AS lw_i
+       |  FROM toks t LEFT JOIN tc USING (f) LEFT JOIN rc USING (f)
+       |  CROSS JOIN tt CROSS JOIN rt
+       |  WHERE t.doc_id % $targetMod <> 0)
+       |SELECT doc_id, count(*) AS n_toks, CAST(sum(lw_i) AS DOUBLE) AS logw_sum
+       |FROM inst GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Group-relative quality gate: keep each source's most fluent HALF
+    * by bigram-LM mean NLL ([[TextAnalysis.lmBigramScore]]) — the
+    * selection step a CCNet-style pipeline runs after scoring, made
+    * group-relative so a clean source doesn't crowd out a noisy one
+    * (absolute thresholds do exactly that). Rank-based rather than
+    * median-threshold: `rank ≤ ⌈n/2⌉` is integer-exact across engines,
+    * a median split is a floating tie-boundary. Output: the kept
+    * `(doc_id, source, q_rank)`.
+    *
+    * Plan: the LM scorer's two token-keyed shuffles + one per-source
+    * window — the ranking reuses the doc-keyed fold's output (tiny:
+    * one row per doc). */
+  def qualityFilterBySource(documents: DataFrame): DataFrame = {
+    val scored = TextAnalysis.lmBigramScore(documents)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("mean_nll",
+        col("nll_sum") / col("n_bigrams").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("mean_nll").asc, col("doc_id"))
+    scored
+      .withColumn("q_rank", row_number().over(w).cast("long"))
+      .withColumn("n_src",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("source")))
+      .where(col("q_rank") <= expr("(n_src + 1) div 2"))
+      .select(col("doc_id"), col("source"), col("q_rank"))
+      .orderBy("source", "q_rank")
+  }
+
+  def qualityFilterBySourceSql: String =
+    s"""WITH scored AS (${TextAnalysis.lmBigramScoreSql.replace("ORDER BY doc_id", "")}),
+       |j AS (
+       |  SELECT s.doc_id, d.source,
+       |    s.nll_sum / s.n_bigrams::DOUBLE AS mean_nll
+       |  FROM scored s JOIN documents d USING (doc_id)),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source ORDER BY mean_nll, doc_id)
+       |      AS q_rank,
+       |    count(*) OVER (PARTITION BY source) AS n_src
+       |  FROM j)
+       |SELECT doc_id, source, CAST(q_rank AS BIGINT) AS q_rank
+       |FROM r WHERE q_rank <= (n_src + 1) // 2
+       |ORDER BY source, q_rank""".stripMargin
+
   /** Benchmark decontamination: corpus docs sharing at least
     * `minShared` word k-grams with a benchmark/eval doc (here: the
     * deterministic doc_id % benchMod == 0 sample stands in for an eval

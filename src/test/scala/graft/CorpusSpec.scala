@@ -215,4 +215,41 @@ class CorpusSpec extends AnyFunSuite {
     val moved = e1.count(r => m0(r.getLong(0)) != ((r.getLong(1), r.getLong(2))))
     assert(moved > e1.length / 2, s"only $moved/${e1.length} docs moved")
   }
+
+  test("dsirWeights: target-vocab docs outscore off-target docs; target slice excluded") {
+    // doc 0 and 50 are the target slice (doc_id % 50 == 0) speaking
+    // pure "t*" vocab; raw docs 1 (target-like) and 2 (off-vocab)
+    val d = Seq(
+      (0L, "t1 t2 t3 t1 t2 t3"), (50L, "t1 t2 t3 t3 t3 t1"),
+      (1L, "t1 t2 t3 t1 t2 t3"), (2L, "z1 z2 z3 z4 z5 z6")
+    ).toDF("doc_id", "text").withColumn("source", lit("s0"))
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(0L))
+    val got = Corpus.dsirWeights(d).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L), "only raw docs scored")
+    val (_, n1, w1) = got(1L); val (_, _, w2) = got(2L)
+    assert(n1 === 6L)
+    assert(w1 > w2,
+      s"target-like doc must outweigh off-target: $w1 vs $w2")
+    assert(w1 > 0 && w2 < 0,
+      s"signs: target-vocab positive ($w1), unseen-vocab negative ($w2)")
+    // deterministic under re-run and partitioning
+    val again = Corpus.dsirWeights(d.repartition(5))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
+
+  test("qualityFilterBySource keeps each source's most fluent half, ranked") {
+    val got = Corpus.qualityFilterBySource(docs)
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    // per source: ranks dense from 1, and exactly ceil(n_scored/2) kept
+    val scoredPerSrc = graft.operators.TextAnalysis.lmBigramScore(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq, src)
+      assert(rows.length === (scoredPerSrc(src) + 1) / 2, src)
+    }
+  }
 }
