@@ -295,7 +295,11 @@ object SparkEntry {
     // real container-header decode (BMP/WAV/PNG byte layout) over
     // fabricated-but-real payload files — see MediaCodecs
     "media_metadata" -> ((s, d) =>
-      MediaCodecs.mediaMetadata(s, par(Tables.documents(s, d))))
+      MediaCodecs.mediaMetadata(s, par(Tables.documents(s, d)))),
+    // perceptual image near-dup: real BMP pixel decode -> integer aHash
+    // -> banded pair join (rows-only; ImageIO cross-check in spec)
+    "media_ahash_dedup" -> ((s, d) =>
+      MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d))))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).

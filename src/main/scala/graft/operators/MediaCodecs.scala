@@ -319,4 +319,164 @@ object MediaCodecs {
       |      // ((8000 + (doc_id % 8) * 1000) * (doc_id % 2 + 1) * 2)
       |  END AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
+
+  // ------------------------------------------------- perceptual dedup
+
+  /** splitmix64-style mixer (public-domain finalizer) — the
+    * deterministic pixel/position source for fabricated images. */
+  private def mix(a: Long, b: Long): Long = {
+    var z = a * 0x9E3779B97F4A7C15L + b
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** A real 24bpp BMP whose pixels are HASH noise of `seed` (unlike
+    * [[encodeBmp]]'s ramp, two different seeds give uncorrelated
+    * images — the property a perceptual-dedup fixture needs), with
+    * `flips` deterministic pixel overwrites keyed by `flipSeed` — the
+    * "same image, few pixels retouched" near-duplicate. */
+  def encodeBmpHashed(width: Int, height: Int, seed: Long,
+      flips: Int = 0, flipSeed: Long = 0L): Array[Byte] = {
+    val px = new Array[Int](width * height)
+    var i = 0
+    while (i < px.length) { px(i) = (mix(seed, i) & 0xffffff).toInt; i += 1 }
+    var f = 0
+    while (f < flips) {
+      val p = java.lang.Math.floorMod(mix(flipSeed, f), px.length.toLong).toInt
+      px(p) = (mix(flipSeed, 0x10000L + f) & 0xffffff).toInt
+      f += 1
+    }
+    val rowSize = (width * 3 + 3) & ~3
+    val buf = ByteBuffer.allocate(54 + rowSize * height)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + rowSize * height)
+      .putInt(0).putInt(54)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * height)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = px(y * width + x)
+        buf.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+        x += 1
+      }
+      var pad = width * 3
+      while (pad < rowSize) { buf.put(0.toByte); pad += 1 }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** REAL pixel decode of a 24bpp uncompressed bottom-up BMP: row-major
+    * integer luma (r+g+b, deliberately NOT divided — exact). None for
+    * anything that isn't a plain 24bpp BMP, or is truncated. */
+  def decodeBmpGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = i32le(b, 10)
+    val w = i32le(b, 18)
+    val h = i32le(b, 22)
+    val bpp = u16le(b, 28)
+    val compression = i32le(b, 30)
+    if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+    val rowSize = (w * 3 + 3) & ~3
+    if (off < 54 || b.length < off + rowSize * h) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val src = off + (h - 1 - y) * rowSize // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val i = src + x * 3
+        gray(y * w + x) = (b(i) & 0xff) + (b(i + 1) & 0xff) + (b(i + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 64-bit average hash (aHash): luma means over an 8×8 block grid,
+    * bit (i·8+j) set when block (i,j)'s mean exceeds the global mean.
+    * The comparison is the cross-multiplication `blockSum · nPixels >
+    * totalSum · nBlockPixels` — pure integer, no division, no float,
+    * so the hash is bit-reproducible on any platform. Needs w,h ≥ 8. */
+  def aHash(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    var total = 0L
+    var i = 0
+    while (i < gray.length) { total += gray(i); i += 1 }
+    val nPix = w.toLong * h
+    var hash = 0L
+    var bi = 0
+    while (bi < 8) {
+      val y0 = bi * h / 8; val y1 = (bi + 1) * h / 8
+      var bj = 0
+      while (bj < 8) {
+        val x0 = bj * w / 8; val x1 = (bj + 1) * w / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        val nBlock = (x1 - x0).toLong * (y1 - y0)
+        if (s * nPix > total * nBlock) hash |= 1L << (bi * 8 + bj)
+        bj += 1
+      }
+      bi += 1
+    }
+    Some(hash)
+  }
+
+  /** Perceptual image near-dup pairs over a fabricated corpus: one
+    * 32×32 hashed-noise BMP per document, where `doc_id % groupMod`
+    * picks the base image (so each group of docs shares content) and
+    * `doc_id / groupMod` retouches 0–2 pixels — the exact+near dup mix
+    * a crawled image corpus has. Pipeline: scan-side pixel decode →
+    * aHash (per-row, zero shuffle) → candidate pairs by 16-bit BAND
+    * equi-join on the hash (the simhash banding discipline: by
+    * pigeonhole, a pair within hamming ≤ 3 of 64 bits agrees exactly
+    * on at least one of the 4 bands, so the equi-join has NO false
+    * negatives at the default threshold — and ≤ 2 retouched pixels
+    * keep observed hamming ≤ 2) → exact `bit_count(xor)` verify,
+    * never an all-pairs comparison. Rows-only by the twin
+    * convention (pixel decode is not SQL-expressible); the decode and
+    * hash are cross-checked against the independent JDK ImageIO
+    * decoder in `MediaCodecsSpec`. Output: (media_id_a, media_id_b,
+    * hamming). */
+  def mediaAhashDedup(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3, groupMod: Int = 25): DataFrame = {
+    import spark.implicits._
+    val hashes = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val payload = encodeBmpHashed(32, 32, seed = id % groupMod,
+          flips = ((id / groupMod) % 3).toInt, flipSeed = id)
+        for {
+          (w, h, gray) <- decodeBmpGray(payload)
+          hv <- aHash(w, h, gray)
+        } yield (id, hv)
+      }).toDF("media_id", "ahash")
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band_idx,
+          |    shiftright(ahash, b * 16) & 65535 AS band_val))""".stripMargin))
+        .as("b"))
+      .select(col("media_id"), col("ahash"),
+        col("b.band_idx"), col("b.band_val"))
+    val a = bands.toDF("media_id_a", "ahash_a", "band_idx", "band_val")
+    val b = bands.toDF("media_id_b", "ahash_b", "band_idx", "band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"),
+        expr("bit_count(ahash_a ^ ahash_b)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("media_id_a", "media_id_b")
+  }
 }

@@ -14,6 +14,61 @@ import graft.operators.{MediaCodecs, MediaMeta}
 class MediaCodecsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("decodeBmpGray + aHash agree with an independent ImageIO pixel decode") {
+    val payload = MediaCodecs.encodeBmpHashed(32, 24, seed = 7,
+      flips = 2, flipSeed = 99)
+    val Some((w, h, gray)) = MediaCodecs.decodeBmpGray(payload)
+    assert((w, h) === ((32, 24)))
+    // independent decoder: JDK ImageIO reads the same bytes
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    assert(img.getWidth === 32 && img.getHeight === 24)
+    val jdkGray = for (y <- 0 until h; x <- 0 until w) yield {
+      val rgb = img.getRGB(x, y)
+      ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    assert(gray.toSeq === jdkGray)
+    // the hash is a pure function of the pixels both decoders agree on
+    assert(MediaCodecs.aHash(w, h, gray) ===
+      MediaCodecs.aHash(w, h, jdkGray.toArray))
+  }
+
+  test("aHash: flat image hashes to 0; half-bright image sets exactly the bright half") {
+    assert(MediaCodecs.aHash(16, 16, Array.fill(256)(100)) === Some(0L))
+    // left half luma 0, right half 200 -> right 4 blocks of each row set
+    val gray = Array.tabulate(256)(i => if (i % 16 < 8) 0 else 200)
+    val Some(hv) = MediaCodecs.aHash(16, 16, gray)
+    assert(java.lang.Long.bitCount(hv) === 32)
+    (0 until 8).foreach { bi =>
+      (0 until 8).foreach { bj =>
+        assert((((hv >> (bi * 8 + bj)) & 1L) === 1L) === (bj >= 4))
+      }
+    }
+    assert(MediaCodecs.aHash(4, 16, Array.fill(64)(1)) === None, "w < 8")
+  }
+
+  test("mediaAhashDedup: same-content groups pair up, different content stays apart") {
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val pairs = MediaCodecs.mediaAhashDedup(spark, docs, maxHamming = 3,
+      groupMod = 25).as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // every pair shares its base image (same doc_id % 25) — hashed-noise
+    // bases are uncorrelated, so cross-group hamming is far above 3
+    pairs.foreach { case (a, b, ham) =>
+      assert(a % 25 === b % 25, s"cross-content pair ($a, $b)")
+      assert(ham >= 0 && ham <= 3)
+    }
+    // unretouched docs (doc_id / 25 % 3 == 0) with the same base are
+    // byte-identical images: hamming 0 pairs must all be present
+    val exact = (0L until 120L).filter(id => (id / 25) % 3 == 0)
+      .groupBy(_ % 25).values.flatMap(g =>
+        for (a <- g; b <- g if a < b) yield (a, b)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(exact.subsetOf(got),
+      s"missing exact pairs: ${(exact -- got).take(5)}")
+    pairs.filter(p => exact((p._1, p._2))).foreach(p => assert(p._3 === 0L))
+  }
+
   private def jdkImage(fmt: String, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
