@@ -299,7 +299,11 @@ object SparkEntry {
     // perceptual image near-dup: real BMP pixel decode -> integer aHash
     // -> banded pair join (rows-only; ImageIO cross-check in spec)
     "media_ahash_dedup" -> ((s, d) =>
-      MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d))))
+      MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d)))),
+    // real PCM sample decode -> integer audio features; DuckDB replays
+    // the closed-form sample stream, so the decode is hash-exact
+    "audio_features" -> ((s, d) =>
+      MediaCodecs.audioFeatures(s, par(Tables.documents(s, d))))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).
@@ -548,6 +552,7 @@ object SparkEntry {
     "multimodal_feature_summary" -> Multimodal.featureSummarySql,
     "multimodal_frame_sample" -> Multimodal.frameSampleStatsSql,
     "media_metadata" -> MediaCodecs.mediaMetadataSql,
+    "audio_features" -> MediaCodecs.audioFeaturesSql,
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),

@@ -320,6 +320,98 @@ object MediaCodecs {
       |  END AS duration_ms
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------- sample decode
+
+  /** REAL PCM sample decode of a 16-bit WAV: the RIFF chunk walk of
+    * [[parseWav]] continued into the `data` chunk, little-endian
+    * signed samples (channel-interleaved, as stored). None unless it's
+    * a plain 16-bit PCM WAV with a complete data chunk. */
+  def decodeWavSamples(b: Array[Byte]): Option[Array[Short]] = {
+    if (b == null || b.length < 44 || !startsWith(b, "RIFF", 0) ||
+      !startsWith(b, "WAVE", 8)) return None
+    var pos = 12
+    var bits = 0
+    var dataOff = -1
+    var dataLen = -1
+    while (pos + 8 <= b.length && (bits == 0 || dataOff < 0)) {
+      val size = i32le(b, pos + 4)
+      if (size < 0) return None
+      if (startsWith(b, "fmt ", pos)) bits = u16le(b, pos + 22)
+      else if (startsWith(b, "data", pos)) { dataOff = pos + 8; dataLen = size }
+      pos += 8 + size + (size & 1)
+    }
+    if (bits != 16 || dataOff < 0 || b.length < dataOff + dataLen) return None
+    val out = new Array[Short](dataLen / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((b(dataOff + i * 2) & 0xff) |
+        (b(dataOff + i * 2 + 1) << 8)).toShort
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** Audio feature extraction over REAL decoded samples — the audio
+    * sibling of [[mediaAhashDedup]]'s pixel path, but with a
+    * HASH-EXACT oracle: the fabricated WAV's sample generator is
+    * closed-form (`(doc_id + i·257) mod 2¹⁶`, two's-complement), so
+    * DuckDB replays the per-sample stream and must agree on every
+    * integer. Per document: sample count, min/max sample, energy
+    * (Σ v², exact long — no float RMS), and strict zero crossings
+    * (`v·prev < 0`). Pure scan-side per-row work: encode → decode →
+    * fold inside one `mapPartitions`, zero shuffle. */
+  def audioFeatures(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 == 1) // the WAV slice of mediaBinaries
+      .mapPartitions(_.flatMap { id =>
+        val payload = encodeWav(wavRate(id), wavChannels(id), wavSamples(id), id)
+        decodeWavSamples(payload).map { s =>
+          var sumSq = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var zc = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sumSq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (i > 0 && v.toLong * s(i - 1) < 0) zc += 1
+            i += 1
+          }
+          (id, s.length.toLong, mn, mx, sumSq, zc)
+        }
+      })
+      .toDF("media_id", "n_samples", "min_sample", "max_sample",
+        "energy", "zero_crossings")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of [[audioFeatures]]: regenerate the sample stream
+    * from the closed-form generator and fold the same integers. */
+  val audioFeaturesSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    ((doc_id % 100 + 1) * (doc_id % 2 + 1))::BIGINT AS n
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN (doc_id + i * 257) % 65536 >= 32768
+      |         THEN (doc_id + i * 257) % 65536 - 65536
+      |         ELSE (doc_id + i * 257) % 65536 END AS v
+      |  FROM w, LATERAL unnest(range(0, n)) AS t (i)),
+      |l AS (
+      |  SELECT doc_id, i, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id AS media_id, count(*) AS n_samples,
+      |  min(v)::INT AS min_sample, max(v)::INT AS max_sample,
+      |  sum(v * v)::BIGINT AS energy,
+      |  sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1 ELSE 0 END)::BIGINT
+      |    AS zero_crossings
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------- perceptual dedup
 
   /** splitmix64-style mixer (public-domain finalizer) — the

@@ -32,6 +32,32 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.aHash(w, h, jdkGray.toArray))
   }
 
+  test("decodeWavSamples agrees with the independent JDK AudioSystem decode") {
+    val payload = MediaCodecs.encodeWav(16000, 2, 50, seed = 41)
+    val Some(ours) = MediaCodecs.decodeWavSamples(payload)
+    assert(ours.length === 100)
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val raw = ais.readAllBytes()
+    val jdk = Array.tabulate(raw.length / 2)(i =>
+      ((raw(i * 2) & 0xff) | (raw(i * 2 + 1) << 8)).toShort)
+    assert(ais.getFormat.isBigEndian === false)
+    assert(ours.toSeq === jdk.toSeq)
+    // non-PCM16 / corrupt payloads are None, never exceptions
+    assert(MediaCodecs.decodeWavSamples("RIFFxxxxWAVE".getBytes) === None)
+    assert(MediaCodecs.decodeWavSamples(null) === None)
+  }
+
+  test("audioFeatures: hand-computed fold over a tiny known stream") {
+    import spark.implicits._
+    // doc_id = 1: rate 9000, 2 channels, 2 samples/ch -> 4 samples
+    // v_i = (1 + 257 i) mod 2^16 two's-complement: 1, 258, 515, 772
+    val got = MediaCodecs.audioFeatures(spark, Seq(1L).toDF("doc_id"))
+      .as[(Long, Long, Int, Int, Long, Long)].collect().toList
+    val expEnergy = 1L * 1 + 258L * 258 + 515L * 515 + 772L * 772
+    assert(got === List((1L, 4L, 1, 772, expEnergy, 0L)))
+  }
+
   test("aHash: flat image hashes to 0; half-bright image sets exactly the bright half") {
     assert(MediaCodecs.aHash(16, 16, Array.fill(256)(100)) === Some(0L))
     // left half luma 0, right half 200 -> right 4 blocks of each row set
