@@ -195,10 +195,12 @@ object Corpus {
     * curated seed corpus loaded from elsewhere, as [[contamination]]
     * does for its benchmark).
     *
-    * Scale design: both feature-count tables are bounded by `dim`
-    * (4096 rows), so they BROADCAST to the corpus scan — the only
-    * corpus-sized work is the token explode and the per-doc fold (one
-    * doc-keyed shuffle). Feature hashing (md5-bucket, the same
+    * Scale design: TWO corpus scans, nothing else corpus-sized. One
+    * scan builds a single `(f, c_t, c_r)` count table (target and raw
+    * tallies ride the SAME f-keyed shuffle; totals are a trivial
+    * aggregate of its `dim ≤ 4096` rows) that BROADCASTS back; the
+    * second scan scores token instances against it and folds per doc
+    * (one doc-keyed shuffle). Feature hashing (md5-bucket, the same
     * engine-portable hash as [[hashSplit]]) means no vocabulary pass
     * and no dictionary join. Per-instance ln-ratios are quantized to
     * DECIMAL(18,9) before the per-doc sum (exact, order-free fold).
@@ -208,22 +210,19 @@ object Corpus {
     val f = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long") % dim
     val toks = documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), f.as("f"))
-    val isTarget = pmod(col("doc_id"), lit(targetMod)) === 0
-    val tCounts = toks.where(isTarget)
-      .groupBy(col("f")).agg(count(lit(1)).as("c_t"))
-    val tTotal = toks.where(isTarget).agg(count(lit(1)).as("n_t"))
-    val rCounts = toks.where(!isTarget)
-      .groupBy(col("f")).agg(count(lit(1)).as("c_r"))
-    val rTotal = toks.where(!isTarget).agg(count(lit(1)).as("n_r"))
-    toks.where(!isTarget)
-      .join(broadcast(tCounts), Seq("f"), "left")
-      .join(broadcast(rCounts), Seq("f"), "left")
-      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(rTotal))
+      .select(col("doc_id"), f.as("f"),
+        (pmod(col("doc_id"), lit(targetMod)) === 0).as("is_t"))
+    val counts = toks.groupBy(col("f")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("c_r"))
+    val totals = counts.agg(sum(col("c_t")).as("n_t"), sum(col("c_r")).as("n_r"))
+    toks.where(!col("is_t"))
+      .join(broadcast(counts), Seq("f"))
+      .crossJoin(broadcast(totals))
       .select(col("doc_id"), expr(
-        s"""CAST(ln((CAST(coalesce(c_t, 0) AS DOUBLE) + 1.0)
+        s"""CAST(ln((CAST(c_t AS DOUBLE) + 1.0)
            |       / (CAST(n_t AS DOUBLE) + $dim))
-           |   - ln((CAST(coalesce(c_r, 0) AS DOUBLE) + 1.0)
+           |   - ln((CAST(c_r AS DOUBLE) + 1.0)
            |       / (CAST(n_r AS DOUBLE) + $dim))
            | AS DECIMAL(18,9))""".stripMargin).as("lw_i"))
       .groupBy(col("doc_id"))
