@@ -20,7 +20,7 @@ object Corpus {
     * every row the same bucket — the property that makes a train/val
     * split reproducible). 15 hex chars keep the value positive in
     * signed 64. */
-  private def hashBucket(c: Column): Column =
+  private[graft] def hashBucket(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % 100
 
   /** Train/validation split by doc_id hash: stable under re-runs,

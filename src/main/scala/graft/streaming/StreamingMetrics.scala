@@ -625,6 +625,62 @@ object StreamingMetrics {
       }
       .queryName(queryName).start()
 
+  /** Streaming corpus ingest — the front half of
+    * [[graft.operators.Corpus.corpusPipeline]] run continuously over a
+    * document stream: per-batch quality gate (min token count +
+    * trigram-repetition rule — stateless scan work), streaming exact
+    * dedup on the content fingerprint (`flatMapGroupsWithState` with
+    * an explicit min-doc_id representative per fingerprint — the SAME
+    * pick the batch pipeline's `min(struct(doc_id, lang))` makes, so
+    * an in-order replay reproduces the batch counts exactly; state is
+    * one boolean per fingerprint, kept forever like the reference's
+    * Redis sets), then admitted-document counts folded into the sink
+    * as `corpus_docs:<split>:<lang>` INCRBY counters under the
+    * (queryName, batchId) ledger. The batch-side collect is the
+    * post-aggregation (split, lang) counts — bounded by label
+    * cardinality, never by stream volume. */
+  def startCorpusIngest(docs: DataFrame, store: KeyValueMetricsSink,
+      queryName: String, minTokens: Int = 32, maxDupFrac: Double = 0.2,
+      valPct: Int = 10): StreamingQuery = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.NgramStats.register(spark)
+    val quality = docs
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= minTokens)
+      .select(col("doc_id"), col("lang"), col("text"),
+        expr("ngram_stats(toks, 3)").as("st"))
+      .where(lit(1.0) - col("st.n_distinct_ngrams").cast("double") /
+        col("st.n_ngrams").cast("double") <= maxDupFrac)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
+      .as[(Long, String, String)]
+    val admitted = quality.groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String, String)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val rep = rows.minBy(_._1)
+            Iterator((rep._1, rep._2))
+          }
+      }
+      .toDF("doc_id", "lang")
+      .select(col("doc_id"), col("lang"),
+        when(graft.operators.Corpus.hashBucket(col("doc_id")) < valPct,
+          lit("val")).otherwise(lit("train")).as("split"))
+    admitted.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val _ = store.writeBatchOnce(queryName, batchId,
+          incrs = batch.groupBy("split", "lang").count().collect().toSeq
+            .map(r => s"corpus_docs:${r.getString(0)}:${r.getString(1)}" ->
+              r.getLong(2)))
+      }
+      .queryName(queryName).start()
+  }
+
   def startSessionization(events: Dataset[LogEvent], queryName: String,
       gapSeconds: Long = 1800, watermark: String = "1 hour"): StreamingQuery =
     events.toDF()

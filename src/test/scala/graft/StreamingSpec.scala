@@ -445,4 +445,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(after("set_dthr_2026_08_12T10_15") === 2L)
     q2.stop()
   }
+
+  test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val expected = graft.operators.Corpus.corpusPipeline(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(expected.nonEmpty)
+
+    val rows = docs.select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val chunks = rows.grouped((rows.length + 2) / 3).toSeq
+    val input = MemoryStream[(Long, String, String)]
+    val store = new MetricsStore
+    val q = StreamingMetrics.startCorpusIngest(
+      input.toDS().toDF("doc_id", "text", "lang"), store, "corpus_ingest_t")
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val got = store.counters.toMap
+        .collect { case (k, v) if k.startsWith("corpus_docs:") =>
+          val Array(_, split, lang) = k.split(":"); (split, lang) -> v }
+        .toMap
+      assert(got === expected)
+    } finally q.stop()
+
+    // a re-played duplicate batch adds nothing (fp state + ledger)
+    val input2 = MemoryStream[(Long, String, String)]
+    val store2 = new MetricsStore
+    val q2 = StreamingMetrics.startCorpusIngest(
+      input2.toDS().toDF("doc_id", "text", "lang"), store2, "corpus_ingest_t2")
+    try {
+      input2.addData(chunks.head: _*); q2.processAllAvailable()
+      val snap = store2.counters.toMap
+      input2.addData(chunks.head: _*); q2.processAllAvailable()
+      assert(store2.counters.toMap === snap, "duplicate replay must be a no-op")
+    } finally q2.stop()
+  }
 }
