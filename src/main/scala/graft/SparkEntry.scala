@@ -303,7 +303,11 @@ object SparkEntry {
     // real PCM sample decode -> integer audio features; DuckDB replays
     // the closed-form sample stream, so the decode is hash-exact
     "audio_features" -> ((s, d) =>
-      MediaCodecs.audioFeatures(s, par(Tables.documents(s, d))))
+      MediaCodecs.audioFeatures(s, par(Tables.documents(s, d)))),
+    // real BMP pixel-array + PNG inflate/unfilter decode -> integer
+    // stats; DuckDB replays the closed-form pixel generator exactly
+    "image_pixel_stats" -> ((s, d) =>
+      MediaCodecs.imagePixelStats(s, par(Tables.documents(s, d))))
   )
 
   // Shared oracle-SQL fragments (DuckDB dialect).
@@ -553,6 +557,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> Multimodal.frameSampleStatsSql,
     "media_metadata" -> MediaCodecs.mediaMetadataSql,
     "audio_features" -> MediaCodecs.audioFeaturesSql,
+    "image_pixel_stats" -> MediaCodecs.imagePixelStatsSql,
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),

@@ -351,6 +351,150 @@ object MediaCodecs {
     Some(out)
   }
 
+  /** REAL pixel decode of an 8-bit truecolor PNG (color type 2, or 6
+    * with alpha): walk the chunk stream, inflate the concatenated IDAT
+    * payload, reverse the per-row filters (None/Sub/Up/Average/Paeth —
+    * the full RFC 2083 §6 set), and fold to row-major integer luma
+    * (r+g+b). None for palette/grey/16-bit/interlaced images or any
+    * corrupt stream — data, never exceptions. */
+  def decodePngGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 8 || (b(0) & 0xff) != 0x89 ||
+      !startsWith(b, "PNG", 1)) return None
+    try {
+      var pos = 8
+      var w, h, bitDepth = 0
+      var colorType, interlace = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && pos + 12 <= b.length) {
+        val len = i32be(b, pos)
+        if (len < 0 || pos + 12 + len > b.length) return None
+        val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        typ match {
+          case "IHDR" =>
+            if (len < 13) return None
+            w = i32be(b, pos + 8); h = i32be(b, pos + 12)
+            bitDepth = b(pos + 16) & 0xff; colorType = b(pos + 17) & 0xff
+            interlace = b(pos + 20) & 0xff
+          case "IDAT" => idat.write(b, pos + 8, len)
+          case "IEND" => done = true
+          case _ => // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+      val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => return None }
+      if (w.toLong * h * bpp > Int.MaxValue / 2) return None
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = 1 + w * bpp
+      val raw = new Array[Byte](stride * h)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      inf.end()
+      if (off < raw.length) return None
+      val px = new Array[Byte](w * bpp * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * stride) & 0xff
+        val rs = y * stride + 1
+        val os = y * w * bpp
+        var x = 0
+        while (x < w * bpp) {
+          val rv = raw(rs + x) & 0xff
+          val a = if (x >= bpp) px(os + x - bpp) & 0xff else 0
+          val up = if (y > 0) px(os - w * bpp + x) & 0xff else 0
+          val c = if (y > 0 && x >= bpp) px(os - w * bpp + x - bpp) & 0xff else 0
+          val recon = f match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + up
+            case 3 => rv + ((a + up) / 2)
+            case 4 =>
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            case _ => return None
+          }
+          px(os + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val gray = new Array[Int](w * h)
+      var i = 0
+      while (i < gray.length) {
+        val o = i * bpp
+        gray(i) = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+        i += 1
+      }
+      Some((w, h, gray))
+    } catch {
+      case _: IndexOutOfBoundsException |
+           _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  /** Integer pixel statistics over REAL decoded images — BMP pixel
+    * arrays and inflate+unfilter PNG streams, with a HASH-EXACT
+    * oracle: the fabricated pixel generator is closed-form
+    * (`v = doc_id + y·w + x`, luma = sum of v's three low bytes), so
+    * DuckDB regenerates every pixel and must agree on every integer.
+    * Scan-side encode→decode→fold, zero shuffle. */
+  def imagePixelStats(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .filter((id: Long) => id % 3 != 1) // BMP and PNG slices
+      .mapPartitions(_.flatMap { id =>
+        val decoded =
+          if (id % 3 == 0) decodeBmpGray(encodeBmp(bmpW(id), bmpH(id), id))
+          else decodePngGray(encodePng(pngW(id), pngH(id), id))
+        decoded.map { case (w, h, gray) =>
+          var s = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var i = 0
+          while (i < gray.length) {
+            val v = gray(i)
+            s += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          (id, if (id % 3 == 0) "bmp" else "png", w.toLong * h, s, mn, mx)
+        }
+      })
+      .toDF("media_id", "format", "n_px", "luma_sum", "luma_min", "luma_max")
+      .orderBy("media_id")
+  }
+
+  /** DuckDB replay of [[imagePixelStats]] from the closed-form pixel
+    * generator (`v = doc_id + i` over i < w·h; luma = v's three low
+    * bytes summed). */
+  val imagePixelStatsSql: String =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN (doc_id % 31 + 1)
+      |         ELSE (doc_id % 23 + 1) END AS w,
+      |    CASE doc_id % 3 WHEN 0 THEN (doc_id % 17 + 1)
+      |         ELSE (doc_id % 13 + 1) END AS h
+      |  FROM documents WHERE doc_id % 3 <> 1),
+      |lum AS (
+      |  SELECT doc_id, w, h,
+      |    ((doc_id + i) % 256) + (((doc_id + i) // 256) % 256)
+      |      + (((doc_id + i) // 65536) % 256) AS l
+      |  FROM img, LATERAL unnest(range(0, w * h)) AS t (i))
+      |SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
+      |  (w * h)::BIGINT AS n_px, sum(l)::BIGINT AS luma_sum,
+      |  min(l)::INT AS luma_min, max(l)::INT AS luma_max
+      |FROM lum GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
+
   /** Audio feature extraction over REAL decoded samples — the audio
     * sibling of [[mediaAhashDedup]]'s pixel path, but with a
     * HASH-EXACT oracle: the fabricated WAV's sample generator is

@@ -32,6 +32,92 @@ class MediaCodecsSpec extends AnyFunSuite {
       MediaCodecs.aHash(w, h, jdkGray.toArray))
   }
 
+  test("decodePngGray: our encoder, the JDK encoder, and all five filter types") {
+    // our encoder (filter None, color type 2)
+    val Some((w1, h1, g1)) = MediaCodecs.decodePngGray(
+      MediaCodecs.encodePng(9, 5, seed = 3))
+    assert((w1, h1) === ((9, 5)))
+    assert(g1(0) === (3 % 256) + ((3 / 256) % 256) + ((3 / 65536) % 256))
+
+    // an INDEPENDENTLY-encoded PNG (JDK ImageIO) with known pixels:
+    // decode must reproduce them whatever filters the JDK chose
+    val img = new java.awt.image.BufferedImage(17, 11,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    (0 until 11).foreach(y => (0 until 17).foreach { x =>
+      img.setRGB(x, y, ((x * 37 + y * 101) % 0x1000000))
+    })
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val Some((w2, h2, g2)) = MediaCodecs.decodePngGray(bos.toByteArray)
+    assert((w2, h2) === ((17, 11)))
+    (0 until 11).foreach(y => (0 until 17).foreach { x =>
+      val rgb = img.getRGB(x, y)
+      val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      assert(g2(y * 17 + x) === lum, s"($x,$y)")
+    })
+
+    // every filter type 0-4 decoded against a hand-FORWARD-filtered
+    // stream (independent reimplementation of the RFC formulas)
+    val w = 4; val h = 5; val bpp = 3
+    val pix = Array.tabulate(h, w * bpp)((y, i) => (y * 59 + i * 23) % 256)
+    def fwd(f: Int, y: Int): Array[Byte] = {
+      def a(i: Int) = if (i >= bpp) pix(y)(i - bpp) else 0
+      def up(i: Int) = if (y > 0) pix(y - 1)(i) else 0
+      def c(i: Int) = if (y > 0 && i >= bpp) pix(y - 1)(i - bpp) else 0
+      Array.tabulate(w * bpp) { i =>
+        val x = pix(y)(i)
+        val out = f match {
+          case 0 => x
+          case 1 => x - a(i)
+          case 2 => x - up(i)
+          case 3 => x - (a(i) + up(i)) / 2
+          case 4 =>
+            val p = a(i) + up(i) - c(i)
+            val pa = math.abs(p - a(i)); val pb = math.abs(p - up(i))
+            val pc = math.abs(p - c(i))
+            x - (if (pa <= pb && pa <= pc) a(i) else if (pb <= pc) up(i) else c(i))
+          case _ => fail(s"bad filter $f")
+        }
+        (out & 0xff).toByte
+      }
+    }
+    val filters = Seq(0, 1, 2, 3, 4)
+    val raw = filters.zipWithIndex.flatMap { case (f, y) =>
+      f.toByte +: fwd(f, y).toSeq }.toArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + body.length)
+      out.putInt(body.length).put(tag.getBytes).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out.array(), 4, 4 + body.length)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val png = Array(137.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte,
+      13.toByte, 10.toByte, 26.toByte, 10.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val Some((w3, h3, g3)) = MediaCodecs.decodePngGray(png)
+    assert((w3, h3) === ((w, h)))
+    (0 until h).foreach(y => (0 until w).foreach { x =>
+      val exp = pix(y)(x * 3) + pix(y)(x * 3 + 1) + pix(y)(x * 3 + 2)
+      assert(g3(y * w + x) === exp, s"filter row $y, x=$x")
+    })
+
+    // corrupt inputs are data
+    assert(MediaCodecs.decodePngGray(null) === None)
+    assert(MediaCodecs.decodePngGray(png.take(30)) === None)
+    assert(MediaCodecs.decodePngGray("not a png at all".getBytes) === None)
+  }
+
   test("decodeWavSamples agrees with the independent JDK AudioSystem decode") {
     val payload = MediaCodecs.encodeWav(16000, 2, 50, seed = 41)
     val Some(ours) = MediaCodecs.decodeWavSamples(payload)
