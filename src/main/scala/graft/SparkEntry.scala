@@ -165,6 +165,9 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
     "experiment_entropy" -> ((s, d) => Analytics.experimentEntropy(Tables.events(s, d))),
     "modal_event_type" -> ((s, d) => Analytics.modalEventType(Tables.events(s, d))),
+    // trailing z-score anomaly flag over the per-minute visit series
+    // (exact integer moments -> cross-engine-identical float z)
+    "visits_zscore" -> ((s, d) => Analytics.visitsZscore(Tables.events(s, d))),
     "fuzzy_name_matches" -> ((s, d) => Relational.fuzzyNameMatches(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
@@ -179,6 +182,11 @@ object SparkEntry {
     "ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
     "collocations" -> ((s, d) => TextAnalysis.collocations(par(Tables.documents(s, d)))),
+    // TextRank word centrality: PageRank power iteration over the
+    // adjacent-token graph (rows-only: iterative FP; AnalyticsSpec
+    // holds ring/star/dangling closed forms)
+    "word_pagerank" -> ((s, d) =>
+      TextAnalysis.wordPagerank(par(Tables.documents(s, d)))),
     // CCNet-shape LM quality filter: corpus-trained bigram model,
     // per-doc mean negative log-prob (low = fluent, high = garbage)
     "lm_bigram_score" -> ((s, d) => TextAnalysis.lmBigramScore(par(Tables.documents(s, d)))),
@@ -513,6 +521,7 @@ object SparkEntry {
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
+    "visits_zscore" -> Analytics.visitsZscoreSql(),
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),

@@ -819,4 +819,121 @@ object Analytics {
       |SELECT experiment_id, event_type AS modal_event_type,
       |  n AS n_events
       |FROM r WHERE rn = 1 ORDER BY experiment_id""".stripMargin
+
+  /** Trailing z-score anomaly detection over the per-minute visit
+    * series — the ops-side diagnostic a metrics pipeline layers on the
+    * reference's visit counters (flag a minute whose traffic deviates
+    * from its own recent history). The trailing moments come from
+    * EXACT integer window sums (`Σv`, `Σv²` over the `lookback`
+    * preceding minutes — never an engine's own stddev kernel, whose
+    * accumulation order is not cross-engine-reproducible), the
+    * degenerate-window guard `n·Σv² − (Σv)² > 0` is integer-exact, and
+    * the one float expression `(v − μ)/σ` runs on identical doubles in
+    * both engines, quantized to DECIMAL(18,9). NULL z for minutes with
+    * fewer than `minN` trailing observations or zero variance.
+    * One minute-keyed aggregate + one ordered window: two shuffles.
+    * The unpartitioned window runs on the AGGREGATE series (one row
+    * per minute — ~526k rows/year), never on raw events; if the series
+    * itself outgrew a task, range-partition by day and stitch the
+    * `lookback`-row boundary like [[ntileByRange]] stitches offsets. */
+  def visitsZscore(events: DataFrame, lookback: Int = 10,
+      minN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perMin = events
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy_MM_dd'T'HH_mm").as("minute_key"))
+      .agg(count(lit(1)).as("visits"))
+    val w = Window.orderBy(col("minute_key"))
+      .rowsBetween(-lookback, -1)
+    perMin
+      .withColumn("n", count(col("visits")).over(w))
+      .withColumn("s1", sum(col("visits")).over(w))
+      .withColumn("s2", sum(col("visits") * col("visits")).over(w))
+      .select(col("minute_key"), col("visits"),
+        when(col("n") >= minN &&
+            col("n") * col("s2") - col("s1") * col("s1") > 0,
+          expr("""CAST(CAST(
+            |  (CAST(visits AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            |  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+            |          / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+            | AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin))
+          .as("z"))
+      .orderBy("minute_key")
+  }
+
+  /** Weighted PageRank (Brin & Page 1998) by distributed power
+    * iteration over an edge list `(src, dst, w)` — the canonical
+    * iterative-graph shape on Spark: rank state is a node-keyed
+    * DataFrame, one iteration = one edge⋈rank join + one dst-keyed
+    * aggregate, and lineage is cut per iteration with
+    * `localCheckpoint` (an unbounded iterative plan otherwise
+    * re-derives every previous round). Dangling mass (nodes with no
+    * out-edges) is redistributed uniformly; the per-iteration dangling
+    * sum is the only driver-side value and it is ONE double — model-
+    * sized state, like [[graft.operators.Similarity.kmeansFit]]'s
+    * centroids. Returns `(node, pr)`, Σpr = 1 up to float error. */
+  def pagerank(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.toDF("src", "dst", "w")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count().toDouble
+      val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      var pr = nodes.withColumn("pr", lit(1.0 / n))
+      for (_ <- 0 until iters) {
+        val contrib = e
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(outW, "src")
+          .select(col("dst").as("node"),
+            (col("pr") * col("w") / col("ow")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("c"))
+        // dangling mass stays IN the plan as a broadcast single-row
+        // aggregate — a driver-side .head here would be a second
+        // action re-deriving pr's lineage every round
+        val dang = pr
+          .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("pr")), lit(0d)).as("dm"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            (lit((1 - damping) / n) + lit(damping) *
+              (coalesce(col("c"), lit(0d)) + col("dm") / n))
+              .as("pr"))
+          // one materialization per round (pr feeds BOTH next-round
+          // consumers); unbounded lineage would re-derive every
+          // previous round instead
+          .localCheckpoint()
+      }
+      pr
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
+  def visitsZscoreSql(lookback: Int = 10, minN: Int = 5): String =
+    s"""WITH pm AS (
+       |  SELECT strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M')
+       |      AS minute_key,
+       |    count(*) AS visits
+       |  FROM events GROUP BY 1),
+       |tw AS (
+       |  SELECT minute_key, visits,
+       |    count(visits) OVER w AS n,
+       |    sum(visits) OVER w AS s1,
+       |    sum(visits * visits) OVER w AS s2
+       |  FROM pm
+       |  WINDOW w AS (ORDER BY minute_key
+       |    ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING))
+       |SELECT minute_key, visits,
+       |  CASE WHEN n >= $minN AND n * s2 - s1 * s1 > 0 THEN
+       |    CAST(CAST(
+       |      (visits::DOUBLE - s1::DOUBLE / n::DOUBLE)
+       |      / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+       |             / (n - 1)::DOUBLE)
+       |     AS DECIMAL(18,9)) AS DOUBLE)
+       |  END AS z
+       |FROM tw ORDER BY minute_key""".stripMargin
 }

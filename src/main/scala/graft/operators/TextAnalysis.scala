@@ -799,4 +799,32 @@ object TextAnalysis {
        |JOIN uc ucb ON bg.tok_b = ucb.tok
        |CROSS JOIN n
        |ORDER BY 1, 2""".stripMargin
+
+  /** TextRank-style word centrality: [[Analytics.pagerank]] over the
+    * corpus's directed adjacent-token graph (edge a→b weighted by
+    * bigram count — the [[collocations]] table reread as a graph).
+    * The keyword-extraction workhorse (Mihalcea & Tarau, EMNLP 2004)
+    * at corpus granularity. Rows-only by the twin convention
+    * (iterative FP power method isn't SQL-expressible); ring/star/
+    * dangling closed forms and mass conservation live in
+    * `AnalyticsSpec`. Output: `(word, pr_rank, pr)` by descending
+    * centrality, pr quantized for a deterministic rank order. */
+  def wordPagerank(documents: DataFrame, iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = documents
+      .select(split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS src, t[i + 1] AS dst))")).as("g"))
+      .groupBy(col("g.src").as("src"), col("g.dst").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    Analytics.pagerank(edges)
+      .select(col("node").as("word"),
+        expr("CAST(CAST(pr AS DECIMAL(18,12)) AS DOUBLE)").as("pr"))
+      .withColumn("pr_rank", row_number().over(
+        Window.orderBy(col("pr").desc, col("word"))).cast("long"))
+      .select(col("word"), col("pr_rank"), col("pr"))
+      .orderBy("pr_rank")
+  }
 }

@@ -373,4 +373,71 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === List(
       (0, 1L, 1L, 10.0, 3.0), (7, 1L, 0L, 5.0, 0.0), (9, 0L, 1L, 0.0, 4.0)))
   }
+
+  test("pagerank: ring stays uniform, hubs rank above spokes, mass conserved with dangling") {
+    // 3-ring: the uniform vector is the exact fixed point
+    val ring = Seq(("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val prRing = Analytics.pagerank(ring, iters = 7)
+      .as[(String, Double)].collect().toMap
+    prRing.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+
+    // star into b, with b DANGLING: mass still sums to 1, b on top
+    val star = Seq(("a", "b", 1.0), ("c", "b", 1.0), ("d", "b", 2.0))
+      .toDF("src", "dst", "w")
+    val prStar = Analytics.pagerank(star, iters = 15)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(prStar.values.sum - 1.0) < 1e-9,
+      s"mass not conserved: ${prStar.values.sum}")
+    assert(prStar("b") > prStar("a") && prStar("a") === prStar("c"))
+
+    // weighted split: a sends 3/4 of its mass to b, 1/4 to c
+    val wsplit = Seq(("a", "b", 3.0), ("a", "c", 1.0),
+      ("b", "a", 1.0), ("c", "a", 1.0)).toDF("src", "dst", "w")
+    val prW = Analytics.pagerank(wsplit, iters = 30)
+      .as[(String, Double)].collect().toMap
+    assert(prW("b") > prW("c"))
+  }
+
+  test("word_pagerank over the corpus: full vocab ranked, deterministic, mass ≈ 1") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val got = graft.operators.TextAnalysis.wordPagerank(docs)
+      .as[(String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sorted.toSeq === (1L to got.length).toSeq)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-6)
+    val again = graft.operators.TextAnalysis.wordPagerank(docs.repartition(7))
+      .as[(String, Long, Double)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
+  test("visitsZscore: exact trailing moments on a hand series; degenerate windows NULL") {
+    // minutes 0-9 constant 5 (zero variance -> NULL), minute 10 spikes
+    val rows = (0 until 11).flatMap { m =>
+      val n = if (m == 10) 20 else 5
+      (0 until n).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:30"), "click"))
+    }
+    val ev = rows.toDF("user_id", "ts", "event_type")
+    val got = Analytics.visitsZscore(ev, lookback = 10, minN = 5)
+      .as[(String, Long, Option[Double])].collect()
+    val byKey = got.map(r => r._1 -> r).toMap
+    // first minutes: too little trailing history or zero variance
+    assert(byKey("2026_01_01T10_00")._3.isEmpty)
+    assert(byKey("2026_01_01T10_09")._3.isEmpty, "constant history -> no z")
+    // spike minute: all-5 history has zero variance too -> NULL
+    assert(byKey("2026_01_01T10_10")._3.isEmpty)
+
+    // variance present: alternate 4/6, spike to 20
+    val rows2 = (0 until 11).flatMap { m =>
+      val n = if (m == 10) 20 else if (m % 2 == 0) 4 else 6
+      (0 until n).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2026-01-01 11:$m%02d:30"), "click"))
+    }
+    val got2 = Analytics.visitsZscore(rows2.toDF("user_id", "ts", "event_type"),
+      lookback = 10, minN = 5).as[(String, Long, Option[Double])].collect()
+    val z = got2.find(_._1 == "2026_01_01T11_10").get._3.get
+    // history: 4,6 x5 -> mean 5, sample var 10/9; z = 15/sqrt(10/9)
+    assert(math.abs(z - 15.0 / math.sqrt(10.0 / 9)) < 1e-9, z.toString)
+  }
 }
