@@ -440,60 +440,275 @@ object MediaCodecs {
     }
   }
 
+  /** A real GIF89a with a 256-entry grayscale palette (r=g=b=i, so
+    * luma = 3·index) and pixel index `(seed + y·w + x) mod 256`. The
+    * LZW stream is the spec's "uncompressed" form: root codes only,
+    * with a CLEAR every 254 symbols so the decoder's dictionary never
+    * forces a width change past 9 bits — larger than compressed
+    * output but byte-valid for ANY decoder (ImageIO reads these files
+    * back in `MediaCodecsSpec`). */
+  def encodeGif(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val n = width * height
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0
+    var nb = 0
+    def code9(c: Int): Unit = {
+      acc |= c << nb
+      nb += 9
+      while (nb >= 8) { bits.write(acc & 0xff); acc >>= 8; nb -= 8 }
+    }
+    code9(256) // CLEAR
+    var i = 0
+    var run = 0
+    while (i < n) {
+      if (run == 254) { code9(256); run = 0 }
+      code9(((seed + i) % 256).toInt)
+      run += 1
+      i += 1
+    }
+    code9(257) // EOI
+    if (nb > 0) bits.write(acc & 0xff)
+    val data = bits.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xf7) // GCT present, 8-bit color res, 256 entries
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0) // no LCT, not interlaced
+    out.write(8) // LZW min code size
+    var off = 0
+    while (off < data.length) {
+      val len = math.min(255, data.length - off)
+      out.write(len)
+      out.write(data, off, len)
+      off += len
+    }
+    out.write(0)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** GIF LZW decompressor (the GIF89a flavor: variable-width codes
+    * starting at `minCodeSize+1`, clear/EOI codes, 4096-entry
+    * dictionary, KwKwK case). Returns exactly `nPixels` color indices,
+    * or null for any malformed stream. */
+  private def lzwDecode(d: Array[Byte], minCodeSize: Int,
+      nPixels: Int): Array[Int] = {
+    if (minCodeSize < 1 || minCodeSize > 8) return null
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Int](4096)
+    val firstCh = new Array[Int](4096)
+    var next = eoi + 1
+    var codeSize = minCodeSize + 1
+    var bitPos = 0
+    val totalBits = d.length * 8
+    val out = new Array[Int](nPixels)
+    var op = 0
+    var prev = -1
+    def firstOf(c: Int): Int = if (c < clear) c else firstCh(c)
+    def readCode(): Int =
+      if (bitPos + codeSize > totalBits) -1
+      else {
+        var v = 0
+        var i = 0
+        while (i < codeSize) {
+          if (((d((bitPos + i) >> 3) >> ((bitPos + i) & 7)) & 1) != 0)
+            v |= 1 << i
+          i += 1
+        }
+        bitPos += codeSize
+        v
+      }
+    def emit(code: Int): Boolean = {
+      var len = 1
+      var c = code
+      while (c >= clear) { len += 1; c = prefix(c) }
+      if (op + len > nPixels) return false
+      var i = op + len - 1
+      c = code
+      while (c >= clear) { out(i) = suffix(c); i -= 1; c = prefix(c) }
+      out(i) = c
+      op += len
+      true
+    }
+    while (op < nPixels) {
+      val code = readCode()
+      if (code < 0) return null
+      if (code == clear) { next = eoi + 1; codeSize = minCodeSize + 1; prev = -1 }
+      else if (code == eoi) return null // EOI before the pixel count
+      else if (prev == -1) {
+        if (code >= clear) return null
+        if (!emit(code)) return null
+        prev = code
+      } else {
+        if (code > next) return null
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = firstOf(if (code == next) prev else code)
+          firstCh(next) = firstOf(prev)
+          next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else if (code == next) return null // KwKwK needs a free slot
+        if (!emit(code)) return null
+        prev = code
+      }
+    }
+    out
+  }
+
+  /** REAL pixel decode of a GIF87a/89a first frame: color-table
+    * lookup over the LZW-decompressed index stream, with the
+    * four-pass interlace row order (rows 0/8.., 4/8.., 2/4.., 1/2..)
+    * unwoven when the descriptor flags it (the JDK encoder's default)
+    * — the third real decompressor of the family (BMP raw, PNG
+    * DEFLATE+filters, GIF LZW). Row-major integer luma; None for
+    * malformed streams. */
+  def decodeGifGray(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b == null || b.length < 14 || !startsWith(b, "GIF8", 0)) return None
+    try {
+      var pos = 13
+      var gct: Array[Int] = null
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (pos + 3 * n > b.length) return None
+        gct = Array.tabulate(n)(i => (b(pos + i * 3) & 0xff) +
+          (b(pos + i * 3 + 1) & 0xff) + (b(pos + i * 3 + 2) & 0xff))
+        pos += 3 * n
+      }
+      while (pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x21 => // extension block: label then sub-blocks
+            pos += 2
+            while (pos < b.length && (b(pos) & 0xff) != 0)
+              pos += 1 + (b(pos) & 0xff)
+            pos += 1
+          case 0x2c =>
+            if (pos + 10 > b.length) return None
+            val w = u16le(b, pos + 5)
+            val h = u16le(b, pos + 7)
+            val ip = b(pos + 9) & 0xff
+            pos += 10
+            var lum = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              if (pos + 3 * n > b.length) return None
+              lum = Array.tabulate(n)(i => (b(pos + i * 3) & 0xff) +
+                (b(pos + i * 3 + 1) & 0xff) + (b(pos + i * 3 + 2) & 0xff))
+              pos += 3 * n
+            }
+            if (lum == null || w <= 0 || h <= 0) return None // no palette
+            val minCode = b(pos) & 0xff
+            pos += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (pos < b.length && (b(pos) & 0xff) != 0) {
+              val n = b(pos) & 0xff
+              if (pos + 1 + n > b.length) return None
+              data.write(b, pos + 1, n)
+              pos += 1 + n
+            }
+            val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            if (idx == null || idx.exists(_ >= lum.length)) return None
+            val rowOrder: Seq[Int] =
+              if ((ip & 0x40) != 0)
+                (0 until h by 8) ++ (4 until h by 8) ++
+                  (2 until h by 4) ++ (1 until h by 2)
+              else 0 until h
+            val gray = new Array[Int](w * h)
+            var r = 0
+            while (r < h) {
+              val y = rowOrder(r)
+              var x = 0
+              while (x < w) {
+                gray(y * w + x) = lum(idx(r * w + x))
+                x += 1
+              }
+              r += 1
+            }
+            return Some((w, h, gray))
+          case 0x3b => return None // trailer before any image frame
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Integer pixel statistics over REAL decoded images — BMP pixel
     * arrays and inflate+unfilter PNG streams, with a HASH-EXACT
     * oracle: the fabricated pixel generator is closed-form
     * (`v = doc_id + y·w + x`, luma = sum of v's three low bytes), so
     * DuckDB regenerates every pixel and must agree on every integer.
     * Scan-side encode→decode→fold, zero shuffle. */
+  private def gifW(id: Long): Int = (id % 19).toInt + 2
+  private def gifH(id: Long): Int = (id % 11).toInt + 2
+
   def imagePixelStats(spark: SparkSession, documents: DataFrame): DataFrame = {
     import spark.implicits._
     documents.select(col("doc_id")).as[Long]
-      .filter((id: Long) => id % 3 != 1) // BMP and PNG slices
+      .filter((id: Long) => id % 3 != 1) // the two image slices
       .mapPartitions(_.flatMap { id =>
-        val decoded =
-          if (id % 3 == 0) decodeBmpGray(encodeBmp(bmpW(id), bmpH(id), id))
-          else decodePngGray(encodePng(pngW(id), pngH(id), id))
-        decoded.map { case (w, h, gray) =>
-          var s = 0L
-          var mn = Int.MaxValue
-          var mx = Int.MinValue
-          var i = 0
-          while (i < gray.length) {
-            val v = gray(i)
-            s += v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            i += 1
+        def fold(fmt: String, d: Option[(Int, Int, Array[Int])]) =
+          d.map { case (w, h, gray) =>
+            var s = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var i = 0
+            while (i < gray.length) {
+              val v = gray(i)
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            (id, fmt, w.toLong * h, s, mn, mx)
           }
-          (id, if (id % 3 == 0) "bmp" else "png", w.toLong * h, s, mn, mx)
-        }
+        if (id % 3 == 0)
+          fold("bmp", decodeBmpGray(encodeBmp(bmpW(id), bmpH(id), id)))
+        else // the PNG slice also carries a GIF twin (full LZW round trip)
+          fold("png", decodePngGray(encodePng(pngW(id), pngH(id), id))) ++
+            fold("gif", decodeGifGray(encodeGif(gifW(id), gifH(id), id)))
       })
       .toDF("media_id", "format", "n_px", "luma_sum", "luma_min", "luma_max")
-      .orderBy("media_id")
+      .orderBy("media_id", "format")
   }
 
   /** DuckDB replay of [[imagePixelStats]] from the closed-form pixel
-    * generator (`v = doc_id + i` over i < w·h; luma = v's three low
-    * bytes summed). */
+    * generators (BMP/PNG: `v = doc_id + i`, luma = v's three low
+    * bytes summed; GIF: grayscale palette, luma = 3·((doc_id + i) mod
+    * 256)). */
   val imagePixelStatsSql: String =
     """WITH img AS (
       |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
       |    CASE doc_id % 3 WHEN 0 THEN (doc_id % 31 + 1)
       |         ELSE (doc_id % 23 + 1) END AS w,
       |    CASE doc_id % 3 WHEN 0 THEN (doc_id % 17 + 1)
       |         ELSE (doc_id % 13 + 1) END AS h
-      |  FROM documents WHERE doc_id % 3 <> 1),
+      |  FROM documents WHERE doc_id % 3 <> 1
+      |  UNION ALL
+      |  SELECT doc_id, 'gif', doc_id % 19 + 2, doc_id % 11 + 2
+      |  FROM documents WHERE doc_id % 3 = 2),
       |lum AS (
-      |  SELECT doc_id, w, h,
-      |    ((doc_id + i) % 256) + (((doc_id + i) // 256) % 256)
-      |      + (((doc_id + i) // 65536) % 256) AS l
+      |  SELECT doc_id, format, w, h,
+      |    CASE WHEN format = 'gif' THEN 3 * ((doc_id + i) % 256)
+      |         ELSE ((doc_id + i) % 256) + (((doc_id + i) // 256) % 256)
+      |           + (((doc_id + i) // 65536) % 256) END AS l
       |  FROM img, LATERAL unnest(range(0, w * h)) AS t (i))
-      |SELECT doc_id AS media_id,
-      |  CASE doc_id % 3 WHEN 0 THEN 'bmp' ELSE 'png' END AS format,
+      |SELECT doc_id AS media_id, format,
       |  (w * h)::BIGINT AS n_px, sum(l)::BIGINT AS luma_sum,
       |  min(l)::INT AS luma_min, max(l)::INT AS luma_max
-      |FROM lum GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin
+      |FROM lum GROUP BY doc_id, format, w, h
+      |ORDER BY media_id, format""".stripMargin
 
   /** Audio feature extraction over REAL decoded samples — the audio
     * sibling of [[mediaAhashDedup]]'s pixel path, but with a

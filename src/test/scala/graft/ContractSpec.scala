@@ -35,7 +35,14 @@ class ContractSpec extends AnyFunSuite {
       "knn_ivfpq_recall",
       "value_band_counts", "tfidf_top_terms", "collocations",
       // same 1-row corpus-totals broadcast as collocations (vocab size)
-      "lm_bigram_score")
+      "lm_bigram_score",
+      // 1-row collection-stats broadcast (N, sumdl) into the postings
+      // scan — the same free nested loop as tfidf_top_terms
+      "bm25_search",
+      // 1-row target/raw-totals broadcast into the token stream
+      "dsir_weights",
+      // embeds lm_bigram_score (its 1-row vocab-size broadcast)
+      "quality_filter_by_source")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

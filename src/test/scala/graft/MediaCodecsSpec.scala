@@ -118,6 +118,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodePngGray("not a png at all".getBytes) === None)
   }
 
+  test("decodeGifGray: LZW decode agrees with JDK-encoded GIFs, incl. code growth") {
+    def jdkGif(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      // an indexed image with a full 256-entry grayscale-ish palette
+      val r = Array.tabulate(256)(i => i.toByte)
+      val g = Array.tabulate(256)(i => ((i * 3) % 256).toByte)
+      val bl = Array.tabulate(256)(i => ((i * 7) % 256).toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, r, g, bl)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        img.getRaster.setSample(x, y, 0, px(x, y) & 0xff)
+      })
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "gif", bos)
+      bos.toByteArray
+    }
+    // small structured image, then a larger noisy one that forces the
+    // LZW code width to grow past 9 bits (and the KwKwK case to occur)
+    for ((w, h, f) <- Seq(
+      (11, 7, (x: Int, y: Int) => (x * 5 + y * 11) % 256),
+      (64, 48, (x: Int, y: Int) => (x * x * 31 + y * 17 + (x * y) % 13) % 256),
+      (16, 16, (_: Int, _: Int) => 42))) { // constant: KwKwK chains
+      val payload = jdkGif(w, h, f)
+      val Some((gw, gh, gray)) = MediaCodecs.decodeGifGray(payload)
+      assert((gw, gh) === ((w, h)))
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      (0 until h).foreach(y => (0 until w).foreach { x =>
+        val rgb = img.getRGB(x, y)
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        assert(gray(y * w + x) === lum, s"($x,$y) of ${w}x$h")
+      })
+    }
+    // our own writer round-trips, and the INDEPENDENT JDK reader
+    // accepts its uncompressed-LZW stream byte-for-byte
+    val ours = MediaCodecs.encodeGif(13, 9, seed = 77)
+    val Some((ow, oh, og)) = MediaCodecs.decodeGifGray(ours)
+    assert((ow, oh) === ((13, 9)))
+    (0 until 13 * 9).foreach(i =>
+      assert(og(i) === 3 * ((77 + i) % 256), s"px $i"))
+    val jdkRead = ImageIO.read(new java.io.ByteArrayInputStream(ours))
+    (0 until 9).foreach(y => (0 until 13).foreach { x =>
+      val rgb = jdkRead.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff) ===
+        og(y * 13 + x), s"jdk ($x,$y)")
+    })
+    // a >254-pixel image exercises the mid-stream CLEAR path
+    val big = MediaCodecs.encodeGif(30, 20, seed = 5)
+    val Some((_, _, bg)) = MediaCodecs.decodeGifGray(big)
+    (0 until 600).foreach(i => assert(bg(i) === 3 * ((5 + i) % 256)))
+
+    // corrupt inputs are data
+    assert(MediaCodecs.decodeGifGray(null) === None)
+    assert(MediaCodecs.decodeGifGray("GIF89a".getBytes) === None)
+    assert(MediaCodecs.decodeGifGray(jdkGif(8, 8,
+      (x, y) => x + y).take(40)) === None)
+  }
+
   test("decodeWavSamples agrees with the independent JDK AudioSystem decode") {
     val payload = MediaCodecs.encodeWav(16000, 2, 50, seed = 41)
     val Some(ours) = MediaCodecs.decodeWavSamples(payload)
