@@ -219,6 +219,9 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     // BM25 probe-query retrieval over the corpus (top-k per query)
     "bm25_search" -> ((s, d) => Retrieval.bm25Search(par(Tables.documents(s, d)))),
+    // hybrid lexical->dense: BM25 recall + PRF-vector cosine re-rank
+    "hybrid_search" -> ((s, d) => Retrieval.hybridSearch(
+      par(Tables.documents(s, d)), Tables.embeddings(s, d))),
     // DSIR importance weights: hashed-unigram target/raw log-ratio
     "dsir_weights" -> ((s, d) => Corpus.dsirWeights(par(Tables.documents(s, d)))),
     // group-relative quality gate: most fluent half per source by LM NLL
@@ -537,6 +540,7 @@ object SparkEntry {
     "token_budget_mix" -> Corpus.tokenBudgetMixSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "bm25_search" -> Retrieval.bm25SearchSql(),
+    "hybrid_search" -> Retrieval.hybridSearchSql(),
     "dsir_weights" -> Corpus.dsirWeightsSql(),
     "quality_filter_by_source" -> Corpus.qualityFilterBySourceSql,
     "cap_per_source" -> Corpus.capPerSourceSql(),

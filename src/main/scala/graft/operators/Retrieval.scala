@@ -152,8 +152,61 @@ object Retrieval {
     scoreTopK(tf, dfc, stats, queryTermsDf(doclen, queries), k, k1, b)
   }
 
-  def bm25SearchSql(queries: Seq[(String, String)] = DemoQueries,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+  /** Hybrid lexical→dense retrieval: BM25 recalls `kCand` candidates
+    * per query, a pseudo-relevance-feedback query vector (Rocchio
+    * 1971 / classic PRF: the element-wise mean of the top-`nPrf`
+    * candidates' embeddings) re-ranks them by cosine, top-`k` kept —
+    * the two-stage shape of production retrieval (cheap lexical
+    * recall over the whole corpus, dense scoring only on candidates).
+    *
+    * Scale: stage 1 is [[bm25Search]] (corpus-sized work lives
+    * there); stage 2 touches `|queries| · kCand` rows — joins against
+    * the embedding table on its key and never scans vectors for
+    * non-candidates. Determinism: the PRF fold and the dot products
+    * run left-to-right over rank-sorted DOUBLE arrays (float
+    * addition order would be engine-dependent; double conversion of
+    * float32 is exact), and the final cosine is DECIMAL(20,10)-
+    * quantized — the ranking key, doc_id tiebreak.
+    * Output: `(qid, hybrid_rank, doc_id, bm25_score, cos_sim)`. */
+  def hybridSearch(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, String)] = DemoQueries, kCand: Int = 50,
+      nPrf: Int = 5, k: Int = 10): DataFrame = {
+    val cands = bm25Search(documents, queries, kCand)
+    val emb = embeddings.select(col("vec_id").as("doc_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val withEmb = cands.join(emb, Seq("doc_id"))
+    val qvec = withEmb
+      .where(col("bm25_rank") <= nPrf)
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct(col("bm25_rank").as("r"), col("e").as("e")))).as("pe"))
+      .select(col("qid"), expr(
+        """transform(
+          |  aggregate(slice(pe, 2, size(pe) - 1), pe[0].e,
+          |    (acc, x) -> zip_with(acc, x.e, (a, b) -> a + b)),
+          |  s -> s / CAST(size(pe) AS DOUBLE))""".stripMargin).as("q"))
+    val dot = (u: String, v: String) =>
+      s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    withEmb
+      .join(broadcast(qvec), Seq("qid"))
+      .select(col("qid"), col("doc_id"), col("score").as("bm25_score"),
+        expr(s"""CAST(CAST(${dot("q", "e")} /
+           |  (sqrt(${dot("q", "q")}) * sqrt(${dot("e", "e")}))
+           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("cos_sim"))
+      .withColumn("hybrid_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("doc_id").asc)).cast("long"))
+      .where(col("hybrid_rank") <= k)
+      .select(col("qid"), col("hybrid_rank"), col("doc_id"),
+        col("bm25_score"), col("cos_sim"))
+      .orderBy("qid", "hybrid_rank")
+  }
+
+  /** The BM25 pipeline as shared CTEs ending in `r (qid, doc_id,
+    * score, bm25_rank)` — the common prefix of [[bm25SearchSql]] and
+    * [[hybridSearchSql]]. */
+  private def bm25Ctes(queries: Seq[(String, String)], k1: Double,
+      b: Double): String = {
     val qvals = queries
       .flatMap { case (qid, q) => q.split(" ").distinct.map(qid -> _) }
       .map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
@@ -185,8 +238,54 @@ object Retrieval {
        |r AS (
        |  SELECT qid, doc_id, score, row_number() OVER (PARTITION BY qid
        |    ORDER BY score DESC, doc_id) AS bm25_rank
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  def bm25SearchSql(queries: Seq[(String, String)] = DemoQueries,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""${bm25Ctes(queries, k1, b)}
        |SELECT qid, CAST(bm25_rank AS BIGINT) AS bm25_rank, doc_id, score
        |FROM r WHERE bm25_rank <= $k ORDER BY qid, bm25_rank""".stripMargin
+
+  /** DuckDB replay of [[hybridSearch]]: the PRF fold and dot products
+    * via `list_reduce` in the same left-to-right rank order as the
+    * Spark `aggregate` calls (an engine's own `sum()` over vector
+    * components has no order guarantee — a fold does). */
+  def hybridSearchSql(queries: Seq[(String, String)] = DemoQueries,
+      kCand: Int = 50, nPrf: Int = 5, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    def dot(u: String, v: String) =
+      s"""list_reduce(list_transform(range(1, len($u) + 1),
+         |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+    s"""${bm25Ctes(queries, k1, b)},
+       |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |we AS (
+       |  SELECT r.qid, r.doc_id, r.score, r.bm25_rank, e.e
+       |  FROM r JOIN e USING (doc_id) WHERE r.bm25_rank <= $kCand),
+       |pe AS (
+       |  SELECT qid, list(e ORDER BY bm25_rank) AS pes
+       |  FROM we WHERE bm25_rank <= $nPrf GROUP BY qid),
+       |qv AS (
+       |  SELECT qid,
+       |    list_transform(
+       |      list_reduce(pes, (acc, x) ->
+       |        list_transform(range(1, len(acc) + 1), i -> acc[i] + x[i])),
+       |      s -> s / len(pes)::DOUBLE) AS q
+       |  FROM pe),
+       |hsc AS (
+       |  SELECT we.qid, we.doc_id, we.score AS bm25_score,
+       |    CAST(CAST(${dot("qv.q", "we.e")}
+       |        / (sqrt(${dot("qv.q", "qv.q")}) * sqrt(${dot("we.e", "we.e")}))
+       |      AS DECIMAL(20,10)) AS DOUBLE) AS cos_sim
+       |  FROM we JOIN qv USING (qid)),
+       |h AS (
+       |  SELECT qid, doc_id, bm25_score, cos_sim,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, doc_id) AS hybrid_rank
+       |  FROM hsc)
+       |SELECT qid, CAST(hybrid_rank AS BIGINT) AS hybrid_rank, doc_id,
+       |  bm25_score, cos_sim
+       |FROM h WHERE hybrid_rank <= $k ORDER BY qid, hybrid_rank""".stripMargin
   }
 }

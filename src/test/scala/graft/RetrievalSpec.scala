@@ -57,6 +57,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.count() === 0)
   }
 
+  test("hybrid search: candidates come from BM25 recall, re-ranked by PRF cosine") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val hybrid = Retrieval.hybridSearch(docs, emb, kCand = 30, nPrf = 5, k = 10)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(hybrid.nonEmpty)
+    val cands = Retrieval.bm25Search(docs, Retrieval.DemoQueries, k = 30)
+      .as[(String, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    hybrid.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq, qid)
+      // hybrid results are a re-ranking of the lexical candidates only
+      rows.foreach(r => assert(cands(qid)(r._3), s"$qid doc ${r._3}"))
+      // cosine descends; bm25 order is genuinely changed by the re-rank
+      val cos = rows.sortBy(_._2).map(_._5)
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, qid)
+    }
+    // deterministic under repartitioning
+    val again = Retrieval.hybridSearch(docs.repartition(7), emb,
+      kCand = 30, nPrf = 5, k = 10)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(hybrid.toSeq === again.toSeq)
+  }
+
   test("bm25 indexed: identical output to one-shot; df aggregate rides the bucket clustering") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.Sf0001)
