@@ -698,6 +698,64 @@ object StreamingMetrics {
   /** The stateful exact-uniques branch wired to a memory sink through
     * update mode; returns the started query. Results are read with
     * `spark.table(queryName)`. */
+  /** Streaming trailing z-score anomaly detection — the stateful face
+    * of [[graft.operators.Analytics.visitsZscore]]: watermarked
+    * tumbling-minute counts close in append mode, and a
+    * `flatMapGroupsWithState` pass over the (bounded, single-key)
+    * closed-minute series holds the last `lookback` observations —
+    * EXACT integer `(Σv, Σv²)` state, the same moments the batch
+    * operator folds, so an in-order replay emits IDENTICAL z doubles
+    * (asserted in `StreamingSpec`). State is `lookback` longs — a few
+    * hundred bytes regardless of stream volume; the single grouping
+    * key is fine because its input is the minute-level AGGREGATE, not
+    * raw events. Emits `(minute_key, visits, z)` per closed minute
+    * into the `queryName` memory table. */
+  def startVisitsAnomaly(events: Dataset[LogEvent], queryName: String,
+      watermark: String = "2 minutes", lookback: Int = 10,
+      minN: Int = 5): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val closed = events.toDF()
+      .withWatermark(LogEvent.Ts, watermark)
+      .groupBy(window(col(LogEvent.Ts), "1 minute"))
+      .agg(count(lit(1)).as("visits"))
+      .select(date_format(col("window.start"), "yyyy_MM_dd'T'HH_mm")
+        .as("minute_key"), col("visits"))
+      .as[(String, Long)]
+    closed
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[Seq[Long], (String, Long, Option[Double])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(String, Long)],
+            state: GroupState[Seq[Long]]) =>
+          var hist = state.getOption.getOrElse(Seq.empty)
+          // closed minutes arrive batch-wise; process in minute order
+          val out = rows.toSeq.sortBy(_._1).map { case (mk, v) =>
+            val n = hist.length
+            val z =
+              if (n >= minN) {
+                val s1 = hist.sum
+                val s2 = hist.map(x => x * x).sum
+                if (n * s2 - s1 * s1 > 0) {
+                  val mean = s1.toDouble / n
+                  val varS = (s2.toDouble - s1.toDouble * s1 / n) / (n - 1)
+                  val zi = (v.toDouble - mean) / math.sqrt(varS)
+                  Some(BigDecimal(zi).setScale(9,
+                    scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+                } else None
+              } else None
+            hist = (hist :+ v).takeRight(lookback)
+            (mk, v, z)
+          }
+          state.update(hist)
+          out.iterator
+      }
+      .toDF("minute_key", "visits", "z")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._

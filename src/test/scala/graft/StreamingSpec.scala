@@ -446,6 +446,41 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("streaming anomaly z ≡ batch visitsZscore on the closed-minute prefix") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // minutes 10:00-10:16 with deterministic varying counts
+    def count(m: Int) = 3 + (m * 7) % 5
+    val all = (0 until 17).flatMap { m =>
+      (0 until count(m)).map(i =>
+        ev(s"u$i", "e1", "1", f"2026-08-12 10:$m%02d:10"))
+    }
+    val input = MemoryStream[LogEvent]
+    val q = StreamingMetrics.startVisitsAnomaly(input.toDS(), "anomaly_t",
+      watermark = "2 minutes", lookback = 10, minN = 5)
+    try {
+      // three ordered chunks; watermark trails 2 min behind max ts
+      all.grouped(30).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("anomaly_t")
+        .as[(String, Long, Option[Double])].collect()
+        .sortBy(_._1)
+      assert(streamed.nonEmpty)
+      // every emitted minute matches the batch operator exactly
+      val batch = graft.operators.Analytics.visitsZscore(
+        all.toDF().withColumnRenamed("timestamp", "ts"),
+        lookback = 10, minN = 5)
+        .as[(String, Long, Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      streamed.foreach { case (mk, v, z) =>
+        val (_, bv, bz) = batch(mk)
+        assert(v === bv, mk)
+        assert(z === bz, s"$mk: stream $z vs batch $bz")
+      }
+      // enough history accumulated that some z values are real numbers
+      assert(streamed.count(_._3.isDefined) >= 5)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
