@@ -199,6 +199,10 @@ object SparkEntry {
     // words) checked here via bpe_encode
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(par(Tables.documents(s, d)))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(par(Tables.documents(s, d)))),
+    // unigram-LM tokenizer (Kudo/SentencePiece family, hard-EM): vocab
+    // shrinks top-down by likelihood; rows-only like bpe_merges
+    "unigram_vocab" -> ((s, d) => Unigram.unigramVocab(par(Tables.documents(s, d)))),
+    "unigram_encode" -> ((s, d) => Unigram.unigramEncode(par(Tables.documents(s, d)))),
     // distilled linear quality classifier (hashed features, logistic
     // GD) — rows-only (iterative FP training isn't SQL-expressible);
     // learnability floors + analytic gradient check in ClassifierSpec
