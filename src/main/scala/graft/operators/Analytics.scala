@@ -871,9 +871,13 @@ object Analytics {
     * out-edges) is redistributed uniformly; the per-iteration dangling
     * sum is the only driver-side value and it is ONE double — model-
     * sized state, like [[graft.operators.Similarity.kmeansFit]]'s
-    * centroids. Returns `(node, pr)`, Σpr = 1 up to float error. */
+    * centroids. With `tol > 0` the loop stops once the L1 delta
+    * between rounds falls below it (the delta scan runs over two
+    * already-materialized node frames — one cheap job that typically
+    * saves several full iterations). Returns `(node, pr)`, Σpr = 1 up
+    * to float error. */
   def pagerank(edges: DataFrame, iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
     val e = edges.toDF("src", "dst", "w")
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
@@ -885,7 +889,9 @@ object Analytics {
       val n = nodes.count().toDouble
       val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       var pr = nodes.withColumn("pr", lit(1.0 / n))
-      for (_ <- 0 until iters) {
+      var converged = false
+      for (_ <- 0 until iters if !converged) {
+        val prev = pr
         val contrib = e
           .join(pr.withColumnRenamed("node", "src"), "src")
           .join(outW, "src")
@@ -908,6 +914,12 @@ object Analytics {
           // consumers); unbounded lineage would re-derive every
           // previous round instead
           .localCheckpoint()
+        if (tol > 0) {
+          val delta = prev.withColumnRenamed("pr", "p0")
+            .join(pr, Seq("node"))
+            .agg(sum(abs(col("pr") - col("p0")))).head.getDouble(0)
+          converged = delta < tol
+        }
       }
       pr
     } finally { e.unpersist(); nodes.unpersist() }

@@ -809,7 +809,8 @@ object TextAnalysis {
     * dangling closed forms and mass conservation live in
     * `AnalyticsSpec`. Output: `(word, pr_rank, pr)` by descending
     * centrality, pr quantized for a deterministic rank order. */
-  def wordPagerank(documents: DataFrame, iters: Int = 10): DataFrame = {
+  def wordPagerank(documents: DataFrame, iters: Int = 10,
+      tol: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = documents
       .select(split(col("text"), " ").as("t"))
@@ -819,7 +820,7 @@ object TextAnalysis {
           "i -> struct(t[i] AS src, t[i + 1] AS dst))")).as("g"))
       .groupBy(col("g.src").as("src"), col("g.dst").as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
-    Analytics.pagerank(edges)
+    Analytics.pagerank(edges, iters, tol = tol)
       .select(col("node").as("word"),
         expr("CAST(CAST(pr AS DECIMAL(18,12)) AS DOUBLE)").as("pr"))
       .withColumn("pr_rank", row_number().over(

@@ -397,6 +397,12 @@ class AnalyticsSpec extends AnyFunSuite {
     val prW = Analytics.pagerank(wsplit, iters = 30)
       .as[(String, Double)].collect().toMap
     assert(prW("b") > prW("c"))
+
+    // tol early-stop: the ring is AT the fixed point, so round 2's
+    // delta is ~0 and the loop stops — same answer, fewer rounds
+    val prTol = Analytics.pagerank(ring, iters = 50, tol = 1e-12)
+      .as[(String, Double)].collect().toMap
+    prTol.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
   }
 
   test("word_pagerank over the corpus: full vocab ranked, deterministic, mass ≈ 1") {
