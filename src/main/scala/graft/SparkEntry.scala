@@ -215,6 +215,8 @@ object SparkEntry {
       TextAnalysis.charNgramExplode(s, par(Tables.documents(s, d)))),
     // ---- corpus preparation (training-data pipeline ops) ----
     "hash_split" -> ((s, d) => Corpus.hashSplit(Tables.documents(s, d))),
+    // exact per-stratum proportions (eval-stratum splitting)
+    "stratified_split" -> ((s, d) => Corpus.stratifiedSplit(Tables.documents(s, d))),
     // budget-driven mixture assembly: per-source token budgets spent in
     // content-stable hash order (the way training mixes are specified)
     "token_budget_mix" -> ((s, d) => Corpus.tokenBudgetMix(Tables.documents(s, d))),
@@ -271,6 +273,8 @@ object SparkEntry {
     }),
     // ---- similarity search ----
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
+    // contrastive hard-negative mining (nearest different-label vectors)
+    "hard_negatives" -> ((s, d) => Similarity.hardNegatives(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
     // SemDeDup: connected components over embedding-cosine near-dup
     // pairs, keep-smallest-id (exact pair stage -> exact oracle)
@@ -541,6 +545,7 @@ object SparkEntry {
     "unigram_familiarity" -> TextAnalysis.unigramFamiliaritySql(),
     "ngram_repetition" -> TextAnalysis.ngramRepetitionSql(),
     "hash_split" -> Corpus.hashSplitSql(),
+    "stratified_split" -> Corpus.stratifiedSplitSql(),
     "token_budget_mix" -> Corpus.tokenBudgetMixSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "bm25_search" -> Retrieval.bm25SearchSql(),
@@ -577,6 +582,7 @@ object SparkEntry {
     "image_pixel_stats" -> MediaCodecs.imagePixelStatsSql,
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    "hard_negatives" -> Similarity.hardNegativesSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql()
   )

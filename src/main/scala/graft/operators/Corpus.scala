@@ -38,6 +38,45 @@ object Corpus {
        |    < $valPct THEN 'val' ELSE 'train' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Stratified split with EXACT per-stratum proportions: within each
+    * `source`, docs are ranked by content-stable hash and the first
+    * floor(n·valPct/100) become 'val'. [[hashSplit]] only hits valPct in
+    * expectation — fine for train shards, wrong for a 500-doc eval
+    * stratum where ±3% is material. Hash-ordered ranking keeps the
+    * selection insertion-order independent and reproducible across
+    * engines.
+    *
+    * Scale: one shuffle clustering each stratum, then a per-stratum
+    * sort-rank. Source cardinality is small, so a hot stratum owns one
+    * task; if a stratum outgrows an executor, rank in two levels like
+    * [[sequencePacking]]'s distributed prefix sum (per-salt rank +
+    * broadcast per-salt offsets). Exact proportions are usually wanted
+    * on eval-sized strata; petabyte train strata take [[hashSplit]]. */
+  def stratifiedSplit(documents: DataFrame, valPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+    documents.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("source"),
+        when(col("rk") <= floor(col("n") * valPct / 100), lit("val"))
+          .otherwise(lit("train")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSplitSql(valPct: Int = 10): String =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN rk <= floor(n * $valPct / 100) THEN 'val' ELSE 'train'
+       |    END AS split
+       |FROM (
+       |  SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Weighted dataset mixing: keep each doc with its source's sampling
     * rate (percent), decided by the same content-stable hash bucket as
     * [[hashSplit]] — so a 25% source keeps exactly the docs whose

@@ -62,6 +62,46 @@ object Similarity {
        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Contrastive hard-negative mining: for each query vector, the k
+    * most-similar vectors carrying a DIFFERENT label — the pairs a
+    * contrastive/metric-learning run wants as negatives precisely
+    * because the encoder currently confuses them. Same
+    * broadcast-queries-vs-collection shape as [[knnBruteForce]] (the
+    * query sample is tiny, the collection streams once); the label
+    * inequality rides the join condition so mismatched pairs are
+    * dropped before scoring. Output (query_id, neighbor_id, rank) —
+    * rank-only, no floats in the compared result. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      col("label"), expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
+    val queries = base.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"), col("norm").as("q_norm"))
+    val scored = base
+      .join(broadcast(queries), col("vec_id") =!= col("query_id") &&
+        col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("vec_dot(q_emb, embedding)") / (col("q_norm") * col("norm")))
+          .as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  def hardNegativesSql(k: Int = 10, queryMod: Int = 100): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+       |    label AS q_label
+       |  FROM embeddings WHERE vec_id % $queryMod = 0)
+       |SELECT query_id, neighbor_id, rank FROM (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(q.q_emb,
+       |        CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+       |  FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** Embedding-cosine near-dup pairs above `threshold` — id-only output
     * (no float in the hash-compared result). EXACT, so the pairwise
     * compute is intrinsically O(n²) — what's engineered here is the

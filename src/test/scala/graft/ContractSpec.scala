@@ -30,6 +30,9 @@ class ContractSpec extends AnyFunSuite {
     // knn_int8 / knn_int8_recall: same broadcast-queries-vs-collection
     // shape as knn_bruteforce (the int8 twin scores the same pair set)
     val cartesianOk = Set("variant_overlap_approx",
+      // same broadcast-queries-vs-collection shape as knn_bruteforce,
+      // with the label-mismatch predicate riding the join
+      "hard_negatives",
       "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
       "knn_int8", "knn_int8_recall", "knn_pq", "knn_pq_recall",
       "knn_ivfpq_recall",

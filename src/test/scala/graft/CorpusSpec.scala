@@ -20,6 +20,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(valFrac > 0.02 && valFrac < 0.25, s"val fraction $valFrac")
   }
 
+  test("stratified split: exact floor(n*pct/100) per stratum, hash-deterministic") {
+    val out = Corpus.stratifiedSplit(docs, valPct = 10).collect()
+    assert(out.length === docs.count())
+    val bySource = out.groupBy(_.getString(1))
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, rows) <- bySource) {
+      val nVal = rows.count(_.getString(2) == "val")
+      assert(nVal === counts(src) * 10 / 100,
+        s"stratum $src: $nVal val of ${counts(src)}")
+    }
+    // selection is a hash property of the doc, not of input order
+    val again = Corpus.stratifiedSplit(docs.orderBy(desc("doc_id")), 10)
+      .collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("chunk layout covers every token exactly once") {
     val perDoc = Corpus.docChunks(docs, chunkLen = 64)
       .groupBy("doc_id").agg(

@@ -23,6 +23,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: every neighbor has a different label; subset of knn order") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val negs = Similarity.hardNegatives(emb, k = 5, queryMod = 50).collect()
+    assert(negs.nonEmpty)
+    negs.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      assert(labels(q) !== labels(n), s"query $q neighbor $n share a label")
+    }
+    // per query: ranks are 1..k with unique neighbors
+    negs.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+      assert(rows.map(_.getLong(1)).distinct.length === rows.length)
+    }
+  }
+
   test("knn rank order agrees with directly computed cosine") {
     val knn = Similarity.knnBruteForce(emb, k = 5, queryMod = 250)
       .as[(Long, Long, Int)].collect()
