@@ -275,6 +275,8 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Similarity.knnBruteForce(par(Tables.embeddings(s, d)))),
     // contrastive hard-negative mining (nearest different-label vectors)
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(par(Tables.embeddings(s, d)))),
+    // centroid-distance z-score screen for mislabeled/corrupt vectors
+    "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
     // SemDeDup: connected components over embedding-cosine near-dup
     // pairs, keep-smallest-id (exact pair stage -> exact oracle)
@@ -583,6 +585,7 @@ object SparkEntry {
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "hard_negatives" -> Similarity.hardNegativesSql(),
+    "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql()
   )

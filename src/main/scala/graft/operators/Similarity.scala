@@ -102,6 +102,86 @@ object Similarity {
        |  WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** Per-label centroid-distance outliers: distance of each vector to
+    * its label's mean vector, z-scored against the label's distance
+    * distribution — the screen a labeled-embedding corpus runs to
+    * surface mislabeled or corrupt rows before training. Flags
+    * `z >= zThresh`.
+    *
+    * Every cross-row float sum (centroid components, distance moments)
+    * is quantized to DECIMAL before aggregation so the result is
+    * addition-order independent — bit-identical across engines, run
+    * order, and partitioning. Per-(label,dim) centroid sums partial-
+    * aggregate map-side into k·dim cells, so the explode's dim× row
+    * blowup never crosses the shuffle at full width; centroids and
+    * per-label stats are broadcast back. At 100 TB: two streaming
+    * passes over the corpus, shuffle bounded by k·dim + k cells. */
+  def embeddingOutliers(embeddings: DataFrame, zThresh: Double = 2.0): DataFrame = {
+    val dims = embeddings.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        col("xf").cast("double").as("x"))
+    val cent = dims.groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)").as("sx"),
+        count(lit(1)).as("cn"))
+      .select(col("label"), col("dim"), (col("sx") / col("cn")).as("mu"))
+    val dist = dims.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(expr("CAST(sum(CAST((x - mu) * (x - mu) AS DECIMAL(27,12))) AS DOUBLE)")
+        .as("d2"))
+      .select(col("vec_id"), col("label"),
+        expr("CAST(CAST(sqrt(d2) AS DECIMAL(20,10)) AS DOUBLE)").as("dist"))
+    val stats = dist.groupBy(col("label"))
+      .agg(expr("CAST(sum(CAST(dist AS DECIMAL(25,10))) AS DOUBLE)").as("sd"),
+        expr("CAST(sum(CAST(dist * dist AS DECIMAL(27,10))) AS DOUBLE)").as("sdd"),
+        count(lit(1)).cast("double").as("cn"))
+      .select(col("label"), (col("sd") / col("cn")).as("mean_d"),
+        sqrt(col("sdd") / col("cn") -
+          (col("sd") / col("cn")) * (col("sd") / col("cn"))).as("std_d"))
+    dist.join(broadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist"),
+        expr("CAST(CAST((dist - mean_d) / std_d AS DECIMAL(20,10)) AS DOUBLE)")
+          .as("z"))
+      .withColumn("is_outlier",
+        when(col("z") >= lit(zThresh), lit(1)).otherwise(lit(0)))
+      .orderBy("vec_id")
+  }
+
+  def embeddingOutliersSql(zThresh: Double = 2.0): String =
+    s"""WITH dims AS (
+       |  SELECT vec_id, label, i - 1 AS dim, CAST(e[i] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+       |        FROM embeddings),
+       |    LATERAL unnest(range(1, len(e) + 1)) AS t (i)),
+       |cent AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) / count(*) AS mu
+       |  FROM dims GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT vec_id, label,
+       |    CAST(CAST(sqrt(d2) AS DECIMAL(20,10)) AS DOUBLE) AS dist
+       |  FROM (
+       |    SELECT d.vec_id, d.label,
+       |      CAST(sum(CAST((d.x - c.mu) * (d.x - c.mu) AS DECIMAL(27,12)))
+       |        AS DOUBLE) AS d2
+       |    FROM dims d JOIN cent c USING (label, dim) GROUP BY 1, 2)),
+       |stats AS (
+       |  SELECT label, sd / cn AS mean_d,
+       |    sqrt(sdd / cn - (sd / cn) * (sd / cn)) AS std_d
+       |  FROM (
+       |    SELECT label,
+       |      CAST(sum(CAST(dist AS DECIMAL(25,10))) AS DOUBLE) AS sd,
+       |      CAST(sum(CAST(dist * dist AS DECIMAL(27,10))) AS DOUBLE) AS sdd,
+       |      count(*)::DOUBLE AS cn
+       |    FROM dist GROUP BY 1))
+       |SELECT d.vec_id, d.label, d.dist,
+       |  CAST(CAST((d.dist - s.mean_d) / s.std_d AS DECIMAL(20,10)) AS DOUBLE)
+       |    AS z,
+       |  CASE WHEN CAST(CAST((d.dist - s.mean_d) / s.std_d AS DECIMAL(20,10))
+       |    AS DOUBLE) >= $zThresh THEN 1 ELSE 0 END AS is_outlier
+       |FROM dist d JOIN stats s USING (label)
+       |ORDER BY d.vec_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs above `threshold` — id-only output
     * (no float in the hash-compared result). EXACT, so the pairwise
     * compute is intrinsically O(n²) — what's engineered here is the

@@ -40,6 +40,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedding outliers: planted far vector flags, tight cluster does not") {
+    import spark.implicits._
+    // label 0: 9 vectors near (1,0,...) plus one planted at (-8,...)
+    val rows = (0 until 9).map { i =>
+      (i.toLong, Array(1f, 0.01f * i, 0f, 0f), 0)
+    } :+ (9L, Array(-8f, 5f, 0f, 0f), 0)
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(emb, zThresh = 2.0).collect()
+    assert(out.length === 10)
+    val flagged = out.filter(_.getInt(4) == 1).map(_.getLong(0)).toSet
+    assert(flagged === Set(9L), s"flagged $flagged")
+    // z of the planted point dominates every cluster member's
+    val zs = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(zs(9L) > 2.0 && zs.filterKeys(_ != 9L).values.forall(_ < 1.0))
+  }
+
   test("knn rank order agrees with directly computed cosine") {
     val knn = Similarity.knnBruteForce(emb, k = 5, queryMod = 250)
       .as[(Long, Long, Int)].collect()
