@@ -277,6 +277,10 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(par(Tables.embeddings(s, d)))),
     // centroid-distance z-score screen for mislabeled/corrupt vectors
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(par(Tables.embeddings(s, d)))),
+    // distributed PCA: one Gram pass + driver eigen; per-row projection
+    "embedding_pca" -> ((s, d) => Similarity.embeddingPca(par(Tables.embeddings(s, d)))),
+    "knn_pca" -> ((s, d) => Similarity.knnPca(par(Tables.embeddings(s, d)))),
+    "knn_pca_recall" -> ((s, d) => Similarity.knnPcaRecall(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
     // SemDeDup: connected components over embedding-cosine near-dup
     // pairs, keep-smallest-id (exact pair stage -> exact oracle)

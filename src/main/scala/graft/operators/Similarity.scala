@@ -1078,4 +1078,175 @@ object Similarity {
             expr("sqrt(vec_dot(embedding, embedding))"))).as("cos_sim"))
     rankTopK(scored, k)
   }
+
+  // ------------------------------------------------------------- PCA
+
+  /** Principal components of the embedding corpus.
+    *
+    * @param components row `c` is the c-th component (unit, d floats)
+    * @param eigenvalues variance along each component, descending
+    * @param mean        corpus mean vector
+    * @param totalVar    trace of the covariance (sum of ALL d
+    *                    eigenvalues, not just the kept k)
+    */
+  final case class PcaModel(components: Array[Array[Double]],
+      eigenvalues: Array[Double], mean: Array[Double], totalVar: Double) {
+    def varianceExplained: Double = eigenvalues.sum / totalVar
+  }
+
+  /** Fit PCA with ONE distributed pass + k×k driver math: the
+    * [[graft.functions.GramAgg]] upper-triangle second moment and the
+    * [[graft.functions.VecSumAgg]] mean stream the corpus once into a
+    * d(d+1)/2-double buffer; the covariance `C = S/n − m·mᵀ` and its
+    * Jacobi eigendecomposition are driver-side d×d arithmetic
+    * (microseconds at d=64) — the same shape as the k-means centroid
+    * collect. No row ever leaves the executors.
+    *
+    * Eigenvectors are sign-canonicalized (largest-|coordinate| entry
+    * positive) so the model is unique and re-runs are identical. */
+  def pcaFit(embeddings: DataFrame, k: Int = 16): PcaModel = {
+    val spark = embeddings.sparkSession
+    graft.functions.GramAgg.register(spark)
+    graft.functions.VecSumAgg.register(spark)
+    val row = embeddings.agg(
+      expr("vec_gram(embedding)").as("g"),
+      expr("vec_sum(embedding)").as("s")).head()
+    val gram = row.getStruct(0).getSeq[Double](0).toArray
+    val n = row.getStruct(0).getLong(1)
+    val sum = row.getStruct(1).getSeq[Double](0).toArray
+    val d = sum.length
+    require(n > 1 && d > 0 && k >= 1 && k <= d,
+      s"pcaFit: n=$n d=$d k=$k")
+    val mean = sum.map(_ / n)
+    val cov = Array.ofDim[Double](d, d)
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = gram(idx) / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+      idx += 1
+    }
+    val (vals, vecs) = jacobiEigen(cov)
+    val order = vals.indices.sortBy(i => -vals(i)).take(k)
+    val comps = order.map { c =>
+      val v = Array.tabulate(d)(r => vecs(r)(c))
+      val pivot = v.indices.maxBy(i => math.abs(v(i)))
+      if (v(pivot) < 0) v.map(x => -x) else v
+    }.toArray
+    PcaModel(comps, order.map(vals).toArray, mean,
+      (0 until d).map(i => cov(i)(i)).sum)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS), unordered. O(d³) per sweep,
+    * converges quadratically; at the d≤256 this engine fits on the
+    * driver it is exact to machine precision in <15 sweeps. */
+  private[graft] def jacobiEigen(
+      m: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-22) {
+      off = 0.0
+      for (p <- 0 until d; q <- p + 1 until d) off += a(p)(q) * a(p)(q)
+      if (off > 1e-22) {
+        for (p <- 0 until d; q <- p + 1 until d) if (a(p)(q) != 0.0) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val t = math.signum(theta) /
+            (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+              case 0.0 => 1.0 // theta == 0 -> 45-degree rotation
+              case x => x
+            }
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (i <- 0 until d) {
+            val aip = a(i)(p); val aiq = a(i)(q)
+            a(i)(p) = c * aip - s * aiq
+            a(i)(q) = s * aip + c * aiq
+          }
+          for (j <- 0 until d) {
+            val apj = a(p)(j); val aqj = a(q)(j)
+            a(p)(j) = c * apj - s * aqj
+            a(q)(j) = s * apj + c * aqj
+          }
+          for (i <- 0 until d) {
+            val vip = v(i)(p); val viq = v(i)(q)
+            v(i)(p) = c * vip - s * viq
+            v(i)(q) = s * vip + c * viq
+          }
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project embeddings onto a fitted model: `proj_c = x·v_c − m·v_c`.
+    * The mean-dot is a driver constant, so centering never touches the
+    * rows; each component is one codegen'd sequential double fold over
+    * the vector (same `zip_with`+`aggregate` kernel the hybrid-search
+    * scorer uses) — a pure scan-side map, no shuffle, broadcast-free
+    * (components ride the plan as literals). */
+  def pcaProject(embeddings: DataFrame, model: PcaModel): DataFrame = {
+    val projCols = model.components.zipWithIndex.map { case (v, c) =>
+      val meanDot = model.mean.zip(v).map { case (m, x) => m * x }.sum
+      val lits = v.mkString(", ")
+      expr(
+        s"""aggregate(zip_with(embedding, array($lits),
+           |  (x, v) -> CAST(x AS DOUBLE) * v),
+           |  CAST(0.0 AS DOUBLE), (acc, e) -> acc + e) - ($meanDot)"""
+          .stripMargin).as(s"pc$c")
+    }
+    embeddings.select(col("vec_id") +: projCols: _*)
+  }
+
+  /** The `embedding_pca` query face: top-`k` components fitted on the
+    * corpus, per-row projections quantized for stable output. Rows-only
+    * (no SQL engine fits eigenvectors); `PcaSpec` holds the math to
+    * account. */
+  def embeddingPca(embeddings: DataFrame, k: Int = 4): DataFrame = {
+    val model = pcaFit(embeddings, k)
+    val proj = pcaProject(embeddings, model)
+    proj.select(col("vec_id") +:
+      (0 until k).map(c => expr(
+        s"CAST(CAST(pc$c AS DECIMAL(20,8)) AS DOUBLE)").as(s"pc$c")): _*)
+      .orderBy("vec_id")
+  }
+
+  /** ANN by PCA pruning: candidates score in the `pcaK`-dim projected
+    * space (4× less arithmetic and I/O per pair at 16/64), then the
+    * `k·rerank` shortlist re-scores on full vectors — the
+    * dimensionality-reduction counterpart of [[knnPq]]'s ADC+re-rank.
+    * Cosine in the projected space is computed on CENTERED projections,
+    * which is what makes nearby full-dim vectors stay nearby after
+    * projection. `rerank <= 1` disables the exact pass (raw subspace
+    * quality, what [[PcaSpec]] tracks as data). */
+  def knnPca(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
+      pcaK: Int = 16, rerank: Int = 8): DataFrame = {
+    val model = pcaFit(embeddings, pcaK)
+    val proj = pcaProject(embeddings, model)
+      .select(col("vec_id"), array((0 until pcaK).map(c =>
+        col(s"pc$c").cast("float")): _*).as("embedding"))
+    VectorFunctions.register(embeddings.sparkSession)
+    val base = proj.select(col("vec_id"), col("embedding"),
+      expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
+    val queries = base.where(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val scored = base
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("vec_dot(q_emb, embedding)") / (col("q_norm") * col("norm")))
+          .as("cos_sim"))
+    rerankExact(embeddings, scored, k, queryMod, rerank)
+  }
+
+  /** recall@10 of 64→16-dim PCA-pruned search (exact re-rank of the
+    * 8k-candidate shortlist) vs the full-dim exact baseline
+    * (rows-only). */
+  def knnPcaRecall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100, pcaK: Int = 16, rerank: Int = 8): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnPca(embeddings, k, queryMod, pcaK, rerank), "pca16")
 }

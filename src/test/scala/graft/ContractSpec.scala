@@ -36,6 +36,9 @@ class ContractSpec extends AnyFunSuite {
       "knn_bruteforce", "knn_lsh_recall", "knn_ivf_recall",
       "knn_int8", "knn_int8_recall", "knn_pq", "knn_pq_recall",
       "knn_ivfpq_recall",
+      // brute-force scoring in the projected space (same declared
+      // broadcast-queries shape; PCA only shrinks the vectors)
+      "knn_pca", "knn_pca_recall",
       "value_band_counts", "tfidf_top_terms", "collocations",
       // same 1-row corpus-totals broadcast as collocations (vocab size)
       "lm_bigram_score",
