@@ -241,6 +241,10 @@ object SparkEntry {
     "sequence_packing" -> ((s, d) => Corpus.packSequences(Tables.documents(s, d), budget = 512)),
     "pii_redaction" -> ((s, d) => Corpus.redactionReport(par(Tables.documents(s, d)))),
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
+    // per-source data card published alongside each training mix
+    "corpus_profile" -> ((s, d) => Corpus.corpusProfile(Tables.documents(s, d))),
+    // rank-frequency OLS: the distributional health check of a corpus
+    "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(par(Tables.documents(s, d)))),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
@@ -255,6 +259,8 @@ object SparkEntry {
     // substring-level dup signal: share of each doc's word 4-grams
     // that occur in at least one other document (Lee et al. shape)
     "cross_doc_ngram_dup" -> ((s, d) => Dedup.crossDocNgramDup(par(Tables.documents(s, d)))),
+    // near-dup clusters keep their best member, not their smallest id
+    "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
     // exact substring-span removal (Lee et al. ExactSubstr): duplicated
     // k-token spans cut from every doc, cleaned text reconstructed
@@ -563,12 +569,15 @@ object SparkEntry {
     "doc_chunks" -> Corpus.docChunksSql(chunkLen = 64),
     "chunk_dedup" -> Corpus.chunkDedupSql(),
     "corpus_pipeline" -> Corpus.corpusPipelineSql(),
+    "corpus_profile" -> Corpus.corpusProfileSql(),
+    "zipf_fit" -> TextAnalysis.zipfFitSql(),
     "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_bloom_gate" -> Dedup.bloomGateSql,
     "cross_doc_ngram_dup" -> Dedup.crossDocNgramDupSql(),
+    "dedup_keep_best" -> Dedup.dedupKeepBestSql(),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_span_removal" -> Dedup.spanRemovalSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),

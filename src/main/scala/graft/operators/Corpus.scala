@@ -38,6 +38,42 @@ object Corpus {
        |    < $valPct THEN 'val' ELSE 'train' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-source corpus data card: the one-scan summary a pipeline
+    * publishes next to each training mix — doc/token/char volumes,
+    * language spread, and doc-length extremes per source. Everything
+    * is integer except the mean (quantized through DECIMAL so the
+    * float column hash-matches across engines). One shuffle of
+    * |sources| aggregation cells; token counting rides the scan. */
+  def corpusProfile(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        expr("""CAST(CAST(CAST(sum(n_tokens) AS DOUBLE) / count(1)
+          | AS DECIMAL(20,8)) AS DOUBLE)""".stripMargin).as("mean_tokens"))
+      .orderBy("source")
+
+  def corpusProfileSql(): String =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_tokens)::BIGINT AS total_tokens,
+      |  sum(n_chars)::BIGINT AS total_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs,
+      |  min(n_tokens)::BIGINT AS min_tokens,
+      |  max(n_tokens)::BIGINT AS max_tokens,
+      |  CAST(CAST(CAST(sum(n_tokens) AS DOUBLE) / count(*)
+      |    AS DECIMAL(20,8)) AS DOUBLE) AS mean_tokens
+      |FROM (
+      |  SELECT source, lang, n_chars,
+      |    len(string_split(text, ' '))::BIGINT AS n_tokens
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Stratified split with EXACT per-stratum proportions: within each
     * `source`, docs are ranked by content-stable hash and the first
     * floor(n·valPct/100) become 'val'. [[hashSplit]] only hits valPct in

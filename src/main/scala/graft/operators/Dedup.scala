@@ -783,6 +783,62 @@ object Dedup {
        |FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Quality-aware canonical selection: [[dedupClusters]] groups
+    * near-dups, then each cluster keeps its HIGHEST-QUALITY member
+    * instead of the smallest id — the policy a training pipeline
+    * actually wants (near-dup groups usually contain one clean copy
+    * and n-1 truncated/mangled ones). Quality here is the distinct-
+    * token count (integer — deterministic, engine-portable); ties
+    * break to the smaller doc_id. Output `(doc_id, cluster_id, q,
+    * keep)`.
+    *
+    * Scale shape: inherits the banded candidate join + label
+    * propagation of [[dedupClusters]]; the keeper choice adds one
+    * aggregation clustered by `cluster_id` — the same key the
+    * component labels already carry. */
+  def dedupKeepBest(documents: DataFrame, k: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(documents, k, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("q"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("keep", (row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("q").desc, col("doc_id"))) === 1).cast("bigint"))
+      .select(col("doc_id"), col("cluster_id"), col("q"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  def dedupKeepBestSql(k: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 1000): String =
+    s"""WITH RECURSIVE ${ngramJaccardCtes(threshold, maxDf)},
+       |edges AS (
+       |  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+       |  UNION SELECT doc_id_b, doc_id_a FROM pairs),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |lbl AS (
+       |  SELECT src AS id, least(src, min(dst)) AS component
+       |  FROM reach GROUP BY src),
+       |cl AS (
+       |  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.id),
+       |q AS (
+       |  SELECT doc_id, count(DISTINCT tok)::BIGINT AS q
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents) GROUP BY 1)
+       |SELECT c.doc_id, c.cluster_id, q.q,
+       |  CAST(row_number() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY q.q DESC, c.doc_id) = 1 AS BIGINT) AS keep
+       |FROM cl c JOIN q USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Exact substring-span REMOVAL (the harder sibling of
     * [[crossDocNgramDup]]'s scoring): any `k`-token span occurring at
     * least `minCount` times in the corpus — within or across documents,

@@ -828,4 +828,76 @@ object TextAnalysis {
       .select(col("word"), col("pr_rank"), col("pr"))
       .orderBy("pr_rank")
   }
+
+  /** Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top
+    * `topN` words — the one-number distributional health check of a
+    * text corpus (natural language sits near −1; templated or
+    * synthetic text drifts off). Word counting is the standard
+    * explode+count; the regression reduces `topN` (ln x, ln y) points,
+    * each quantized through DECIMAL(18,9) before the exact decimal
+    * moment sums — the [[graft.operators.Retrieval]] idf discipline —
+    * so the slope/intercept hash-match across engines despite libm
+    * `ln`. Output one row `(n_points, slope, intercept)`.
+    *
+    * Scale: one count shuffle on word; the top-N rank is a global
+    * window over |vocab| counted rows (vocab ≪ corpus; for a
+    * 100 TB corpus vocab is millions — still one executor's work). */
+  def zipfFit(documents: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("word"))))
+      .where(col("rank") <= topN)
+      .select(
+        expr("CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)")
+          .as("x"),
+        expr("CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)")
+          .as("y"))
+    ranked
+      .agg(count(lit(1)).as("n_points"),
+        expr("CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(CAST(y AS DECIMAL(27,12))) AS DOUBLE)").as("sy"),
+        expr("CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)").as("sxx"),
+        expr("CAST(sum(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE)").as("sxy"))
+      .select(col("n_points"),
+        expr("""CAST(CAST((n_points * sxy - sx * sy)
+          | / (n_points * sxx - sx * sx) AS DECIMAL(20,10)) AS DOUBLE)"""
+          .stripMargin).as("slope"),
+        expr("""CAST(CAST((sy - sx * (n_points * sxy - sx * sy)
+          | / (n_points * sxx - sx * sx)) / n_points
+          | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("intercept"))
+  }
+
+  def zipfFitSql(topN: Int = 100): String =
+    s"""WITH ranked AS (
+       |  SELECT CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9))
+       |      AS DOUBLE) AS x,
+       |    CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9))
+       |      AS DOUBLE) AS y
+       |  FROM (
+       |    SELECT row_number() OVER (ORDER BY freq DESC, word) AS rank, freq
+       |    FROM (
+       |      SELECT word, count(*)::BIGINT AS freq FROM (
+       |        SELECT unnest(string_split(text, ' ')) AS word
+       |        FROM documents)
+       |      WHERE word <> '' GROUP BY word))
+       |  WHERE rank <= $topN),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n_points,
+       |    CAST(sum(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+       |  FROM ranked)
+       |SELECT n_points,
+       |  CAST(CAST((n_points * sxy - sx * sy)
+       |    / (n_points * sxx - sx * sx) AS DECIMAL(20,10)) AS DOUBLE)
+       |    AS slope,
+       |  CAST(CAST((sy - sx * (n_points * sxy - sx * sy)
+       |    / (n_points * sxx - sx * sx)) / n_points
+       |    AS DECIMAL(20,10)) AS DOUBLE) AS intercept
+       |FROM m""".stripMargin
 }

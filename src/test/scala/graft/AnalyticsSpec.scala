@@ -417,6 +417,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === again.toSeq)
   }
 
+  test("zipfFit: exact-zipf corpus fits slope -1; uniform corpus fits slope 0") {
+    // word w_r repeated floor(1200/r) times -> ln(freq) = ln(1200) - ln(r)
+    val zipfText = (1 to 30).flatMap(r =>
+      Seq.fill(1200 / r)(f"w$r%02d")).mkString(" ")
+    val zipf = Seq((1L, zipfText)).toDF("doc_id", "text")
+    val fz = graft.operators.TextAnalysis.zipfFit(zipf, topN = 30)
+      .as[(Long, Double, Double)].collect().head
+    assert(fz._1 === 30L)
+    // floor() quantization perturbs the tail slightly; slope within 2%
+    assert(math.abs(fz._2 - (-1.0)) < 0.02, s"slope ${fz._2}")
+    val uniText = (1 to 20).flatMap(r => Seq.fill(50)(f"u$r%02d")).mkString(" ")
+    val uni = Seq((1L, uniText)).toDF("doc_id", "text")
+    val fu = graft.operators.TextAnalysis.zipfFit(uni, topN = 20)
+      .as[(Long, Double, Double)].collect().head
+    assert(math.abs(fu._2) < 1e-9, s"uniform slope ${fu._2}")
+  }
+
   test("visitsZscore: exact trailing moments on a hand series; degenerate windows NULL") {
     // minutes 0-9 constant 5 (zero variance -> NULL), minute 10 spikes
     val rows = (0 until 11).flatMap { m =>

@@ -20,6 +20,28 @@ class DedupSpec extends AnyFunSuite {
     assert(dup.getLong(0) === 3L) // min doc_id is the representative
   }
 
+  test("keep-best: the richest member of a near-dup cluster wins, not the smallest id") {
+    // 1 and 2 are near-dups (one token changed); 2 has MORE distinct
+    // tokens than the lower-id 1. Distinct doc 9 keeps itself.
+    // jaccard(1,2) on word 4-grams = 7/11 >= 0.5 -> same cluster
+    val d = Seq(
+      (1L, "a b c d e f g h i j a a"),
+      (2L, "a b c d e f g h i j k l"),
+      (9L, "q r s t u v w x y z q r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupKeepBest(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got(1L)._1 === got(2L)._1, "1 and 2 cluster together")
+    assert(got(1L)._3 === 0L && got(2L)._3 === 1L,
+      "higher-quality 2 is kept over lower-id 1")
+    assert(got(9L)._3 === 1L)
+    // exactly one keeper per cluster
+    val keepersPerCluster = got.values.groupBy(_._1)
+      .map { case (_, vs) => vs.count(_._3 == 1L) }
+    assert(keepersPerCluster.forall(_ == 1))
+  }
+
   test("shingles: distinct word 4-grams, short docs excluded") {
     val d = Seq((1L, "a b c d e"), (2L, "too short")).toDF("doc_id", "text")
     val got = Dedup.shingles(d, 4).as[(Long, String)].collect().toSet
