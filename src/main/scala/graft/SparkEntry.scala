@@ -228,6 +228,9 @@ object SparkEntry {
     // hybrid lexical->dense: BM25 recall + PRF-vector cosine re-rank
     "hybrid_search" -> ((s, d) => Retrieval.hybridSearch(
       par(Tables.documents(s, d)), Tables.embeddings(s, d))),
+    // rank-space fusion of the same two rankers (RRF, c=60)
+    "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(
+      par(Tables.documents(s, d)), Tables.embeddings(s, d))),
     // DSIR importance weights: hashed-unigram target/raw log-ratio
     "dsir_weights" -> ((s, d) => Corpus.dsirWeights(par(Tables.documents(s, d)))),
     // group-relative quality gate: most fluent half per source by LM NLL
@@ -562,6 +565,7 @@ object SparkEntry {
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "bm25_search" -> Retrieval.bm25SearchSql(),
     "hybrid_search" -> Retrieval.hybridSearchSql(),
+    "rrf_fusion" -> Retrieval.rrfFusionSql(),
     "dsir_weights" -> Corpus.dsirWeightsSql(),
     "quality_filter_by_source" -> Corpus.qualityFilterBySourceSql,
     "cap_per_source" -> Corpus.capPerSourceSql(),

@@ -202,6 +202,55 @@ object Retrieval {
       .orderBy("qid", "hybrid_rank")
   }
 
+  /** Reciprocal-rank fusion of the two rankers [[hybridSearch]]
+    * already runs — BM25 lexical rank and PRF-vector cosine rank over
+    * the same candidate set — combined as `1/(c+r₁) + 1/(c+r₂)`
+    * (Cormack et al., SIGIR'09, c = 60). Rank-space fusion needs no
+    * score calibration between rankers, which is why it is the default
+    * in production hybrid stacks; scores here are exact rationals of
+    * integer ranks, so the fused ordering is engine-portable by
+    * construction. Same plan shape as [[hybridSearch]]: the dense
+    * stage touches only the kCand shortlist. */
+  def rrfFusion(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, String)] = DemoQueries, kCand: Int = 50,
+      nPrf: Int = 5, k: Int = 10, c: Int = 60): DataFrame = {
+    val cands = bm25Search(documents, queries, kCand)
+    val emb = embeddings.select(col("vec_id").as("doc_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val withEmb = cands.join(emb, Seq("doc_id"))
+    val qvec = withEmb
+      .where(col("bm25_rank") <= nPrf)
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct(col("bm25_rank").as("r"), col("e").as("e")))).as("pe"))
+      .select(col("qid"), expr(
+        """transform(
+          |  aggregate(slice(pe, 2, size(pe) - 1), pe[0].e,
+          |    (acc, x) -> zip_with(acc, x.e, (a, b) -> a + b)),
+          |  s -> s / CAST(size(pe) AS DOUBLE))""".stripMargin).as("q"))
+    val dot = (u: String, v: String) =>
+      s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    withEmb
+      .join(broadcast(qvec), Seq("qid"))
+      .select(col("qid"), col("doc_id"), col("bm25_rank").cast("long").as("bm25_rank"),
+        expr(s"""CAST(CAST(${dot("q", "e")} /
+           |  (sqrt(${dot("q", "q")}) * sqrt(${dot("e", "e")}))
+           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("cos_sim"))
+      .withColumn("cos_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos_sim").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("rrf_score", expr(
+        s"""CAST(CAST(1.0 / ($c + bm25_rank) + 1.0 / ($c + cos_rank)
+           | AS DECIMAL(20,12)) AS DOUBLE)""".stripMargin))
+      .withColumn("rrf_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_score").desc, col("doc_id").asc)).cast("long"))
+      .where(col("rrf_rank") <= k)
+      .select(col("qid"), col("rrf_rank"), col("doc_id"),
+        col("bm25_rank"), col("cos_rank"), col("rrf_score"))
+      .orderBy("qid", "rrf_rank")
+  }
+
   /** The BM25 pipeline as shared CTEs ending in `r (qid, doc_id,
     * score, bm25_rank)` — the common prefix of [[bm25SearchSql]] and
     * [[hybridSearchSql]]. */
@@ -287,5 +336,52 @@ object Retrieval {
        |SELECT qid, CAST(hybrid_rank AS BIGINT) AS hybrid_rank, doc_id,
        |  bm25_score, cos_sim
        |FROM h WHERE hybrid_rank <= $k ORDER BY qid, hybrid_rank""".stripMargin
+  }
+
+  def rrfFusionSql(queries: Seq[(String, String)] = DemoQueries,
+      kCand: Int = 50, nPrf: Int = 5, k: Int = 10, c: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    def dot(u: String, v: String) =
+      s"""list_reduce(list_transform(range(1, len($u) + 1),
+         |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+    s"""${bm25Ctes(queries, k1, b)},
+       |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |we AS (
+       |  SELECT r.qid, r.doc_id, r.bm25_rank, e.e
+       |  FROM r JOIN e USING (doc_id) WHERE r.bm25_rank <= $kCand),
+       |pe AS (
+       |  SELECT qid, list(e ORDER BY bm25_rank) AS pes
+       |  FROM we WHERE bm25_rank <= $nPrf GROUP BY qid),
+       |qv AS (
+       |  SELECT qid,
+       |    list_transform(
+       |      list_reduce(pes, (acc, x) ->
+       |        list_transform(range(1, len(acc) + 1), i -> acc[i] + x[i])),
+       |      s -> s / len(pes)::DOUBLE) AS q
+       |  FROM pe),
+       |csc AS (
+       |  SELECT we.qid, we.doc_id, CAST(we.bm25_rank AS BIGINT) AS bm25_rank,
+       |    CAST(CAST(${dot("qv.q", "we.e")}
+       |        / (sqrt(${dot("qv.q", "qv.q")}) * sqrt(${dot("we.e", "we.e")}))
+       |      AS DECIMAL(20,10)) AS DOUBLE) AS cos_sim
+       |  FROM we JOIN qv USING (qid)),
+       |cr AS (
+       |  SELECT qid, doc_id, bm25_rank,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS cos_rank
+       |  FROM csc),
+       |rr AS (
+       |  SELECT qid, doc_id, bm25_rank, cos_rank,
+       |    CAST(CAST(1.0 / ($c + bm25_rank) + 1.0 / ($c + cos_rank)
+       |      AS DECIMAL(20,12)) AS DOUBLE) AS rrf_score
+       |  FROM cr),
+       |rk AS (
+       |  SELECT qid, doc_id, bm25_rank, cos_rank, rrf_score,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rrf_rank
+       |  FROM rr)
+       |SELECT qid, rrf_rank, doc_id, bm25_rank, cos_rank, rrf_score
+       |FROM rk WHERE rrf_rank <= $k ORDER BY qid, rrf_rank""".stripMargin
   }
 }

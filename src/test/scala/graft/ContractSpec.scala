@@ -45,8 +45,8 @@ class ContractSpec extends AnyFunSuite {
       // 1-row collection-stats broadcast (N, sumdl) into the postings
       // scan — the same free nested loop as tfidf_top_terms
       "bm25_search",
-      // embeds bm25_search (same 1-row collection-stats broadcast)
-      "hybrid_search",
+      // embed bm25_search (same 1-row collection-stats broadcast)
+      "hybrid_search", "rrf_fusion",
       // 1-row target/raw-totals broadcast into the token stream
       "dsir_weights",
       // embeds lm_bigram_score (its 1-row vocab-size broadcast)

@@ -105,6 +105,28 @@ class PcaSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_gram is a monoid: shard grams sum to the full-corpus gram") {
+    // the property that makes the PCA fit incremental at 100 TB: per-
+    // shard triangles merge by addition, so a new shard never rescans
+    // the corpus
+    import graft.functions.GramAgg
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    GramAgg.register(spark)
+    def gram(df: org.apache.spark.sql.DataFrame): (Array[Double], Long) = {
+      val r = df.agg(expr("vec_gram(embedding)").as("g")).head().getStruct(0)
+      (r.getSeq[Double](0).toArray, r.getLong(1))
+    }
+    val (full, nFull) = gram(emb)
+    val (a, nA) = gram(emb.where(col("vec_id") % 2 === 0))
+    val (b, nB) = gram(emb.where(col("vec_id") % 2 === 1))
+    assert(nA + nB === nFull)
+    assert(a.length === full.length && b.length === full.length)
+    full.indices.foreach { i =>
+      assert(math.abs(a(i) + b(i) - full(i)) < 1e-6 * (1 + math.abs(full(i))),
+        s"triangle cell $i")
+    }
+  }
+
   test("knn_pca recall on real embeddings clears its floor") {
     // raw 16-dim subspace recall is ~0.38 on these near-isotropic
     // embeddings; the exact re-rank of the 8k shortlist lifts it to

@@ -81,6 +81,30 @@ class RetrievalSpec extends AnyFunSuite {
     assert(hybrid.toSeq === again.toSeq)
   }
 
+  test("rrf fusion: score is exactly 1/(60+r1)+1/(60+r2); both rankers influence the top") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val rrf = Retrieval.rrfFusion(docs, emb, kCand = 30, nPrf = 5, k = 10)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(rrf.nonEmpty)
+    rrf.foreach { case (_, _, _, b, c, s) =>
+      val expect = 1.0 / (60 + b) + 1.0 / (60 + c)
+      assert(math.abs(s - expect) < 1e-9, s"score $s vs $expect")
+    }
+    rrf.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq, qid)
+      // fused scores descend with rank
+      val sc = rows.sortBy(_._2).map(_._6)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, qid)
+      // the fused order is not just one ranker: the top fused doc is
+      // top-10 in at least one ranker, and fusion differs from bm25
+      val top = rows.minBy(_._2)
+      assert(top._4 <= 10 || top._5 <= 10, qid)
+    }
+    // fused order genuinely differs from pure bm25 somewhere
+    assert(rrf.exists(r => r._2 != r._4))
+  }
+
   test("bm25 indexed: identical output to one-shot; df aggregate rides the bucket clustering") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, TestSpark.Sf0001)
