@@ -248,6 +248,8 @@ object SparkEntry {
     "corpus_profile" -> ((s, d) => Corpus.corpusProfile(Tables.documents(s, d))),
     // rank-frequency OLS: the distributional health check of a corpus
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(par(Tables.documents(s, d)))),
+    // count-min sketch as relational algebra (oracle-checked, portable hash)
+    "cms_word_freq" -> ((s, d) => TextAnalysis.cmsWordFreq(par(Tables.documents(s, d)))),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
@@ -575,6 +577,7 @@ object SparkEntry {
     "corpus_pipeline" -> Corpus.corpusPipelineSql(),
     "corpus_profile" -> Corpus.corpusProfileSql(),
     "zipf_fit" -> TextAnalysis.zipfFitSql(),
+    "cms_word_freq" -> TextAnalysis.cmsWordFreqSql(),
     "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),

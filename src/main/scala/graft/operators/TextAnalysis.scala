@@ -871,6 +871,92 @@ object TextAnalysis {
           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("intercept"))
   }
 
+  /** Count-Min sketch word frequencies, expressed as RELATIONAL
+    * algebra instead of an opaque buffer: each word charges one count
+    * to `depth` cells (`h_d = (a + (d+1)·b) mod width` from the two
+    * independent halves of the engine-portable [[graft.functions.PolyHash62]]),
+    * the sketch is the (d, cell)→count table — map-side combinable,
+    * mergeable across shards by addition, `depth·width` cells total
+    * regardless of corpus size — and a point estimate is the MIN of a
+    * probe's `depth` cells. Output `(word, freq, est)` for the top-`k`
+    * exact words: `est ≥ freq` always (one-sided error), with equality
+    * when no collision hits all `depth` rows.
+    *
+    * Because the hash replays in SQL, the whole sketch is
+    * oracle-checked — collisions and all — unlike the usual
+    * rows-only sketch twins. At 100 TB: one explode+count shuffle of
+    * `depth·width` cells; probes broadcast. */
+  def cmsWordFreq(documents: DataFrame, depth: Int = 4, width: Int = 512,
+      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    val words = documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+    val hashed = words.select(col("word"),
+      expr("poly_hash62(word) & 2147483647").as("a"),
+      expr("poly_hash62(word) >> 31").as("b"))
+    val sketch = hashed
+      .select(col("a"), col("b"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), pmod(col("a") + (col("d") + 1) * col("b"),
+        lit(width.toLong)).as("cell"))
+      .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+    val probes = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq").desc, col("word"))))
+      .where(col("rk") <= k)
+      .select(col("word"), col("freq"),
+        expr("poly_hash62(word) & 2147483647").as("a"),
+        expr("poly_hash62(word) >> 31").as("b"))
+    probes
+      .select(col("word"), col("freq"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"), col("a"), col("b"))
+      .select(col("word"), col("freq"), col("d"),
+        pmod(col("a") + (col("d") + 1) * col("b"), lit(width.toLong))
+          .as("cell"))
+      .join(sketch, Seq("d", "cell"))
+      .groupBy(col("word"), col("freq"))
+      .agg(min(col("cnt")).as("est"))
+      .orderBy(col("freq").desc, col("word"))
+  }
+
+  def cmsWordFreqSql(depth: Int = 4, width: Int = 512, k: Int = 20): String = {
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(word) + 1),
+         |        j -> CAST(unicode(substr(word, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |w AS (SELECT word FROM words WHERE word <> ''),
+       |h AS (
+       |  SELECT word,
+       |    (${fold(131)} | (${fold(137)} << 31)) & 2147483647 AS a,
+       |    (${fold(131)} | (${fold(137)} << 31)) >> 31 AS b
+       |  FROM w),
+       |cells AS (
+       |  SELECT d.d, (a + (d.d + 1) * b) % $width AS cell
+       |  FROM h CROSS JOIN (SELECT unnest(range(0, $depth)) AS d) d),
+       |sketch AS (
+       |  SELECT d, cell, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT word, freq, a, b FROM (
+       |    SELECT word, count(*)::BIGINT AS freq,
+       |      min(a) AS a, min(b) AS b,
+       |      row_number() OVER (ORDER BY count(*) DESC, word) AS rk
+       |    FROM h GROUP BY word)
+       |  WHERE rk <= $k),
+       |pc AS (
+       |  SELECT p.word, p.freq, d.d,
+       |    (p.a + (d.d + 1) * p.b) % $width AS cell
+       |  FROM probes p CROSS JOIN (SELECT unnest(range(0, $depth)) AS d) d)
+       |SELECT pc.word, pc.freq, min(s.cnt) AS est
+       |FROM pc JOIN sketch s ON pc.d = s.d AND pc.cell = s.cell
+       |GROUP BY pc.word, pc.freq
+       |ORDER BY pc.freq DESC, pc.word""".stripMargin
+  }
+
   def zipfFitSql(topN: Int = 100): String =
     s"""WITH ranked AS (
        |  SELECT CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9))

@@ -434,6 +434,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(fu._2) < 1e-9, s"uniform slope ${fu._2}")
   }
 
+  test("cmsWordFreq: one-sided error — est == freq when wide, est >= freq when crowded") {
+    val text = (1 to 40).flatMap(r => Seq.fill(3 + r % 5)(f"t$r%02d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val wide = graft.operators.TextAnalysis
+      .cmsWordFreq(docs, depth = 4, width = 4096, k = 40)
+      .as[(String, Long, Long)].collect()
+    assert(wide.length === 40)
+    // 40 words in 4*4096 cells: no word collides in all 4 rows
+    wide.foreach { case (w, freq, est) => assert(est === freq, w) }
+    val crowded = graft.operators.TextAnalysis
+      .cmsWordFreq(docs, depth = 2, width = 4, k = 40)
+      .as[(String, Long, Long)].collect()
+    // 40 words into 2x4 cells MUST collide somewhere...
+    assert(crowded.exists { case (_, freq, est) => est > freq })
+    // ...but the estimate never undercounts (CMS's guarantee)
+    crowded.foreach { case (w, freq, est) => assert(est >= freq, w) }
+  }
+
   test("visitsZscore: exact trailing moments on a hand series; degenerate windows NULL") {
     // minutes 0-9 constant 5 (zero variance -> NULL), minute 10 spikes
     val rows = (0 until 11).flatMap { m =>
