@@ -250,6 +250,8 @@ object SparkEntry {
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(par(Tables.documents(s, d)))),
     // count-min sketch as relational algebra (oracle-checked, portable hash)
     "cms_word_freq" -> ((s, d) => TextAnalysis.cmsWordFreq(par(Tables.documents(s, d)))),
+    // per-doc token-distribution entropy (repetition-sensitive quality)
+    "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(par(Tables.documents(s, d)))),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
@@ -266,6 +268,8 @@ object SparkEntry {
     "cross_doc_ngram_dup" -> ((s, d) => Dedup.crossDocNgramDup(par(Tables.documents(s, d)))),
     // near-dup clusters keep their best member, not their smallest id
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(par(Tables.documents(s, d)))),
+    // containment pairs: short-inside-long duplication Jaccard misses
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(par(Tables.documents(s, d)))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(par(Tables.documents(s, d)))),
     // exact substring-span removal (Lee et al. ExactSubstr): duplicated
     // k-token spans cut from every doc, cleaned text reconstructed
@@ -288,6 +292,8 @@ object SparkEntry {
     "hard_negatives" -> ((s, d) => Similarity.hardNegatives(par(Tables.embeddings(s, d)))),
     // centroid-distance z-score screen for mislabeled/corrupt vectors
     "embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(par(Tables.embeddings(s, d)))),
+    // per-dim corpus standardization (feature scaling, summary output)
+    "embedding_standardize" -> ((s, d) => Similarity.embeddingStandardize(par(Tables.embeddings(s, d)))),
     // distributed PCA: one Gram pass + driver eigen; per-row projection
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(par(Tables.embeddings(s, d)))),
     "knn_pca" -> ((s, d) => Similarity.knnPca(par(Tables.embeddings(s, d)))),
@@ -578,6 +584,9 @@ object SparkEntry {
     "corpus_profile" -> Corpus.corpusProfileSql(),
     "zipf_fit" -> TextAnalysis.zipfFitSql(),
     "cms_word_freq" -> TextAnalysis.cmsWordFreqSql(),
+    "doc_entropy" -> TextAnalysis.docEntropySql(),
+    "dedup_containment" -> Dedup.containmentPairsSql(),
+    "embedding_standardize" -> Similarity.embeddingStandardizeSql(),
     "contamination" -> Corpus.contaminationSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),

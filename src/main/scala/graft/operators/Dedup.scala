@@ -138,6 +138,53 @@ object Dedup {
        |SELECT doc_id_a, doc_id_b, jaccard FROM pairs
        |ORDER BY 1, 2""".stripMargin
 
+  /** Shingle CONTAINMENT pairs: `|A∩B| / min(|A|,|B|)` ≥ `threshold` —
+    * the asymmetric cousin of [[ngramJaccardPairs]] that catches a
+    * short document living inside a long one (quotes, excerpts,
+    * boilerplate wrappers), which Jaccard misses because the union in
+    * its denominator is dominated by the long side. Same inverted-
+    * index plan (ONE shuffle, df-capped bounded postings); only the
+    * final ratio differs — one double division of exact integers. */
+  def containmentPairs(documents: DataFrame, k: Int = 4,
+      threshold: Double = 0.7, maxDf: Int = 1000): DataFrame = {
+    graft.functions.BoundedCollectFunctions.register(documents.sparkSession)
+    val sh = shingles(documents, k)
+    val postings = sh.groupBy(col("shingle"))
+      .agg(expr(s"bounded_collect_long(doc_id, $maxDf)").as("ids"))
+      .where(col("ids").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = postings.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = postings
+      .select(explode(col("ids")).as("doc_id_a"), col("ids"))
+      .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("doc_id_a", "na"), Seq("doc_id_a"))
+      .join(sizes.toDF("doc_id_b", "nb"), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  def containmentPairsSql(k: Int = 4, threshold: Double = 0.7,
+      maxDf: Int = 1000): String =
+    s"""WITH ${ngramJaccardCtes(0.0, maxDf)},
+       |cont AS (
+       |  SELECT doc_id_a, doc_id_b,
+       |    CAST(inter AS DOUBLE)
+       |      / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+       |  FROM inter
+       |  JOIN sizes sa ON doc_id_a = sa.doc_id
+       |  JOIN sizes sb ON doc_id_b = sb.doc_id)
+       |SELECT doc_id_a, doc_id_b, containment FROM cont
+       |WHERE containment >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
   /** MinHash signature per document as one `array<bigint>` column,
     * computed per-row by the codegen'd
     * [[graft.functions.MinHashSig minhash_sig]] expression — a single

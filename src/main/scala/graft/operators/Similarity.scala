@@ -182,6 +182,68 @@ object Similarity {
        |FROM dist d JOIN stats s USING (label)
        |ORDER BY d.vec_id""".stripMargin
 
+  /** Per-dimension standardization (feature scaling): each coordinate
+    * z-scored against the CORPUS's per-dim mean/std — the preprocessing
+    * a quantizer or distance model wants when dimensions carry
+    * different scales. Output is the per-vector summary of the
+    * standardized coordinates (min/max/sum/norm), the
+    * [[embeddingQuantization]] convention for array results. Same
+    * decimal-exact discipline as [[embeddingOutliers]]: dim stats
+    * shuffle d cells, per-vector sums quantize before aggregation, so
+    * floats hash-match the oracle. Constant dims standardize to 0 in
+    * both engines instead of diverging at ±inf. */
+  def embeddingStandardize(embeddings: DataFrame): DataFrame = {
+    val dims = embeddings.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+    val stats = dims.groupBy(col("dim"))
+      .agg(expr("CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)").as("sxx"),
+        count(lit(1)).cast("double").as("cn"))
+      .select(col("dim"), (col("sx") / col("cn")).as("mu"),
+        sqrt(col("sxx") / col("cn") -
+          (col("sx") / col("cn")) * (col("sx") / col("cn"))).as("sd"))
+    dims.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), expr(
+        """CAST(CAST(CASE WHEN sd = 0.0 THEN 0.0 ELSE (x - mu) / sd END
+          | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("z"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        expr("CAST(CAST(CAST(sum(CAST(z AS DECIMAL(25,10))) AS DOUBLE) AS DECIMAL(20,8)) AS DOUBLE)")
+          .as("z_sum"),
+        expr("""CAST(CAST(sqrt(CAST(sum(CAST(z * z AS DECIMAL(27,10)))
+          | AS DOUBLE)) AS DECIMAL(20,8)) AS DOUBLE)""".stripMargin)
+          .as("z_norm"))
+      .orderBy("vec_id")
+  }
+
+  def embeddingStandardizeSql(): String =
+    """WITH dims AS (
+      |  SELECT vec_id, i - 1 AS dim, CAST(e[i] AS DOUBLE) AS x
+      |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |        FROM embeddings),
+      |    LATERAL unnest(range(1, len(e) + 1)) AS t (i)),
+      |stats AS (
+      |  SELECT dim, sx / cn AS mu,
+      |    sqrt(sxx / cn - (sx / cn) * (sx / cn)) AS sd
+      |  FROM (
+      |    SELECT dim,
+      |      CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
+      |      CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+      |      count(*)::DOUBLE AS cn
+      |    FROM dims GROUP BY 1)),
+      |z AS (
+      |  SELECT vec_id,
+      |    CAST(CAST(CASE WHEN sd = 0.0 THEN 0.0 ELSE (x - mu) / sd END
+      |      AS DECIMAL(20,10)) AS DOUBLE) AS z
+      |  FROM dims JOIN stats USING (dim))
+      |SELECT vec_id, min(z) AS z_min, max(z) AS z_max,
+      |  CAST(CAST(CAST(sum(CAST(z AS DECIMAL(25,10))) AS DOUBLE)
+      |    AS DECIMAL(20,8)) AS DOUBLE) AS z_sum,
+      |  CAST(CAST(sqrt(CAST(sum(CAST(z * z AS DECIMAL(27,10))) AS DOUBLE))
+      |    AS DECIMAL(20,8)) AS DOUBLE) AS z_norm
+      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs above `threshold` — id-only output
     * (no float in the hash-compared result). EXACT, so the pairwise
     * compute is intrinsically O(n²) — what's engineered here is the

@@ -871,6 +871,51 @@ object TextAnalysis {
           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("intercept"))
   }
 
+  /** Per-document token-distribution Shannon entropy (nats):
+    * `H = ln n − (Σ_t tf·ln tf)/n` — near 0 for one-token spam, near
+    * ln(n) for all-distinct text; the repetition-sensitive quality
+    * signal that complements [[textQuality]]'s type-token ratio
+    * (entropy sees a doc that is 90% one word; TTR alone under-counts
+    * it only linearly). Each `ln` is quantized to DECIMAL(18,9)
+    * (the BM25 idf discipline — libm-portable), per-doc term sums go
+    * through exact decimals, so the float column hash-matches the
+    * oracle. One explode+count shuffle clustered by doc. */
+  def docEntropy(documents: DataFrame): DataFrame = {
+    val lnq = (x: String) =>
+      s"CAST(CAST(ln(CAST($x AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        expr(s"CAST(sum(CAST(tf * ${lnq("tf")} AS DECIMAL(27,12))) AS DOUBLE)")
+          .as("stl"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"""CAST(CAST(${lnq("n_tokens")} - stl / n_tokens
+           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  def docEntropySql(): String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents)
+       |  WHERE tok <> '' GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+       |    CAST(sum(CAST(tf * CAST(CAST(ln(CAST(tf AS DOUBLE))
+       |        AS DECIMAL(18,9)) AS DOUBLE) AS DECIMAL(27,12)))
+       |      AS DOUBLE) AS stl
+       |  FROM tf GROUP BY 1)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,9))
+       |      AS DOUBLE) - stl / n_tokens
+       |    AS DECIMAL(20,10)) AS DOUBLE) AS entropy
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Count-Min sketch word frequencies, expressed as RELATIONAL
     * algebra instead of an opaque buffer: each word charges one count
     * to `depth` cells (`h_d = (a + (d+1)·b) mod width` from the two
