@@ -339,8 +339,11 @@ object MediaCodecs {
       if (startsWith(b, "fmt ", pos)) bits = u16le(b, pos + 22)
       else if (startsWith(b, "data", pos)) { dataOff = pos + 8; dataLen = size }
       pos += 8 + size + (size & 1)
+      if (pos < 0) return None // chunk-size overflow on a corrupt header
     }
-    if (bits != 16 || dataOff < 0 || b.length < dataOff + dataLen) return None
+    // long arithmetic: dataOff + dataLen near 2^31 must not wrap positive
+    if (bits != 16 || dataOff < 0 ||
+      b.length.toLong < dataOff.toLong + dataLen.toLong) return None
     val out = new Array[Short](dataLen / 2)
     var i = 0
     while (i < out.length) {
@@ -390,12 +393,13 @@ object MediaCodecs {
       val stride = 1 + w * bpp
       val raw = new Array[Byte](stride * h)
       var off = 0
-      while (off < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
-        off += n
-      }
-      inf.end()
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+      } finally inf.end() // free native memory on every exit path
       if (off < raw.length) return None
       val px = new Array[Byte](w * bpp * h)
       var y = 0

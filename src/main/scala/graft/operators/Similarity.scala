@@ -138,9 +138,14 @@ object Similarity {
       .select(col("label"), (col("sd") / col("cn")).as("mean_d"),
         sqrt(col("sdd") / col("cn") -
           (col("sd") / col("cn")) * (col("sd") / col("cn"))).as("std_d"))
+    // std_d = 0 (all of a label's vectors equidistant from the
+    // centroid) would be ±Inf/NaN in Spark but NULL in DuckDB: define
+    // z = 0 there, mirroring the embeddingStandardize constant-dim rule.
     dist.join(broadcast(stats), Seq("label"))
       .select(col("vec_id"), col("label"), col("dist"),
-        expr("CAST(CAST((dist - mean_d) / std_d AS DECIMAL(20,10)) AS DOUBLE)")
+        expr("""CASE WHEN std_d > 0 THEN
+                CAST(CAST((dist - mean_d) / std_d AS DECIMAL(20,10)) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END""")
           .as("z"))
       .withColumn("is_outlier",
         when(col("z") >= lit(zThresh), lit(1)).otherwise(lit(0)))
@@ -175,10 +180,12 @@ object Similarity {
        |      count(*)::DOUBLE AS cn
        |    FROM dist GROUP BY 1))
        |SELECT d.vec_id, d.label, d.dist,
-       |  CAST(CAST((d.dist - s.mean_d) / s.std_d AS DECIMAL(20,10)) AS DOUBLE)
-       |    AS z,
-       |  CASE WHEN CAST(CAST((d.dist - s.mean_d) / s.std_d AS DECIMAL(20,10))
-       |    AS DOUBLE) >= $zThresh THEN 1 ELSE 0 END AS is_outlier
+       |  CASE WHEN s.std_d > 0 THEN
+       |    CAST(CAST((d.dist - s.mean_d) / s.std_d AS DECIMAL(20,10)) AS DOUBLE)
+       |  ELSE CAST(0 AS DOUBLE) END AS z,
+       |  CASE WHEN s.std_d > 0 AND
+       |    CAST(CAST((d.dist - s.mean_d) / s.std_d AS DECIMAL(20,10))
+       |      AS DOUBLE) >= $zThresh THEN 1 ELSE 0 END AS is_outlier
        |FROM dist d JOIN stats s USING (label)
        |ORDER BY d.vec_id""".stripMargin
 

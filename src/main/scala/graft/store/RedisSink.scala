@@ -257,6 +257,17 @@ class RedisMetricsSink(host: String, port: Int)
         replies.collectFirst { case RespReply.Err(m) =>
           throw new IOException(s"redis transaction error: $m")
         }
+        // The EXEC reply is an array of per-command results: a runtime
+        // error inside it (wrong-type key, OOM) arrives as a nested Err
+        // while every top-level reply is +OK/+QUEUED — without this the
+        // ledger marker is already set and the lost write never retries.
+        replies.lastOption match {
+          case Some(RespReply.Arr(items)) =>
+            items.collectFirst { case RespReply.Err(m) =>
+              throw new IOException(s"redis transaction body error: $m")
+            }
+          case _ =>
+        }
         true
     }
   }

@@ -189,6 +189,21 @@ class MediaCodecsSpec extends AnyFunSuite {
     // non-PCM16 / corrupt payloads are None, never exceptions
     assert(MediaCodecs.decodeWavSamples("RIFFxxxxWAVE".getBytes) === None)
     assert(MediaCodecs.decodeWavSamples(null) === None)
+    // a corrupt data-chunk size near 2^31 must not wrap the bounds
+    // check into passing (Int overflow) and OOM the task
+    val evil = payload.clone()
+    val dataPos = { // locate the data chunk's size field
+      var p = 12
+      while (!(evil(p) == 'd' && evil(p + 1) == 'a' &&
+        evil(p + 2) == 't' && evil(p + 3) == 'a')) p += 1
+      p + 4
+    }
+    val hugeLen = Int.MaxValue - 10 // dataOff + hugeLen wraps negative
+    evil(dataPos) = (hugeLen & 0xff).toByte
+    evil(dataPos + 1) = ((hugeLen >> 8) & 0xff).toByte
+    evil(dataPos + 2) = ((hugeLen >> 16) & 0xff).toByte
+    evil(dataPos + 3) = ((hugeLen >> 24) & 0xff).toByte
+    assert(MediaCodecs.decodeWavSamples(evil) === None)
   }
 
   test("audioFeatures: hand-computed fold over a tiny known stream") {

@@ -110,6 +110,22 @@ class RedisSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBatchOnce surfaces runtime errors nested inside the EXEC reply") {
+    withServer { (srv, sink) =>
+      // a non-numeric value makes the INCRBY in the transaction BODY
+      // fail at EXEC time while every top-level reply is +OK/+QUEUED —
+      // Redis reports it only as a nested -ERR inside the EXEC array
+      srv.strings.put("bad", "not-a-number")
+      val e = intercept[java.io.IOException] {
+        sink.writeBatchOnce("q", 9L, incrs = Seq("bad" -> 1L))
+      }
+      assert(e.getMessage.contains("transaction body error"))
+      // the healthy path on the same connection still works
+      assert(sink.writeBatchOnce("q", 10L, incrs = Seq("good" -> 2L)))
+      assert(sink.counter("good") === 2L)
+    }
+  }
+
   test("applyBatchOnce: SET NX ledger skips redelivery, clears marker on failure") {
     withServer { (_, sink) =>
       var runs = 0

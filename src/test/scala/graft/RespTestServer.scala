@@ -74,10 +74,17 @@ final class RespTestServer {
           hlls.remove(k).isDefined)
       s":$removed\r\n"
     case "INCRBY" =>
-      val v = strings.updateWith(args(1)) { prev =>
-        Some((prev.map(_.toLong).getOrElse(0L) + args(2).toLong).toString)
-      }.get
-      s":$v\r\n"
+      // real Redis replies -ERR (nested inside an EXEC array when
+      // transactional) instead of aborting; mirror that
+      try {
+        val v = strings.updateWith(args(1)) { prev =>
+          Some((prev.map(_.toLong).getOrElse(0L) + args(2).toLong).toString)
+        }.get
+        s":$v\r\n"
+      } catch {
+        case _: NumberFormatException =>
+          "-ERR value is not an integer or out of range\r\n"
+      }
     case "SADD" =>
       val members = args.drop(2).toSet
       var added = 0

@@ -56,6 +56,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(zs(9L) > 2.0 && zs.filterKeys(_ != 9L).values.forall(_ < 1.0))
   }
 
+  test("embedding outliers: zero-spread label yields z = 0, not NaN/Inf") {
+    import spark.implicits._
+    // all of label 7's vectors are equidistant from the centroid
+    // (symmetric pair) -> std_d = 0; z must be the defined 0, never
+    // ±Inf/NaN (Spark) vs NULL (DuckDB) divergence
+    val emb = Seq(
+      (1L, Array(1f, 0f), 7), (2L, Array(-1f, 0f), 7),
+      (3L, Array(0f, 1f), 8), (4L, Array(0f, 2f), 8), (5L, Array(0f, 9f), 8))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(emb, zThresh = 2.0).collect()
+    val lbl7 = out.filter(_.getInt(1) == 7)
+    assert(lbl7.length === 2)
+    lbl7.foreach { r =>
+      assert(r.getDouble(3) === 0.0 && r.getInt(4) === 0,
+        s"degenerate label must z=0: $r")
+    }
+    assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
   test("knn rank order agrees with directly computed cosine") {
     val knn = Similarity.knnBruteForce(emb, k = 5, queryMod = 250)
       .as[(Long, Long, Int)].collect()
