@@ -31,14 +31,29 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // A query that fails here produces no parquet dump, and the driver's
+    // compare then silently drops it from the round's correctness report
+    // (it happened: round 9 lost 3 queries to a one-line source change).
+    // Retry once — transient executor/OOM flakes recover — and end with a
+    // loud FAILED summary so a real regression can't hide.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed (retrying): ${e.getMessage}")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e2.getMessage}")
+          failed += name
+        }
       }
       spark.catalog.clearCache()
     }
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] FAILED ${failed.size}/${selected.size}: ${failed.sorted.mkString(",")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

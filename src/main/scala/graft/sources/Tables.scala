@@ -31,6 +31,14 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // Parquet timestamps without the isAdjustedToUTC flag arrive as
+      // TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ, where
+      // CAST(ts AS BIGINT) is an analysis error. The session timezone is
+      // pinned to UTC everywhere (builder config), so NTZ -> TIMESTAMP is
+      // a no-op reinterpretation that matches DuckDB's epoch() reading of
+      // the same naive values.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
