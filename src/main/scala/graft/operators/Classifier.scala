@@ -90,22 +90,37 @@ object Classifier {
     val losses = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
       val p = probCol(w, dim)
-      val errored = feats.withColumn("err", p - col("label"))
-      if (trackLoss) {
-        val pc = least(greatest(p, lit(1e-12)), lit(1 - 1e-12))
-        losses += feats.select(avg(-col("label") * log(pc)
-          - (lit(1d) - col("label")) * log(lit(1d) - pc))).head.getDouble(0)
-      }
+      // ONE scan and ONE action per iteration: the bias gradient rides
+      // the same grouped aggregate as the feature gradients under the
+      // sentinel index `dim` (one extra struct per row), and the
+      // optional log-loss under `dim + 1` — v.s. a second (and third)
+      // full pass over the features, which at 100 TB is a second (and
+      // third) read of the corpus per iteration.
+      val errCol = (p - col("label")).as("err")
+      val pc = least(greatest(p, lit(1e-12)), lit(1 - 1e-12))
+      val lossCol = (-col("label") * log(pc)
+        - (lit(1d) - col("label")) * log(lit(1d) - pc)).as("loss")
+      val featC = transform(col("idxs"),
+        i => struct(i.as("idx"), (col("err") / col("n_toks")).as("g")))
+      val biasC = array(struct(lit(dim).as("idx"), col("err").as("g")))
+      val contribs =
+        if (trackLoss) concat(featC, biasC,
+          array(struct(lit(dim + 1).as("idx"), col("loss").as("g"))))
+        else concat(featC, biasC)
       // model-sized shuffle: per-index partial gradients combine
       // map-side; collect is bounded by dim, not by the corpus
-      val grad = errored
-        .select(explode(col("idxs")).as("idx"),
-          (col("err") / col("n_toks")).as("g"))
-        .groupBy(col("idx")).agg(sum(col("g")).as("g"))
+      val agg = feats.select(col("idxs"), col("n_toks"), errCol, lossCol)
+        .select(explode(contribs).as("c"))
+        .groupBy(col("c.idx").as("idx")).agg(sum(col("c.g")).as("g"))
         .collect()
-      grad.foreach(r => step(r.getInt(0), r.getDouble(1) / n))
-      val biasGrad = errored.select(sum(col("err"))).head.getDouble(0)
-      step(dim, biasGrad / n)
+      // loss is read out BEFORE any weight update (it was measured
+      // under the pre-update weights)
+      agg.find(_.getInt(0) == dim + 1)
+        .foreach(r => losses += r.getDouble(1) / n)
+      agg.foreach { r =>
+        val i = r.getInt(0)
+        if (i <= dim) step(i, r.getDouble(1) / n)
+      }
     }
     (w, losses.result())
   }
