@@ -182,9 +182,10 @@ object SparkEntry {
     "ngram_repetition" -> ((s, d) =>
       TextAnalysis.ngramRepetition(par(Tables.documents(s, d)))),
     "collocations" -> ((s, d) => TextAnalysis.collocations(par(Tables.documents(s, d)))),
-    // TextRank word centrality: PageRank power iteration over the
-    // adjacent-token graph (rows-only: iterative FP; AnalyticsSpec
-    // holds ring/star/dangling closed forms)
+    // TextRank word centrality: FIXED-POINT PageRank over the
+    // adjacent-token graph — integer arithmetic is bit-exact across
+    // engines, so this carries a full hash-exact oracle (unrolled CTE
+    // chain); AnalyticsSpec holds ring/star/dangling closed forms
     "word_pagerank" -> ((s, d) =>
       TextAnalysis.wordPagerank(par(Tables.documents(s, d)))),
     // CCNet-shape LM quality filter: corpus-trained bigram model,
@@ -339,7 +340,9 @@ object SparkEntry {
     "media_metadata" -> ((s, d) =>
       MediaCodecs.mediaMetadata(s, par(Tables.documents(s, d)))),
     // perceptual image near-dup: real BMP pixel decode -> integer aHash
-    // -> banded pair join (rows-only; ImageIO cross-check in spec)
+    // -> banded pair join; DuckDB regenerates the portable mix24
+    // pixels and every hash bit, so the pair set is hash-exact
+    // (ImageIO cross-check stays in the spec)
     "media_ahash_dedup" -> ((s, d) =>
       MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d)))),
     // real PCM sample decode -> integer audio features; DuckDB replays
@@ -583,6 +586,7 @@ object SparkEntry {
     "corpus_pipeline" -> Corpus.corpusPipelineSql(),
     "corpus_profile" -> Corpus.corpusProfileSql(),
     "zipf_fit" -> TextAnalysis.zipfFitSql(),
+    "word_pagerank" -> TextAnalysis.wordPagerankSql(),
     "cms_word_freq" -> TextAnalysis.cmsWordFreqSql(),
     "doc_entropy" -> TextAnalysis.docEntropySql(),
     "dedup_containment" -> Dedup.containmentPairsSql(),
@@ -611,6 +615,7 @@ object SparkEntry {
     "media_metadata" -> MediaCodecs.mediaMetadataSql,
     "audio_features" -> MediaCodecs.audioFeaturesSql,
     "image_pixel_stats" -> MediaCodecs.imagePixelStatsSql,
+    "media_ahash_dedup" -> MediaCodecs.mediaAhashDedupSql(),
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "hard_negatives" -> Similarity.hardNegativesSql(),

@@ -925,6 +925,70 @@ object Analytics {
     } finally { e.unpersist(); nodes.unpersist() }
   }
 
+  /** Fixed-point mass unit for [[pagerankExact]]: ranks are integer
+    * "micro-mass" counts out of 10^15. */
+  val PrScale: Long = 1000000000000000L
+
+  /** PageRank by power iteration in FIXED-POINT INTEGER arithmetic:
+    * same plan shape as [[pagerank]] (edge⋈rank join, dst-keyed
+    * aggregate, broadcast dangling mass, per-round `localCheckpoint`),
+    * but rank mass is an integer number of `1/PrScale` units and every
+    * division is an integer floor-division. Integer adds are exact and
+    * associative, so — unlike a double `sum()`, whose value depends on
+    * Spark's partition-merge order — the result is BIT-EXACT across
+    * engines and across any partitioning, which is what lets the
+    * `word_pagerank` face carry a DuckDB oracle (an unrolled CTE chain
+    * replaying the same integer ops; see
+    * `TextAnalysis.wordPagerankSql`). Floor losses are ≤ 1 unit
+    * (10^-15 of total mass) per divide, so Σpr still ≈ 1 to ~1e-9 and
+    * ranking quality is unaffected.
+    *
+    * `edges` is `(src, dst, w: long)`; damping is the rational
+    * `dampNum / dampDen` (integer arithmetic needs a ratio, not a
+    * double). Returns `(node, pr_i: long)`. */
+  def pagerankExact(edges: DataFrame, iters: Int = 10,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val e = edges.toDF("src", "dst", "w")
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = nodes.count()
+      require(n > 0, "empty graph")
+      // (1 - d)/n in scale units; dampDen divides PrScale so the
+      // inner floor loses nothing
+      val base = (dampDen - dampNum) * (PrScale / dampDen) / n
+      val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+      var pr = nodes.withColumn("pr_i", lit(PrScale / n))
+      for (_ <- 0 until iters) {
+        // per-edge share: (pr_i * w) div ow — the product is done in
+        // DECIMAL(38,0) (pr_i·w can pass 2^63); the integral divide
+        // lands back in a long ≤ PrScale
+        val contrib = e
+          .join(pr.withColumnRenamed("node", "src"), "src")
+          .join(outW, "src")
+          .select(col("dst").as("node"),
+            expr("(CAST(pr_i AS DECIMAL(38,0)) * w) div ow").as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("c"))
+        // dangling mass stays IN the plan as a broadcast single-row
+        // aggregate, exactly like [[pagerank]]
+        val dang = pr
+          .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("pr_i")), lit(0L)).as("dm"))
+        pr = nodes.join(contrib, Seq("node"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("node"),
+            expr(s"$base + ($dampNum * (coalesce(c, 0) + dm div $n))" +
+              s" div $dampDen").as("pr_i"))
+          .localCheckpoint()
+      }
+      pr
+    } finally { e.unpersist(); nodes.unpersist() }
+  }
+
   def visitsZscoreSql(lookback: Int = 10, minN: Int = 5): String =
     s"""WITH pm AS (
        |  SELECT strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M')

@@ -777,13 +777,22 @@ object MediaCodecs {
 
   // ------------------------------------------------- perceptual dedup
 
-  /** splitmix64-style mixer (public-domain finalizer) — the
-    * deterministic pixel/position source for fabricated images. */
-  private def mix(a: Long, b: Long): Long = {
-    var z = a * 0x9E3779B97F4A7C15L + b
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
+  /** ENGINE-PORTABLE 24-bit mixer — the deterministic pixel/position
+    * source for fabricated images. A quadratic-congruential scramble
+    * mod the Mersenne prime 2^31−1 (the [[graft.functions.PolyHash62]]
+    * modulus family): every intermediate stays below 2^62, so the SAME
+    * four-line arithmetic runs overflow-free in plain BIGINT on any
+    * SQL engine — which is what lets `media_ahash_dedup` carry a full
+    * DuckDB oracle (a splitmix64 mixer would need 64-bit wrapping
+    * multiplication, which stock SQL cannot express). The quadratic
+    * steps break the affine structure a pure polynomial fold leaves
+    * between consecutive indices. */
+  private[operators] def mix24(a: Long, b: Long): Long = {
+    val M = 2147483647L
+    var h = ((a % M) * 131 + b + 7) % M
+    h = (h * h % M + h) % M
+    h = (h * h % M + 131) % M
+    h % 16777216L
   }
 
   /** A real 24bpp BMP whose pixels are HASH noise of `seed` (unlike
@@ -795,11 +804,11 @@ object MediaCodecs {
       flips: Int = 0, flipSeed: Long = 0L): Array[Byte] = {
     val px = new Array[Int](width * height)
     var i = 0
-    while (i < px.length) { px(i) = (mix(seed, i) & 0xffffff).toInt; i += 1 }
+    while (i < px.length) { px(i) = mix24(seed, i).toInt; i += 1 }
     var f = 0
     while (f < flips) {
-      val p = java.lang.Math.floorMod(mix(flipSeed, f), px.length.toLong).toInt
-      px(p) = (mix(flipSeed, 0x10000L + f) & 0xffffff).toInt
+      val p = (mix24(flipSeed, f) % px.length).toInt
+      px(p) = mix24(flipSeed, 0x10000L + f).toInt
       f += 1
     }
     val rowSize = (width * 3 + 3) & ~3
@@ -899,11 +908,16 @@ object MediaCodecs {
     * on at least one of the 4 bands, so the equi-join has NO false
     * negatives at the default threshold — and ≤ 2 retouched pixels
     * keep observed hamming ≤ 2) → exact `bit_count(xor)` verify,
-    * never an all-pairs comparison. Rows-only by the twin
-    * convention (pixel decode is not SQL-expressible); the decode and
-    * hash are cross-checked against the independent JDK ImageIO
-    * decoder in `MediaCodecsSpec`. Output: (media_id_a, media_id_b,
-    * hamming). */
+    * never an all-pairs comparison. HASH-EXACT oracle: the pixel
+    * generator is the engine-portable [[mix24]] and the aHash is pure
+    * integer arithmetic over those pixels, so [[mediaAhashDedupSql]]
+    * regenerates every pixel, block mean, and hash bit in DuckDB and
+    * must agree on every pair (the oracle compares per-bit flags
+    * all-pairs — by the pigeonhole argument above the band-join output
+    * IS exactly the hamming ≤ `maxHamming` pair set, so the two plans
+    * are equal as sets). The decode and hash stay cross-checked
+    * against the independent JDK ImageIO decoder in `MediaCodecsSpec`.
+    * Output: (media_id_a, media_id_b, hamming). */
   def mediaAhashDedup(spark: SparkSession, documents: DataFrame,
       maxHamming: Int = 3, groupMod: Int = 25): DataFrame = {
     import spark.implicits._
@@ -933,5 +947,62 @@ object MediaCodecs {
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("media_id_a", "media_id_b")
+  }
+
+  /** DuckDB replay of [[mediaAhashDedup]]: regenerate the [[mix24]]
+    * pixels (three chained CTE stages — the quadratic steps would
+    * otherwise duplicate subexpressions exponentially), apply the
+    * flip overwrites (f=1 checked before f=0, matching the encoder's
+    * overwrite order on position collision), fold the 8×8 block sums
+    * with the decode's bottom-up row flip (`bi = (31 − g÷32) ÷ 4`),
+    * set each hash bit by the same cross-multiplied integer compare,
+    * and count differing bits all-pairs. */
+  def mediaAhashDedupSql(maxHamming: Int = 3, groupMod: Int = 25): String = {
+    val M = 2147483647L
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |px0 AS (SELECT doc_id, t.g,
+       |    ((doc_id % $groupMod) * 131 + t.g + 7) % $M AS h
+       |  FROM ids, LATERAL unnest(range(0, 1024)) t(g)),
+       |px1 AS (SELECT doc_id, g, (h * h % $M + h) % $M AS h FROM px0),
+       |px2 AS (SELECT doc_id, g,
+       |    ((h * h % $M + 131) % $M) % 16777216 AS v FROM px1),
+       |fk AS (SELECT doc_id, f
+       |  FROM ids, (VALUES (0), (1), (65536), (65537)) vf(f)),
+       |f0 AS (SELECT doc_id, f,
+       |    ((doc_id % $M) * 131 + f + 7) % $M AS h FROM fk),
+       |f1 AS (SELECT doc_id, f, (h * h % $M + h) % $M AS h FROM f0),
+       |f2 AS (SELECT doc_id, f,
+       |    ((h * h % $M + 131) % $M) % 16777216 AS v FROM f1),
+       |fl AS (SELECT doc_id,
+       |    MAX(CASE WHEN f = 0 THEN v % 1024 END) AS pos0,
+       |    MAX(CASE WHEN f = 1 THEN v % 1024 END) AS pos1,
+       |    MAX(CASE WHEN f = 65536 THEN v END) AS val0,
+       |    MAX(CASE WHEN f = 65537 THEN v END) AS val1
+       |  FROM f2 GROUP BY 1),
+       |lum AS (SELECT p.doc_id,
+       |    (31 - p.g // 32) // 4 AS bi, (p.g % 32) // 4 AS bj,
+       |    CASE WHEN ((p.doc_id // $groupMod) % 3) >= 2
+       |              AND p.g = fl.pos1 THEN fl.val1
+       |         WHEN ((p.doc_id // $groupMod) % 3) >= 1
+       |              AND p.g = fl.pos0 THEN fl.val0
+       |         ELSE p.v END AS v
+       |  FROM px2 p JOIN fl USING (doc_id)),
+       |l2 AS (SELECT doc_id, bi, bj,
+       |    (v % 256) + ((v // 256) % 256) + ((v // 65536) % 256) AS l
+       |  FROM lum),
+       |blocks AS (SELECT doc_id, bi, bj, sum(l) AS s
+       |  FROM l2 GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, sum(l) AS total FROM l2 GROUP BY 1),
+       |bits AS (SELECT b.doc_id, b.bi * 8 + b.bj AS bit,
+       |    CASE WHEN b.s * 1024 > t.total * 16 THEN 1 ELSE 0 END AS fbit
+       |  FROM blocks b JOIN tot t USING (doc_id)),
+       |ham AS (SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |    CAST(sum(CASE WHEN a.fbit <> b.fbit THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hamming
+       |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT media_id_a, media_id_b, hamming FROM ham
+       |WHERE hamming <= $maxHamming
+       |ORDER BY media_id_a, media_id_b""".stripMargin
   }
 }

@@ -800,17 +800,18 @@ object TextAnalysis {
        |CROSS JOIN n
        |ORDER BY 1, 2""".stripMargin
 
-  /** TextRank-style word centrality: [[Analytics.pagerank]] over the
-    * corpus's directed adjacent-token graph (edge a→b weighted by
-    * bigram count — the [[collocations]] table reread as a graph).
-    * The keyword-extraction workhorse (Mihalcea & Tarau, EMNLP 2004)
-    * at corpus granularity. Rows-only by the twin convention
-    * (iterative FP power method isn't SQL-expressible); ring/star/
-    * dangling closed forms and mass conservation live in
+  /** TextRank-style word centrality: PageRank over the corpus's
+    * directed adjacent-token graph (edge a→b weighted by bigram count
+    * — the [[collocations]] table reread as a graph). The
+    * keyword-extraction workhorse (Mihalcea & Tarau, EMNLP 2004) at
+    * corpus granularity. Runs on [[Analytics.pagerankExact]] — the
+    * FIXED-POINT integer power iteration — so the ranks are bit-exact
+    * under any partitioning and the face carries a full hash-exact
+    * DuckDB oracle ([[wordPagerankSql]] unrolls the same integer ops
+    * as a CTE chain); ring/star/dangling closed forms stay in
     * `AnalyticsSpec`. Output: `(word, pr_rank, pr)` by descending
-    * centrality, pr quantized for a deterministic rank order. */
-  def wordPagerank(documents: DataFrame, iters: Int = 10,
-      tol: Double = 0.0): DataFrame = {
+    * centrality, pr = pr_i/10^15 (one exact IEEE division). */
+  def wordPagerank(documents: DataFrame, iters: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = documents
       .select(split(col("text"), " ").as("t"))
@@ -819,14 +820,65 @@ object TextAnalysis {
         "transform(sequence(0, size(t) - 2), " +
           "i -> struct(t[i] AS src, t[i + 1] AS dst))")).as("g"))
       .groupBy(col("g.src").as("src"), col("g.dst").as("dst"))
-      .agg(count(lit(1)).cast("double").as("w"))
-    Analytics.pagerank(edges, iters, tol = tol)
-      .select(col("node").as("word"),
-        expr("CAST(CAST(pr AS DECIMAL(18,12)) AS DOUBLE)").as("pr"))
+      .agg(count(lit(1)).as("w"))
+    Analytics.pagerankExact(edges, iters)
       .withColumn("pr_rank", row_number().over(
-        Window.orderBy(col("pr").desc, col("word"))).cast("long"))
-      .select(col("word"), col("pr_rank"), col("pr"))
+        Window.orderBy(col("pr_i").desc, col("node"))).cast("long"))
+      .select(col("node").as("word"), col("pr_rank"),
+        (col("pr_i").cast("double") / lit(Analytics.PrScale.toDouble))
+          .as("pr"))
       .orderBy("pr_rank")
+  }
+
+  /** DuckDB replay of [[wordPagerank]]: the fixed-point power
+    * iteration unrolled as `iters` CTE blocks of identical integer
+    * arithmetic (HUGEINT products, `//` floor-divides — same values as
+    * Spark's DECIMAL(38,0) product + `div`). Every multiply-referenced
+    * CTE is `MATERIALIZED`: DuckDB inlines CTEs by default, and each
+    * `pr_k` feeds both `c_{k+1}` and `d_{k+1}` — inlining would expand
+    * the chain 2^iters times. */
+  def wordPagerankSql(iters: Int = 10, dampNum: Long = 85,
+      dampDen: Long = 100): String = {
+    val s = Analytics.PrScale
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+         |  CAST(SUM((p.pr_i::HUGEINT * e.w) // o.ow) AS BIGINT) AS c
+         |  FROM edges e
+         |  JOIN pr${k - 1} p ON e.src = p.node
+         |  JOIN outw o ON e.src = o.src
+         |  GROUP BY 1),
+         |d$k AS MATERIALIZED (SELECT CAST(COALESCE(SUM(pr_i), 0) AS BIGINT) AS dm
+         |  FROM pr${k - 1} WHERE node NOT IN (SELECT src FROM outw)),
+         |pr$k AS MATERIALIZED (SELECT nd.node,
+         |  (SELECT base FROM bs) + CAST(($dampNum::HUGEINT
+         |    * (COALESCE(c.c, 0) + (SELECT dm FROM d$k) // (SELECT n FROM nn)))
+         |    // $dampDen AS BIGINT) AS pr_i
+         |  FROM nodes nd LEFT JOIN c$k c ON nd.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |edges AS MATERIALIZED (
+       |  SELECT g.a AS src, g.b AS dst, count(*)::BIGINT AS w
+       |  FROM (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS g
+       |        FROM toks)
+       |  GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges
+       |          UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |bs AS MATERIALIZED (
+       |  SELECT CAST((${dampDen - dampNum}::HUGEINT * ($s // $dampDen))
+       |    // n AS BIGINT) AS base FROM nn),
+       |outw AS MATERIALIZED (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+       |  FROM edges GROUP BY 1),
+       |pr0 AS MATERIALIZED (
+       |  SELECT node, CAST($s // (SELECT n FROM nn) AS BIGINT) AS pr_i
+       |  FROM nodes),
+       |$iterCtes
+       |SELECT node AS word,
+       |  row_number() OVER (ORDER BY pr_i DESC, node) AS pr_rank,
+       |  CAST(pr_i AS DOUBLE) / $s AS pr
+       |FROM pr$iters ORDER BY pr_rank""".stripMargin
   }
 
   /** Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the top
@@ -879,7 +931,16 @@ object TextAnalysis {
     * it only linearly). Each `ln` is quantized to DECIMAL(18,9)
     * (the BM25 idf discipline — libm-portable), per-doc term sums go
     * through exact decimals, so the float column hash-matches the
-    * oracle. One explode+count shuffle clustered by doc. */
+    * oracle. One explode+count shuffle clustered by doc.
+    *
+    * The FINAL quantization is `floor(x·10^10)/10^10`, not a decimal
+    * round: when `n_tokens` is 2/5-smooth the exact entropy TERMINATES
+    * on the half-point of a rounding grid (e.g. 2.71563822325 at
+    * n=32), and engines split such ties per their own double→decimal
+    * rule (Spark rounds the shortest repr HALF_UP; DuckDB versions
+    * differ on exact-binary ties). `floor` after one IEEE multiply has
+    * no tie semantics at all, so the value is bit-identical on every
+    * engine/version. */
   def docEntropy(documents: DataFrame): DataFrame = {
     val lnq = (x: String) =>
       s"CAST(CAST(ln(CAST($x AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)"
@@ -893,8 +954,8 @@ object TextAnalysis {
         expr(s"CAST(sum(CAST(tf * ${lnq("tf")} AS DECIMAL(27,12))) AS DOUBLE)")
           .as("stl"))
       .select(col("doc_id"), col("n_tokens"),
-        expr(s"""CAST(CAST(${lnq("n_tokens")} - stl / n_tokens
-           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("entropy"))
+        expr(s"""floor((${lnq("n_tokens")} - stl / n_tokens)
+           | * 1e10) / 1e10""".stripMargin).as("entropy"))
       .orderBy("doc_id")
   }
 
@@ -911,9 +972,8 @@ object TextAnalysis {
        |      AS DOUBLE) AS stl
        |  FROM tf GROUP BY 1)
        |SELECT doc_id, n_tokens,
-       |  CAST(CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,9))
-       |      AS DOUBLE) - stl / n_tokens
-       |    AS DECIMAL(20,10)) AS DOUBLE) AS entropy
+       |  floor((CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,9))
+       |      AS DOUBLE) - stl / n_tokens) * 1e10) / 1e10 AS entropy
        |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Count-Min sketch word frequencies, expressed as RELATIONAL
