@@ -105,12 +105,14 @@ class ContractSpec extends AnyFunSuite {
     val pq = Similarity.knnPqRecall(emb).collect()(0)
     assert(pq.getAs[Double]("recall_at_k") >= 0.70,
       s"knn_pq recall@10 ${pq.getAs[Double]("recall_at_k")} below floor")
-    // IVF-PQ stacks list pruning on top — bounded by ivf's pruning
+    // IVF-PQ stacks list pruning on top — bounded by coarse-list
     // recall (a neighbor outside every probed list never reaches the
-    // shortlist), so re-rank recovers only the quantization share:
-    // fixture-observed 0.42 (0.38 at sf0.01), ≈ knn_ivf's own recall
+    // shortlist). The recall face measures the full production path:
+    // trained coarse centroids + trained codebooks + 6/16 probes +
+    // exact re-rank — fixture-observed 0.70 (stand-in centroids at
+    // nProbe=4 measure 0.42)
     val ivfpq = Similarity.knnIvfPqRecall(emb).collect()(0)
-    assert(ivfpq.getAs[Double]("recall_at_k") >= 0.25,
+    assert(ivfpq.getAs[Double]("recall_at_k") >= 0.60,
       s"knn_ivfpq recall@10 ${ivfpq.getAs[Double]("recall_at_k")} below floor")
   }
 }
