@@ -145,6 +145,23 @@ object Unigram {
     BigDecimal(d).setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP)
       .toDouble
 
+  /** ONE training per (corpus, targetVocab) per session: the vocab and
+    * encode faces both need the trained model, and retraining inside
+    * each query doubled the pair's cost for identical results
+    * (training is deterministic). Keyed by the ANALYZED plan's
+    * semantic hash — same source ⇒ same key within a session; the
+    * cached value is the model (≤ targetVocab pairs), not data. At
+    * scale the same sharing is a materialized vocab table the encode
+    * join reads (the `writeBm25Index`/`bm25SearchIndexed` pattern) —
+    * this memo is the single-session equivalent. */
+  private val trained =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Seq[(String, Double)]]()
+  private def trainCached(documents: DataFrame,
+      targetVocab: Int): Seq[(String, Double)] =
+    trained.computeIfAbsent(
+      (documents.queryExecution.analyzed.semanticHash(), targetVocab),
+      _ => train(documents, targetVocab))
+
   /** Catalog face: the trained vocabulary as a table
     * `(vocab_rank, piece, piece_len, logp)`. Rows-only by the twin
     * convention (iterative EM training is not SQL-expressible);
@@ -152,7 +169,7 @@ object Unigram {
   def unigramVocab(documents: DataFrame, targetVocab: Int = 256): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    train(documents, targetVocab).zipWithIndex
+    trainCached(documents, targetVocab).zipWithIndex
       .map { case ((p, lpv), i) => (i + 1L, p, p.length.toLong, lpv) }
       .toDF("vocab_rank", "piece", "piece_len", "logp")
   }
@@ -165,7 +182,7 @@ object Unigram {
   def unigramEncode(documents: DataFrame, targetVocab: Int = 256): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val lp = train(documents, targetVocab).toMap
+    val lp = trainCached(documents, targetVocab).toMap
     val floorLp = lp.values.min - 10.0
     val bc = spark.sparkContext.broadcast(lp)
     val segLen = wordTable(documents).as[(String, Long)]
