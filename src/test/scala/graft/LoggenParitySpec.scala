@@ -109,6 +109,55 @@ class LoggenParitySpec extends AnyFunSuite {
       }
       // members shipped from partition tasks, not one driver socket
       assert(redis.connectionsAccepted > 2)
+
+      // --- and the DASHBOARD HTTP face over the SAME live store:
+      // generator → stream → RESP writes → Redis-served endpoints,
+      // including the approx (PFCOUNT) users path, against the batch
+      // twins. Clock pinned just after the last closed minute so the
+      // endpoint spine equals the batch spine. ---
+      val srv = new graft.serving.DashboardServer(sink, port = 0,
+        clock = () => nowMinute.plusSeconds(42)).start()
+      try {
+        val port = srv.boundPort
+        def get(path: String): String = {
+          val client = java.net.http.HttpClient.newHttpClient()
+          client.send(java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://localhost:$port$path")).GET().build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        }
+        // "2026-08-12T10:16:00Z" -> the store's "2026_08_12T10_16" key
+        def key(iso: String): String =
+          iso.substring(0, 16).replace('-', '_').replace(':', '_')
+        def series(body: String): Seq[(String, Long)] =
+          """\{"timestamp":"([^"]+)","metric":(-?\d+)\}""".r
+            .findAllMatchIn(body)
+            .map(m => (key(m.group(1)), m.group(2).toLong)).toSeq
+        val visits = series(get("/metrics/timeseries/visits?lastMinutes=10"))
+        assert(visits.sortBy(_._1) === q1Batch.sortBy(_._1))
+        // approx users endpoint: PFCOUNT per closed minute vs exact
+        // batch uniques WITHIN HLL ERROR — the contract a real Redis
+        // honors (PFCOUNT std err 0.81%; 3σ ≈ 2.5%). The test server's
+        // PFCOUNT is member-exact, so this also passes as equality —
+        // the tolerance is the documented field contract, not slack
+        // for a broken pipeline.
+        val users = series(get("/metrics/timeseries/users?lastMinutes=10"))
+        assert(users.map(_._1).sorted === q2Batch.map(_._1).sorted)
+        val exactByMin = q2Batch.toMap
+        users.foreach { case (m, est) =>
+          val ex = exactByMin(m)
+          assert(math.abs(est - ex) <=
+            math.max(1L, math.ceil(ex * 0.025).toLong),
+            s"PFCOUNT estimate $est vs exact $ex at $m outside HLL 3σ")
+        }
+        val exps = series(get("/metrics/timeseries/experiments?lastMinutes=10"))
+        assert(exps.sortBy(_._1) === q3Batch.sortBy(_._1))
+        // overlap endpoint: SINTERSTORE/SCARD server-side
+        val overlap =
+          """\{"dimensions":\["([^"]+)","([^"]+)"\],"metric":(\d+)\}""".r
+            .findAllMatchIn(get("/metrics/timeseries/variantsOverlap"))
+            .map(m => (m.group(1), m.group(2), m.group(3).toLong)).toSeq
+        assert(overlap.sorted === q4Batch.sorted)
+      } finally srv.stop()
     } finally {
       redisQueries.foreach(_.stop()); sink.close(); redis.close()
     }
