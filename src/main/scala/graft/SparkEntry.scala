@@ -194,6 +194,11 @@ object SparkEntry {
     // Gopher rule battery (word count / mean len / symbols / alpha /
     // stop words), one verdict column per rule for ablation
     "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(par(Tables.documents(s, d)))),
+    // Gopher REPETITION battery (top-n-gram / dup-n-gram char
+    // fractions + pass flag) — integer masses, one IEEE division per
+    // fraction, integer-compare flags: fully hash-exact
+    "gopher_repetition" -> ((s, d) =>
+      TextAnalysis.gopherRepetition(par(Tables.documents(s, d)))),
     // BPE tokenizer training: iterative argmax over the word-frequency
     // table — no SQL oracle (rows-only); reference-impl parity in
     // AnalyticsSpec, encode consistency (sum of subwords == corpus
@@ -556,6 +561,7 @@ object SparkEntry {
     "collocations" -> TextAnalysis.collocationsSql(),
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
+    "gopher_repetition" -> TextAnalysis.gopherRepetitionSql(),
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "visits_zscore" -> Analytics.visitsZscoreSql(),

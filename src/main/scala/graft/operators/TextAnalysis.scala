@@ -923,6 +923,142 @@ object TextAnalysis {
           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("intercept"))
   }
 
+  /** Gopher REPETITION filters (Rae et al. 2021, arXiv 2112.11446
+    * Table A1) — the signals [[gopherQuality]]'s battery does not
+    * cover: a document dominated by one repeated phrase or by
+    * large duplicated spans is removed even when its length/symbol/
+    * stop-word surface looks fine. Per document:
+    *  - `top{2,3,4}_frac` — fraction of the document's CHARACTERS
+    *    covered by the single most frequent word n-gram
+    *    (count · chars(gram) / chars(doc); thresholds 0.20/0.18/0.16);
+    *  - `dup{5..10}_frac` — fraction of characters in word n-grams
+    *    that occur more than once (Σ_{c>1} c · chars(gram) / chars;
+    *    thresholds 0.15…0.10 — the standard deterministic relaxation
+    *    of the paper's span-coverage measure, which depends on an
+    *    occurrence-scan order no relational engine reproduces);
+    *  - `rep_pass` — 1 iff every fraction is at or under its
+    *    threshold (the paper's remove-if-above rule).
+    * The line/paragraph dup rules are omitted: the corpus is
+    * single-line by construction.
+    *
+    * Hash-exact by construction: every mass is an integer (count ×
+    * gram char length), each fraction is ONE IEEE division of two
+    * exact integers (correctly rounded identically everywhere), and
+    * the pass flags compare cross-multiplied integers — no float ever
+    * feeds a comparison. Scale shape: ONE explode produces all nine
+    * gram sizes (9·tokens rows), one (doc, n, gram) count shuffle,
+    * one per-(doc, n) window, one pivot aggregate — all partitioned by
+    * doc; nothing global. A doc with fewer than n tokens contributes
+    * no n-grams: its fractions are 0. */
+  def gopherRepetition(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), col("n_chars"), explode(expr(
+        """flatten(transform(sequence(2, 10), n ->
+          |  transform(CASE WHEN size(t) >= n THEN sequence(1, size(t) - n + 1)
+          |            ELSE CAST(array() AS ARRAY<INT>) END,
+          |    i -> struct(n AS n, concat_ws(' ', slice(t, i, n)) AS gram))))"""
+          .stripMargin)).as("g"))
+      .select(col("doc_id"), col("n_chars"), col("g.n").as("n"),
+        col("g.gram").as("gram"))
+    val counts = grams
+      .groupBy(col("doc_id"), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("glen", length(col("gram")).cast("long"))
+    val w = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(desc("c"), desc("glen"), asc("gram"))
+    val perN = counts
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("doc_id"), col("n_chars"), col("n"))
+      .agg(max(when(col("rk") === 1, col("c") * col("glen"))).as("top_mass"),
+        coalesce(sum(when(col("c") > 1, col("c") * col("glen"))), lit(0L))
+          .as("dup_mass"))
+    def frac(n: Int, mass: String) = coalesce(
+      max(when(col("n") === n,
+        col(mass).cast("double") / col("n_chars").cast("double"))),
+      lit(0d))
+    def fail(n: Int, mass: String, thr100: Int) = coalesce(
+      max(when(col("n") === n,
+        when(col(mass) * 100 > col("n_chars") * thr100, 1L).otherwise(0L))),
+      lit(0L))
+    val topThr = Map(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupThr = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val pivoted = perN.groupBy(col("doc_id"), col("n_chars"))
+      .agg(frac(2, "top_mass").as("top2_frac"),
+        frac(3, "top_mass").as("top3_frac"),
+        frac(4, "top_mass").as("top4_frac"),
+        frac(5, "dup_mass").as("dup5_frac"),
+        frac(6, "dup_mass").as("dup6_frac"),
+        frac(7, "dup_mass").as("dup7_frac"),
+        frac(8, "dup_mass").as("dup8_frac"),
+        frac(9, "dup_mass").as("dup9_frac"),
+        frac(10, "dup_mass").as("dup10_frac"),
+        (topThr.map { case (n, t) => fail(n, "top_mass", t) } ++
+          dupThr.map { case (n, t) => fail(n, "dup_mass", t) })
+          .reduce(_ + _).as("n_fail"))
+    pivoted
+      .select((Seq("doc_id", "n_chars", "top2_frac", "top3_frac",
+        "top4_frac", "dup5_frac", "dup6_frac", "dup7_frac", "dup8_frac",
+        "dup9_frac", "dup10_frac").map(col) :+
+        when(col("n_fail") > 0, 0L).otherwise(1L).as("rep_pass")): _*)
+      .orderBy("doc_id")
+  }
+
+  def gopherRepetitionSql(): String = {
+    val topThr = Seq(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupThr = Seq(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val fracs = (topThr.map { case (n, _) =>
+      s"""COALESCE(MAX(CASE WHEN n = $n THEN
+         |    CAST(top_mass AS DOUBLE) / CAST(n_chars AS DOUBLE) END),
+         |    CAST(0 AS DOUBLE)) AS top${n}_frac""".stripMargin
+    } ++ dupThr.map { case (n, _) =>
+      s"""COALESCE(MAX(CASE WHEN n = $n THEN
+         |    CAST(dup_mass AS DOUBLE) / CAST(n_chars AS DOUBLE) END),
+         |    CAST(0 AS DOUBLE)) AS dup${n}_frac""".stripMargin
+    }).mkString(",\n")
+    val failSum = (topThr.map { case (n, t) =>
+      s"""COALESCE(MAX(CASE WHEN n = $n THEN
+         |    CASE WHEN top_mass * 100 > n_chars * $t THEN 1 ELSE 0 END
+         |    END), 0)""".stripMargin
+    } ++ dupThr.map { case (n, t) =>
+      s"""COALESCE(MAX(CASE WHEN n = $n THEN
+         |    CASE WHEN dup_mass * 100 > n_chars * $t THEN 1 ELSE 0 END
+         |    END), 0)""".stripMargin
+    }).mkString(" +\n")
+    s"""WITH d AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, n_chars, u.n AS n, u.gram AS gram FROM (
+       |    SELECT doc_id, n_chars,
+       |      unnest(flatten(list_transform(range(2, 11), n ->
+       |        list_transform(range(1, len(t) - n + 2), i ->
+       |          struct_pack(n := n, gram := array_to_string(
+       |            list_slice(t, i, i + n - 1), ' ')))))) AS u
+       |    FROM d WHERE len(t) >= 2)),
+       |c AS (
+       |  SELECT doc_id, n_chars, n, gram, count(*) AS c,
+       |    length(gram)::BIGINT AS glen
+       |  FROM g GROUP BY doc_id, n_chars, n, gram),
+       |p AS (
+       |  SELECT doc_id, n_chars, n,
+       |    MAX(CASE WHEN rk = 1 THEN c * glen END) AS top_mass,
+       |    COALESCE(SUM(CASE WHEN c > 1 THEN c * glen END), 0) AS dup_mass
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+       |          ORDER BY c DESC, glen DESC, gram) AS rk FROM c)
+       |  GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_chars,
+       |$fracs,
+       |CASE WHEN (
+       |$failSum) > 0 THEN 0 ELSE 1 END AS rep_pass
+       |FROM p GROUP BY doc_id, n_chars
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-document token-distribution Shannon entropy (nats):
     * `H = ln n − (Σ_t tf·ln tf)/n` — near 0 for one-token spam, near
     * ln(n) for all-distinct text; the repetition-sensitive quality

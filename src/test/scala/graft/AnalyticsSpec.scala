@@ -294,6 +294,49 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(6L)._2 && got(6L)._5 && !got(6L)._6 && !got(6L)._7)
   }
 
+  test("gopher repetition: matches an independent in-memory reference; spam fails, clean passes") {
+    // independent single-node replay of the documented definition
+    def ref(text: String): (Map[Int, Double], Map[Int, Double], Long) = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      val nChars = text.length.toLong
+      def masses(n: Int): (Long, Long) = {
+        if (t.length < n) return (0L, 0L)
+        val grams = t.sliding(n).map(_.mkString(" ")).toSeq
+        val cnt = grams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val top = cnt.toSeq.map { case (g, c) => (c, g.length.toLong, g) }
+          .sortBy { case (c, l, g) => (-c, -l, g) }.head
+        val topMass = top._1 * top._2
+        val dupMass = cnt.collect { case (g, c) if c > 1 => c * g.length }.sum
+        (topMass, dupMass)
+      }
+      val topThr = Map(2 -> 20, 3 -> 18, 4 -> 16)
+      val dupThr = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      val tops = topThr.keys.map(n => n -> masses(n)._1.toDouble / nChars).toMap
+      val dups = dupThr.keys.map(n => n -> masses(n)._2.toDouble / nChars).toMap
+      val fail = topThr.exists { case (n, th) => masses(n)._1 * 100 > nChars * th } ||
+        dupThr.exists { case (n, th) => masses(n)._2 * 100 > nChars * th }
+      (tops, dups, if (fail) 0L else 1L)
+    }
+    val clean = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    val spam = ("buy cheap pills now " * 30).trim
+    val mixed = (("ham spam " * 10) + (0 until 40).map(i => s"u$i").mkString(" ")).trim
+    val docs = Seq((1L, clean), (2L, spam), (3L, mixed)).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRepetition(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for ((id, text) <- Seq((1L, clean), (2L, spam), (3L, mixed))) {
+      val (tops, dups, pass) = ref(text)
+      val r = got(id)
+      assert(r.getLong(1) === text.length.toLong, s"doc $id n_chars")
+      for ((n, i) <- Seq(2 -> 2, 3 -> 3, 4 -> 4))
+        assert(r.getDouble(i) === tops(n), s"doc $id top$n")
+      for ((n, i) <- Seq(5 -> 5, 6 -> 6, 7 -> 7, 8 -> 8, 9 -> 9, 10 -> 10))
+        assert(r.getDouble(i) === dups(n), s"doc $id dup$n")
+      assert(r.getLong(11) === pass, s"doc $id rep_pass")
+    }
+    assert(got(1L).getLong(11) === 1L, "clean doc must pass")
+    assert(got(2L).getLong(11) === 0L, "phrase spam must fail")
+  }
+
   test("bpeTrain matches an independent single-node BPE reference") {
     // independent reference: classic in-memory BPE over word counts
     def refBpe(words: Map[String, Long], n: Int): List[(String, String, Long)] = {
