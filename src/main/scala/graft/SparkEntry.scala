@@ -200,9 +200,10 @@ object SparkEntry {
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(par(Tables.documents(s, d)))),
     // BPE tokenizer training: iterative argmax over the word-frequency
-    // table — no SQL oracle (rows-only); reference-impl parity in
-    // AnalyticsSpec, encode consistency (sum of subwords == corpus
-    // words) checked here via bpe_encode
+    // table — deterministic given rounds, so BOTH faces carry full
+    // hash-exact oracles (unrolled merge rounds; the wrapped-symbol
+    // string encoding makes SQL replace ≡ the greedy merge fold);
+    // reference-impl parity stays in AnalyticsSpec
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(par(Tables.documents(s, d)))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(par(Tables.documents(s, d)))),
     // unigram-LM tokenizer (Kudo/SentencePiece family, hard-EM): vocab
@@ -562,6 +563,8 @@ object SparkEntry {
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "gopher_repetition" -> TextAnalysis.gopherRepetitionSql(),
+    "bpe_merges" -> TextAnalysis.bpeTrainSql(),
+    "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "visits_zscore" -> Analytics.visitsZscoreSql(),

@@ -755,6 +755,77 @@ object TextAnalysis {
     (merges.result(), vocab.select(col("w"), col("syms")))
   }
 
+  /** DuckDB replay of [[bpeTrain]]: `nMerges` unrolled rounds over the
+    * word table, with each word's symbol sequence encoded as a STRING
+    * of individually-wrapped symbols (`␟sym␟` concatenated, U+001F
+    * separators). In that encoding the greedy left-to-right merge fold
+    * IS SQL `replace`: the pattern `␟a␟␟b␟` → `␟ab␟` matches only
+    * whole adjacent symbols (a bare in-symbol substring can't supply
+    * the wrapping separators), and leftmost non-overlapping
+    * replacement reproduces the fold's freshly-merged-never-re-merges
+    * rule exactly (`aaaa` + (a,a) → `[aa, aa]` in both). Per round:
+    * overlapping pair counts → argmax (weight desc, pair asc) with the
+    * min-count stop (an empty round leaves the vocab unchanged, so
+    * all later rounds stay empty — the loop's `done`), then one
+    * `replace` over every word. MATERIALIZED for the same 2^rounds
+    * inlining reason as [[wordPagerankSql]]. */
+  def bpeTrainSql(nMerges: Int = 16, minCount: Long = 2): String =
+    s"""WITH ${bpeRoundCtes(nMerges, minCount)}
+       |${(1 to nMerges).map(k =>
+          s"SELECT ${k - 1} AS rank, a AS pair_a, b AS pair_b, " +
+            s"a || b AS merged, CAST(weight AS BIGINT) AS weight FROM m$k")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of [[bpeEncode]] (samplePct=100): the round-`n`
+    * vocabulary from [[bpeTrainSql]]'s chain IS the word→pieces map;
+    * encoding is the same corpus-word join and per-source rollup. */
+  def bpeEncodeSql(nMerges: Int = 16, minCount: Long = 2): String = {
+    val u = ""
+    s"""WITH ${bpeRoundCtes(nMerges, minCount)},
+       |pieces AS (SELECT w,
+       |    len(string_split(trim(s, '$u'), '$u$u')) AS np FROM v$nMerges),
+       |cw AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_whole_words
+       |FROM cw JOIN pieces USING (w)
+       |WHERE len(w) > 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The shared word-table + `nMerges` merge-round CTE chain of
+    * [[bpeTrainSql]]/[[bpeEncodeSql]]. */
+  private def bpeRoundCtes(nMerges: Int, minCount: Long): String = {
+    val u = ""
+    val rounds = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT pu.u.a AS a, pu.u.b AS b, pu.cnt FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(t0)),
+         |      i -> struct_pack(a := t0[i], b := t0[i + 1]))) AS u
+         |    FROM (SELECT cnt, string_split(trim(s, '$u'), '$u$u') AS t0
+         |          FROM v${k - 1})
+         |    WHERE len(t0) >= 2) pu),
+         |m$k AS MATERIALIZED (SELECT a, b, sum(cnt) AS weight
+         |  FROM p$k GROUP BY 1, 2 HAVING sum(cnt) >= $minCount
+         |  ORDER BY weight DESC, a, b LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT w, cnt, replace(s,
+         |    COALESCE((SELECT '$u' || a || '$u$u' || b || '$u' FROM m$k),
+         |      chr(1)),
+         |    COALESCE((SELECT '$u' || a || b || '$u' FROM m$k), '')) AS s
+         |  FROM v${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT w, cnt,
+       |    '$u' || array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> w[i]), '$u$u') || '$u' AS s
+       |  FROM words),
+       |$rounds""".stripMargin
+  }
+
   /** Segment every word of the corpus with a learned merge table (the
     * inference half of [[bpeTrain]]): the post-training vocabulary IS
     * the word→symbols mapping, so encoding is one broadcast-or-shuffle
