@@ -627,6 +627,10 @@ object SparkEntry {
     "media_ahash_dedup" -> MediaCodecs.mediaAhashDedupSql(),
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
+    "knn_lsh" -> Similarity.knnLshSql(),
+    "knn_ivf" -> Similarity.knnIvfSql(),
+    "knn_lsh_recall" -> Similarity.knnLshRecallSql(),
+    "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
     "hard_negatives" -> Similarity.hardNegativesSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),

@@ -761,14 +761,154 @@ object Similarity {
           .as("recall_at_k"))
   }
 
-  /** recall@10 of [[knnLsh]] vs [[knnBruteForce]] (rows-only: the
-    * approximate side has no SQL twin). */
+  // ---- DuckDB replays of the DETERMINISTIC ANN faces. The ±1
+  // hyperplane/centroid literals make every projection an exactly
+  // replayable signed fold: vec_dot accumulates ±(double)x_i left to
+  // right, which is DuckDB `list_reduce` over the sign-multiplied
+  // elements (the hybrid_search fold precedent). Bucket bits, probe
+  // sets, and cluster argmaxes are then pure integer/tie-broken
+  // logic, and the final cosine rank is the knn_bruteforce oracle's
+  // machinery. The trained variants (kmeans/PQ codebooks) stay
+  // rows-only — their models are data-dependent FP state no static
+  // SQL can embed.
+
+  private def signedFold(signs: Array[Float]): String = {
+    val lst = signs.map(f => if (f > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
+    s"list_reduce(list_transform(range(1, ${signs.length + 1}), " +
+      s"i -> e[i] * ($lst::DOUBLE[])[i]), (a, b) -> a + b)"
+  }
+
+  private val EmbCte =
+    "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
+      "FROM embeddings)"
+
+  /** The shared exact-cosine rank tail (== [[knnBruteForceSql]]'s). */
+  private def rankTailSql(k: Int, out: String, cand: String): String =
+    s"""$out AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT c0.query_id, c0.neighbor_id,
+       |      row_number() OVER (PARTITION BY c0.query_id
+       |        ORDER BY list_cosine_similarity(qe.e, ne.e) DESC,
+       |          c0.neighbor_id) AS rank
+       |    FROM $cand c0
+       |    JOIN emb qe ON qe.vec_id = c0.query_id
+       |    JOIN emb ne ON ne.vec_id = c0.neighbor_id)
+       |  WHERE rank <= $k)""".stripMargin
+
+  private def lshCtes(k: Int, queryMod: Int, nBits: Int, nTables: Int,
+      dim: Int, out: String): String = {
+    val tbl = (0 until nTables).map { t =>
+      val bucket = (0 until nBits).map { j =>
+        s"(CASE WHEN ${signedFold(hyperplane(t, j, dim))} >= 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"struct_pack(table_id := $t, bucket := $bucket)"
+    }.mkString("[", ",\n    ", "]")
+    val probes = (Seq("bucket") ++
+      (0 until nBits).map(j => s"xor(bucket, ${1L << j})"))
+      .mkString("[", ", ", "]")
+    s"""keyed AS MATERIALIZED (
+       |  SELECT vec_id, u.table_id AS table_id, u.bucket AS bucket FROM (
+       |    SELECT vec_id, unnest($tbl) AS u FROM emb)),
+       |probes AS (
+       |  SELECT query_id, q_table, unnest($probes) AS q_bucket FROM (
+       |    SELECT vec_id AS query_id, table_id AS q_table, bucket
+       |    FROM keyed WHERE vec_id % $queryMod = 0)),
+       |lcand AS (
+       |  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+       |  FROM probes p JOIN keyed c
+       |    ON c.table_id = p.q_table AND c.bucket = p.q_bucket
+       |   AND c.vec_id <> p.query_id),
+       |${rankTailSql(k, out, "lcand")}""".stripMargin
+  }
+
+  private def ivfCtes(k: Int, queryMod: Int, nList: Int, nProbe: Int,
+      dim: Int, out: String): String = {
+    val scores = (0 until nList).map { c =>
+      s"struct_pack(c := $c, s := ${signedFold(centroid(c, dim))})"
+    }.mkString("[", ",\n    ", "]")
+    s"""cs AS MATERIALIZED (
+       |  SELECT vec_id, u.c AS c, u.s AS s FROM (
+       |    SELECT vec_id, unnest($scores) AS u FROM emb)),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs) WHERE rk = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS query_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs
+       |    WHERE vec_id % $queryMod = 0) WHERE rk <= $nProbe),
+       |icand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM iprobes p JOIN assigned a USING (cluster_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |${rankTailSql(k, out, "icand")}""".stripMargin
+  }
+
+  private def bfCte(k: Int, queryMod: Int, out: String): String =
+    s"""$out AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q.query_id, e2.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.e, e2.e) DESC,
+       |          e2.vec_id) AS rank
+       |    FROM (SELECT vec_id AS query_id, e FROM emb
+       |          WHERE vec_id % $queryMod = 0) q
+       |    CROSS JOIN emb e2 WHERE e2.vec_id <> q.query_id)
+       |  WHERE rank <= $k)""".stripMargin
+
+  private def recallTailSql(method: String, exact: String,
+      approx: String): String =
+    s"""SELECT CAST('$method' AS VARCHAR) AS method,
+       |  count(DISTINCT x.query_id)::BIGINT AS n_queries,
+       |  count(*)::BIGINT AS n_exact,
+       |  CAST(sum(CASE WHEN a.query_id IS NULL THEN 0 ELSE 1 END)
+       |    AS BIGINT) AS n_hit,
+       |  CAST(CAST(CAST(sum(CASE WHEN a.query_id IS NULL THEN 0 ELSE 1 END)
+       |      AS DOUBLE) / count(*) AS DECIMAL(9,6)) AS DOUBLE)
+       |    AS recall_at_k
+       |FROM $exact x LEFT JOIN $approx a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id"""
+      .stripMargin
+
+  def knnLshSql(k: Int = 10, queryMod: Int = 100, nBits: Int = 6,
+      nTables: Int = 4, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${lshCtes(k, queryMod, nBits, nTables, dim, "res")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+
+  def knnIvfSql(k: Int = 10, queryMod: Int = 100, nList: Int = 16,
+      nProbe: Int = 4, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${ivfCtes(k, queryMod, nList, nProbe, dim, "res")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+
+  def knnLshRecallSql(k: Int = 10, queryMod: Int = 100): String =
+    s"""WITH $EmbCte,
+       |${bfCte(k, queryMod, "bf")},
+       |${lshCtes(k, queryMod, 6, 4, 64, "ap")}
+       |${recallTailSql("lsh", "bf", "ap")}""".stripMargin
+
+  def knnIvfRecallSql(k: Int = 10, queryMod: Int = 100): String =
+    s"""WITH $EmbCte,
+       |${bfCte(k, queryMod, "bf")},
+       |${ivfCtes(k, queryMod, 16, 4, 64, "ap")}
+       |${recallTailSql("ivf", "bf", "ap")}""".stripMargin
+
+  /** recall@10 of [[knnLsh]] vs [[knnBruteForce]] — both sides
+    * deterministic, so the recall number itself carries a DuckDB
+    * oracle ([[knnLshRecallSql]]). */
   def knnLshRecall(embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100): DataFrame =
     annRecall(knnBruteForce(embeddings, k, queryMod),
       knnLsh(embeddings, k, queryMod), "lsh")
 
-  /** recall@10 of [[knnIvf]] vs [[knnBruteForce]] (rows-only). */
+  /** recall@10 of [[knnIvf]] vs [[knnBruteForce]] — oracle-checked
+    * like [[knnLshRecall]] ([[knnIvfRecallSql]]). */
   def knnIvfRecall(embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100): DataFrame =
     annRecall(knnBruteForce(embeddings, k, queryMod),
