@@ -634,6 +634,7 @@ object SparkEntry {
     "hard_negatives" -> Similarity.hardNegativesSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),
+    "embedding_near_dup_lsh" -> Similarity.embeddingNearDupLshSql(),
     "semantic_dedup" -> Similarity.semanticDedupSql()
   )
 }

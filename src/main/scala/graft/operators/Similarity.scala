@@ -796,8 +796,7 @@ object Similarity {
        |    JOIN emb ne ON ne.vec_id = c0.neighbor_id)
        |  WHERE rank <= $k)""".stripMargin
 
-  private def lshCtes(k: Int, queryMod: Int, nBits: Int, nTables: Int,
-      dim: Int, out: String): String = {
+  private def lshKeyedCte(nBits: Int, nTables: Int, dim: Int): String = {
     val tbl = (0 until nTables).map { t =>
       val bucket = (0 until nBits).map { j =>
         s"(CASE WHEN ${signedFold(hyperplane(t, j, dim))} >= 0" +
@@ -805,12 +804,17 @@ object Similarity {
       }.mkString("(", " + ", ")")
       s"struct_pack(table_id := $t, bucket := $bucket)"
     }.mkString("[", ",\n    ", "]")
+    s"""keyed AS MATERIALIZED (
+       |  SELECT vec_id, u.table_id AS table_id, u.bucket AS bucket FROM (
+       |    SELECT vec_id, unnest($tbl) AS u FROM emb))""".stripMargin
+  }
+
+  private def lshCtes(k: Int, queryMod: Int, nBits: Int, nTables: Int,
+      dim: Int, out: String): String = {
     val probes = (Seq("bucket") ++
       (0 until nBits).map(j => s"xor(bucket, ${1L << j})"))
       .mkString("[", ", ", "]")
-    s"""keyed AS MATERIALIZED (
-       |  SELECT vec_id, u.table_id AS table_id, u.bucket AS bucket FROM (
-       |    SELECT vec_id, unnest($tbl) AS u FROM emb)),
+    s"""${lshKeyedCte(nBits, nTables, dim)},
        |probes AS (
        |  SELECT query_id, q_table, unnest($probes) AS q_bucket FROM (
        |    SELECT vec_id AS query_id, table_id AS q_table, bucket
@@ -872,6 +876,25 @@ object Similarity {
        |FROM $exact x LEFT JOIN $approx a
        |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id"""
       .stripMargin
+
+  /** DuckDB replay of [[embeddingNearDupLsh]]: the same keyed-bucket
+    * table, candidate pairs colliding in ≥1 table, and the exact
+    * cosine filter the all-pairs [[embeddingNearDupSql]] oracle
+    * already proves cross-engine-stable on this threshold. */
+  def embeddingNearDupLshSql(threshold: Double = 0.44, nBits: Int = 6,
+      nTables: Int = 4, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${lshKeyedCte(nBits, nTables, dim)},
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       |  FROM keyed a JOIN keyed b
+       |    ON a.table_id = b.table_id AND a.bucket = b.bucket
+       |   AND a.vec_id < b.vec_id)
+       |SELECT vec_id_a, vec_id_b FROM cand
+       |JOIN emb ea ON ea.vec_id = vec_id_a
+       |JOIN emb eb ON eb.vec_id = vec_id_b
+       |WHERE list_cosine_similarity(ea.e, eb.e) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
 
   def knnLshSql(k: Int = 10, queryMod: Int = 100, nBits: Int = 6,
       nTables: Int = 4, dim: Int = 64): String =
