@@ -631,6 +631,8 @@ object SparkEntry {
     "knn_ivf" -> Similarity.knnIvfSql(),
     "knn_lsh_recall" -> Similarity.knnLshRecallSql(),
     "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
+    "knn_pq" -> Similarity.knnPqSql(),
+    "knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "hard_negatives" -> Similarity.hardNegativesSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),

@@ -896,6 +896,103 @@ object Similarity {
        |WHERE list_cosine_similarity(ea.e, eb.e) >= $threshold
        |ORDER BY 1, 2""".stripMargin
 
+  /** CTEs replaying the PQ default-codebook path: `uvec` is the
+    * unit-normalized vector with the same FLOAT rounding Spark's
+    * `CAST(x / norm AS FLOAT)` applies (both engines' float casts are
+    * correctly rounded, so the bits agree); `pqc` codes every vector
+    * by the same L2 argmax (±1 centroids ⇒ the score is a signed fold
+    * minus subDim/2); `qt` is each query's flat ADC table; `adc`
+    * replays `adcScore`'s j-ascending lookup fold via `list_reduce`.
+    * Output CTE `short`: the top k·rerank ADC shortlist. */
+  private def pqCtes(k: Int, queryMod: Int, m: Int, ksub: Int, dim: Int,
+      rerank: Int,
+      adcFrom: String = "FROM qt q JOIN pqc n ON n.vec_id <> q.query_id")
+      : String = {
+    val subDim = dim / m
+    val books = Array.tabulate(m)(j => pqCodebook(j, ksub, subDim))
+    def signedSum(j: Int, signs: Array[Float]): String =
+      signs.zipWithIndex.map { case (s, i) =>
+        val idx = j * subDim + i + 1
+        if (s > 0) s"u[$idx]" else s"(-u[$idx])"
+      }.mkString(" + ")
+    val codeStructs = (0 until m).flatMap { j =>
+      books(j).zipWithIndex.map { case (cent, c) =>
+        s"struct_pack(j := $j, c := $c, s := " +
+          s"(${signedSum(j, cent)}) - ${subDim / 2.0})"
+      }
+    }.mkString("[", ",\n      ", "]")
+    val tblExprs = (0 until m).flatMap { j =>
+      books(j).map(cent => s"(${signedSum(j, cent)})")
+    }.mkString("[", ",\n      ", "]")
+    val normFold = "list_reduce(list_transform(range(1, " + (dim + 1) +
+      "), i -> e[i] * e[i]), (a, b) -> a + b)"
+    s"""un AS (SELECT vec_id, e, sqrt($normFold) AS nrm FROM emb),
+       |uvec AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${dim + 1}),
+       |    i -> CAST(CAST(e[i] / nrm AS REAL) AS DOUBLE)) AS u
+       |  FROM un),
+       |pq0 AS (SELECT vec_id, u2.j AS j, u2.c AS c, u2.s AS s FROM (
+       |    SELECT vec_id, unnest($codeStructs) AS u2 FROM uvec)),
+       |pqc AS MATERIALIZED (
+       |  SELECT vec_id, list(c ORDER BY j) AS codes FROM (
+       |    SELECT vec_id, j, c FROM (
+       |      SELECT vec_id, j, c, row_number() OVER (
+       |        PARTITION BY vec_id, j ORDER BY s DESC, c) AS rk FROM pq0)
+       |    WHERE rk = 1) GROUP BY vec_id),
+       |qt AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, $tblExprs AS tbl
+       |  FROM uvec WHERE vec_id % $queryMod = 0),
+       |adc AS (SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(range(0, $m),
+       |      j -> q.tbl[j * $ksub + n.codes[j + 1] + 1]),
+       |      (a, b) -> a + b) AS score
+       |  $adcFrom),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM adc) WHERE rk <= ${k * rerank})""".stripMargin
+  }
+
+  def knnPqSql(k: Int = 10, queryMod: Int = 100, m: Int = 16,
+      ksub: Int = 16, dim: Int = 64, rerank: Int = 8): String =
+    s"""WITH $EmbCte,
+       |${pqCtes(k, queryMod, m, ksub, dim, rerank)},
+       |${rankTailSql(k, "res", "short")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** [[knnIvfPq]] with the deterministic stand-in coarse centroids and
+    * default codebooks (the quick catalog face): the [[ivfCtes]]
+    * assignment prunes the [[pqCtes]] ADC scan to probed lists. */
+  def knnIvfPqSql(k: Int = 10, queryMod: Int = 100, nList: Int = 16,
+      nProbe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      rerank: Int = 8): String = {
+    val scores = (0 until nList).map { c =>
+      s"struct_pack(c := $c, s := ${signedFold(centroid(c, dim))})"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH $EmbCte,
+       |cs AS MATERIALIZED (
+       |  SELECT vec_id, u.c AS c, u.s AS s FROM (
+       |    SELECT vec_id, unnest($scores) AS u FROM emb)),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs) WHERE rk = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS query_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs
+       |    WHERE vec_id % $queryMod = 0) WHERE rk <= $nProbe),
+       |${pqCtes(k, queryMod, m, ksub, dim, rerank,
+          adcFrom = "FROM qt q " +
+            "JOIN iprobes p ON p.query_id = q.query_id " +
+            "JOIN assigned a ON a.cluster_id = p.cluster_id " +
+            "JOIN pqc n ON n.vec_id = a.vec_id AND n.vec_id <> q.query_id")},
+       |${rankTailSql(k, "res", "short")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def knnLshSql(k: Int = 10, queryMod: Int = 100, nBits: Int = 6,
       nTables: Int = 4, dim: Int = 64): String =
     s"""WITH $EmbCte,
