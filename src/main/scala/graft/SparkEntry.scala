@@ -633,6 +633,8 @@ object SparkEntry {
     "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
     "knn_pq" -> Similarity.knnPqSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqSql(),
+    "knn_int8" -> Similarity.knnInt8Sql(),
+    "knn_int8_recall" -> Similarity.knnInt8RecallSql(),
     "hard_negatives" -> Similarity.hardNegativesSql(),
     "embedding_outliers" -> Similarity.embeddingOutliersSql(),
     "embedding_near_dup" -> Similarity.embeddingNearDupSql(),

@@ -993,6 +993,50 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** CTEs replaying [[knnBruteForceInt8]]: the quantizer is explicit
+    * SQL arithmetic (`floor(x/scale + 0.5)` with clamps — identical
+    * IEEE ops in both engines), and every downstream value is EXACT
+    * integer arithmetic, so unlike the float faces there is no
+    * fold-order to reproduce at all: the int8 cosine doubles are
+    * bit-identical by construction. */
+  private def int8Ctes(k: Int, queryMod: Int, dim: Int,
+      out: String): String = {
+    def idot(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> $a[i] * $b[i]))"
+    def cosExpr(a: String, b: String): String =
+      s"CAST(${idot(a, b)} AS DOUBLE) / (sqrt(CAST(${idot(a, a)}" +
+        s" AS DOUBLE)) * sqrt(CAST(${idot(b, b)} AS DOUBLE)))"
+    s"""i80 AS (SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+       |  FROM emb),
+       |i8 AS MATERIALIZED (SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS BIGINT))
+       |    ELSE list_transform(e, x -> CAST(greatest(-127.0, least(127.0,
+       |      floor(x / scale + 0.5))) AS BIGINT)) END AS q
+       |  FROM i80),
+       |$out AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT q0.vec_id AS query_id, n0.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q0.vec_id
+       |        ORDER BY ${cosExpr("q0.q", "n0.q")} DESC, n0.vec_id) AS rank
+       |    FROM (SELECT * FROM i8 WHERE vec_id % $queryMod = 0) q0
+       |    JOIN i8 n0 ON n0.vec_id <> q0.vec_id)
+       |  WHERE rank <= $k)""".stripMargin
+  }
+
+  def knnInt8Sql(k: Int = 10, queryMod: Int = 100, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${int8Ctes(k, queryMod, dim, "res")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+
+  def knnInt8RecallSql(k: Int = 10, queryMod: Int = 100): String =
+    s"""WITH $EmbCte,
+       |${bfCte(k, queryMod, "bf")},
+       |${int8Ctes(k, queryMod, 64, "ap")}
+       |${recallTailSql("int8", "bf", "ap")}""".stripMargin
+
   def knnLshSql(k: Int = 10, queryMod: Int = 100, nBits: Int = 6,
       nTables: Int = 4, dim: Int = 64): String =
     s"""WITH $EmbCte,
