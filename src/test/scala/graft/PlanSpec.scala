@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unused columns: $readSchema")
   }
 
+  test("gopher_repetition prunes the documents scan and partially aggregates") {
+    val qe = graft.operators.TextAnalysis
+      .gopherRepetition(Tables.documents(spark, d))
+      .queryExecution.executedPlan.toString
+    val readSchema = "ReadSchema: [^\n]+".r.findFirstIn(qe).getOrElse("")
+    assert(readSchema.nonEmpty, "no parquet scan in plan?")
+    // only doc_id and text feed the operator; source/lang must not be read
+    assert(!readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan reads unused columns: $readSchema")
+    // the (doc, n, gram) count combines map-side before its shuffle
+    assert("HashAggregate".r.findAllIn(qe).length >= 2, qe.take(800))
+  }
+
   test("selective predicates reach the parquet scan as PushedFilters") {
     import org.apache.spark.sql.functions._
     val q = Tables.orders(spark, d)
