@@ -253,6 +253,9 @@ object SparkEntry {
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     // per-source data card published alongside each training mix
     "corpus_profile" -> ((s, d) => Corpus.corpusProfile(Tables.documents(s, d))),
+    // temperature mixture weights (w_i ∝ n_i^α; α=0.5 because IEEE
+    // sqrt is correctly rounded everywhere -> hash-exact oracle)
+    "mixture_weights" -> ((s, d) => Corpus.mixtureWeights(Tables.documents(s, d))),
     // rank-frequency OLS: the distributional health check of a corpus
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(par(Tables.documents(s, d)))),
     // count-min sketch as relational algebra (oracle-checked, portable hash)
@@ -594,6 +597,7 @@ object SparkEntry {
     "chunk_dedup" -> Corpus.chunkDedupSql(),
     "corpus_pipeline" -> Corpus.corpusPipelineSql(),
     "corpus_profile" -> Corpus.corpusProfileSql(),
+    "mixture_weights" -> Corpus.mixtureWeightsSql(),
     "zipf_fit" -> TextAnalysis.zipfFitSql(),
     "word_pagerank" -> TextAnalysis.wordPagerankSql(),
     "cms_word_freq" -> TextAnalysis.cmsWordFreqSql(),

@@ -121,6 +121,60 @@ object Corpus {
     * the way a training pipeline downsamples over-represented sources
     * while streaming the corpus once. Unlisted sources keep
     * `defaultPct`. */
+  /** Temperature-based mixture WEIGHT DERIVATION — the table that
+    * produces the per-source sampling rates [[mixtureSample]] consumes
+    * (the T5/LLaMA upsampling recipe: w_i ∝ n_i^α flattens the source
+    * distribution so low-resource sources aren't drowned). Two weight
+    * columns per source: `weight_prop` (α=1, proportional) and
+    * `weight_temp` (α=0.5). α=0.5 is not arbitrary: IEEE `sqrt` is
+    * CORRECTLY ROUNDED on every platform (unlike `pow`/`exp`, whose
+    * libm tails differ), so the temperature weights are bit-exact
+    * cross-engine and the face carries a full hash-exact oracle —
+    * other α values keep the same plan shape but would need the
+    * quantized-ln discipline. The sqrt masses sum through
+    * DECIMAL(27,9) (ties impossible: sqrt of a non-square never
+    * terminates, sqrt of a square is an exact integer), and each
+    * weight is a division chain floor-quantized to the 1e-10 grid.
+    * One groupBy + one broadcast single-row total: two shuffles of
+    * source-bounded rows. */
+  def mixtureWeights(documents: DataFrame): DataFrame = {
+    val per = documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      expr("sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(27,9)))")
+        .as("tot_sqrt"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("""floor(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+          | * 1e10) / 1e10""".stripMargin).as("weight_prop"),
+        expr("""floor(sqrt(CAST(n_tokens AS DOUBLE))
+          | / CAST(tot_sqrt AS DOUBLE) * 1e10) / 1e10""".stripMargin)
+          .as("weight_temp"))
+      .orderBy("source")
+  }
+
+  def mixtureWeightsSql(): String =
+    """WITH per AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT sum(n_tokens)::BIGINT AS tot_tokens,
+      |    sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(27,9)))
+      |      AS tot_sqrt
+      |  FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |  floor(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)
+      |    * 1e10) / 1e10 AS weight_prop,
+      |  floor(sqrt(CAST(n_tokens AS DOUBLE))
+      |    / CAST(tot_sqrt AS DOUBLE) * 1e10) / 1e10 AS weight_temp
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   def mixtureSample(documents: DataFrame, rates: Map[String, Int],
       defaultPct: Int = 100): DataFrame =
     documents

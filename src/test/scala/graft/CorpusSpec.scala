@@ -269,4 +269,23 @@ class CorpusSpec extends AnyFunSuite {
       assert(rows.length === (scoredPerSrc(src) + 1) / 2, src)
     }
   }
+
+  test("mixtureWeights: both weight columns sum to ~1 and temperature flattens") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val w = graft.operators.Corpus.mixtureWeights(docs)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(w.length > 1)
+    // floor-quantized weights sum to 1 from below, within n*1e-10
+    val sp = w.map(_._4).sum
+    val st = w.map(_._5).sum
+    assert(sp <= 1.0 + 1e-9 && sp > 1.0 - w.length * 1e-10, sp)
+    assert(st <= 1.0 + 1e-9 && st > 1.0 - w.length * 1e-10, st)
+    // α=0.5 flattens: the biggest source is down-weighted, the
+    // smallest up-weighted, and relative order is preserved
+    val byTokens = w.sortBy(_._3)
+    assert(byTokens.last._5 <= byTokens.last._4 + 1e-12, "max not damped")
+    assert(byTokens.head._5 >= byTokens.head._4 - 1e-12, "min not boosted")
+    assert(byTokens.map(_._5).toSeq === byTokens.map(_._5).sorted.toSeq,
+      "temperature must preserve source order")
+  }
 }
