@@ -50,7 +50,10 @@ class ContractSpec extends AnyFunSuite {
       // 1-row target/raw-totals broadcast into the token stream
       "dsir_weights",
       // embeds lm_bigram_score (its 1-row vocab-size broadcast)
-      "quality_filter_by_source")
+      "quality_filter_by_source",
+      // 1-row corpus-totals broadcast (tot_tokens, tot_sqrt) into the
+      // source-bounded weight table — the tfidf_top_terms pattern
+      "mixture_weights")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
