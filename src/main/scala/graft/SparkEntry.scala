@@ -263,6 +263,9 @@ object SparkEntry {
     // per-doc token-distribution entropy (repetition-sensitive quality)
     "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(par(Tables.documents(s, d)))),
     "contamination" -> ((s, d) => Corpus.contamination(par(Tables.documents(s, d)))),
+    // cross-source shingle overlap matrix (A9's pair-overlap plan at
+    // corpus scale; integers + one IEEE division -> hash-exact)
+    "source_overlap" -> ((s, d) => Corpus.sourceOverlap(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
@@ -605,6 +608,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentPairsSql(),
     "embedding_standardize" -> Similarity.embeddingStandardizeSql(),
     "contamination" -> Corpus.contaminationSql(),
+    "source_overlap" -> Corpus.sourceOverlapSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),

@@ -435,6 +435,72 @@ object Corpus {
     * index; the corpus stream joins against it — at 100 TB the
     * benchmark shingle set broadcasts and the corpus is touched once,
     * no self-join. */
+  /** Cross-source n-gram OVERLAP MATRIX — how much each source pair
+    * duplicates each other, measured BEFORE mixing (the complement of
+    * [[mixtureWeights]]: weights say how much to sample, this says how
+    * much of it is the same text — the pre-mix diligence step next to
+    * per-doc [[contamination]]). For every source pair: the count of
+    * distinct `k`-gram shingles both contain and their Jaccard over
+    * distinct shingles. All integers plus ONE IEEE division per row.
+    *
+    * Scale shape: distinct (source, shingle) is one shuffle keyed by
+    * shingle; the pair join is shingle-keyed with fan-out bounded by
+    * C(|sources|, 2) per shingle (source count is domain-bounded, like
+    * the reference's variant overlap A9 — this IS A9's plan at corpus
+    * scale); per-source totals broadcast back into the pair rows. */
+  def sourceOverlap(documents: DataFrame, k: Int = 8): DataFrame = {
+    val sg = Dedup.shingles(documents, k)
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = sg.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val a = sg.toDF("source_a", "shingle")
+      val b = sg.toDF("source_b", "shingle")
+      val shared = a.join(b, Seq("shingle"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("shared_shingles"))
+      shared
+        .join(broadcast(totals.toDF("source_a", "n_a")), Seq("source_a"))
+        .join(broadcast(totals.toDF("source_b", "n_b")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("shared_shingles"),
+          expr("""floor(CAST(shared_shingles AS DOUBLE)
+            | / CAST(n_a + n_b - shared_shingles AS DOUBLE) * 1e10)
+            | / 1e10""".stripMargin).as("jaccard"))
+        .orderBy("source_a", "source_b")
+    } finally { sg.unpersist(); () }
+  }
+
+  def sourceOverlapSql(k: Int = 8): String =
+    s"""WITH arr AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT source,
+       |    list_aggregate(toks[i:i + $k - 1], 'string_agg', ' ') AS shingle
+       |  FROM arr, LATERAL unnest(range(1, len(toks) - $k + 2)) AS t (i)
+       |  WHERE len(toks) >= $k),
+       |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+       |tot AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    count(*)::BIGINT AS shared_shingles
+       |  FROM sh a JOIN sh b
+       |    ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b,
+       |  shared_shingles,
+       |  floor(CAST(shared_shingles AS DOUBLE)
+       |    / CAST(ta.n + tb.n - shared_shingles AS DOUBLE) * 1e10)
+       |    / 1e10 AS jaccard
+       |FROM pairs
+       |JOIN tot ta ON ta.source = source_a
+       |JOIN tot tb ON tb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   def contamination(documents: DataFrame, k: Int = 8, minShared: Long = 4,
       benchMod: Int = 50): DataFrame = {
     val benchSh = Dedup.shingles(
