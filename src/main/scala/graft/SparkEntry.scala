@@ -191,6 +191,15 @@ object SparkEntry {
     // CCNet-shape LM quality filter: corpus-trained bigram model,
     // per-doc mean negative log-prob (low = fluent, high = garbage)
     "lm_bigram_score" -> ((s, d) => TextAnalysis.lmBigramScore(par(Tables.documents(s, d)))),
+    // held-out stupid-backoff trigram LM (Brants 2007 / CCNet
+    // deployment shape): train on src1..n, score src0 — the backoff
+    // tiers genuinely fire, and the per-tier hit counts are the
+    // domain-shift signal; integer count ratios -> hash-exact
+    "lm_trigram_score" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      TextAnalysis.lmTrigramScore(docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"))
+    }),
     // Gopher rule battery (word count / mean len / symbols / alpha /
     // stop words), one verdict column per rule for ablation
     "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(par(Tables.documents(s, d)))),
@@ -249,6 +258,10 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
     "chunk_dedup" -> ((s, d) => Corpus.chunkDedup(par(Tables.documents(s, d)))),
     "sequence_packing" -> ((s, d) => Corpus.packSequences(Tables.documents(s, d), budget = 512)),
+    // T5 span corruption: denoising (input, target) pair generation —
+    // poly_hash62-seeded spans, sentinel rendering, ZERO shuffles (one
+    // per-row fold); byte-identical across engines -> hash-exact
+    "span_corruption" -> ((s, d) => Corpus.spanCorruption(par(Tables.documents(s, d)))),
     "pii_redaction" -> ((s, d) => Corpus.redactionReport(par(Tables.documents(s, d)))),
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     // per-source data card published alongside each training mix
@@ -567,6 +580,7 @@ object SparkEntry {
     "experiment_entropy" -> Analytics.experimentEntropySql,
     "collocations" -> TextAnalysis.collocationsSql(),
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
+    "lm_trigram_score" -> TextAnalysis.lmTrigramScoreSql(),
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "gopher_repetition" -> TextAnalysis.gopherRepetitionSql(),
     "bpe_merges" -> TextAnalysis.bpeTrainSql(),
@@ -619,6 +633,7 @@ object SparkEntry {
     "dedup_span_removal" -> Dedup.spanRemovalSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
+    "span_corruption" -> Corpus.spanCorruptionSql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the
     // exact-Jaccard pair set (candidate recall ≈ 1 at j ≥ 0.8, and the

@@ -826,4 +826,146 @@ object Corpus {
        |  md5(t3) AS redacted_md5
        |FROM s3 ORDER BY doc_id""".stripMargin
   }
+
+  /** T5-style span corruption (Raffel et al., arXiv 1910.10683 §3.1.4
+    * — the denoising pretraining objective: mask contiguous token
+    * spans, replace each with a sentinel, and emit the masked spans as
+    * the target sequence). This is the op that turns a cleaned corpus
+    * into (input, target) training pairs, so determinism is the whole
+    * contract: noise comes from the house engine-portable
+    * `poly_hash62` over `doc_id:position`, not an RNG — every re-run,
+    * every engine, every partitioning produces byte-identical pairs.
+    *
+    * A position starts a candidate span when `h % 100 < startPct`;
+    * the span covers `2 + ((h >> 7) % 3)` tokens (2–4, mean 3 — so
+    * `startPct = 5` corrupts ≈ 15% of tokens, the T5 default rate).
+    * Overlapping candidates merge into one maximal run; run k is
+    * rendered `<extra_id_k>` in the input and `<extra_id_k> tokens…`
+    * in the target, both 0-indexed per document.
+    *
+    * Scale shape: there is NO shuffle — candidate starts, coverage,
+    * run-merging, and both output strings are a single left-to-right
+    * `aggregate` fold over the token array inside one projection
+    * (the [[Retrieval.hybridSearch]] fold discipline), so the op is
+    * embarrassingly parallel and runs at scan speed on 100 TB. The
+    * coverage test per position scans the row's own candidate list
+    * (≈ startPct% of tokens) — linear in practice.
+    *
+    * Output: (doc_id, n_tokens, n_masked, n_spans, input_text,
+    * target_text). Zero-mask docs keep their text verbatim with an
+    * empty target. */
+  def spanCorruption(documents: DataFrame, startPct: Int = 5): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("sp", expr(
+        s"""filter(transform(sequence(0, size(toks) - 1),
+           |  i -> named_struct('p', i,
+           |    'h', poly_hash62(concat(CAST(doc_id AS STRING), ':',
+           |                            CAST(i AS STRING))))),
+           |  s -> pmod(s.h, 100) < $startPct)""".stripMargin))
+      .withColumn("acc", expr(
+        """aggregate(sequence(0, size(toks) - 1),
+          |  named_struct('k', 0, 'prev', false,
+          |    'inp', CAST(array() AS ARRAY<STRING>),
+          |    'tgt', CAST(array() AS ARRAY<STRING>)),
+          |  (acc, p) -> CASE
+          |    WHEN exists(sp, s -> p >= s.p
+          |      AND p < s.p + 2 + pmod(shiftright(s.h, 7), 3)) THEN
+          |      CASE WHEN acc.prev THEN named_struct(
+          |          'k', acc.k, 'prev', true, 'inp', acc.inp,
+          |          'tgt', array_append(acc.tgt, element_at(toks, p + 1)))
+          |        ELSE named_struct(
+          |          'k', acc.k + 1, 'prev', true,
+          |          'inp', array_append(acc.inp,
+          |            concat('<extra_id_', CAST(acc.k AS STRING), '>')),
+          |          'tgt', concat(acc.tgt, array(
+          |            concat('<extra_id_', CAST(acc.k AS STRING), '>'),
+          |            element_at(toks, p + 1))))
+          |      END
+          |    ELSE named_struct('k', acc.k, 'prev', false,
+          |      'inp', array_append(acc.inp, element_at(toks, p + 1)),
+          |      'tgt', acc.tgt)
+          |  END)""".stripMargin))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("acc.tgt")) - col("acc.k")).cast("long").as("n_masked"),
+        col("acc.k").cast("long").as("n_spans"),
+        array_join(col("acc.inp"), " ").as("input_text"),
+        array_join(col("acc.tgt"), " ").as("target_text"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[spanCorruption]]: same poly_hash62 fold (the
+    * [[TextAnalysis.cmsWordFreqSql]] char-fold construction), coverage
+    * via an explicit span→position join, run-merging via the classic
+    * gaps-and-islands window, ordered `string_agg` rebuilds — a
+    * relational formulation provably equal to the engine-side fold. */
+  def spanCorruptionSql(startPct: Int = 5): String = {
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(key) + 1),
+         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |hk AS (
+       |  SELECT doc_id, pos,
+       |    CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) AS key
+       |  FROM tok),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    (${fold(131)} | (${fold(137)} << 31)) AS h
+       |  FROM hk),
+       |st AS (
+       |  SELECT doc_id, pos, 2 + ((h >> 7) % 3) AS len
+       |  FROM h WHERE h % 100 < $startPct),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, pos + o AS mpos
+       |  FROM st, LATERAL unnest(range(0, len)) AS t (o)),
+       |mt AS (
+       |  SELECT t.doc_id, t.pos, t.tok,
+       |    CASE WHEN lag(t.pos) OVER (PARTITION BY t.doc_id
+       |        ORDER BY t.pos) = t.pos - 1 THEN 0 ELSE 1 END AS newrun
+       |  FROM tok t JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.mpos),
+       |mk AS (
+       |  SELECT doc_id, pos, tok, newrun,
+       |    sum(newrun) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+       |  FROM mt),
+       |inp AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS input_text
+       |  FROM (
+       |    SELECT t.doc_id, t.pos, t.tok
+       |    FROM tok t LEFT JOIN cov c
+       |      ON t.doc_id = c.doc_id AND t.pos = c.mpos
+       |    WHERE c.mpos IS NULL
+       |    UNION ALL
+       |    SELECT doc_id, pos,
+       |      '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok
+       |    FROM mk WHERE newrun = 1)
+       |  GROUP BY doc_id),
+       |tgt AS (
+       |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos, pri) AS target_text
+       |  FROM (
+       |    SELECT doc_id, pos, 0 AS pri,
+       |      '<extra_id_' || CAST(k AS VARCHAR) || '>' AS tok
+       |    FROM mk WHERE newrun = 1
+       |    UNION ALL
+       |    SELECT doc_id, pos, 1 AS pri, tok FROM mk)
+       |  GROUP BY doc_id),
+       |cnt AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_masked,
+       |    sum(newrun)::BIGINT AS n_spans
+       |  FROM mk GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks)::BIGINT AS n_tokens,
+       |  coalesce(c.n_masked, 0)::BIGINT AS n_masked,
+       |  coalesce(c.n_spans, 0)::BIGINT AS n_spans,
+       |  coalesce(i.input_text, array_to_string(d.toks, ' ')) AS input_text,
+       |  coalesce(t.target_text, '') AS target_text
+       |FROM d LEFT JOIN inp i USING (doc_id) LEFT JOIN tgt t USING (doc_id)
+       |LEFT JOIN cnt c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

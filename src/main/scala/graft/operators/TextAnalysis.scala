@@ -1298,4 +1298,142 @@ object TextAnalysis {
        |    / (n_points * sxx - sx * sx)) / n_points
        |    AS DECIMAL(20,10)) AS DOUBLE) AS intercept
        |FROM m""".stripMargin
+
+  /** KenLM-style held-out perplexity filter with a stupid-backoff
+    * trigram model (Brants et al., EMNLP 2007 — the web-scale LM whose
+    * whole point is that unnormalized count-ratio "scores" with a
+    * constant backoff factor need NO smoothing pass and parallelize as
+    * plain aggregations; CCNet/Wenzek et al. arXiv 1911.00359 is the
+    * same shape with KenLM). Unlike [[lmBigramScore]] (self-trained),
+    * the model trains on `train` and scores `score` — the real CCNet
+    * deployment (train on trusted text, score the crawl), and the only
+    * arrangement where the backoff tiers actually fire.
+    *
+    * S(w3|w1w2) = c3/c2(w1w2)            if the trigram was seen,
+    *            = α·c2(w2w3)/c1(w2)      else if the bigram was seen,
+    *            = α²·max(c1(w3),1)/N     else (unseen w3 ≈ count 1),
+    * with α = 2/5. Per-instance −ln S is DECIMAL(18,9)-quantized
+    * before the per-doc sum (the house engine-parity convention;
+    * consumers divide `nll_sum / n_scored` themselves). Every S is a
+    * single IEEE division of two exact-below-2^53 integer products —
+    * α never appears as the non-representable 0.4 double.
+    *
+    * Scale shape: three token-keyed count aggregations over `train`
+    * (map-side combined, outputs bounded by vocabulary, not corpus),
+    * one trigram explode over `score`, then count-table lookups joined
+    * onto the instance stream. The count tables are UNFILTERED
+    * vocabulary — hapax-heavy and unboundable at web scale — so the
+    * joins carry no broadcast hint and AQE decides (the
+    * [[collocations]] discipline); the corpus total is a 1-row
+    * broadcast. The per-tier hit counts (`n_hit3`/`n_hit2`/`n_hit1`)
+    * ride the same per-doc fold: how much a doc backs off is itself
+    * the domain-shift signal.
+    *
+    * Output: (doc_id, n_scored, n_hit3, n_hit2, n_hit1, nll_sum),
+    * docs with <3 tokens absent. */
+  def lmTrigramScore(train: DataFrame, score: DataFrame): DataFrame = {
+    def toks(df: DataFrame) =
+      df.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val trainToks = toks(train)
+    val c1 = trainToks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = trainToks.where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS a, t[i + 1] AS b))")).as("g"))
+      .groupBy(col("g.a").as("a"), col("g.b").as("b"))
+      .agg(count(lit(1)).as("c2"))
+    val c3 = trainToks.where(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> struct(t[i] AS a, t[i + 1] AS b, t[i + 2] AS c))")).as("g"))
+      .groupBy(col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+      .agg(count(lit(1)).as("c3"))
+    val n = trainToks.agg(sum(size(col("t"))).as("n_tok"))
+    val inst = toks(score).where(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 3), " +
+          "i -> struct(t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3))")).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+    inst
+      .join(c3.toDF("w1", "w2", "w3", "c3"), Seq("w1", "w2", "w3"), "left")
+      .join(c2.toDF("w1", "w2", "c2_12"), Seq("w1", "w2"), "left")
+      .join(c2.toDF("w2", "w3", "c2_23"), Seq("w2", "w3"), "left")
+      .join(c1.toDF("w2", "c1_2"), Seq("w2"), "left")
+      .join(c1.toDF("w3", "c1_3"), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull, lit(3))
+          .when(col("c2_23").isNotNull, lit(2))
+          .otherwise(lit(1)).as("tier"),
+        expr("""CAST(-ln(CASE
+            WHEN c3 IS NOT NULL THEN
+              CAST(c3 AS DOUBLE) / CAST(c2_12 AS DOUBLE)
+            WHEN c2_23 IS NOT NULL THEN
+              CAST(2 * c2_23 AS DOUBLE) / CAST(5 * c1_2 AS DOUBLE)
+            ELSE
+              CAST(4 * coalesce(c1_3, 1) AS DOUBLE)
+                / CAST(25 * n_tok AS DOUBLE)
+          END) AS DECIMAL(18,9))""").as("nll_i"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).as("n_hit2"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).as("n_hit1"),
+        expr("CAST(sum(nll_i) AS DOUBLE)").as("nll_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[lmTrigramScore]] with the catalog's train/score
+    * split (train = every source but `scoreSource`, score =
+    * `scoreSource`). Same tiers, same integer products, same
+    * DECIMAL(18,9) per-instance quantization. */
+  def lmTrigramScoreSql(scoreSource: String = "src0"): String =
+    s"""WITH tr AS (SELECT string_split(text, ' ') AS t FROM documents
+       |            WHERE source <> '$scoreSource'),
+       |sc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |       WHERE source = '$scoreSource'),
+       |c1 AS (SELECT w, count(*) AS c1 FROM
+       |       (SELECT unnest(t) AS w FROM tr) GROUP BY 1),
+       |c2 AS (SELECT g.a AS a, g.b AS b, count(*) AS c2 FROM
+       |       (SELECT unnest(list_transform(range(1, len(t)),
+       |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS g
+       |        FROM tr WHERE len(t) >= 2) GROUP BY 1, 2),
+       |c3 AS (SELECT g.a AS a, g.b AS b, g.c AS c, count(*) AS c3 FROM
+       |       (SELECT unnest(list_transform(range(1, len(t) - 1),
+       |          i -> struct_pack(a := t[i], b := t[i + 1],
+       |                           c := t[i + 2]))) AS g
+       |        FROM tr WHERE len(t) >= 3) GROUP BY 1, 2, 3),
+       |n AS (SELECT sum(len(t))::BIGINT AS n_tok FROM tr),
+       |inst AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM
+       |       (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+       |          i -> struct_pack(w1 := t[i], w2 := t[i + 1],
+       |                           w3 := t[i + 2]))) AS g
+       |        FROM sc WHERE len(t) >= 3)),
+       |scored AS (SELECT doc_id,
+       |    CASE WHEN c3.c3 IS NOT NULL THEN 3
+       |         WHEN c23.c2 IS NOT NULL THEN 2 ELSE 1 END AS tier,
+       |    CAST(-ln(CASE
+       |        WHEN c3.c3 IS NOT NULL THEN
+       |          CAST(c3.c3 AS DOUBLE) / CAST(c12.c2 AS DOUBLE)
+       |        WHEN c23.c2 IS NOT NULL THEN
+       |          CAST(2 * c23.c2 AS DOUBLE) / CAST(5 * u2.c1 AS DOUBLE)
+       |        ELSE
+       |          CAST(4 * coalesce(u3.c1, 1) AS DOUBLE)
+       |            / CAST(25 * n.n_tok AS DOUBLE)
+       |      END) AS DECIMAL(18,9)) AS nll_i
+       |  FROM inst
+       |  LEFT JOIN c3 ON inst.w1 = c3.a AND inst.w2 = c3.b
+       |             AND inst.w3 = c3.c
+       |  LEFT JOIN c2 c12 ON inst.w1 = c12.a AND inst.w2 = c12.b
+       |  LEFT JOIN c2 c23 ON inst.w2 = c23.a AND inst.w3 = c23.b
+       |  LEFT JOIN c1 u2 ON inst.w2 = u2.w
+       |  LEFT JOIN c1 u3 ON inst.w3 = u3.w
+       |  CROSS JOIN n)
+       |SELECT doc_id, count(*) AS n_scored,
+       |  sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END)::BIGINT AS n_hit3,
+       |  sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END)::BIGINT AS n_hit2,
+       |  sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hit1,
+       |  CAST(sum(nll_i) AS DOUBLE) AS nll_sum
+       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

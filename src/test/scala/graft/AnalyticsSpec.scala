@@ -524,4 +524,38 @@ class AnalyticsSpec extends AnyFunSuite {
     // history: 4,6 x5 -> mean 5, sample var 10/9; z = 15/sqrt(10/9)
     assert(math.abs(z - 15.0 / math.sqrt(10.0 / 9)) < 1e-9, z.toString)
   }
+
+  test("lm trigram score: stupid-backoff tiers fire and match hand math") {
+    // train: "a b c a b c a b c" -> c3(b,c,a)=2, c2(b,c)=3, c2(y,z)=1,
+    // c1 = {a,b,c:3, x,y,z:1}, N=12
+    val train = Seq((1L, "a b c a b c a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+    // score triples: (b,c,a) tier3 s=2/3; (c,a,q) tier1 unseen-word
+    // s=4/(25*12); (a,q,y) tier1 s=4*1/(25*12); (q,y,z) tier2
+    // s=2*1/(5*1)
+    val score = Seq((10L, "b c a q y z"), (11L, "a b")) // doc 11: <3 toks
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmTrigramScore(train, score)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toList
+    assert(got.map(_._1) === List(10L), "short doc absent")
+    val (_, n, h3, h2, h1, nll) = got.head
+    assert((n, h3, h2, h1) === ((4L, 1L, 1L, 2L)))
+    val expected = -math.log(2.0 / 3) + 2 * math.log(75.0) + math.log(2.5)
+    assert(math.abs(nll - expected) < 1e-6, s"$nll vs $expected")
+  }
+
+  test("lm trigram score: held-out fluent text beats garbage on mean nll") {
+    val train = (1 to 4).map(i => (i.toLong, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"), // every trigram at tier 3
+      (11L, "mat the on sat cat the")  // same words, unseen order
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.lmTrigramScore(train, score)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._3 === 4L, "all four triples seen in train")
+    assert(got(10L)._6 / got(10L)._2 < got(11L)._6 / got(11L)._2,
+      "in-domain text must carry lower mean nll")
+  }
 }

@@ -288,4 +288,41 @@ class CorpusSpec extends AnyFunSuite {
     assert(byTokens.map(_._5).toSeq === byTokens.map(_._5).sorted.toSeq,
       "temperature must preserve source order")
   }
+
+  test("span corruption: pairs reconstruct the original and hit ~15% rate") {
+    val got = Corpus.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(got.map(_._1).toSet === texts.keySet, "every doc present")
+    val sentinel = "<extra_id_(\\d+)>".r
+    got.foreach { case (id, nTok, nMasked, nSpans, inp, tgt) =>
+      val orig = texts(id)
+      assert(nTok === orig.split(" ", -1).length.toLong)
+      // counts are consistent with the rendered strings
+      assert(sentinel.findAllIn(inp).length === nSpans)
+      assert(sentinel.findAllIn(tgt).length === nSpans)
+      if (nSpans == 0L) {
+        assert(inp === orig && tgt === "")
+      } else {
+        // splice target spans back over the input sentinels -> original.
+        // target = <extra_id_0> span0 <extra_id_1> span1 ...
+        val spans = sentinel.split(tgt.trim + " ").drop(1)
+          .map(_.trim).toSeq
+        assert(spans.length === nSpans)
+        assert(spans.map(s => s.split(" ", -1).length).sum === nMasked)
+        val rebuilt = spans.zipWithIndex.foldLeft(inp) {
+          case (acc, (sp, k)) => acc.replace(s"<extra_id_$k>", sp)
+        }
+        assert(rebuilt === orig, s"doc $id failed reconstruction")
+      }
+    }
+    // corpus-level corruption rate ~ startPct * mean span len (15%)
+    val rate = got.map(_._3).sum.toDouble / got.map(_._2).sum
+    assert(rate > 0.05 && rate < 0.30, s"corruption rate $rate")
+    // deterministic across runs
+    val again = Corpus.spanCorruption(docs)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
 }
