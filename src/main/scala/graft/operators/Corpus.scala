@@ -449,32 +449,54 @@ object Corpus {
     * the reference's variant overlap A9 — this IS A9's plan at corpus
     * scale); per-source totals broadcast back into the pair rows. */
   def sourceOverlap(documents: DataFrame, k: Int = 8): DataFrame = {
+    // localCheckpoint, not persist: the returned plan is LAZY, so a
+    // persist+finally-unpersist here would release the cache before any
+    // action runs and the dominant shingle explode+join+distinct subplan
+    // would recompute 3x (totals, join side a, join side b) inside the
+    // one eventual action. Checkpointing truncates the lineage so all
+    // three consumers read the same materialized set — the
+    // [[Dedup.connectedComponents]] discipline.
+    //
+    // Shingles are folded to 62-bit poly_hash62 BEFORE the distinct:
+    // the k-gram string is only ever tested for equality, so an 8-byte
+    // key shrinks the checkpoint, the distinct shuffle, and the
+    // shingle-keyed self-join ~8x vs ~60-char strings. The oracle
+    // replays the SAME fold, so any collision collapses identically in
+    // both engines and the compare stays hash-exact.
+    graft.functions.PolyHash62.register(documents.sparkSession)
     val sg = Dedup.shingles(documents, k)
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
-      .select(col("source"), col("shingle")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val totals = sg.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_shingles"))
-      val a = sg.toDF("source_a", "shingle")
-      val b = sg.toDF("source_b", "shingle")
-      val shared = a.join(b, Seq("shingle"))
-        .where(col("source_a") < col("source_b"))
-        .groupBy(col("source_a"), col("source_b"))
-        .agg(count(lit(1)).as("shared_shingles"))
-      shared
-        .join(broadcast(totals.toDF("source_a", "n_a")), Seq("source_a"))
-        .join(broadcast(totals.toDF("source_b", "n_b")), Seq("source_b"))
-        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
-          col("shared_shingles"),
-          expr("""floor(CAST(shared_shingles AS DOUBLE)
-            | / CAST(n_a + n_b - shared_shingles AS DOUBLE) * 1e10)
-            | / 1e10""".stripMargin).as("jaccard"))
-        .orderBy("source_a", "source_b")
-    } finally { sg.unpersist(); () }
+      .select(col("source"), expr("poly_hash62(shingle)").as("shingle"))
+      .distinct()
+      .localCheckpoint()
+    val totals = sg.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val a = sg.toDF("source_a", "shingle")
+    val b = sg.toDF("source_b", "shingle")
+    val shared = a.join(b, Seq("shingle"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(broadcast(totals.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(totals.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("shared_shingles"),
+        expr("""floor(CAST(shared_shingles AS DOUBLE)
+          | / CAST(n_a + n_b - shared_shingles AS DOUBLE) * 1e10)
+          | / 1e10""".stripMargin).as("jaccard"))
+      .orderBy("source_a", "source_b")
   }
 
-  def sourceOverlapSql(k: Int = 8): String =
+  def sourceOverlapSql(k: Int = 8): String = {
+    // DuckDB replay of poly_hash62 over the shingle string (the
+    // [[Dedup.simhashPairsSql]] char-fold construction) — same fold,
+    // same collisions, both engines.
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(shingle) + 1),
+         |        j -> CAST(unicode(substr(shingle, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
     s"""WITH arr AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS toks
        |  FROM documents),
@@ -483,7 +505,10 @@ object Corpus {
        |    list_aggregate(toks[i:i + $k - 1], 'string_agg', ' ') AS shingle
        |  FROM arr, LATERAL unnest(range(1, len(toks) - $k + 2)) AS t (i)
        |  WHERE len(toks) >= $k),
-       |sh AS (SELECT DISTINCT source, shingle FROM sh0),
+       |sh AS (SELECT DISTINCT source,
+       |    (${fold(131)}
+       |     | (${fold(137)} << 31)) AS shingle
+       |  FROM sh0),
        |tot AS (SELECT source, count(*)::BIGINT AS n FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.source AS source_a, b.source AS source_b,
@@ -500,6 +525,7 @@ object Corpus {
        |JOIN tot ta ON ta.source = source_a
        |JOIN tot tb ON tb.source = source_b
        |ORDER BY source_a, source_b""".stripMargin
+  }
 
   def contamination(documents: DataFrame, k: Int = 8, minShared: Long = 4,
       benchMod: Int = 50): DataFrame = {
@@ -844,12 +870,21 @@ object Corpus {
     * in the target, both 0-indexed per document.
     *
     * Scale shape: there is NO shuffle — candidate starts, coverage,
-    * run-merging, and both output strings are a single left-to-right
-    * `aggregate` fold over the token array inside one projection
-    * (the [[Retrieval.hybridSearch]] fold discipline), so the op is
-    * embarrassingly parallel and runs at scan speed on 100 TB. The
-    * coverage test per position scans the row's own candidate list
-    * (≈ startPct% of tokens) — linear in practice.
+    * run-merging, and both output strings are left-to-right `aggregate`
+    * folds over the token array inside one projection (the
+    * [[Retrieval.hybridSearch]] fold discipline), so the op is
+    * embarrassingly parallel and runs at scan speed on 100 TB. Coverage
+    * is a precomputed O(n) boolean mask (a forward fold carrying the
+    * remaining-span length), so the per-position test is O(1) even for
+    * 100k-token documents.
+    *
+    * Sentinel contract (as in T5): `<extra_id_k>` strings are RESERVED
+    * vocabulary — input text must not contain them literally, or the
+    * (input, target) pair is ambiguous and irreversible. T5 reserves
+    * the sentinel ids in its vocab for exactly this reason; callers
+    * feeding untrusted text should strip/escape them first. NULL-text
+    * rows are dropped (both engines), matching the dedup-family
+    * convention of filtering null keys at the source.
     *
     * Output: (doc_id, n_tokens, n_masked, n_spans, input_text,
     * target_text). Zero-mask docs keep their text verbatim with an
@@ -857,21 +892,34 @@ object Corpus {
   def spanCorruption(documents: DataFrame, startPct: Int = 5): DataFrame = {
     graft.functions.PolyHash62.register(documents.sparkSession)
     documents
+      .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("sp", expr(
-        s"""filter(transform(sequence(0, size(toks) - 1),
-           |  i -> named_struct('p', i,
-           |    'h', poly_hash62(concat(CAST(doc_id AS STRING), ':',
-           |                            CAST(i AS STRING))))),
-           |  s -> pmod(s.h, 100) < $startPct)""".stripMargin))
+      // span length per candidate-start position (0 = not a start),
+      // then ONE forward fold turns it into a boolean coverage mask:
+      // rem carries how many upcoming positions the widest span seen
+      // so far still covers, making the per-position test O(1).
+      .withColumn("cov", expr(
+        s"""aggregate(
+           |  transform(
+           |    transform(sequence(0, size(toks) - 1),
+           |      i -> poly_hash62(concat(CAST(doc_id AS STRING), ':',
+           |                              CAST(i AS STRING)))),
+           |    h -> CASE WHEN pmod(h, 100) < $startPct
+           |         THEN 2 + pmod(shiftright(h, 7), 3)
+           |         ELSE CAST(0 AS BIGINT) END),
+           |  named_struct('rem', CAST(0 AS BIGINT),
+           |    'cov', CAST(array() AS ARRAY<BOOLEAN>)),
+           |  (acc, l) -> named_struct(
+           |    'rem', greatest(greatest(acc.rem, l) - 1, CAST(0 AS BIGINT)),
+           |    'cov', array_append(acc.cov, acc.rem > 0 OR l > 0)),
+           |  acc -> acc.cov)""".stripMargin))
       .withColumn("acc", expr(
         """aggregate(sequence(0, size(toks) - 1),
           |  named_struct('k', 0, 'prev', false,
           |    'inp', CAST(array() AS ARRAY<STRING>),
           |    'tgt', CAST(array() AS ARRAY<STRING>)),
           |  (acc, p) -> CASE
-          |    WHEN exists(sp, s -> p >= s.p
-          |      AND p < s.p + 2 + pmod(shiftright(s.h, 7), 3)) THEN
+          |    WHEN element_at(cov, p + 1) THEN
           |      CASE WHEN acc.prev THEN named_struct(
           |          'k', acc.k, 'prev', true, 'inp', acc.inp,
           |          'tgt', array_append(acc.tgt, element_at(toks, p + 1)))
@@ -907,7 +955,8 @@ object Corpus {
          |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
          |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
     s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
        |tok AS (
        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
        |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),

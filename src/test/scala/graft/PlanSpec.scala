@@ -84,6 +84,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("source_overlap shingles the corpus ONCE — all three consumers read the checkpoint") {
+    // the distinct (source, shingle) set is localCheckpoint()ed, so the
+    // dominant explode+join+distinct subtree must be absent from the
+    // downstream plan (totals + both join sides read the materialized
+    // RDD); a regression to lazy persist would resurface the Generate.
+    val p = plan(graft.operators.Corpus.sourceOverlap(
+      Tables.documents(spark, d)))
+    assert(!p.contains("Generate"),
+      "shingle explode recomputed downstream of the checkpoint:\n" + p.take(1200))
+    assert(p.contains("ExistingRDD"), p.take(1200))
+  }
+
   // AQE's toString prints "== Final Plan ==" then "== Initial Plan ==";
   // exchange-counting assertions must look at the final section only
   private def finalPlan(df: DataFrame): String =
