@@ -655,6 +655,8 @@ object SparkEntry {
     "knn_lsh_recall" -> Similarity.knnLshRecallSql(),
     "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
     "knn_pq" -> Similarity.knnPqSql(),
+    "knn_pca" -> Similarity.knnPcaSql(),
+    "embedding_pca" -> Similarity.embeddingPcaSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "knn_int8" -> Similarity.knnInt8Sql(),
     "knn_int8_recall" -> Similarity.knnInt8RecallSql(),

@@ -1595,11 +1595,45 @@ object Similarity {
     embeddings.select(col("vec_id") +: projCols: _*)
   }
 
-  /** The `embedding_pca` query face: top-`k` components fitted on the
-    * corpus, per-row projections quantized for stable output. Rows-only
-    * (no SQL engine fits eigenvectors); `PcaSpec` holds the math to
-    * account. */
-  def embeddingPca(embeddings: DataFrame, k: Int = 4): DataFrame = {
+  /** Pinned orthogonal ±1 projection basis: rows 1..`kComp` of the
+    * Sylvester-Hadamard matrix `H(r, i) = (-1)^popcount(r AND i)`
+    * (row 0 — all ones — skipped). The rows are EXACTLY mutually
+    * orthogonal with common norm sqrt(dim), so projecting is an
+    * orthogonal map up to one global scale cosine ignores — and every
+    * entry is ±1, making the projection a signed double fold both
+    * engines replay bit-for-bit (the [[pqCodebook]] default-codebook
+    * convention: a deterministic stand-in with the trained face's
+    * exact plan shape, oracle-able where eigenvectors are not). */
+  private[graft] def pinnedBasis(kComp: Int, dim: Int): Array[Array[Float]] = {
+    require(Integer.bitCount(dim) == 1 && kComp < dim,
+      s"pinnedBasis needs power-of-two dim > kComp; got dim=$dim k=$kComp")
+    Array.tabulate(kComp) { c =>
+      Array.tabulate(dim)(i =>
+        if (Integer.bitCount((c + 1) & i) % 2 == 0) 1f else -1f)
+    }
+  }
+
+  /** The `embedding_pca` query face: per-row coordinates in the PINNED
+    * Hadamard basis ([[pinnedBasis]]), quantized for stable output —
+    * hash-exact against the DuckDB signed-fold replay. The TRAINED
+    * eigenbasis face is [[embeddingPcaTrained]] (rows-only: no SQL
+    * engine fits eigenvectors); `PcaSpec` holds its math to account
+    * and [[knnPcaRecall]] measures it as data. */
+  def embeddingPca(embeddings: DataFrame, k: Int = 4,
+      dim: Int = 64): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val basis = pinnedBasis(k, dim)
+    embeddings.select(col("vec_id") +:
+      basis.zipWithIndex.map { case (b, c) =>
+        expr(s"CAST(CAST(vec_dot(embedding, ${floatArrayLit(b)}) " +
+          s"AS DECIMAL(20,8)) AS DOUBLE)").as(s"pc$c")
+      }.toSeq: _*)
+      .orderBy("vec_id")
+  }
+
+  /** [[embeddingPca]]'s trained twin: top-`k` eigencomponents fitted on
+    * the corpus ([[pcaFit]]), per-row projections quantized. */
+  def embeddingPcaTrained(embeddings: DataFrame, k: Int = 4): DataFrame = {
     val model = pcaFit(embeddings, k)
     val proj = pcaProject(embeddings, model)
     proj.select(col("vec_id") +:
@@ -1608,20 +1642,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** ANN by PCA pruning: candidates score in the `pcaK`-dim projected
-    * space (4× less arithmetic and I/O per pair at 16/64), then the
-    * `k·rerank` shortlist re-scores on full vectors — the
-    * dimensionality-reduction counterpart of [[knnPq]]'s ADC+re-rank.
-    * Cosine in the projected space is computed on CENTERED projections,
-    * which is what makes nearby full-dim vectors stay nearby after
-    * projection. `rerank <= 1` disables the exact pass (raw subspace
-    * quality, what [[PcaSpec]] tracks as data). */
+  private def floatArrayLit(v: Array[Float]): String =
+    v.map(x => s"CAST($x AS FLOAT)").mkString("array(", ", ", ")")
+
+  /** ANN by dimensionality-reduction pruning: candidates score in the
+    * `pcaK`-dim projected space (4× less arithmetic and I/O per pair
+    * at 16/64), then the `k·rerank` shortlist re-scores on full
+    * vectors — the counterpart of [[knnPq]]'s ADC+re-rank. This
+    * catalog face projects onto the PINNED Hadamard basis
+    * ([[pinnedBasis]]) so the whole pipeline — projection folds, float
+    * casts, projected cosine, exact re-rank — is deterministic
+    * arithmetic the DuckDB oracle replays hash-exactly
+    * ([[knnPcaSql]]); [[knnPcaTrained]] is the trained-eigenbasis
+    * twin with the identical plan. */
   def knnPca(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
-      pcaK: Int = 16, rerank: Int = 8): DataFrame = {
+      pcaK: Int = 16, rerank: Int = 8, dim: Int = 64): DataFrame = {
+    VectorFunctions.register(embeddings.sparkSession)
+    val basis = pinnedBasis(pcaK, dim)
+    val proj = embeddings.select(col("vec_id"),
+      array(basis.map(b => expr(
+        s"CAST(vec_dot(embedding, ${floatArrayLit(b)}) AS FLOAT)")): _*)
+        .as("embedding"))
+    knnProjected(embeddings, proj, k, queryMod, rerank)
+  }
+
+  /** [[knnPca]]'s trained twin: projections come from a fitted
+    * [[pcaFit]] eigenbasis, CENTERED (mean-dot subtracted), which is
+    * what makes nearby full-dim vectors stay nearby after projection.
+    * Rows-only (iterative-FP model state); measured by
+    * [[knnPcaRecall]]. `rerank <= 1` disables the exact pass (raw
+    * subspace quality, what [[PcaSpec]] tracks as data). */
+  def knnPcaTrained(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100, pcaK: Int = 16, rerank: Int = 8): DataFrame = {
     val model = pcaFit(embeddings, pcaK)
     val proj = pcaProject(embeddings, model)
       .select(col("vec_id"), array((0 until pcaK).map(c =>
         col(s"pc$c").cast("float")): _*).as("embedding"))
+    knnProjected(embeddings, proj, k, queryMod, rerank)
+  }
+
+  /** Shared reduced-space scorer: projected cosine over the broadcast
+    * query sample, then [[rerankExact]]'s full-vector shortlist pass. */
+  private def knnProjected(embeddings: DataFrame, proj: DataFrame,
+      k: Int, queryMod: Int, rerank: Int): DataFrame = {
     VectorFunctions.register(embeddings.sparkSession)
     val base = proj.select(col("vec_id"), col("embedding"),
       expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
@@ -1636,11 +1699,58 @@ object Similarity {
     rerankExact(embeddings, scored, k, queryMod, rerank)
   }
 
-  /** recall@10 of 64→16-dim PCA-pruned search (exact re-rank of the
-    * 8k-candidate shortlist) vs the full-dim exact baseline
-    * (rows-only). */
+  /** recall@10 of 64→16-dim TRAINED-PCA-pruned search (exact re-rank
+    * of the 8k-candidate shortlist) vs the full-dim exact baseline
+    * (rows-only) — the trained face's fidelity as data. */
   def knnPcaRecall(embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100, pcaK: Int = 16, rerank: Int = 8): DataFrame =
     annRecall(knnBruteForce(embeddings, k, queryMod),
-      knnPca(embeddings, k, queryMod, pcaK, rerank), "pca16")
+      knnPcaTrained(embeddings, k, queryMod, pcaK, rerank), "pca16")
+
+  /** DuckDB replay of the pinned-basis [[knnPca]]: `pv` applies the
+    * same ±1 signed folds with the same `CAST(… AS REAL)` rounding,
+    * the projected cosine is the same left-to-right double fold as
+    * `vec_dot`, and the shortlist feeds the shared exact-cosine rank
+    * tail. */
+  def knnPcaSql(k: Int = 10, queryMod: Int = 100, pcaK: Int = 16,
+      rerank: Int = 8, dim: Int = 64): String = {
+    val basis = pinnedBasis(pcaK, dim)
+    val pvec = basis.map(b => s"CAST(${signedFold(b)} AS REAL)")
+      .mkString("[", ",\n      ", "]")
+    val pdot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${pcaK + 1}), " +
+        s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    s"""WITH $EmbCte,
+       |pv AS MATERIALIZED (
+       |  SELECT vec_id, $pvec AS p FROM emb),
+       |pq2 AS (SELECT vec_id AS query_id, p AS qp,
+       |    sqrt(${pdot("p", "p")}) AS qn
+       |  FROM pv WHERE vec_id % $queryMod = 0),
+       |pscored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${pdot("q.qp", "n.p")}
+       |      / (q.qn * sqrt(${pdot("n.p", "n.p")})) AS score
+       |  FROM pq2 q JOIN pv n ON n.vec_id <> q.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pscored) WHERE rk <= ${k * rerank}),
+       |${rankTailSql(k, "res", "short")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of the pinned-basis [[embeddingPca]] coordinates:
+    * signed folds quantized through the same DECIMAL(20,8) cast. */
+  def embeddingPcaSql(k: Int = 4, dim: Int = 64): String = {
+    val basis = pinnedBasis(k, dim)
+    val cols = basis.zipWithIndex.map { case (b, c) =>
+      s"CAST(CAST((${signedFold(b)}) AS DECIMAL(20,8)) AS DOUBLE) AS pc$c"
+    }.mkString(",\n  ")
+    s"""WITH $EmbCte
+       |SELECT vec_id,
+       |  $cols
+       |FROM emb ORDER BY vec_id""".stripMargin
+  }
 }
