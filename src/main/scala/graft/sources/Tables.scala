@@ -85,10 +85,10 @@ object Tables {
     * fact-fact joins need (Spark requires a catalog table for bucket
     * metadata, hence `saveAsTable`). */
   def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
-      buckets: Int): Unit =
+      buckets: Int, moreCols: String*): Unit =
     df.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(buckets, bucketCol, moreCols: _*)
+      .sortBy(bucketCol, moreCols: _*)
       .saveAsTable(tableName)
 
   /** CSV source with an explicit schema (never inferred — a schema

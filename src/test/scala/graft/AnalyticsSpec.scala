@@ -558,4 +558,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(10L)._6 / got(10L)._2 < got(11L)._6 / got(11L)._2,
       "in-domain text must carry lower mean nll")
   }
+
+  test("lm trigram indexed: identical output to one-shot; probes ride the bucket clustering") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val train = docs.where(col("source") =!= "src0")
+    val score = docs.where(col("source") === "src0")
+    TextAnalysis.writeTrigramLm(train, "lm3_t", buckets = 8)
+    try {
+      val oneShot = TextAnalysis.lmTrigramScore(train, score)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      val indexed = TextAnalysis.lmTrigramScoreIndexed(spark, "lm3_t", score)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+      assert(oneShot === indexed)
+      // the trigram count table must be bucket-clustered on its full
+      // key: a key-grouped aggregate reads it with zero exchange
+      val agg = spark.table("lm3_t_c3")
+        .groupBy(col("a"), col("b"), col("c")).agg(sum(col("c3")).as("s"))
+      assert(agg.count() > 0)
+      val plan = agg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.replace("BroadcastExchange", "BX").contains("Exchange"),
+        s"c3 aggregate shuffled a bucketed table:\n${plan.take(1200)}")
+    } finally {
+      Seq("c1", "c2", "c3", "stats").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS lm3_t_$sfx"))
+    }
+  }
 }

@@ -43,7 +43,7 @@ class ContractSpec extends AnyFunSuite {
       // same 1-row corpus-totals broadcast as collocations (vocab size)
       "lm_bigram_score",
       // same 1-row corpus-totals broadcast (trigram-LM vocab size)
-      "lm_trigram_score", "lm_trigram_score_indexed",
+      "lm_trigram_score",
       // 1-row collection-stats broadcast (N, sumdl) into the postings
       // scan — the same free nested loop as tfidf_top_terms
       "bm25_search",
