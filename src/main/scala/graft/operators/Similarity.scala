@@ -1378,7 +1378,12 @@ object Similarity {
   def knnIvfPqRecall(embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100): DataFrame =
     annRecall(knnBruteForce(embeddings, k, queryMod),
-      knnIvfPq(embeddings, k, queryMod, nProbe = 6,
+      // nProbe=8, rerank=16: the measured knee of the recall/cost
+      // surface (RecallProbe: 0.82 @ sf0.001, 0.84 @ sf0.01; recall is
+      // coarse-list-bound, so probes buy what a larger shortlist
+      // can't). 8/16 lists is a tiny-fixture ratio — production runs
+      // nList ~ sqrt(corpus) with nProbe/nList << 1.
+      knnIvfPq(embeddings, k, queryMod, nProbe = 8, rerank = 16,
         codebooks = Some(pqFit(embeddings)),
         coarseCents = Some(kmeansFit(
           embeddings.select(col("vec_id"), col("embedding"))))), "ivfpq")

@@ -113,11 +113,12 @@ class ContractSpec extends AnyFunSuite {
     // IVF-PQ stacks list pruning on top — bounded by coarse-list
     // recall (a neighbor outside every probed list never reaches the
     // shortlist). The recall face measures the full production path:
-    // trained coarse centroids + trained codebooks + 6/16 probes +
-    // exact re-rank — fixture-observed 0.70 (stand-in centroids at
-    // nProbe=4 measure 0.42)
+    // trained coarse centroids + trained codebooks + 8/16 probes +
+    // exact re-rank of the 160-row shortlist — fixture-observed 0.82
+    // (RecallProbe's measured knee; nProbe=6 measured 0.70, stand-in
+    // centroids at nProbe=4 measure 0.42)
     val ivfpq = Similarity.knnIvfPqRecall(emb).collect()(0)
-    assert(ivfpq.getAs[Double]("recall_at_k") >= 0.60,
+    assert(ivfpq.getAs[Double]("recall_at_k") >= 0.75,
       s"knn_ivfpq recall@10 ${ivfpq.getAs[Double]("recall_at_k")} below floor")
   }
 }
