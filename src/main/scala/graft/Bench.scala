@@ -50,7 +50,15 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    val firstPass = selected.map { case (name, fn) =>
+    // SORTED execution order, not Map hash order: hash order reshuffles
+    // whenever the query set changes, silently moving the run's
+    // cold-start costs (first parquet touch, codegen warm) onto
+    // different queries each round — round 10 "regressions" on
+    // untouched code (token_stats_udaf 0.43->2.52, sequence_packing
+    // 0.99->3.36) were exactly this. Alphabetical order pins the cold
+    // slot to the same leading queries every round, so per-query
+    // diffs compare like with like.
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> timeOne(name, fn)
     }
     // The shared VM suffers multi-second co-tenant CPU bursts that can
@@ -62,7 +70,7 @@ object Bench {
     // the median keeps the central observation instead of the luckiest
     // one). Capped at the 10 slowest so a fully-contended box doesn't
     // triple the wall time.
-    val redo = firstPass.toSeq.filter(_._2 > 5.0)
+    val redo = firstPass.filter(_._2 > 5.0)
       .sortBy(-_._2).take(10).map(_._1).toSet
     val results = firstPass.map { case (name, t) =>
       if (redo(name)) {
@@ -76,7 +84,7 @@ object Bench {
       val qs = rs.sortBy(_._1)
         .map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${results.size}$extra}"""
     }
     // Persist the complete per-query map as an artifact FIRST: the
@@ -85,7 +93,7 @@ object Bench {
     // names alone are 2.8 KB), so rounds 8-9 recorded parsed:null.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      toJson(results.toSeq).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      toJson(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stdout gets a line that FITS the tail: correct total over ALL
     // queries plus a fixed headline subset covering the reference
     // surface (parse/sink/projection/timeseries/overlap) and each
@@ -99,7 +107,7 @@ object Bench {
       "lang_id", "token_count", "quality_classifier", "word_pagerank",
       "bpe_encode", "corpus_pipeline", "image_pixel_stats",
       "pricing_summary", "revenue_by_nation")
-    val shown = results.toSeq.filter(kv => headline.contains(kv._1))
+    val shown = results.filter(kv => headline.contains(kv._1))
       .map { case (k, v) => k -> (math.rint(v * 1000) / 1000) }
     println(toJson(shown, ""","queries_full":"BENCH_FULL.json""""))
     spark.stop()

@@ -257,7 +257,7 @@ object SparkEntry {
       Corpus.mixtureSample(Tables.documents(s, d), Corpus.DemoRates)),
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
     "chunk_dedup" -> ((s, d) => Corpus.chunkDedup(par(Tables.documents(s, d)))),
-    "sequence_packing" -> ((s, d) => Corpus.packSequences(Tables.documents(s, d), budget = 512)),
+    "sequence_packing" -> ((s, d) => Corpus.packSequences(par(Tables.documents(s, d)), budget = 512)),
     // T5 span corruption: denoising (input, target) pair generation —
     // poly_hash62-seeded spans, sentinel rendering, ZERO shuffles (one
     // per-row fold); byte-identical across engines -> hash-exact

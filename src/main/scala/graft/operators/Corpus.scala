@@ -594,29 +594,49 @@ object Corpus {
     * tokenizer-sharding step consumes.
     *
     * The global running sum does NOT use a single-partition window:
-    * like [[Analytics.ntileByRange]], the input is range-partitioned on
-    * doc_id, per-partition token totals (`partitions` longs) are
-    * collected to the driver, and each partition's exclusive global
-    * offset is added to its local window cumsum — an exact distributed
-    * prefix sum whose driver state is O(partitions), not O(rows). The
-    * `__pid` stamp is persisted because the totals pass and the cumsum
-    * pass must observe the SAME range-partition assignment (a
-    * re-executed range exchange does not guarantee that). */
+    * like [[Analytics.ntileByRange]], the stream is split into
+    * `partitions` doc_id-monotone slices, per-slice token totals
+    * (`partitions` longs) are collected to the driver, and each
+    * slice's exclusive global offset is added to its local window
+    * cumsum — an exact distributed prefix sum whose driver state is
+    * O(partitions), not O(rows).
+    *
+    * The slice id is DETERMINISTIC arithmetic on doc_id
+    * (`doc_id div width` against the observed max id), not a sampled
+    * `repartitionByRange`: the sampler was a second full pass over the
+    * scan+split upstream (tokenizing the corpus twice) and its
+    * assignment is seed-dependent, which forced a persist to keep the
+    * totals and cumsum passes consistent. Width splitting needs one
+    * cheap max() on the checkpointed 2-column token table, is stable
+    * under re-execution, and keeps the text scan single-pass. Slices
+    * may be unbalanced under sparse/clustered doc_ids (correctness
+    * never depends on balance — bins follow global doc order either
+    * way); a 100 TB run with adversarial id distributions would swap
+    * in exact quantile bounds computed from the same token table. */
   def packSequences(documents: DataFrame, budget: Int = 512,
       partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged = documents
+    // one scan of the text; everything after touches (doc_id, tok)
+    // only. Lazy checkpoint: the max() below is the materializing
+    // action, so the whole operator is three jobs (materialize+max,
+    // totals, main), not four.
+    val toks = documents
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tok"))
-      .repartitionByRange(partitions, col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false)
+    val maxId = toks.agg(max(col("doc_id"))).head().get(0) match {
+      case null => 0L
+      case v: Long => v
+    }
+    val width = maxId / partitions + 1
+    val ranged = toks.withColumn("__pid",
+      expr(s"CAST(doc_id div $width AS INT)"))
     val totals = ranged.groupBy(col("__pid"))
       .agg(sum(col("tok")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + totals(p)))
-      .toMap // pid -> tokens in lower-ranged partitions
+      .toMap // pid -> tokens in lower-id slices
     val offCol = pids.foldLeft(lit(0L)) { (acc, p) =>
       when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
     }
