@@ -200,6 +200,13 @@ object SparkEntry {
       TextAnalysis.lmTrigramScore(docs.where(col("source") =!= "src0"),
         docs.where(col("source") === "src0"))
     }),
+    // CCNet's head/middle/tail perplexity tertiles over the trigram-LM
+    // scores — range-partitioned exact ntile, no global window
+    "perplexity_buckets" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      TextAnalysis.perplexityBuckets(docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"))
+    }),
     // Gopher rule battery (word count / mean len / symbols / alpha /
     // stop words), one verdict column per rule for ablation
     "gopher_quality" -> ((s, d) => TextAnalysis.gopherQuality(par(Tables.documents(s, d)))),
@@ -581,6 +588,7 @@ object SparkEntry {
     "collocations" -> TextAnalysis.collocationsSql(),
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
     "lm_trigram_score" -> TextAnalysis.lmTrigramScoreSql(),
+    "perplexity_buckets" -> TextAnalysis.perplexityBucketsSql(),
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "gopher_repetition" -> TextAnalysis.gopherRepetitionSql(),
     "bpe_merges" -> TextAnalysis.bpeTrainSql(),

@@ -1432,6 +1432,47 @@ object TextAnalysis {
     * split (train = every source but `scoreSource`, score =
     * `scoreSource`). Same tiers, same integer products, same
     * DECIMAL(18,9) per-instance quantization. */
+  /** CCNet's final output shape (Wenzek et al., arXiv 1911.00359 §4.3):
+    * bucket the scored corpus into head/middle/tail TERTILES of
+    * per-document LM perplexity — head feeds the highest-quality mix,
+    * tail gets dropped or down-sampled. Mean nll (= ln-perplexity)
+    * comes from [[lmTrigramScore]]; the tertile split is
+    * [[Analytics.ntileByRange]]'s range-partitioned exact ntile — no
+    * single-partition window, the same plan [[Analytics.orderDeciles]]
+    * runs at corpus scale. Deterministic: mean nll is a single IEEE
+    * division quantized DECIMAL(18,9), ties broken by doc_id.
+    * Output: (doc_id, n_scored, mean_nll, ppl_bucket). */
+  def perplexityBuckets(train: DataFrame, score: DataFrame): DataFrame = {
+    val scored = lmTrigramScore(train, score)
+      .select(col("doc_id"), col("n_scored"),
+        expr("CAST(CAST(nll_sum / n_scored AS DECIMAL(18,9)) AS DOUBLE)")
+          .as("mean_nll"))
+    Analytics.ntileByRange(scored, Seq("mean_nll", "doc_id"), 3)
+      .select(col("doc_id"), col("n_scored"), col("mean_nll"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[perplexityBuckets]]: the [[lmTrigramScoreSql]] replay
+    * as a nested CTE, the same quantized mean division, and standard
+    * SQL NTILE(3) — whose fill rule (first `total mod k` buckets get
+    * one extra row) is exactly what ntileByRange computes. */
+  def perplexityBucketsSql(scoreSource: String = "src0"): String =
+    s"""WITH lm AS (
+       |${lmTrigramScoreSql(scoreSource)}
+       |),
+       |m AS (SELECT doc_id, n_scored,
+       |  CAST(CAST(nll_sum / n_scored AS DECIMAL(18,9)) AS DOUBLE)
+       |    AS mean_nll FROM lm),
+       |b AS (SELECT doc_id, n_scored, mean_nll,
+       |  ntile(3) OVER (ORDER BY mean_nll, doc_id) AS nt FROM m)
+       |SELECT doc_id, n_scored, mean_nll,
+       |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket
+       |FROM b ORDER BY doc_id""".stripMargin
+
   def lmTrigramScoreSql(scoreSource: String = "src0"): String =
     s"""WITH tr AS (SELECT string_split(text, ' ') AS t FROM documents
        |            WHERE source <> '$scoreSource'),

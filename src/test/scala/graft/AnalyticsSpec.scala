@@ -559,6 +559,24 @@ class AnalyticsSpec extends AnyFunSuite {
       "in-domain text must carry lower mean nll")
   }
 
+  test("perplexity buckets: exact tertiles ordered by mean nll, head beats tail") {
+    import graft.operators.TextAnalysis
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val got = TextAnalysis.perplexityBuckets(
+      docs.where(col("source") =!= "src0"),
+      docs.where(col("source") === "src0"))
+      .as[(Long, Long, Double, String)].collect()
+    assert(got.nonEmpty)
+    // exact NTILE fill: bucket sizes differ by at most 1
+    val sizes = got.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    // every head doc scores no worse (lower mean nll) than every tail doc
+    assert(got.filter(_._4 == "head").map(_._3).max <=
+      got.filter(_._4 == "tail").map(_._3).min)
+  }
+
   test("lm trigram indexed: identical output to one-shot; probes ride the bucket clustering") {
     import graft.operators.TextAnalysis
     import graft.sources.Tables

@@ -42,8 +42,9 @@ class ContractSpec extends AnyFunSuite {
       "value_band_counts", "tfidf_top_terms", "collocations",
       // same 1-row corpus-totals broadcast as collocations (vocab size)
       "lm_bigram_score",
-      // same 1-row corpus-totals broadcast (trigram-LM vocab size)
-      "lm_trigram_score",
+      // same 1-row corpus-totals broadcast (trigram-LM vocab size);
+      // perplexity_buckets embeds it
+      "lm_trigram_score", "perplexity_buckets",
       // 1-row collection-stats broadcast (N, sumdl) into the postings
       // scan — the same free nested loop as tfidf_top_terms
       "bm25_search",
