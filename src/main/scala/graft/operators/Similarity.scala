@@ -200,56 +200,96 @@ object Similarity {
     * floats hash-match the oracle. Constant dims standardize to 0 in
     * both engines instead of diverging at ±inf. */
   def embeddingStandardize(embeddings: DataFrame): DataFrame = {
+    // INTEGER-LATTICE determinism: every cross-engine value is either
+    // exact integer/decimal arithmetic or an IEEE op on identical
+    // operands. Two engine hazards are designed out, both found by the
+    // sf0.1 oracle sweep (invisible at sf0.01):
+    //  1. CAST(<double> AS DECIMAL(p,s)) rounds ulp-edge values
+    //     differently per engine (Spark: exact BigDecimal HALF_UP on
+    //     the binary value; DuckDB: scaled-double round). Inputs
+    //     instead snap to a 1e-7 grid and z to a 1e-10 grid with
+    //     floor(v * scale + 0.5) — pure IEEE multiply/add/floor,
+    //     bit-equal in both engines for |v·scale| < 2^53 — and all
+    //     sums run over the resulting integers (bigint /
+    //     DECIMAL(38,0)), so they are exact.
+    //  2. DuckDB's int128→double cast is not correctly rounded above
+    //     2^53 (Spark's BigDecimal path is), so exact integer sums
+    //     re-enter double space as double(s div 2^40)·2^40 +
+    //     double(s mod 2^40): both terms exactly representable, one
+    //     IEEE add — the correctly-rounded double of s in both
+    //     engines (any div/mod sign convention, since the true sum is
+    //     s either way). Valid for |s| < 2^93.
+    val T = 1099511627776L // 2^40
+    def i2d(x: String) =
+      s"(CAST($x div $T AS DOUBLE) * $T.0 + CAST($x % $T AS DOUBLE))"
     val dims = embeddings.select(col("vec_id"),
       posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim"), col("xf").cast("double").as("x"))
+      .select(col("vec_id"), col("dim"),
+        expr("CAST(floor(CAST(xf AS DOUBLE) * 1e7 + 0.5) AS BIGINT)")
+          .as("x10"))
+    val muExpr = s"${i2d("sx10")} / 1e7 / cn"
     val stats = dims.groupBy(col("dim"))
-      .agg(expr("CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE)").as("sx"),
-        expr("CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE)").as("sxx"),
+      .agg(sum(col("x10")).as("sx10"),
+        expr("sum(CAST(x10 AS DECIMAL(19,0)) * CAST(x10 AS DECIMAL(19,0)))")
+          .as("sxx10"),
         count(lit(1)).cast("double").as("cn"))
-      .select(col("dim"), (col("sx") / col("cn")).as("mu"),
-        sqrt(col("sxx") / col("cn") -
-          (col("sx") / col("cn")) * (col("sx") / col("cn"))).as("sd"))
+      .select(col("dim"),
+        expr(muExpr).as("mu"),
+        expr(s"""sqrt(greatest(${i2d("sxx10")} / 1e14 / cn
+          | - ($muExpr) * ($muExpr), 0.0))""".stripMargin).as("sd"))
     dims.join(broadcast(stats), Seq("dim"))
       .select(col("vec_id"), expr(
-        """CAST(CAST(CASE WHEN sd = 0.0 THEN 0.0 ELSE (x - mu) / sd END
-          | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("z"))
+        """CASE WHEN sd = 0.0 THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor((CAST(x10 AS DOUBLE) / 1e7 - mu) / sd * 1e10
+          |   + 0.5) AS BIGINT) END""".stripMargin).as("k"))
       .groupBy(col("vec_id"))
-      .agg(min(col("z")).as("z_min"), max(col("z")).as("z_max"),
-        expr("CAST(CAST(CAST(sum(CAST(z AS DECIMAL(25,10))) AS DOUBLE) AS DECIMAL(20,8)) AS DOUBLE)")
-          .as("z_sum"),
-        expr("""CAST(CAST(sqrt(CAST(sum(CAST(z * z AS DECIMAL(27,10)))
-          | AS DOUBLE)) AS DECIMAL(20,8)) AS DOUBLE)""".stripMargin)
-          .as("z_norm"))
+      .agg(expr("min(CAST(k AS DOUBLE) / 1e10)").as("z_min"),
+        expr("max(CAST(k AS DOUBLE) / 1e10)").as("z_max"),
+        expr("CAST(sum(k) AS DOUBLE) / 1e10").as("z_sum"),
+        expr(s"""sqrt(${i2d(
+            "sum(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))")}
+          | / 1e20)""".stripMargin).as("z_norm"))
       .orderBy("vec_id")
   }
 
-  def embeddingStandardizeSql(): String =
-    """WITH dims AS (
-      |  SELECT vec_id, i - 1 AS dim, CAST(e[i] AS DOUBLE) AS x
+  def embeddingStandardizeSql(): String = {
+    val T = 1099511627776L // 2^40
+    def i2d(x: String) =
+      s"(CAST(CAST($x AS HUGEINT) // $T AS DOUBLE) * $T.0" +
+        s" + CAST(CAST($x AS HUGEINT) % $T AS DOUBLE))"
+    val mu = s"${i2d("sx10")} / 1e7 / cn"
+    s"""WITH dims AS (
+      |  SELECT vec_id, i - 1 AS dim,
+      |    CAST(floor(CAST(e[i] AS DOUBLE) * 1e7 + 0.5) AS BIGINT) AS x10
       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |        FROM embeddings),
       |    LATERAL unnest(range(1, len(e) + 1)) AS t (i)),
       |stats AS (
-      |  SELECT dim, sx / cn AS mu,
-      |    sqrt(sxx / cn - (sx / cn) * (sx / cn)) AS sd
+      |  SELECT dim,
+      |    $mu AS mu,
+      |    sqrt(greatest(${i2d("sxx10")} / 1e14 / cn
+      |      - ($mu) * ($mu), 0.0)) AS sd
       |  FROM (
-      |    SELECT dim,
-      |      CAST(sum(CAST(x AS DECIMAL(27,10))) AS DOUBLE) AS sx,
-      |      CAST(sum(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+      |    SELECT dim, sum(x10) AS sx10,
+      |      sum(CAST(x10 AS DECIMAL(19,0)) * CAST(x10 AS DECIMAL(19,0)))
+      |        AS sxx10,
       |      count(*)::DOUBLE AS cn
       |    FROM dims GROUP BY 1)),
-      |z AS (
+      |kz AS (
       |  SELECT vec_id,
-      |    CAST(CAST(CASE WHEN sd = 0.0 THEN 0.0 ELSE (x - mu) / sd END
-      |      AS DECIMAL(20,10)) AS DOUBLE) AS z
+      |    CASE WHEN sd = 0.0 THEN CAST(0 AS BIGINT)
+      |      ELSE CAST(floor((CAST(x10 AS DOUBLE) / 1e7 - mu) / sd * 1e10
+      |        + 0.5) AS BIGINT) END AS k
       |  FROM dims JOIN stats USING (dim))
-      |SELECT vec_id, min(z) AS z_min, max(z) AS z_max,
-      |  CAST(CAST(CAST(sum(CAST(z AS DECIMAL(25,10))) AS DOUBLE)
-      |    AS DECIMAL(20,8)) AS DOUBLE) AS z_sum,
-      |  CAST(CAST(sqrt(CAST(sum(CAST(z * z AS DECIMAL(27,10))) AS DOUBLE))
-      |    AS DECIMAL(20,8)) AS DOUBLE) AS z_norm
-      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+      |SELECT vec_id,
+      |  min(CAST(k AS DOUBLE) / 1e10) AS z_min,
+      |  max(CAST(k AS DOUBLE) / 1e10) AS z_max,
+      |  CAST(sum(k) AS DOUBLE) / 1e10 AS z_sum,
+      |  sqrt(${i2d(
+           "sum(CAST(k AS DECIMAL(19,0)) * CAST(k AS DECIMAL(19,0)))")}
+      |    / 1e20) AS z_norm
+      |FROM kz GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 
   /** Embedding-cosine near-dup pairs above `threshold` — id-only output
     * (no float in the hash-compared result). EXACT, so the pairwise
