@@ -1443,9 +1443,12 @@ object TextAnalysis {
     * division quantized DECIMAL(18,9), ties broken by doc_id.
     * Output: (doc_id, n_scored, mean_nll, ppl_bucket). */
   def perplexityBuckets(train: DataFrame, score: DataFrame): DataFrame = {
+    // floor-lattice quantization, not CAST(.. AS DECIMAL): the decimal
+    // cast rounds ulp-edge doubles differently per engine (SCALE.md §8;
+    // 3 flipped 1e-9 ticks at sf0.1)
     val scored = lmTrigramScore(train, score)
       .select(col("doc_id"), col("n_scored"),
-        expr("CAST(CAST(nll_sum / n_scored AS DECIMAL(18,9)) AS DOUBLE)")
+        expr("floor(nll_sum / n_scored * 1e9 + 0.5) / 1e9")
           .as("mean_nll"))
     Analytics.ntileByRange(scored, Seq("mean_nll", "doc_id"), 3)
       .select(col("doc_id"), col("n_scored"), col("mean_nll"),
@@ -1464,7 +1467,7 @@ object TextAnalysis {
        |${lmTrigramScoreSql(scoreSource)}
        |),
        |m AS (SELECT doc_id, n_scored,
-       |  CAST(CAST(nll_sum / n_scored AS DECIMAL(18,9)) AS DOUBLE)
+       |  floor(nll_sum / n_scored * 1e9 + 0.5) / 1e9
        |    AS mean_nll FROM lm),
        |b AS (SELECT doc_id, n_scored, mean_nll,
        |  ntile(3) OVER (ORDER BY mean_nll, doc_id) AS nt FROM m)
