@@ -215,6 +215,11 @@ object SparkEntry {
     // fraction, integer-compare flags: fully hash-exact
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(par(Tables.documents(s, d)))),
+    // C4 line-level cleaning battery (terminal punct / min words /
+    // javascript / lorem ipsum / curly brace) over deterministically
+    // rendered lines — pure scan-side folds, zero shuffles
+    "c4_line_filter" -> ((s, d) =>
+      TextAnalysis.c4LineFilter(par(Tables.documents(s, d)))),
     // BPE tokenizer training: iterative argmax over the word-frequency
     // table — deterministic given rounds, so BOTH faces carry full
     // hash-exact oracles (unrolled merge rounds; the wrapped-symbol
@@ -286,6 +291,9 @@ object SparkEntry {
     // cross-source shingle overlap matrix (A9's pair-overlap plan at
     // corpus scale; integers + one IEEE division -> hash-exact)
     "source_overlap" -> ((s, d) => Corpus.sourceOverlap(par(Tables.documents(s, d)))),
+    // per-source unigram KL vs the corpus mixture — one (source, word)
+    // count shuffle, everything downstream vocab-bounded
+    "source_kl" -> ((s, d) => Corpus.sourceKlDivergence(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
@@ -591,6 +599,7 @@ object SparkEntry {
     "perplexity_buckets" -> TextAnalysis.perplexityBucketsSql(),
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "gopher_repetition" -> TextAnalysis.gopherRepetitionSql(),
+    "c4_line_filter" -> TextAnalysis.c4LineFilterSql(),
     "bpe_merges" -> TextAnalysis.bpeTrainSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "length_buckets" -> Corpus.lengthBucketsSql,
@@ -631,6 +640,7 @@ object SparkEntry {
     "embedding_standardize" -> Similarity.embeddingStandardizeSql(),
     "contamination" -> Corpus.contaminationSql(),
     "source_overlap" -> Corpus.sourceOverlapSql(),
+    "source_kl" -> Corpus.sourceKlDivergenceSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),

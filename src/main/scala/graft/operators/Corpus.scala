@@ -527,6 +527,84 @@ object Corpus {
        |ORDER BY source_a, source_b""".stripMargin
   }
 
+  /** Per-source unigram KL divergence from the corpus mixture —
+    * `KL(P_s ‖ P_corpus) = Σ_w p_s(w)·ln(p_s(w)/p_c(w))` — the
+    * distribution-shift diagnostic next to [[sourceOverlap]]'s
+    * duplication matrix and [[mixtureWeights]]'s size rebalancing
+    * (DoReMi-family mixture tuning reads exactly this signal: a
+    * source whose token distribution sits far from the mixture is
+    * up/down-weighted differently from one that merely differs in
+    * size). 0 nats = indistinguishable from the mixture.
+    *
+    * Scale shape: ONE token explode into a (source, word) count
+    * shuffle; everything downstream lives on the count table, which
+    * is |sources|·|vocab|-bounded, never row-proportional — the
+    * word-keyed join back to corpus word totals is vocab-bounded and
+    * AQE-broadcastable, per-source totals broadcast, the corpus
+    * grand total rides a 1-row broadcast. The count table is
+    * localCheckpoint'd ([[sourceOverlap]] discipline) because three
+    * consumers (per-source totals, word totals, the term join) read
+    * it within one action.
+    *
+    * Determinism: probabilities and the ln ratio are IEEE divisions
+    * of exact integers; ln is quantized DECIMAL(18,9) (the BM25 idf
+    * discipline); each term is floor-lattice-quantized to the 1e-9
+    * grid before the order-independent decimal sum (SCALE.md §8 —
+    * the decimal CAST of a tie-terminating double splits per engine,
+    * the floor lattice does not). Ratios stay in double space, so no
+    * integer product can overflow at any corpus size. */
+  def sourceKlDivergence(documents: DataFrame): DataFrame = {
+    val csw = documents
+      .where(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint()
+    val ns = csw.groupBy(col("source")).agg(sum("c_sw").as("n_s"))
+    val cw = csw.groupBy(col("w")).agg(sum("c_sw").as("c_w"))
+    val n = cw.agg(sum("c_w").as("n_tok"))
+    csw
+      .join(broadcast(ns), Seq("source"))
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        expr("""CAST(floor(
+          |  CAST(CAST(ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+          |        / (CAST(c_w AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+          |    AS DECIMAL(18,9)) AS DOUBLE)
+          |  * (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+          |  * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))""".stripMargin).as("t"))
+      .groupBy(col("source"))
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        expr("CAST(sum(t) AS DOUBLE)").as("kl_nats"))
+      .orderBy("source")
+  }
+
+  val sourceKlDivergenceSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |csw AS (
+      |  SELECT source, w, count(*) AS c_sw FROM tok
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |ns AS (SELECT source, sum(c_sw)::BIGINT AS n_s FROM csw GROUP BY 1),
+      |cw AS (SELECT w, sum(c_sw)::BIGINT AS c_w FROM csw GROUP BY 1),
+      |n AS (SELECT sum(c_w)::BIGINT AS n_tok FROM cw),
+      |term AS (
+      |  SELECT source, n_s,
+      |    CAST(floor(
+      |      CAST(CAST(ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |            / (CAST(c_w AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+      |        AS DECIMAL(18,9)) AS DOUBLE)
+      |      * (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |      * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS t
+      |  FROM csw JOIN ns USING (source) JOIN cw USING (w) CROSS JOIN n)
+      |SELECT source, max(n_s) AS n_tokens, count(*) AS n_terms,
+      |  CAST(sum(t) AS DOUBLE) AS kl_nats
+      |FROM term GROUP BY source ORDER BY source""".stripMargin
+
   def contamination(documents: DataFrame, k: Int = 8, minShared: Long = 4,
       benchMod: Int = 50): DataFrame = {
     val benchSh = Dedup.shingles(

@@ -1524,4 +1524,174 @@ object TextAnalysis {
        |  sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hit1,
        |  CAST(sum(nll_i) AS DOUBLE) AS nll_sum
        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** C4-style line-level page cleaning (Raffel et al., arXiv
+    * 1910.10683 §2.2 — the heuristics that built the C4 corpus): keep
+    * only lines that (a) contain at least `minLineWords` words,
+    * (b) end in a terminal punctuation mark, and (c) do not mention
+    * "javascript"; drop whole pages with fewer than `minKeptLines`
+    * surviving lines, or containing "lorem ipsum" or a curly brace.
+    *
+    * The synthetic corpus has no line structure or punctuation, so —
+    * per the planted-seed precedent of [[Corpus.redactionReport]] —
+    * the page is first RENDERED deterministically: position hash
+    * `h = poly_hash62('c4:' || doc_id || ':' || i)` plants a line
+    * break after token i when `h % 5 == 0` (mean line ≈ 5 words),
+    * chooses the break's terminal character from `(h >> 3) % 10`
+    * ('.' 60%, '!' / '?' 10% each, missing 10%, non-terminal ':'
+    * 10%), and overrides the token itself to `javascript` / `{` /
+    * `lorem ipsum` at rates 1/97, 1/101, 1/103 — so every rule has
+    * both passing and failing lines at sf0.01. The trailing partial
+    * line gets no terminal character (and so fails rule (b), as an
+    * unterminated crawl fragment should).
+    *
+    * Scale shape: rendering, line assembly, per-line verdicts, and
+    * the cleaned-page digest are all left-to-right higher-order-
+    * function folds inside ONE projection — zero shuffles before the
+    * output sort, embarrassingly parallel at 100 TB. The DuckDB
+    * oracle replays the identical hash stream relationally (position
+    * unnest + prefix-count window), the [[Corpus.spanCorruption]]
+    * discipline. Counts are exact integers; `cleaned_md5` is the
+    * byte-exact digest of the kept lines joined by '\n'. */
+  def c4LineFilter(documents: DataFrame, minLineWords: Int = 5,
+      minKeptLines: Int = 3): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // deterministic page rendering: hash once per position, then
+      // expand to (word-with-override, break?, terminal-char) cells
+      .withColumn("cells", expr(
+        """transform(
+          |  transform(sequence(0, size(toks) - 1),
+          |    i -> named_struct('i', i,
+          |      'h', poly_hash62(concat('c4:', CAST(doc_id AS STRING),
+          |                              ':', CAST(i AS STRING))))),
+          |  s -> named_struct(
+          |    'word', CASE WHEN pmod(s.h, 97) = 0 THEN 'javascript'
+          |                 WHEN pmod(s.h, 101) = 0 THEN '{'
+          |                 WHEN pmod(s.h, 103) = 0 THEN 'lorem ipsum'
+          |                 ELSE element_at(toks, s.i + 1) END,
+          |    'brk', pmod(s.h, 5) = 0,
+          |    'punct', CASE pmod(shiftright(s.h, 3), 10)
+          |               WHEN 6 THEN '!' WHEN 7 THEN '?'
+          |               WHEN 8 THEN '' WHEN 9 THEN ':'
+          |               ELSE '.' END))""".stripMargin))
+      // line assembly: one forward fold; a break closes the current
+      // line with its terminal char, the finish lambda flushes the
+      // trailing partial line unterminated
+      .withColumn("lines", expr(
+        """aggregate(cells,
+          |  named_struct('ls', CAST(array() AS ARRAY<STRING>),
+          |               'cur', CAST(array() AS ARRAY<STRING>)),
+          |  (acc, c) -> CASE WHEN c.brk THEN named_struct(
+          |      'ls', array_append(acc.ls,
+          |        concat(array_join(array_append(acc.cur, c.word), ' '),
+          |               c.punct)),
+          |      'cur', CAST(array() AS ARRAY<STRING>))
+          |    ELSE named_struct('ls', acc.ls,
+          |      'cur', array_append(acc.cur, c.word)) END,
+          |  acc -> CASE WHEN size(acc.cur) > 0
+          |    THEN array_append(acc.ls, array_join(acc.cur, ' '))
+          |    ELSE acc.ls END)""".stripMargin))
+      .withColumn("ev", expr(
+        s"""transform(lines, l -> named_struct(
+           |  'l', l,
+           |  'short', size(split(l, ' ')) < $minLineWords,
+           |  'no_punct', NOT right(l, 1) IN ('.', '!', '?'),
+           |  'js', contains(l, 'javascript'),
+           |  'kept', size(split(l, ' ')) >= $minLineWords
+           |    AND right(l, 1) IN ('.', '!', '?')
+           |    AND NOT contains(l, 'javascript')))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        expr("size(filter(ev, e -> e.kept))").cast("long").as("n_kept"),
+        expr("size(filter(ev, e -> e.short))").cast("long").as("n_short"),
+        expr("size(filter(ev, e -> e.no_punct))").cast("long")
+          .as("n_no_punct"),
+        expr("size(filter(ev, e -> e.js))").cast("long").as("n_js"),
+        expr("exists(lines, l -> contains(l, 'lorem ipsum'))")
+          .as("has_lorem_ipsum"),
+        expr("exists(lines, l -> contains(l, '{'))").as("has_brace"),
+        expr("md5(array_join(transform(filter(ev, e -> e.kept), " +
+          "e -> e.l), '\\n'))").as("cleaned_md5"))
+      .withColumn("passes_c4",
+        col("n_kept") >= minKeptLines && !col("has_lorem_ipsum") &&
+          !col("has_brace"))
+      .select("doc_id", "n_lines", "n_kept", "n_short", "n_no_punct",
+        "n_js", "has_lorem_ipsum", "has_brace", "passes_c4", "cleaned_md5")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[c4LineFilter]]: identical poly_hash62 stream
+    * (the [[Corpus.spanCorruptionSql]] char-fold construction), line
+    * ids via a prefix-count window, ordered `string_agg` rebuilds. */
+  def c4LineFilterSql(minLineWords: Int = 5, minKeptLines: Int = 3): String = {
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(key) + 1),
+         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |hk AS (
+       |  SELECT doc_id, pos, tok,
+       |    'c4:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+       |      AS key
+       |  FROM tok),
+       |h AS (
+       |  SELECT doc_id, pos, tok,
+       |    (${fold(131)} | (${fold(137)} << 31)) AS h
+       |  FROM hk),
+       |cell AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN h % 97 = 0 THEN 'javascript'
+       |         WHEN h % 101 = 0 THEN '{'
+       |         WHEN h % 103 = 0 THEN 'lorem ipsum'
+       |         ELSE tok END AS word,
+       |    h % 5 = 0 AS brk,
+       |    CASE ((h >> 3) % 10)
+       |      WHEN 6 THEN '!' WHEN 7 THEN '?' WHEN 8 THEN ''
+       |      WHEN 9 THEN ':' ELSE '.' END AS punct
+       |  FROM h),
+       |lid AS (
+       |  SELECT *, coalesce(sum(CASE WHEN brk THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS line_id
+       |  FROM cell),
+       |line AS (
+       |  SELECT doc_id, line_id,
+       |    string_agg(word, ' ' ORDER BY pos)
+       |      || coalesce(max(CASE WHEN brk THEN punct END), '') AS l
+       |  FROM lid GROUP BY 1, 2),
+       |ev AS (
+       |  SELECT doc_id, line_id, l,
+       |    len(string_split(l, ' ')) < $minLineWords AS short,
+       |    NOT right(l, 1) IN ('.', '!', '?') AS no_punct,
+       |    contains(l, 'javascript') AS js,
+       |    len(string_split(l, ' ')) >= $minLineWords
+       |      AND right(l, 1) IN ('.', '!', '?')
+       |      AND NOT contains(l, 'javascript') AS kept,
+       |    contains(l, 'lorem ipsum') AS lor,
+       |    contains(l, '{') AS brace
+       |  FROM line)
+       |SELECT doc_id,
+       |  count(*)::BIGINT AS n_lines,
+       |  sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN short THEN 1 ELSE 0 END)::BIGINT AS n_short,
+       |  sum(CASE WHEN no_punct THEN 1 ELSE 0 END)::BIGINT AS n_no_punct,
+       |  sum(CASE WHEN js THEN 1 ELSE 0 END)::BIGINT AS n_js,
+       |  bool_or(lor) AS has_lorem_ipsum,
+       |  bool_or(brace) AS has_brace,
+       |  sum(CASE WHEN kept THEN 1 ELSE 0 END) >= $minKeptLines
+       |    AND NOT bool_or(lor) AND NOT bool_or(brace) AS passes_c4,
+       |  md5(coalesce(string_agg(CASE WHEN kept THEN l END,
+       |    chr(10) ORDER BY line_id), '')) AS cleaned_md5
+       |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -604,4 +604,72 @@ class AnalyticsSpec extends AnyFunSuite {
         spark.sql(s"DROP TABLE IF EXISTS lm3_t_$sfx"))
     }
   }
+
+  test("c4LineFilter matches an independent in-memory reference and " +
+    "every rule fires on the fixture corpus") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.PolyHash62
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    case class Ref(nLines: Long, nKept: Long, nShort: Long, nNoPunct: Long,
+      nJs: Long, lorem: Boolean, brace: Boolean, passes: Boolean, md5: String)
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(docId: Long, text: String): Ref = {
+      var lines = Vector.empty[String]
+      var cur = Vector.empty[String]
+      text.split(" ", -1).zipWithIndex.foreach { case (w0, i) =>
+        val h = PolyHash62.hash(UTF8String.fromString(s"c4:$docId:$i"))
+        val word =
+          if (h % 97 == 0) "javascript"
+          else if (h % 101 == 0) "{"
+          else if (h % 103 == 0) "lorem ipsum" else w0
+        val punct = ((h >> 3) % 10) match {
+          case 6 => "!"; case 7 => "?"; case 8 => ""; case 9 => ":"
+          case _ => "."
+        }
+        if (h % 5 == 0) {
+          lines :+= (cur :+ word).mkString(" ") + punct; cur = Vector.empty
+        } else cur :+= word
+      }
+      if (cur.nonEmpty) lines :+= cur.mkString(" ")
+      def short(l: String) = l.split(" ", -1).length < 5
+      def noPunct(l: String) = l.isEmpty || !".!?".contains(l.last)
+      def js(l: String) = l.contains("javascript")
+      def kept(l: String) = !short(l) && !noPunct(l) && !js(l)
+      val nKept = lines.count(kept)
+      val lorem = lines.exists(_.contains("lorem ipsum"))
+      val brace = lines.exists(_.contains("{"))
+      Ref(lines.size.toLong, nKept.toLong, lines.count(short).toLong,
+        lines.count(noPunct).toLong, lines.count(js).toLong, lorem, brace,
+        nKept >= 3 && !lorem && !brace,
+        hex(lines.filter(kept).mkString("\n")))
+    }
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val got = graft.operators.TextAnalysis.c4LineFilter(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size === raw.length)
+    raw.foreach { case (id, text) =>
+      val e = ref(id, text)
+      val r = got(id)
+      assert(r.getLong(1) === e.nLines, s"doc $id n_lines")
+      assert(r.getLong(2) === e.nKept, s"doc $id n_kept")
+      assert(r.getLong(3) === e.nShort, s"doc $id n_short")
+      assert(r.getLong(4) === e.nNoPunct, s"doc $id n_no_punct")
+      assert(r.getLong(5) === e.nJs, s"doc $id n_js")
+      assert(r.getBoolean(6) === e.lorem, s"doc $id has_lorem_ipsum")
+      assert(r.getBoolean(7) === e.brace, s"doc $id has_brace")
+      assert(r.getBoolean(8) === e.passes, s"doc $id passes_c4")
+      assert(r.getString(9) === e.md5, s"doc $id cleaned_md5")
+    }
+    // the fixture must exercise every rule in both directions
+    val refs = raw.map { case (id, t) => ref(id, t) }
+    assert(refs.map(_.nShort).sum > 0, "no short lines planted")
+    assert(refs.map(_.nNoPunct).sum > 0, "no unterminated lines planted")
+    assert(refs.map(_.nJs).sum > 0, "no javascript lines planted")
+    assert(refs.exists(_.lorem), "no lorem ipsum planted")
+    assert(refs.exists(_.brace), "no braces planted")
+    assert(refs.exists(_.passes) && refs.exists(!_.passes),
+      "passes_c4 must split the corpus")
+  }
 }

@@ -56,7 +56,10 @@ class ContractSpec extends AnyFunSuite {
       "quality_filter_by_source",
       // 1-row corpus-totals broadcast (tot_tokens, tot_sqrt) into the
       // source-bounded weight table — the tfidf_top_terms pattern
-      "mixture_weights")
+      "mixture_weights",
+      // 1-row corpus-token-total broadcast into the vocab-bounded
+      // (source, word) count table — the same pattern
+      "source_kl")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -325,4 +325,40 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, String, String)].collect()
     assert(again.toSeq === got.toSeq)
   }
+
+  test("sourceKlDivergence: zero for a single source, Gibbs-nonnegative, " +
+    "and exact on a hand-computed two-source fixture") {
+    // one source IS the mixture -> every ln ratio is ln(1) = 0
+    val mono = Seq((1L, "a b a", "s0"), (2L, "b c", "s0"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = Corpus.sourceKlDivergence(mono)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(kl0 === List(("s0", 5L, 3L, 0.0)))
+
+    // A = {x, x, y}, B = {y}: corpus x:2 y:2 over N=4
+    val two = Seq((1L, "x x y", "A"), (2L, "y", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.sourceKlDivergence(two)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    def expectKl(terms: Seq[(Double, Double)]): Double =
+      terms.map { case (ps, pc) => ps * math.log(ps / pc) }.sum
+    val eA = expectKl(Seq((2.0 / 3, 0.5), (1.0 / 3, 0.5)))
+    val eB = expectKl(Seq((1.0, 0.5)))
+    assert(got("A")._2 === 3L && got("A")._3 === 2L)
+    assert(got("B")._2 === 1L && got("B")._3 === 1L)
+    assert(math.abs(got("A")._4 - eA) < 1e-6, s"A kl ${got("A")._4} vs $eA")
+    assert(math.abs(got("B")._4 - eB) < 1e-6, s"B kl ${got("B")._4} vs $eB")
+
+    // real corpus: KL >= 0 (up to the 1e-9 term lattice) and token
+    // totals partition the corpus
+    val real = Corpus.sourceKlDivergence(docs)
+      .as[(String, Long, Long, Double)].collect()
+    assert(real.nonEmpty)
+    real.foreach { case (s, _, nt, kl) =>
+      assert(kl >= -1e-6 * nt, s"source $s has kl $kl < 0") }
+    val totTok = docs.select(explode(split(col("text"), " ")))
+      .where(col("col") =!= "").count()
+    assert(real.map(_._2).sum === totTok)
+  }
 }
