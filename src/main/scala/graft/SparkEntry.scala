@@ -354,6 +354,11 @@ object SparkEntry {
     // trained k-means corpus clustering (size + majority-label purity
     // per cluster) — rows-only; invariants in SimilaritySpec
     "embedding_clusters" -> ((s, d) => Similarity.embeddingClusters(par(Tables.embeddings(s, d)))),
+    // pinned-centroid face: deterministic ±1 stand-ins make the whole
+    // cluster/label summary hash-exact (knn_pq default-codebook
+    // precedent); the trained face above stays the k-means measurement
+    "embedding_clusters_pinned" -> ((s, d) =>
+      Similarity.embeddingClustersPinned(par(Tables.embeddings(s, d)))),
     "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
     // int8 vector-store compression: exact integer-summary oracle row,
     // plus the quantized-search twin and its recall-as-data row
@@ -674,6 +679,7 @@ object SparkEntry {
     "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
     "knn_pq" -> Similarity.knnPqSql(),
     "knn_pca" -> Similarity.knnPcaSql(),
+    "embedding_clusters_pinned" -> Similarity.embeddingClustersPinnedSql(),
     "embedding_pca" -> Similarity.embeddingPcaSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "knn_int8" -> Similarity.knnInt8Sql(),

@@ -711,6 +711,13 @@ object Similarity {
     val assigned = assignWith(embeddings, cents)
       .select(col("vec_id"), col("cluster_id"))
       .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    clusterSummary(assigned)
+  }
+
+  /** Shared (cluster_id, n_vectors, top_label, top_label_n) rollup of
+    * an assignment — the per-group top-label pick is a k·|labels|-row
+    * window, never row-proportional. */
+  private def clusterSummary(assigned: DataFrame): DataFrame = {
     val byLabel = assigned.groupBy(col("cluster_id"), col("label"))
       .agg(count(lit(1)).as("n_label"))
     val top = byLabel.withColumn("rk", row_number().over(
@@ -723,6 +730,53 @@ object Similarity {
     byLabel.groupBy("cluster_id").agg(sum(col("n_label")).as("n_vectors"))
       .join(top, Seq("cluster_id"))
       .orderBy("cluster_id")
+  }
+
+  /** [[embeddingClusters]] under the catalog's PINNED deterministic
+    * centroids (the [[knnPq]] default-codebook precedent, one step
+    * further back in the family: [[ivfAssign]]'s ±1 stand-ins) — the
+    * assignment is then pure replayable arithmetic, so the whole
+    * cluster/label summary carries a hash-exact DuckDB oracle, while
+    * the TRAINED face ([[embeddingClusters]]) keeps measuring real
+    * k-means as data. Same plan shape as the trained face: one
+    * scan-side argmax assignment (zero shuffle), one
+    * k·|labels|-bounded rollup. */
+  def embeddingClustersPinned(embeddings: DataFrame, nList: Int = 16,
+      dim: Int = 64): DataFrame =
+    clusterSummary(
+      ivfAssign(embeddings.select(col("vec_id"), col("embedding")),
+        nList, dim)
+        .select(col("vec_id"), col("cluster_id"))
+        .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id")))
+
+  /** DuckDB replay of [[embeddingClustersPinned]]: the [[ivfCtes]]
+    * signed-fold assignment (same dots, same lowest-index tie-break)
+    * rolled up per cluster. */
+  def embeddingClustersPinnedSql(nList: Int = 16, dim: Int = 64): String = {
+    val scores = (0 until nList).map { c =>
+      s"struct_pack(c := $c, s := ${signedFold(centroid(c, dim))})"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH $EmbCte,
+       |cs AS (
+       |  SELECT vec_id, u.c AS c, u.s AS s FROM (
+       |    SELECT vec_id, unnest($scores) AS u FROM emb)),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs) WHERE rk = 1),
+       |lab AS (
+       |  SELECT a.cluster_id, m.label, count(*)::BIGINT AS n_label
+       |  FROM assigned a JOIN embeddings m USING (vec_id)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT cluster_id, label AS top_label, n_label AS top_label_n
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n_label DESC, label) AS rk FROM lab) WHERE rk = 1)
+       |SELECT l.cluster_id, sum(l.n_label)::BIGINT AS n_vectors,
+       |  max(t.top_label) AS top_label,
+       |  max(t.top_label_n)::BIGINT AS top_label_n
+       |FROM lab l JOIN top t USING (cluster_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** One (query_id, q_emb, cluster_id) row per probed list — the

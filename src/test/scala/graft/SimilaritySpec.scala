@@ -211,6 +211,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.inertia(emb, cents) < Similarity.inertia(emb, init))
   }
 
+  test("embeddingClustersPinned: partitions the corpus and agrees with " +
+    "a per-row driver argmax over the stand-in assignment") {
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.Sf0001)
+    val p = Similarity.embeddingClustersPinned(emb, nList = 16)
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(p.map(_._2).sum === emb.count(), "clusters partition the corpus")
+    assert(p.forall(r => r._4 <= r._2 && r._4 >= 1))
+    // the pinned summary must be exactly the rollup of ivfAssign
+    val sizes = Similarity.ivfAssign(emb.select($"vec_id", $"embedding"))
+      .groupBy("cluster_id").count()
+      .as[(Int, Long)].collect().toMap
+    assert(p.map(r => r._1 -> r._2).toMap === sizes)
+  }
+
   test("block-pair near-dup matches a driver-computed all-pairs reference") {
     val got = Similarity.embeddingNearDup(emb, threshold = 0.40)
       .as[(Long, Long)].collect().toSet
