@@ -790,7 +790,12 @@ object TextAnalysis {
        |SELECT source, count(*)::BIGINT AS n_words,
        |  CAST(sum(np) AS BIGINT) AS n_bpe_tokens,
        |  CAST(sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_whole_words
+       |    AS n_whole_words,
+       |  CAST(sum(len(w)) AS BIGINT) AS n_chars,
+       |  floor(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 1e9 + 0.5) / 1e9 AS fertility,
+       |  floor(CAST(sum(len(w)) AS DOUBLE) / CAST(sum(np) AS DOUBLE)
+       |    * 1e9 + 0.5) / 1e9 AS chars_per_token
        |FROM cw JOIN pieces USING (w)
        |WHERE len(w) > 0
        |GROUP BY source ORDER BY source""".stripMargin
@@ -846,7 +851,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(size(col("syms"))).as("n_bpe_tokens"),
         sum(when(size(col("syms")) === 1, 1L).otherwise(0L))
-          .as("n_whole_words"))
+          .as("n_whole_words"),
+        sum(length(col("w"))).as("n_chars"))
+      // tokenizer-quality ratios (fertility = subword tokens per word,
+      // the multilingual-tokenizer-eval headline number; compression =
+      // chars per subword token): IEEE divisions of exact integers on
+      // the 1e-9 floor lattice
+      .withColumn("fertility", expr(
+        "floor(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE)" +
+          " * 1e9 + 0.5) / 1e9"))
+      .withColumn("chars_per_token", expr(
+        "floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)" +
+          " * 1e9 + 0.5) / 1e9"))
       .orderBy("source")
   }
 

@@ -387,11 +387,20 @@ class AnalyticsSpec extends AnyFunSuite {
       (2L, "she sells sea shells", "web"),
       (3L, "down by the sea shore", "books")).toDF("doc_id", "text", "source")
     val got = graft.operators.TextAnalysis.bpeEncode(docs, nMerges = 4)
-      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
     assert(got.keySet === Set("web", "books"))
     // every word segments into >= 1 subword, whole words into exactly 1
     assert(got("web")._2 === 8L && got("books")._2 === 5L)
     assert(got.values.forall(r => r._3 >= r._2 && r._4 <= r._2))
+    // fertility = tokens/word >= 1; compression = chars/token >= 1
+    // (every subword is at least one char; chars exclude spaces)
+    got.values.foreach { r =>
+      assert(r._6 >= 1.0 && r._6 === math.floor(
+        r._3.toDouble / r._2.toDouble * 1e9 + 0.5) / 1e9)
+      assert(r._7 >= 1.0 && r._7 === math.floor(
+        r._5.toDouble / r._3.toDouble * 1e9 + 0.5) / 1e9)
+    }
   }
 
   test("modalEventType picks the most frequent value, ties break lexicographically") {
