@@ -294,6 +294,9 @@ object SparkEntry {
     // per-source unigram KL vs the corpus mixture — one (source, word)
     // count shuffle, everything downstream vocab-bounded
     "source_kl" -> ((s, d) => Corpus.sourceKlDivergence(par(Tables.documents(s, d)))),
+    // easy-first curriculum position + phase split — range-partitioned
+    // global rank (no single-task sort), entropy as difficulty
+    "curriculum_order" -> ((s, d) => Corpus.curriculumOrder(par(Tables.documents(s, d)))),
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
@@ -646,6 +649,7 @@ object SparkEntry {
     "contamination" -> Corpus.contaminationSql(),
     "source_overlap" -> Corpus.sourceOverlapSql(),
     "source_kl" -> Corpus.sourceKlDivergenceSql,
+    "curriculum_order" -> Corpus.curriculumOrderSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),

@@ -138,6 +138,33 @@ object Analytics {
     * Requires the sort to be total (pass tiebreaker columns). */
   def ntileByRange(df: DataFrame, sortCols: Seq[String], k: Int,
       partitions: Int = 32): DataFrame = {
+    val (ranked, total) = rankByRange(df, sortCols, partitions)
+    ranked
+      .withColumn("bucket", ntileOfRank("__rank", total, k))
+      .drop("__rank")
+  }
+
+  /** The exact-ntile bucket of a global 1-based rank column: first
+    * `total mod k` buckets hold one extra row (integral div; the q=0
+    * guard is unreachable when total < k because every rank then lands
+    * in the first branch). */
+  def ntileOfRank(rankCol: String, total: Long, k: Int): Column = {
+    val q = total / k
+    val m = total % k
+    expr(
+      s"""CAST(IF($m > 0 AND $rankCol <= ${m * (q + 1)},
+         |  ($rankCol - 1) div ${q + 1} + 1,
+         |  $m + ($rankCol - 1 - ${m * (q + 1)}) div ${math.max(q, 1L)} + 1)
+         |AS BIGINT)""".stripMargin)
+  }
+
+  /** Exact global ROW_NUMBER as data, same plan ([[ntileByRange]]'s
+    * body): range-repartition, rank locally per range partition, add
+    * the partition's prefix offset from a P-row count pass. Returns
+    * the input plus a 1-based `__rank` column, and the total row
+    * count. The sort must be total (pass tiebreaker columns). */
+  def rankByRange(df: DataFrame, sortCols: Seq[String],
+      partitions: Int = 32): (DataFrame, Long) = {
     val cols = sortCols.map(col)
     // stamp the range-partition id ONCE and persist: the count pass and
     // the ranking pass must see the same partition assignment, and a
@@ -161,20 +188,11 @@ object Analytics {
     def offCol(pid: Column): Column = pids.foldLeft(lit(0L)) { (acc, p) =>
       when(pid === p, lit(offsets(p))).otherwise(acc)
     }
-    val q = total / k
-    val m = total % k
     val localW = Window.partitionBy(col("__pid")).orderBy(cols: _*)
-    ranged
-      .withColumn("__rank", row_number().over(localW) + offCol(col("__pid")))
-      // exact ntile: rank r (1-based) → first m buckets hold q+1 rows
-      // (integral div; the q=0 guard is unreachable when total < k
-      // because every rank then lands in the first branch)
-      .withColumn("bucket", expr(
-        s"""CAST(IF($m > 0 AND __rank <= ${m * (q + 1)},
-           |  (__rank - 1) div ${q + 1} + 1,
-           |  $m + (__rank - 1 - ${m * (q + 1)}) div ${math.max(q, 1L)} + 1)
-           |AS BIGINT)""".stripMargin))
-      .drop("__pid", "__rank")
+    (ranged
+      .withColumn("__rank",
+        (row_number().over(localW) + offCol(col("__pid"))).cast("long"))
+      .drop("__pid"), total)
   }
 
   /** Order-value deciles: per-decile count, min/max and decimal-exact

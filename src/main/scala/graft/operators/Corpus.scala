@@ -605,6 +605,51 @@ object Corpus {
       |  CAST(sum(t) AS DOUBLE) AS kl_nats
       |FROM term GROUP BY source ORDER BY source""".stripMargin
 
+  /** Curriculum ordering (Bengio et al., ICML 2009 — present training
+    * examples easy-first): the exact global training position of every
+    * document under a difficulty score, plus the early/middle/late
+    * phase split a staged schedule consumes. Difficulty here is
+    * [[TextAnalysis.docEntropy]]'s token-distribution entropy
+    * (repetitive/low-diversity docs rank first, lexically dense ones
+    * last); any per-doc score column slots into the same plan.
+    *
+    * Scale shape: the rank is [[Analytics.rankByRange]] — range
+    * repartition + per-partition row_number + P-row prefix offsets —
+    * so NOTHING ever sorts on one task (the `orderDeciles` discipline;
+    * a naive `row_number() OVER (ORDER BY ...)` is the classic 100-TB
+    * curriculum killer). The phase is the exact-ntile bucket formula
+    * over that rank, k=3. Entropy is bit-identical cross-engine
+    * (docEntropy's lattice), so rank and phase carry a hash-exact
+    * oracle against standard ROW_NUMBER/NTILE. */
+  def curriculumOrder(documents: DataFrame): DataFrame = {
+    val scored = TextAnalysis.docEntropy(documents)
+    val (ranked, total) =
+      Analytics.rankByRange(scored, Seq("entropy", "doc_id"))
+    ranked
+      .withColumn("phase",
+        when(Analytics.ntileOfRank("__rank", total, 3) === 1, "early")
+          .when(Analytics.ntileOfRank("__rank", total, 3) === 2, "middle")
+          .otherwise("late"))
+      .select(col("doc_id"), col("n_tokens"), col("entropy"),
+        col("__rank").as("curriculum_rank"), col("phase"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[curriculumOrder]]: [[TextAnalysis.docEntropySql]] as
+    * a nested CTE, standard ROW_NUMBER + NTILE(3) over the same total
+    * order — NTILE's fill rule (first `total mod k` buckets take the
+    * extra row) is exactly what `ntileOfRank` computes. */
+  def curriculumOrderSql(): String =
+    s"""WITH ent AS (
+       |${TextAnalysis.docEntropySql()}
+       |)
+       |SELECT doc_id, n_tokens, entropy,
+       |  row_number() OVER (ORDER BY entropy, doc_id) AS curriculum_rank,
+       |  CASE ntile(3) OVER (ORDER BY entropy, doc_id)
+       |    WHEN 1 THEN 'early' WHEN 2 THEN 'middle'
+       |    ELSE 'late' END AS phase
+       |FROM ent ORDER BY doc_id""".stripMargin
+
   def contamination(documents: DataFrame, k: Int = 8, minShared: Long = 4,
       benchMod: Int = 50): DataFrame = {
     val benchSh = Dedup.shingles(

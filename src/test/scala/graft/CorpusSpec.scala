@@ -326,6 +326,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("curriculumOrder: ranks are the exact permutation of the entropy " +
+    "order and phases split contiguously by rank") {
+    val got = Corpus.curriculumOrder(docs)
+      .as[(Long, Long, Double, Long, String)].collect()
+    val n = got.length
+    assert(got.map(_._4).sorted.toSeq === (1L to n).toSeq,
+      "ranks must be a permutation of 1..n")
+    // rank order must equal (entropy, doc_id) order
+    val byRank = got.sortBy(_._4)
+    assert(byRank.map(r => (r._3, r._1)).toSeq ===
+      got.map(r => (r._3, r._1)).sortBy(identity).toSeq)
+    // phases are contiguous rank segments of near-equal size, easy first
+    val bounds = byRank.map(_._5)
+    val (e, m, l) = (bounds.count(_ == "early"), bounds.count(_ == "middle"),
+      bounds.count(_ == "late"))
+    assert(e + m + l === n && (e - l) <= 1 && e >= m && m >= l)
+    assert(bounds.toSeq === Seq.fill(e)("early") ++ Seq.fill(m)("middle") ++
+      Seq.fill(l)("late"))
+  }
+
   test("sourceKlDivergence: zero for a single source, Gibbs-nonnegative, " +
     "and exact on a hand-computed two-source fixture") {
     // one source IS the mixture -> every ln ratio is ln(1) = 0
