@@ -168,6 +168,9 @@ object SparkEntry {
     // trailing z-score anomaly flag over the per-minute visit series
     // (exact integer moments -> cross-engine-identical float z)
     "visits_zscore" -> ((s, d) => Analytics.visitsZscore(Tables.events(s, d))),
+    // EWMA smoothing of the minute series — sequential fold over the
+    // calendar-bounded aggregate, bit-exact by identical IEEE op order
+    "visits_ewma" -> ((s, d) => Analytics.visitsEwma(Tables.events(s, d))),
     "fuzzy_name_matches" -> ((s, d) => Relational.fuzzyNameMatches(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
@@ -613,6 +616,7 @@ object SparkEntry {
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "visits_zscore" -> Analytics.visitsZscoreSql(),
+    "visits_ewma" -> Analytics.visitsEwmaSql(),
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),

@@ -879,6 +879,63 @@ object Analytics {
       .orderBy("minute_key")
   }
 
+  /** Exponentially-weighted moving average of the per-minute visit
+    * series — the smoothing twin of [[visitsZscore]]'s spike detector
+    * (dashboards overlay both; `alpha` defaults to the dyadic 1/4 so
+    * the multiply is exact scaling). The recurrence
+    * `s_t = s_{t-1} + α(x_t − s_{t-1})` is inherently sequential, but
+    * it runs over the AGGREGATED minute series — calendar-bounded
+    * (525 600 rows/year), never event-proportional — so after the one
+    * distributed minute count the whole series folds in a single
+    * `aggregate` over a collected array (the same bounded-series
+    * budget [[visitsZscore]]'s global window already spends). Bit
+    * exactness needs no lattice: both engines execute the identical
+    * IEEE op sequence in the identical order (Spark: left fold;
+    * DuckDB: recursive CTE stepping rn + 1), and each op is correctly
+    * rounded, so every intermediate double matches. */
+  def visitsEwma(events: DataFrame, alpha: Double = 0.25): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy_MM_dd'T'HH_mm").as("minute_key"))
+      .agg(count(lit(1)).as("visits"))
+      .agg(sort_array(collect_list(struct(col("minute_key"), col("visits"))))
+        .as("s"))
+      .select(explode(expr(
+        s"""aggregate(s,
+           |  CAST(array() AS
+           |    ARRAY<STRUCT<minute_key: STRING, visits: BIGINT,
+           |                 ewma: DOUBLE>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'minute_key', x.minute_key, 'visits', x.visits,
+           |    'ewma', CASE WHEN size(acc) = 0
+           |      THEN CAST(x.visits AS DOUBLE)
+           |      ELSE element_at(acc, -1).ewma + $alpha *
+           |        (CAST(x.visits AS DOUBLE) - element_at(acc, -1).ewma)
+           |    END)))""".stripMargin)).as("r"))
+      .select(col("r.minute_key"), col("r.visits"), col("r.ewma"))
+      .orderBy("minute_key")
+
+  /** Oracle for [[visitsEwma]]: the same recurrence as a recursive
+    * CTE stepping one minute at a time — the sequential order is the
+    * exactness contract, so no lattice quantization is needed. */
+  def visitsEwmaSql(alpha: Double = 0.25): String =
+    s"""WITH RECURSIVE pm AS (
+       |  SELECT strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M')
+       |      AS minute_key,
+       |    count(*) AS visits FROM events GROUP BY 1),
+       |rn AS (
+       |  SELECT minute_key, visits,
+       |    row_number() OVER (ORDER BY minute_key) AS rn FROM pm),
+       |f AS (
+       |  SELECT rn, minute_key, visits, CAST(visits AS DOUBLE) AS ewma
+       |  FROM rn WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.rn, r.minute_key, r.visits,
+       |    f.ewma + $alpha * (CAST(r.visits AS DOUBLE) - f.ewma)
+       |  FROM f JOIN rn r ON r.rn = f.rn + 1)
+       |SELECT minute_key, visits, ewma FROM f
+       |ORDER BY minute_key""".stripMargin
+
   /** Weighted PageRank (Brin & Page 1998) by distributed power
     * iteration over an edge list `(src, dst, w)` — the canonical
     * iterative-graph shape on Spark: rank state is a node-keyed

@@ -403,6 +403,27 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("visitsEwma reproduces the driver-computed recurrence bit-for-bit") {
+    val ev = Seq(
+      ("2026-01-01 00:00:01", 3), ("2026-01-01 00:01:30", 1),
+      ("2026-01-01 00:03:59", 5), ("2026-01-01 00:04:00", 2))
+      .flatMap { case (s, n) => Seq.fill(n)(s) }
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("event_id", "s")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"))
+    val got = Analytics.visitsEwma(ev)
+      .as[(String, Long, Double)].collect().toList
+    // minutes 00, 01, 03, 04 with counts 3, 1, 5, 2
+    val counts = List(3L, 1L, 5L, 2L)
+    val ewma = counts.tail.scanLeft(counts.head.toDouble) {
+      (p, x) => p + 0.25 * (x.toDouble - p)
+    }
+    assert(got.map(_._2) === counts)
+    got.map(_._3).zip(ewma).foreach { case (a, b) => assert(a === b) }
+    assert(got.map(_._1) === List("2026_01_01T00_00", "2026_01_01T00_01",
+      "2026_01_01T00_03", "2026_01_01T00_04"))
+  }
+
   test("modalEventType picks the most frequent value, ties break lexicographically") {
     val ev = (Seq.fill(3)(("""{"k":"e1"}""", "view")) ++
       Seq.fill(2)(("""{"k":"e1"}""", "click")) ++
