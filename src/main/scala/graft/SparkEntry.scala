@@ -321,6 +321,9 @@ object SparkEntry {
     // exact substring-span removal (Lee et al. ExactSubstr): duplicated
     // k-token spans cut from every doc, cleaned text reconstructed
     "dedup_span_removal" -> ((s, d) => Dedup.spanRemoval(par(Tables.documents(s, d)))),
+    // corpus-level exact line dedup (RefinedWeb line-wise rule): first
+    // occurrence of each rendered line survives, docs rebuilt
+    "line_dedup" -> ((s, d) => Dedup.lineDedup(par(Tables.documents(s, d)))),
     // bloom membership gate: exact is-this-key-already-known — the
     // 1996+ cohort's customers probed against a filter built from the
     // pre-1996 order history (~20% genuinely first-time); the bloom
@@ -662,6 +665,7 @@ object SparkEntry {
     "dedup_keep_best" -> Dedup.dedupKeepBestSql(),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_span_removal" -> Dedup.spanRemovalSql(),
+    "line_dedup" -> Dedup.lineDedupSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "span_corruption" -> Corpus.spanCorruptionSql(),

@@ -969,4 +969,121 @@ object Dedup {
        |  md5(coalesce(r.cleaned, '')) AS kept_md5
        |FROM d LEFT JOIN r USING (doc_id) LEFT JOIN cnts c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus-level exact LINE dedup — the natural-granularity sibling of
+    * [[spanRemoval]]: segment every document into lines, keep only the
+    * FIRST occurrence of each distinct line corpus-wide (ordered by
+    * `(doc_id, line_id)`), and rebuild each document from its surviving
+    * lines. This is the line-wise deduplication step of
+    * RefinedWeb-style web pipelines (Penedo et al., arXiv 2306.01116)
+    * and the line-granularity complement of C4's repeated-span rule
+    * (Raffel et al., arXiv 1910.10683 §2.2 dedupe three-sentence
+    * spans): boilerplate lines (nav bars, cookie banners, footers)
+    * repeat across millions of pages and are removed everywhere but
+    * their first sighting.
+    *
+    * The fixture text has no newlines, so lines are rendered
+    * DETERMINISTICALLY from content: a line breaks after token `t`
+    * whenever `poly_hash62('ld:' || t) % 4 == 0` (mean line ≈ 4
+    * words). Content-keyed breaks mean identical word runs segment
+    * identically in EVERY document — exactly the property sentence
+    * segmentation has on natural text, and what makes cross-document
+    * collisions (the thing being measured) possible. The oracle
+    * replays the same fold, so the compare stays hash-exact.
+    *
+    * Scale shape — [[spanRemoval]]'s two-exchange pattern:
+    *  - line assembly is ONE forward fold inside the scan (no shuffle,
+    *    stays in whole-stage codegen);
+    *  - first-occurrence marking is one `row_number` window keyed by
+    *    the line itself (a single corpus-sized exchange; each
+    *    partition is one dup group, bounded by a line's multiplicity,
+    *    never by corpus size — no join-back, the rank rides the same
+    *    exchange a groupBy would);
+    *  - the rebuild is one doc-keyed regroup with a sorted
+    *    `collect_list`, bounded per document.
+    *
+    * Output: `(doc_id, n_lines, n_kept, n_dup, kept_md5)` — per-doc
+    * line counts, surviving-line count, removed-duplicate count, and
+    * the MD5 of the kept text (newline-joined, in line order;
+    * `md5('')` for fully-deduplicated documents). NULL-text rows are
+    * dropped in both engines (the [[Corpus.spanCorruption]]
+    * convention). */
+  def lineDedup(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    val lines = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("lines", expr(
+        """aggregate(toks,
+          |  named_struct('ls', CAST(array() AS ARRAY<STRING>),
+          |               'cur', CAST(array() AS ARRAY<STRING>)),
+          |  (acc, t) -> CASE
+          |    WHEN pmod(poly_hash62(concat('ld:', t)), 4) = 0
+          |    THEN named_struct(
+          |      'ls', array_append(acc.ls,
+          |        array_join(array_append(acc.cur, t), ' ')),
+          |      'cur', CAST(array() AS ARRAY<STRING>))
+          |    ELSE named_struct('ls', acc.ls,
+          |      'cur', array_append(acc.cur, t)) END,
+          |  acc -> CASE WHEN size(acc.cur) > 0
+          |    THEN array_append(acc.ls, array_join(acc.cur, ' '))
+          |    ELSE acc.ls END)""".stripMargin))
+      .select(col("doc_id"), posexplode(col("lines")))
+      .toDF("doc_id", "line_id", "l")
+    lines
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l")).orderBy(col("doc_id"), col("line_id"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup"),
+        md5(array_join(expr(
+          """transform(
+            |  filter(sort_array(collect_list(struct(line_id, rn, l))),
+            |         s -> s.rn = 1),
+            |  s -> s.l)""".stripMargin), "\n")).as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[lineDedup]]: identical poly_hash62 content
+    * fold (the [[simhashPairsSql]] char-fold construction), line ids
+    * via a prefix-count window, first-occurrence rank via the same
+    * `row_number`, ordered `string_agg` rebuild. */
+  def lineDedupSql(): String = {
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(key) + 1),
+         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok, 'ld:' || toks[i] AS key
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |hb AS (
+       |  SELECT doc_id, pos, tok,
+       |    (${fold(131)} | (${fold(137)} << 31)) % 4 = 0 AS brk
+       |  FROM tok),
+       |lid AS (
+       |  SELECT *, coalesce(sum(CASE WHEN brk THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS line_id
+       |  FROM hb),
+       |line AS (
+       |  SELECT doc_id, line_id, string_agg(tok, ' ' ORDER BY pos) AS l
+       |  FROM lid GROUP BY 1, 2),
+       |mk AS (
+       |  SELECT doc_id, line_id, l,
+       |    row_number() OVER (PARTITION BY l ORDER BY doc_id, line_id) AS rn
+       |  FROM line)
+       |SELECT doc_id, count(*)::BIGINT AS n_lines,
+       |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN l END,
+       |    chr(10) ORDER BY line_id), '')) AS kept_md5
+       |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }
