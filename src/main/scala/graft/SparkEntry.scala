@@ -230,6 +230,12 @@ object SparkEntry {
     // reference-impl parity stays in AnalyticsSpec
     "bpe_merges" -> ((s, d) => TextAnalysis.bpeTrain(par(Tables.documents(s, d)))),
     "bpe_encode" -> ((s, d) => TextAnalysis.bpeEncode(par(Tables.documents(s, d)))),
+    // WordPiece (likelihood-scored merges, integer-lattice argmax):
+    // the BERT-vocab sibling of bpe_merges, hash-exact like it
+    "wordpiece_merges" -> ((s, d) =>
+      TextAnalysis.wordpieceTrain(par(Tables.documents(s, d)))),
+    "wordpiece_encode" -> ((s, d) =>
+      TextAnalysis.wordpieceEncode(par(Tables.documents(s, d)))),
     // unigram-LM tokenizer (Kudo/SentencePiece family, hard-EM): vocab
     // shrinks top-down by likelihood; rows-only like bpe_merges
     "unigram_vocab" -> ((s, d) => Unigram.unigramVocab(par(Tables.documents(s, d)))),
@@ -616,6 +622,8 @@ object SparkEntry {
     "c4_line_filter" -> TextAnalysis.c4LineFilterSql(),
     "bpe_merges" -> TextAnalysis.bpeTrainSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
+    "wordpiece_merges" -> TextAnalysis.wordpieceTrainSql(),
+    "wordpiece_encode" -> TextAnalysis.wordpieceEncodeSql(),
     "length_buckets" -> Corpus.lengthBucketsSql,
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "visits_zscore" -> Analytics.visitsZscoreSql(),

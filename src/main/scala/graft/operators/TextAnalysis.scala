@@ -705,19 +705,7 @@ object TextAnalysis {
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val sampled =
-      if (samplePct >= 100) documents
-      else documents.where(
-        pmod(xxhash64(col("doc_id")), lit(100)) < samplePct)
-    // the one corpus-sized pass: word -> frequency (bounded by vocab)
-    var vocab = sampled
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(length(col("w")) > 0)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms"), col("cnt"))
-      .localCheckpoint()
+    var vocab = symbolVocab(documents, samplePct)
     def lit1(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
@@ -737,16 +725,8 @@ object TextAnalysis {
       best.headOption match {
         case Some((a, b, w)) if w >= minCount =>
           merges += ((rank, a, b, a + b, w))
-          // greedy left-to-right rewrite: a fold that merges [.., a] + b
-          // into [.., ab]; a freshly merged symbol never re-merges in
-          // the same pass ('aaa' + (a,a) -> [aa, a], per the algorithm)
-          val (ea, eb, eab) = (lit1(a), lit1(b), lit1(a + b))
-          vocab = vocab.select(col("w"), expr(
-            s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
-               |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea'
-               |            AND x = '$eb'
-               |  THEN concat(slice(acc, 1, size(acc) - 1), array('$eab'))
-               |  ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"),
+          vocab = vocab.select(col("w"),
+            expr(greedyMergeExpr(lit1(a), lit1(b), lit1(a + b))).as("syms"),
             col("cnt")).localCheckpoint()
           rank += 1
         case _ => done = true
@@ -754,6 +734,38 @@ object TextAnalysis {
     }
     (merges.result(), vocab.select(col("w"), col("syms")))
   }
+
+  /** The one corpus-sized pass shared by the BPE and WordPiece
+    * trainers: word → frequency (output bounded by vocabulary size
+    * regardless of corpus size; one map-side-combined shuffle), each
+    * word split to its character symbols. `localCheckpoint` so every
+    * merge round rereads the materialized table, not the corpus. */
+  private def symbolVocab(documents: DataFrame, samplePct: Int): DataFrame = {
+    val sampled =
+      if (samplePct >= 100) documents
+      else documents.where(
+        pmod(xxhash64(col("doc_id")), lit(100)) < samplePct)
+    sampled
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"), col("cnt"))
+      .localCheckpoint()
+  }
+
+  /** Greedy left-to-right merge rewrite shared by the BPE and
+    * WordPiece trainers: a fold that merges `[.., a] + b` into
+    * `[.., ab]`; a freshly merged symbol never re-merges in the same
+    * pass (`'aaa'` + `(a,a)` → `[aa, a]`, per the algorithm). Inputs
+    * are already `lit1`-escaped. */
+  private def greedyMergeExpr(ea: String, eb: String, eab: String): String =
+    s"""aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+       |  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea'
+       |            AND x = '$eb'
+       |  THEN concat(slice(acc, 1, size(acc) - 1), array('$eab'))
+       |  ELSE concat(acc, array(x)) END)""".stripMargin
 
   /** DuckDB replay of [[bpeTrain]]: `nMerges` unrolled rounds over the
     * word table, with each word's symbol sequence encoded as a STRING
@@ -864,6 +876,194 @@ object TextAnalysis {
         "floor(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)" +
           " * 1e9 + 0.5) / 1e9"))
       .orderBy("source")
+  }
+
+  /** WordPiece merge training (Schuster & Nakajima, ICASSP 2012; the
+    * tokenizer behind BERT vocabularies) — the LIKELIHOOD-scored
+    * sibling of [[bpeTrain]]: where BPE merges the most FREQUENT
+    * adjacent pair, WordPiece merges the pair maximizing
+    * `count(ab) / (count(a) * count(b))` — the pair whose merge most
+    * increases a unigram LM's corpus likelihood, preferring strongly
+    * associated pairs over merely common ones.
+    *
+    * Same scale shape as BPE: ONE corpus-sized pass builds the
+    * word-frequency table ([[symbolVocab]]); each round then runs two
+    * vocab-bounded aggregates (adjacent-pair counts and per-symbol
+    * unigram counts), joins them, takes a 1-row argmax, and rewrites
+    * with the shared greedy fold ([[greedyMergeExpr]]).
+    *
+    * Engine-exact scoring: the likelihood ratio is kept on an INTEGER
+    * lattice — `score = (c_ab * 10^9) div (c_a * c_b)` with exact
+    * 64-bit operands — so the argmax (score desc, then lexicographic
+    * pair) is deterministic and DuckDB-replayable with zero FP.
+    * Operand bound: `c_a * c_b < 2^63` holds to ~3·10⁹ symbol
+    * occurrences; past that, train on `samplePct` (the standard
+    * practice the BPE face already documents). Merging stops when the
+    * best pair's raw frequency drops below `minCount`.
+    *
+    * Output: (rank, pair_a, pair_b, merged, weight, score). */
+  def wordpieceTrain(documents: DataFrame, nMerges: Int = 16,
+      minCount: Long = 2, samplePct: Int = 100): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    wordpieceTrainSeg(documents, nMerges, minCount, samplePct)._1
+      .toDF("rank", "pair_a", "pair_b", "merged", "weight", "score")
+      .orderBy("rank")
+  }
+
+  /** Shared WordPiece trainer: merge list + post-training word→symbols
+    * segmentation table (the join target of [[wordpieceEncode]]). */
+  private def wordpieceTrainSeg(documents: DataFrame, nMerges: Int,
+      minCount: Long, samplePct: Int)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    var vocab = symbolVocab(documents, samplePct)
+    def lit1(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val merges = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      val pairs = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("c_ab"))
+        .where(col("c_ab") >= minCount)
+      val unis = vocab
+        .select(col("cnt"), explode(col("syms")).as("tok"))
+        .groupBy("tok").agg(sum(col("cnt")).as("c"))
+      val best = pairs
+        .join(unis.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(unis.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+        .select(col("a"), col("b"), col("c_ab"),
+          expr("(c_ab * 1000000000L) div (c_a * c_b)").as("score"))
+        .orderBy(desc("score"), asc("a"), asc("b"))
+        .limit(1)
+        .as[(String, String, Long, Long)]
+        .collect()
+      best.headOption match {
+        case Some((a, b, w, sc)) =>
+          merges += ((rank, a, b, a + b, w, sc))
+          vocab = vocab.select(col("w"),
+            expr(greedyMergeExpr(lit1(a), lit1(b), lit1(a + b))).as("syms"),
+            col("cnt")).localCheckpoint()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), vocab.select(col("w"), col("syms")))
+  }
+
+  /** DuckDB replay of [[wordpieceTrain]]: the [[bpeTrainSql]] unrolled
+    * merge-round chain with the likelihood argmax — per round, pair
+    * counts JOIN per-symbol unigram counts, integer-lattice score,
+    * one `replace` rewrite. */
+  def wordpieceTrainSql(nMerges: Int = 16, minCount: Long = 2): String =
+    s"""WITH ${wordpieceRoundCtes(nMerges, minCount)}
+       |${(1 to nMerges).map(k =>
+          s"SELECT ${k - 1} AS rank, a AS pair_a, b AS pair_b, " +
+            s"a || b AS merged, CAST(weight AS BIGINT) AS weight, " +
+            s"CAST(score AS BIGINT) AS score FROM m$k")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY rank""".stripMargin
+
+  /** Segment the corpus with the trained WordPiece table — the
+    * inference twin of [[bpeEncode]] (one equi-join from corpus words
+    * to their segmentation, per-source rollup), with the
+    * WordPiece-specific bookkeeping: every piece after a word's first
+    * is a `##`-continuation, so `n_continuations = n_pieces - n_words`
+    * and `pct_continuation` measures how fragmented the tokenizer
+    * leaves the corpus (the BERT-vocab quality headline next to
+    * fertility). Words outside a sampled training set fall back to
+    * character segmentation. */
+  def wordpieceEncode(documents: DataFrame, nMerges: Int = 16,
+      minCount: Long = 2, samplePct: Int = 100): DataFrame = {
+    val (_, seg) = wordpieceTrainSeg(documents, nMerges, minCount, samplePct)
+    documents
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .join(seg, Seq("w"), "left")
+      .withColumn("syms", coalesce(col("syms"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("syms"))).as("n_pieces"),
+        sum(when(size(col("syms")) === 1, 1L).otherwise(0L))
+          .as("n_whole_words"))
+      .withColumn("n_continuations", col("n_pieces") - col("n_words"))
+      .withColumn("fertility", expr(
+        "floor(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)" +
+          " * 1e9 + 0.5) / 1e9"))
+      .withColumn("pct_continuation", expr(
+        "floor(CAST(n_continuations AS DOUBLE) / CAST(n_pieces AS DOUBLE)" +
+          " * 1e9 + 0.5) / 1e9"))
+      .orderBy("source")
+  }
+
+  /** DuckDB replay of [[wordpieceEncode]] (samplePct=100): round-`n`
+    * vocabulary as the word→pieces map, same join and rollup. */
+  def wordpieceEncodeSql(nMerges: Int = 16, minCount: Long = 2): String = {
+    val u = ""
+    s"""WITH ${wordpieceRoundCtes(nMerges, minCount)},
+       |pieces AS (SELECT w,
+       |    len(string_split(trim(s, '$u'), '$u$u')) AS np FROM w$nMerges),
+       |cw AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT source, count(*)::BIGINT AS n_words,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_whole_words,
+       |  CAST(sum(np) - count(*) AS BIGINT) AS n_continuations,
+       |  floor(CAST(sum(np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    * 1e9 + 0.5) / 1e9 AS fertility,
+       |  floor(CAST(sum(np) - count(*) AS DOUBLE) / CAST(sum(np) AS DOUBLE)
+       |    * 1e9 + 0.5) / 1e9 AS pct_continuation
+       |FROM cw JOIN pieces USING (w)
+       |WHERE len(w) > 0
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** The word-table + `nMerges` WordPiece merge-round CTE chain:
+    * [[bpeRoundCtes]]'s wrapped-symbol-string encoding with the
+    * likelihood-scored argmax per round. */
+  private def wordpieceRoundCtes(nMerges: Int, minCount: Long): String = {
+    val u = ""
+    val rounds = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT pu.u.a AS a, pu.u.b AS b, pu.cnt FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(t0)),
+         |      i -> struct_pack(a := t0[i], b := t0[i + 1]))) AS u
+         |    FROM (SELECT cnt, string_split(trim(s, '$u'), '$u$u') AS t0
+         |          FROM w${k - 1})
+         |    WHERE len(t0) >= 2) pu),
+         |uni$k AS (SELECT tok, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest(string_split(trim(s, '$u'), '$u$u')) AS tok
+         |    FROM w${k - 1}) GROUP BY 1),
+         |pc$k AS (SELECT a, b, sum(cnt) AS weight
+         |  FROM p$k GROUP BY 1, 2 HAVING sum(cnt) >= $minCount),
+         |m$k AS MATERIALIZED (SELECT pc.a, pc.b, pc.weight,
+         |    (CAST(pc.weight AS BIGINT) * 1000000000)
+         |      // (CAST(ua.c AS BIGINT) * CAST(ub.c AS BIGINT)) AS score
+         |  FROM pc$k pc
+         |  JOIN uni$k ua ON pc.a = ua.tok
+         |  JOIN uni$k ub ON pc.b = ub.tok
+         |  ORDER BY score DESC, pc.a, pc.b LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT w, cnt, replace(s,
+         |    COALESCE((SELECT '$u' || a || '$u$u' || b || '$u' FROM m$k),
+         |      chr(1)),
+         |    COALESCE((SELECT '$u' || a || b || '$u' FROM m$k), '')) AS s
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""words AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |w0 AS MATERIALIZED (SELECT w, cnt,
+       |    '$u' || array_to_string(list_transform(range(1, len(w) + 1),
+       |      i -> w[i]), '$u$u') || '$u' AS s
+       |  FROM words),
+       |$rounds""".stripMargin
   }
 
   def collocationsSql(minCount: Long = 5): String =

@@ -403,6 +403,86 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordpieceTrain matches an independent likelihood-scored reference") {
+    // independent reference: in-memory WordPiece with the same integer
+    // lattice — score = (c_ab * 1e9) / (c_a * c_b) in exact Long math
+    def refWp(words: Map[String, Long], n: Int)
+        : List[(String, String, Long, Long)] = {
+      var vocab = words.map { case (w, c) => (w.map(_.toString).toList, c) }
+      val out = List.newBuilder[(String, String, Long, Long)]
+      var done = false
+      for (_ <- 0 until n if !done) {
+        val pairCounts = vocab.toSeq.flatMap { case (syms, c) =>
+          syms.zip(syms.tail).map(p => p -> c)
+        }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+          .filter(_._2 >= 2L)
+        val uniCounts = vocab.toSeq.flatMap { case (syms, c) =>
+          syms.map(_ -> c)
+        }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+        if (pairCounts.isEmpty) done = true
+        else {
+          val scored = pairCounts.map { case ((a, b), w) =>
+            ((a, b), w, w * 1000000000L / (uniCounts(a) * uniCounts(b)))
+          }
+          val ((a, b), w, sc) =
+            scored.minBy { case ((a, b), _, sc) => (-sc, a, b) }
+          out += ((a, b, w, sc))
+          vocab = vocab.map { case (syms, c) =>
+            val merged = List.newBuilder[String]
+            var rest = syms
+            while (rest.nonEmpty) rest match {
+              case x :: y :: t if x == a && y == b =>
+                merged += (a + b); rest = t
+              case x :: t => merged += x; rest = t
+              case Nil =>
+            }
+            (merged.result(), c)
+          }
+        }
+      }
+      out.result()
+    }
+    val docs = Seq(
+      (1L, "lower lower lowest low low low"),
+      (2L, "newer newest new new wider wide"),
+      (3L, "lower newer slower slow slowest")).toDF("doc_id", "text")
+    val words = docs.as[(Long, String)].collect()
+      .flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val want = refWp(words, 8)
+    val got = graft.operators.TextAnalysis.wordpieceTrain(docs, nMerges = 8)
+      .as[(Int, String, String, String, Long, Long)].collect().toList
+    assert(got.map(r => (r._2, r._3, r._5, r._6)) === want)
+    assert(got.map(_._1) === got.indices.toList)
+    assert(got.forall(r => r._4 === r._2 + r._3))
+    // likelihood scoring must diverge from frequency scoring on this
+    // corpus — otherwise the face is a BPE re-skin, not WordPiece
+    val bpe = graft.operators.TextAnalysis.bpeTrain(docs, nMerges = 8)
+      .as[(Int, String, String, String, Long)].collect().toList
+    assert(got.map(r => (r._2, r._3)) !== bpe.map(r => (r._2, r._3)))
+  }
+
+  test("wordpieceEncode: piece totals reconcile; continuations = pieces - words") {
+    val docs = Seq(
+      (1L, "sea shell sea shore", "web"),
+      (2L, "she sells sea shells", "web"),
+      (3L, "down by the sea shore", "books")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.wordpieceEncode(docs, nMerges = 4)
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("web", "books"))
+    assert(got("web")._2 === 8L && got("books")._2 === 5L)
+    got.values.foreach { r =>
+      val (_, nWords, nPieces, nWhole, nCont, fert, pctCont) = r
+      assert(nPieces >= nWords && nWhole <= nWords)
+      assert(nCont === nPieces - nWords)
+      assert(fert === math.floor(
+        nPieces.toDouble / nWords.toDouble * 1e9 + 0.5) / 1e9)
+      assert(pctCont === math.floor(
+        nCont.toDouble / nPieces.toDouble * 1e9 + 0.5) / 1e9)
+    }
+  }
+
   test("visitsEwma reproduces the driver-computed recurrence bit-for-bit") {
     val ev = Seq(
       ("2026-01-01 00:00:01", 3), ("2026-01-01 00:01:30", 1),
