@@ -697,10 +697,28 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** ONE training per (corpus, hyperparams) per session for each
+    * tokenizer family — the [[Unigram.unigramVocab]] memo discipline:
+    * the train and encode catalog faces share a single training run
+    * (the merge list is O(nMerges) driver rows; the segmentation table
+    * is a `localCheckpoint`ed leaf, safe to reuse across actions). */
+  private val bpeTrained = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]()
+  private val wpTrained = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Long, Int), (Seq[(Int, String, String, String, Long, Long)], DataFrame)]()
+
   /** Shared trainer: returns the merge list AND the post-training
     * word→symbols vocabulary (which IS the segmentation table
     * [[bpeEncode]] joins against — no replay at encode time). */
   private def bpeTrainSeg(documents: DataFrame, nMerges: Int,
+      minCount: Long, samplePct: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeTrained.computeIfAbsent(
+      (documents.queryExecution.analyzed.semanticHash(), nMerges, minCount,
+        samplePct),
+      _ => bpeTrainSegUncached(documents, nMerges, minCount, samplePct))
+
+  private def bpeTrainSegUncached(documents: DataFrame, nMerges: Int,
       minCount: Long, samplePct: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     val spark = documents.sparkSession
@@ -912,8 +930,17 @@ object TextAnalysis {
   }
 
   /** Shared WordPiece trainer: merge list + post-training word→symbols
-    * segmentation table (the join target of [[wordpieceEncode]]). */
+    * segmentation table (the join target of [[wordpieceEncode]]);
+    * memoized per session like [[bpeTrainSeg]]. */
   private def wordpieceTrainSeg(documents: DataFrame, nMerges: Int,
+      minCount: Long, samplePct: Int)
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) =
+    wpTrained.computeIfAbsent(
+      (documents.queryExecution.analyzed.semanticHash(), nMerges, minCount,
+        samplePct),
+      _ => wordpieceTrainSegUncached(documents, nMerges, minCount, samplePct))
+
+  private def wordpieceTrainSegUncached(documents: DataFrame, nMerges: Int,
       minCount: Long, samplePct: Int)
       : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
     val spark = documents.sparkSession
