@@ -283,6 +283,9 @@ object SparkEntry {
     // poly_hash62-seeded spans, sentinel rendering, ZERO shuffles (one
     // per-row fold); byte-identical across engines -> hash-exact
     "span_corruption" -> ((s, d) => Corpus.spanCorruption(par(Tables.documents(s, d)))),
+    // BERT MLM example construction (15% select, 80/10/10): the
+    // encoder-objective sibling of span_corruption, zero-shuffle
+    "mlm_masking" -> ((s, d) => Corpus.mlmMasking(par(Tables.documents(s, d)))),
     "pii_redaction" -> ((s, d) => Corpus.redactionReport(par(Tables.documents(s, d)))),
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     // per-source data card published alongside each training mix
@@ -677,6 +680,7 @@ object SparkEntry {
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "span_corruption" -> Corpus.spanCorruptionSql(),
+    "mlm_masking" -> Corpus.mlmMaskingSql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the
     // exact-Jaccard pair set (candidate recall ≈ 1 at j ≥ 0.8, and the

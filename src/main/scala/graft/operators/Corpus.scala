@@ -1086,6 +1086,113 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Masked-language-model example construction (Devlin et al.,
+    * arXiv 1810.04805 §3.1 — the BERT pretraining objective, next to
+    * the T5 objective in [[spanCorruption]]): select `maskPct`% of
+    * token positions; of those, 80% become `[MASK]`, 10% are replaced
+    * by a random token, 10% keep the original (so the model cannot
+    * rely on `[MASK]` marking every prediction site). Labels are the
+    * ORIGINAL tokens at the selected positions.
+    *
+    * Determinism is the contract (the [[spanCorruption]] discipline):
+    * selection, the 80/10/10 branch, and the replacement choice all
+    * come from the engine-portable `poly_hash62` over
+    * `mlm:doc_id:position` — byte-identical examples on every re-run,
+    * engine, and partitioning. The random replacement token is drawn
+    * from the DOCUMENT's own tokens (index `(h >> 13) mod n_tokens`):
+    * corpus-vocab sampling would need a vocab broadcast per row for no
+    * training-signal gain, while per-doc sampling keeps the operator a
+    * pure zero-shuffle projection that runs at scan speed on 100 TB.
+    *
+    * Output: (doc_id, n_tokens, n_selected, n_mask, n_random, n_keep,
+    * masked_md5, labels_md5) — counts per branch plus the MD5 of the
+    * masked text and of the space-joined label sequence (`md5('')`
+    * when nothing selected). NULL-text rows are dropped. */
+  def mlmMasking(documents: DataFrame, maskPct: Int = 15): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("cells", expr(
+        s"""transform(
+           |  transform(sequence(0, size(toks) - 1),
+           |    i -> named_struct('i', i,
+           |      'h', poly_hash62(concat('mlm:', CAST(doc_id AS STRING),
+           |                              ':', CAST(i AS STRING))))),
+           |  s -> named_struct(
+           |    'orig', element_at(toks, s.i + 1),
+           |    'sel', pmod(s.h, 100) < $maskPct,
+           |    'kind', pmod(shiftright(s.h, 7), 10),
+           |    'out', CASE
+           |      WHEN pmod(s.h, 100) >= $maskPct
+           |        THEN element_at(toks, s.i + 1)
+           |      WHEN pmod(shiftright(s.h, 7), 10) <= 7 THEN '[MASK]'
+           |      WHEN pmod(shiftright(s.h, 7), 10) = 8
+           |        THEN element_at(toks,
+           |          CAST(pmod(shiftright(s.h, 13), size(toks)) AS INT) + 1)
+           |      ELSE element_at(toks, s.i + 1) END))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("size(filter(cells, c -> c.sel))").cast("long")
+          .as("n_selected"),
+        expr("size(filter(cells, c -> c.sel AND c.kind <= 7))").cast("long")
+          .as("n_mask"),
+        expr("size(filter(cells, c -> c.sel AND c.kind = 8))").cast("long")
+          .as("n_random"),
+        expr("size(filter(cells, c -> c.sel AND c.kind = 9))").cast("long")
+          .as("n_keep"),
+        md5(expr("array_join(transform(cells, c -> c.out), ' ')"))
+          .as("masked_md5"),
+        md5(expr(
+          "array_join(transform(filter(cells, c -> c.sel), c -> c.orig), ' ')"))
+          .as("labels_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[mlmMasking]]: identical poly_hash62 stream,
+    * per-position CASE, ordered `string_agg` rebuilds. */
+  def mlmMaskingSql(maskPct: Int = 15): String = {
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(key) + 1),
+         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok, toks, len(toks) AS n,
+       |    'mlm:' || CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(i - 1 AS VARCHAR) AS key
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |h AS (
+       |  SELECT doc_id, pos, tok, toks, n,
+       |    (${fold(131)} | (${fold(137)} << 31)) AS h
+       |  FROM tok),
+       |c AS (
+       |  SELECT doc_id, pos, tok,
+       |    h % 100 < $maskPct AS sel,
+       |    (h >> 7) % 10 AS kind,
+       |    CASE WHEN h % 100 >= $maskPct THEN tok
+       |         WHEN (h >> 7) % 10 <= 7 THEN '[MASK]'
+       |         WHEN (h >> 7) % 10 = 8
+       |           THEN toks[CAST((h >> 13) % n AS BIGINT) + 1]
+       |         ELSE tok END AS out
+       |  FROM h)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN sel THEN 1 ELSE 0 END)::BIGINT AS n_selected,
+       |  sum(CASE WHEN sel AND kind <= 7 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_mask,
+       |  sum(CASE WHEN sel AND kind = 8 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_random,
+       |  sum(CASE WHEN sel AND kind = 9 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_keep,
+       |  md5(string_agg(out, ' ' ORDER BY pos)) AS masked_md5,
+       |  md5(coalesce(string_agg(CASE WHEN sel THEN tok END,
+       |    ' ' ORDER BY pos), '')) AS labels_md5
+       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of [[spanCorruption]]: same poly_hash62 fold (the
     * [[TextAnalysis.cmsWordFreqSql]] char-fold construction), coverage
     * via an explicit span→position join, run-merging via the classic

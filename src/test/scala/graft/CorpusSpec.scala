@@ -326,6 +326,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("mlmMasking: 15% selection, 80/10/10 branches, untouched docs byte-identical") {
+    val got = Corpus.mlmMasking(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String, String)].collect()
+    val origMd5 = docs.select(col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    val emptyMd5 = spark.range(1).select(md5(lit(""))).as[String].head()
+    assert(got.map(_._1).toSet === origMd5.keySet)
+    got.foreach { case (id, nTok, nSel, nMask, nRand, nKeep, mMd5, lMd5) =>
+      assert(nSel === nMask + nRand + nKeep, s"doc $id branch split")
+      assert(nSel <= nTok)
+      if (nSel === 0L) {
+        // nothing selected: masked text IS the original, empty labels
+        assert(mMd5 === origMd5(id) && lMd5 === emptyMd5)
+      } else assert(lMd5 !== emptyMd5)
+      // a [MASK] write guarantees divergence from the original
+      if (nMask > 0L) assert(mMd5 !== origMd5(id))
+    }
+    // corpus-level rates: selection ~15%, mask branch ~80% of selected
+    val (selSum, tokSum) = (got.map(_._3).sum, got.map(_._2).sum)
+    val rate = selSum.toDouble / tokSum
+    assert(rate > 0.12 && rate < 0.18, s"selection rate $rate")
+    val maskShare = got.map(_._4).sum.toDouble / selSum
+    assert(maskShare > 0.72 && maskShare < 0.88, s"mask share $maskShare")
+    // deterministic across runs
+    val again = Corpus.mlmMasking(docs)
+      .as[(Long, Long, Long, Long, Long, Long, String, String)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("curriculumOrder: ranks are the exact permutation of the entropy " +
     "order and phases split contiguously by rank") {
     val got = Corpus.curriculumOrder(docs)
