@@ -286,6 +286,9 @@ object SparkEntry {
     // BERT MLM example construction (15% select, 80/10/10): the
     // encoder-objective sibling of span_corruption, zero-shuffle
     "mlm_masking" -> ((s, d) => Corpus.mlmMasking(par(Tables.documents(s, d)))),
+    // BERT NSP pair construction: positives per-row, negatives via one
+    // equi-join on the hash-drawn source doc
+    "nsp_pairs" -> ((s, d) => Corpus.nspPairs(par(Tables.documents(s, d)))),
     "pii_redaction" -> ((s, d) => Corpus.redactionReport(par(Tables.documents(s, d)))),
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     // per-source data card published alongside each training mix
@@ -681,6 +684,7 @@ object SparkEntry {
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "span_corruption" -> Corpus.spanCorruptionSql(),
     "mlm_masking" -> Corpus.mlmMaskingSql(),
+    "nsp_pairs" -> Corpus.nspPairsSql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the
     // exact-Jaccard pair set (candidate recall ≈ 1 at j ≥ 0.8, and the

@@ -1086,6 +1086,116 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Next-sentence-prediction pair construction (Devlin et al.,
+    * arXiv 1810.04805 §3.1 — BERT's second pretraining objective,
+    * completing the example-construction trio with [[mlmMasking]] and
+    * [[spanCorruption]]): for every consecutive line pair `(A, B)` of
+    * a document, emit `(A, B, is_next=1)` half the time and
+    * `(A, rand, is_next=0)` the other half, where `rand` is a line
+    * drawn from elsewhere in the corpus.
+    *
+    * Lines are the [[Dedup.contentLinesExpr]] deterministic
+    * segmentation ([[Dedup.lineDedup]]'s), and every choice — the
+    * pos/neg coin and the negative's source document — comes from
+    * `poly_hash62('nsp:' || doc_id || ':' || i)`, so the pair set is
+    * byte-identical across runs and engines. The negative line is the
+    * FIRST line of document `(h >> 3) mod (max_doc_id + 1)`; when the
+    * draw lands on the pair's own document or on an id gap, the pair
+    * falls back to positive (a deterministic, engine-replayable rule —
+    * the tiny label-rate skew it introduces is O(1/n_docs)).
+    *
+    * Scale shape: positives are a per-row projection; negatives need
+    * exactly ONE equi-join from pairs (keyed by the drawn doc id) to
+    * the one-line-per-doc `first` table — at 100 TB that is a standard
+    * shuffled hash join with no skew (draws are hash-uniform), plus the
+    * 1-row `max_doc_id` broadcast (the [[mixtureWeights]] free nested
+    * loop). Per-doc rollup keeps the face bounded: `(doc_id, n_pairs,
+    * n_pos, n_neg, pairs_md5)` with `pairs_md5` the MD5 of the
+    * newline-joined `A|B|label` triplets in pair order. Docs with
+    * fewer than two lines emit nothing. */
+  def nspPairs(documents: DataFrame): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    val withLines = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("lines", expr(Dedup.contentLinesExpr))
+    val nDocs = documents.agg((max(col("doc_id")) + 1L).as("n"))
+    val pairs = withLines
+      .where(size(col("lines")) >= 2)
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("n"), explode(expr(
+        """transform(sequence(0, size(lines) - 2),
+          |  i -> named_struct('i', i,
+          |    'a', element_at(lines, i + 1),
+          |    'b_next', element_at(lines, i + 2),
+          |    'h', poly_hash62(concat('nsp:', CAST(doc_id AS STRING),
+          |                            ':', CAST(i AS STRING)))))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.a").as("a"),
+        col("p.b_next").as("b_next"),
+        expr("pmod(p.h, 2) = 1").as("want_neg"),
+        expr("pmod(shiftright(p.h, 3), n)").as("tgt"))
+    val first = withLines
+      .select(col("doc_id").as("tgt_doc"),
+        element_at(col("lines"), 1).as("b_rand"))
+    pairs
+      .join(first, pairs("tgt") === first("tgt_doc"), "left")
+      .withColumn("is_next",
+        when(col("want_neg") && col("tgt") =!= col("doc_id") &&
+          col("b_rand").isNotNull, 0L).otherwise(1L))
+      .withColumn("sent_b",
+        when(col("is_next") === 0L, col("b_rand")).otherwise(col("b_next")))
+      .withColumn("pair_str",
+        concat_ws("|", col("a"), col("sent_b"),
+          col("is_next").cast("string")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("is_next")).as("n_pos"),
+        sum(lit(1L) - col("is_next")).as("n_neg"),
+        md5(array_join(expr(
+          """transform(sort_array(collect_list(struct(i, pair_str))),
+            |  s -> s.pair_str)""".stripMargin), "\n")).as("pairs_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[nspPairs]]: the shared line CTEs, the same
+    * poly_hash62 coin and target draw, one LEFT JOIN to the
+    * first-line-per-doc table, ordered `string_agg` rollup. */
+  def nspPairsSql(): String =
+    s"""WITH ${Dedup.contentLinesCtes(Dedup.polyFold)},
+       |nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |pr AS (
+       |  SELECT a.doc_id, a.line_id AS i, a.l AS a_l, b.l AS b_next,
+       |    'nsp:' || CAST(a.doc_id AS VARCHAR) || ':'
+       |      || CAST(a.line_id AS VARCHAR) AS key
+       |  FROM line a JOIN line b
+       |    ON a.doc_id = b.doc_id AND b.line_id = a.line_id + 1),
+       |ph AS (
+       |  SELECT doc_id, i, a_l, b_next,
+       |    (${Dedup.polyFold(131)} | (${Dedup.polyFold(137)} << 31)) AS h
+       |  FROM pr),
+       |pc AS (
+       |  SELECT doc_id, i, a_l, b_next,
+       |    h % 2 = 1 AS want_neg, (h >> 3) % (SELECT n FROM nd) AS tgt
+       |  FROM ph),
+       |fst AS (
+       |  SELECT doc_id AS tgt_doc, l AS b_rand FROM line WHERE line_id = 0),
+       |lab AS (
+       |  SELECT pc.doc_id, pc.i, pc.a_l,
+       |    CASE WHEN pc.want_neg AND pc.tgt <> pc.doc_id
+       |              AND f.b_rand IS NOT NULL
+       |         THEN 0 ELSE 1 END AS is_next,
+       |    CASE WHEN pc.want_neg AND pc.tgt <> pc.doc_id
+       |              AND f.b_rand IS NOT NULL
+       |         THEN f.b_rand ELSE pc.b_next END AS sent_b
+       |  FROM pc LEFT JOIN fst f ON pc.tgt = f.tgt_doc)
+       |SELECT doc_id, count(*)::BIGINT AS n_pairs,
+       |  sum(is_next)::BIGINT AS n_pos,
+       |  sum(1 - is_next)::BIGINT AS n_neg,
+       |  md5(string_agg(a_l || '|' || sent_b || '|'
+       |    || CAST(is_next AS VARCHAR), chr(10) ORDER BY i)) AS pairs_md5
+       |FROM lab GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Masked-language-model example construction (Devlin et al.,
     * arXiv 1810.04805 §3.1 — the BERT pretraining objective, next to
     * the T5 objective in [[spanCorruption]]): select `maskPct`% of

@@ -1008,27 +1008,66 @@ object Dedup {
     * `md5('')` for fully-deduplicated documents). NULL-text rows are
     * dropped in both engines (the [[Corpus.spanCorruption]]
     * convention). */
+  /** The deterministic content-keyed line segmentation shared by
+    * [[lineDedup]] and [[Corpus.nspPairs]]: a forward fold over `toks`
+    * that closes a line after any token whose `poly_hash62('ld:' || t)`
+    * is ≡ 0 (mod 4), flushing the trailing partial line. Content-keyed
+    * breaks segment identical word runs identically in every document
+    * — the property natural sentence boundaries have. */
+  private[operators] val contentLinesExpr: String =
+    """aggregate(toks,
+      |  named_struct('ls', CAST(array() AS ARRAY<STRING>),
+      |               'cur', CAST(array() AS ARRAY<STRING>)),
+      |  (acc, t) -> CASE
+      |    WHEN pmod(poly_hash62(concat('ld:', t)), 4) = 0
+      |    THEN named_struct(
+      |      'ls', array_append(acc.ls,
+      |        array_join(array_append(acc.cur, t), ' ')),
+      |      'cur', CAST(array() AS ARRAY<STRING>))
+      |    ELSE named_struct('ls', acc.ls,
+      |      'cur', array_append(acc.cur, t)) END,
+      |  acc -> CASE WHEN size(acc.cur) > 0
+      |    THEN array_append(acc.ls, array_join(acc.cur, ' '))
+      |    ELSE acc.ls END)""".stripMargin
+
+  /** The DuckDB CTE chain replaying [[contentLinesExpr]] over the
+    * `documents` table: `(doc_id, line_id, l)` as CTE `line`. */
+  private[operators] def contentLinesCtes(fold: Int => String): String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS tok, 'ld:' || toks[i] AS key
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |hb AS (
+       |  SELECT doc_id, pos, tok,
+       |    (${fold(131)} | (${fold(137)} << 31)) % 4 = 0 AS brk
+       |  FROM tok),
+       |lid AS (
+       |  SELECT *, coalesce(sum(CASE WHEN brk THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS line_id
+       |  FROM hb),
+       |line AS (
+       |  SELECT doc_id, line_id, string_agg(tok, ' ' ORDER BY pos) AS l
+       |  FROM lid GROUP BY 1, 2)""".stripMargin
+
+  /** The char-fold DuckDB construction of `poly_hash62` over a column
+    * named `key` (the [[simhashPairsSql]] construction). */
+  private[operators] val polyFold: Int => String = (base: Int) =>
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(key) + 1),
+       |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+       |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+
   def lineDedup(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.PolyHash62.register(documents.sparkSession)
     val lines = documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .withColumn("lines", expr(
-        """aggregate(toks,
-          |  named_struct('ls', CAST(array() AS ARRAY<STRING>),
-          |               'cur', CAST(array() AS ARRAY<STRING>)),
-          |  (acc, t) -> CASE
-          |    WHEN pmod(poly_hash62(concat('ld:', t)), 4) = 0
-          |    THEN named_struct(
-          |      'ls', array_append(acc.ls,
-          |        array_join(array_append(acc.cur, t), ' ')),
-          |      'cur', CAST(array() AS ARRAY<STRING>))
-          |    ELSE named_struct('ls', acc.ls,
-          |      'cur', array_append(acc.cur, t)) END,
-          |  acc -> CASE WHEN size(acc.cur) > 0
-          |    THEN array_append(acc.ls, array_join(acc.cur, ' '))
-          |    ELSE acc.ls END)""".stripMargin))
+      .withColumn("lines", expr(contentLinesExpr))
       .select(col("doc_id"), posexplode(col("lines")))
       .toDF("doc_id", "line_id", "l")
     lines
@@ -1050,31 +1089,8 @@ object Dedup {
     * fold (the [[simhashPairsSql]] char-fold construction), line ids
     * via a prefix-count window, first-occurrence rank via the same
     * `row_number`, ordered `string_agg` rebuild. */
-  def lineDedupSql(): String = {
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(key) + 1),
-         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
-    s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-       |  WHERE text IS NOT NULL),
-       |tok AS (
-       |  SELECT doc_id, i AS pos, toks[i] AS tok, 'ld:' || toks[i] AS key
-       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
-       |hb AS (
-       |  SELECT doc_id, pos, tok,
-       |    (${fold(131)} | (${fold(137)} << 31)) % 4 = 0 AS brk
-       |  FROM tok),
-       |lid AS (
-       |  SELECT *, coalesce(sum(CASE WHEN brk THEN 1 ELSE 0 END)
-       |    OVER (PARTITION BY doc_id ORDER BY pos
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |    AS line_id
-       |  FROM hb),
-       |line AS (
-       |  SELECT doc_id, line_id, string_agg(tok, ' ' ORDER BY pos) AS l
-       |  FROM lid GROUP BY 1, 2),
+  def lineDedupSql(): String =
+    s"""WITH ${contentLinesCtes(polyFold)},
        |mk AS (
        |  SELECT doc_id, line_id, l,
        |    row_number() OVER (PARTITION BY l ORDER BY doc_id, line_id) AS rn
@@ -1085,5 +1101,4 @@ object Dedup {
        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN l END,
        |    chr(10) ORDER BY line_id), '')) AS kept_md5
        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 }

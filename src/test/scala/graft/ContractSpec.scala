@@ -59,7 +59,10 @@ class ContractSpec extends AnyFunSuite {
       "mixture_weights",
       // 1-row corpus-token-total broadcast into the vocab-bounded
       // (source, word) count table — the same pattern
-      "source_kl")
+      "source_kl",
+      // 1-row max-doc-id broadcast sizing the negative-draw modulus;
+      // the negative join itself is a keyed equi-join
+      "nsp_pairs")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

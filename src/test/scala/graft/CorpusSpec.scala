@@ -355,6 +355,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("nspPairs: pair counts track line counts; labels near-balanced; deterministic") {
+    val got = Corpus.nspPairs(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    // each emitting doc contributes exactly (n_lines - 1) pairs; docs
+    // with < 2 lines emit nothing — cross-check against lineDedup's
+    // per-doc line counts
+    val lineCounts = graft.operators.Dedup.lineDedup(docs)
+      .select("doc_id", "n_lines").as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (id, nPairs, nPos, nNeg, md) =>
+      assert(nPairs === lineCounts(id) - 1, s"doc $id pair count")
+      assert(nPos + nNeg === nPairs)
+      assert(md.length === 32)
+    }
+    assert(got.map(_._1).toSet ===
+      lineCounts.filter(_._2 >= 2).keySet, "emitting docs = docs with >= 2 lines")
+    // the pos/neg coin is a fair hash bit (self-draw/gap fallbacks only
+    // nudge it by O(1/n_docs)): corpus-level balance within [0.4, 0.6]
+    val (pos, tot) = (got.map(_._3).sum.toDouble, got.map(_._2).sum.toDouble)
+    assert(pos / tot > 0.4 && pos / tot < 0.6, s"pos share ${pos / tot}")
+    assert(got.map(_._4).sum > 0, "some negatives must exist")
+    // deterministic across runs
+    val again = Corpus.nspPairs(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("curriculumOrder: ranks are the exact permutation of the entropy " +
     "order and phases split contiguously by rank") {
     val got = Corpus.curriculumOrder(docs)
