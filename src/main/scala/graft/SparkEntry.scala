@@ -175,6 +175,10 @@ object SparkEntry {
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(par(Tables.documents(s, d)))),
+    // hashing-trick featurization: vocabulary-free signed-count
+    // projection into a fixed dim (sparse nonzero cells)
+    "feature_hashing" -> ((s, d) =>
+      TextAnalysis.featureHashing(par(Tables.documents(s, d)))),
     "token_stats_udaf" -> ((s, d) => TextAnalysis.tokenStats(par(Tables.documents(s, d)))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
@@ -279,6 +283,10 @@ object SparkEntry {
     "doc_chunks" -> ((s, d) => Corpus.docChunks(Tables.documents(s, d), chunkLen = 64)),
     "chunk_dedup" -> ((s, d) => Corpus.chunkDedup(par(Tables.documents(s, d)))),
     "sequence_packing" -> ((s, d) => Corpus.packSequences(par(Tables.documents(s, d)), budget = 512)),
+    // length-bucketed dynamic batching: banded range-rank cuts with
+    // per-batch padding efficiency
+    "length_batching" -> ((s, d) =>
+      Corpus.lengthBatching(par(Tables.documents(s, d)))),
     // T5 span corruption: denoising (input, target) pair generation —
     // poly_hash62-seeded spans, sentinel rendering, ZERO shuffles (one
     // per-row fold); byte-identical across engines -> hash-exact
@@ -640,6 +648,7 @@ object SparkEntry {
     "char_ngram_explode" -> TextAnalysis.charNgramExplodeSql(),
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
+    "feature_hashing" -> TextAnalysis.featureHashingSql(),
     "token_stats_udaf" -> TextAnalysis.tokenStatsSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,
@@ -682,6 +691,7 @@ object SparkEntry {
     "line_dedup" -> Dedup.lineDedupSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
+    "length_batching" -> Corpus.lengthBatchingSql(),
     "span_corruption" -> Corpus.spanCorruptionSql(),
     "mlm_masking" -> Corpus.mlmMaskingSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),

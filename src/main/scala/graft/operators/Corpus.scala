@@ -650,6 +650,76 @@ object Corpus {
        |    ELSE 'late' END AS phase
        |FROM ent ORDER BY doc_id""".stripMargin
 
+  /** Length-bucketed batch assembly (the dynamic-batching layout step
+    * of every sequence-training loader — group near-equal-length
+    * sequences so per-batch padding to the batch max wastes the least
+    * compute; the island-level complement of [[packSequences]], which
+    * concatenates instead of padding): band documents by token length
+    * (`n_tokens div bandWidth`), order each band by exact length, cut
+    * into fixed-size batches, and report each batch's padding
+    * efficiency.
+    *
+    * Scale shape: the within-band order is ONE global
+    * [[Analytics.rankByRange]] over `(band, n_tokens, doc_id)` — range
+    * repartition + per-partition row_number + P-row offsets, nothing
+    * sorts on one task — and the band-local index is
+    * `rank - min(rank per band)`, a band-bounded broadcast join (bands
+    * number ~max_len/bandWidth). Batch id and slot then follow by
+    * integer division. A naive `row_number() OVER (PARTITION BY band)`
+    * funnels each band through one task — the same 100-TB killer the
+    * curriculum rank avoids.
+    *
+    * Output per batch: (band, batch_id, n_seqs, min_len, max_len,
+    * sum_len, padding_frac) with `padding_frac = 1 -
+    * sum_len/(n_seqs*max_len)` on the 1e-9 floor lattice. The final
+    * partial batch of each band stays (shorter n_seqs). */
+  def lengthBatching(documents: DataFrame, batchSize: Int = 32,
+      bandWidth: Int = 16): DataFrame = {
+    val d = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("band", expr(s"n_tokens div $bandWidth"))
+    val (ranked, _) =
+      Analytics.rankByRange(d, Seq("band", "n_tokens", "doc_id"))
+    val bandStart = ranked.groupBy("band")
+      .agg(min(col("__rank")).as("band_start"))
+    ranked
+      .join(broadcast(bandStart), Seq("band"))
+      .withColumn("idx", col("__rank") - col("band_start"))
+      .withColumn("batch_id", expr(s"idx div $batchSize"))
+      .groupBy("band", "batch_id")
+      .agg(count(lit(1)).as("n_seqs"),
+        min(col("n_tokens")).as("min_len"),
+        max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .withColumn("padding_frac", expr(
+        """floor((1.0d - CAST(sum_len AS DOUBLE)
+          |  / CAST(n_seqs * max_len AS DOUBLE)) * 1e9 + 0.5) / 1e9"""
+          .stripMargin))
+      .orderBy("band", "batch_id")
+  }
+
+  /** Oracle for [[lengthBatching]]: standard ROW_NUMBER per band over
+    * the same total order, same integer cuts and lattice division. */
+  def lengthBatchingSql(batchSize: Int = 32, bandWidth: Int = 16): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (
+       |  SELECT doc_id, n_tokens, n_tokens // $bandWidth AS band FROM d),
+       |r AS (
+       |  SELECT *, (row_number() OVER (PARTITION BY band
+       |      ORDER BY n_tokens, doc_id) - 1) // $batchSize AS batch_id
+       |  FROM b)
+       |SELECT band, batch_id, count(*)::BIGINT AS n_seqs,
+       |  min(n_tokens) AS min_len, max(n_tokens) AS max_len,
+       |  sum(n_tokens)::BIGINT AS sum_len,
+       |  floor((1.0 - CAST(sum(n_tokens) AS DOUBLE)
+       |    / CAST(count(*) * max(n_tokens) AS DOUBLE)) * 1e9 + 0.5) / 1e9
+       |    AS padding_frac
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def contamination(documents: DataFrame, k: Int = 8, minShared: Long = 4,
       benchMod: Int = 50): DataFrame = {
     val benchSh = Dedup.shingles(

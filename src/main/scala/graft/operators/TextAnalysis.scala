@@ -49,6 +49,60 @@ object TextAnalysis {
       |  len(string_split(text, ' ')) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Feature hashing (Weinberger et al., arXiv 0902.2206 — the
+    * "hashing trick"): project every document's bag of words into a
+    * fixed `dim`-dimensional integer vector with
+    * `v[h(w) mod dim] += sign(w)`, the memory-bounded featurization
+    * that needs NO vocabulary pass (contrast [[tfidfTopTerms]]) — the
+    * standard input encoding for [[Classifier]]-style linear models at
+    * corpus scale. Bucket and sign both come from the engine-portable
+    * `poly_hash62`, so the vectors are exact integers, identical on
+    * every engine and partitioning.
+    *
+    * Scale shape: one `(doc_id, dim)`-keyed shuffle with map-side
+    * combine — at most `dim` cells per document regardless of length —
+    * and zero driver state. Output: the nonzero cells
+    * `(doc_id, dim, value)` (signed counts cancel; exact zeros are
+    * dropped, matching sparse-vector semantics). */
+  def featureHashing(documents: DataFrame, dim: Int = 32): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        expr(s"pmod(poly_hash62(concat('fh:', w)), $dim)").as("dim"),
+        expr("CASE WHEN pmod(shiftright(poly_hash62(concat('fh:', w)), 6), 2)" +
+          " = 0 THEN 1L ELSE -1L END").as("s"))
+      .groupBy("doc_id", "dim")
+      .agg(sum(col("s")).as("value"))
+      .where(col("value") =!= 0L)
+      .orderBy("doc_id", "dim")
+  }
+
+  /** DuckDB replay of [[featureHashing]]: same char fold, same
+    * bucket/sign extraction, same zero-cell drop. */
+  def featureHashingSql(dim: Int = 32): String = {
+    val fold = (base: Int) =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(key) + 1),
+         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id, 'fh:' || w AS key FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE len(key) > 3),
+       |h AS (
+       |  SELECT doc_id, (${fold(131)} | (${fold(137)} << 31)) AS h FROM w),
+       |c AS (
+       |  SELECT doc_id, h % $dim AS dim,
+       |    CASE WHEN (h >> 6) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM h)
+       |SELECT doc_id, dim, sum(s)::BIGINT AS value
+       |FROM c GROUP BY 1, 2 HAVING sum(s) <> 0
+       |ORDER BY doc_id, dim""".stripMargin
+  }
+
   /** "BPE-ish" subword regex: greedy runs of up to 3 letters — a
     * deterministic stand-in for a learned-merge tokenizer ('window' →
     * ['win','dow']). Simple enough that Java regex (Spark) and RE2

@@ -483,6 +483,32 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("featureHashing: content-determined sparse cells, sign-parity invariant") {
+    val docs = Seq(
+      (1L, "a b c a"),
+      (2L, "a b c a"),  // identical text -> identical vector
+      (3L, "z z z z z") // one word -> exactly one cell, |value| = 5
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.featureHashing(docs, dim = 32)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = got.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(byDoc(1L) === byDoc(2L), "identical docs hash identically")
+    assert(byDoc(3L).size === 1 && math.abs(byDoc(3L).head._2) === 5L)
+    // every cell is in range, nonzero, and each doc's signed total has
+    // the parity of its word count (each word contributes exactly ±1)
+    got.foreach { case (_, d, v) =>
+      assert(d >= 0L && d < 32L && v != 0L)
+    }
+    val wordCounts = Map(1L -> 4L, 2L -> 4L, 3L -> 5L)
+    byDoc.foreach { case (id, cells) =>
+      val signedSum = cells.toSeq.map(_._2).sum
+      assert(math.abs(signedSum) <= wordCounts(id))
+      assert(((signedSum % 2) + 2) % 2 === wordCounts(id) % 2,
+        s"doc $id parity")
+    }
+  }
+
   test("visitsEwma reproduces the driver-computed recurrence bit-for-bit") {
     val ev = Seq(
       ("2026-01-01 00:00:01", 3), ("2026-01-01 00:01:30", 1),

@@ -355,6 +355,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("lengthBatching: bands partition by length, batches cut at size, padding sane") {
+    val got = Corpus.lengthBatching(docs, batchSize = 32, bandWidth = 16)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    val nDocs = docs.count()
+    assert(got.map(_._3).sum === nDocs, "every doc lands in exactly one batch")
+    got.foreach { case (band, batchId, nSeqs, minLen, maxLen, sumLen, pad) =>
+      assert(nSeqs >= 1L && nSeqs <= 32L)
+      assert(minLen <= maxLen)
+      // band membership: every length in [band*16, band*16+15]
+      assert(minLen / 16 === band && maxLen / 16 === band)
+      assert(sumLen >= nSeqs * minLen && sumLen <= nSeqs * maxLen)
+      assert(pad >= 0.0 && pad < 1.0)
+      assert(pad === math.floor(
+        (1.0 - sumLen.toDouble / (nSeqs * maxLen).toDouble) * 1e9 + 0.5) / 1e9)
+    }
+    // within a band, only the LAST batch may be partial
+    got.groupBy(_._1).foreach { case (band, batches) =>
+      val partial = batches.filter(_._3 < 32L)
+      assert(partial.size <= 1, s"band $band has ${partial.size} partial batches")
+      if (partial.nonEmpty)
+        assert(partial.head._2 === batches.map(_._2).max,
+          s"band $band partial batch must be last")
+    }
+  }
+
   test("nspPairs: pair counts track line counts; labels near-balanced; deterministic") {
     val got = Corpus.nspPairs(docs)
       .as[(Long, Long, Long, Long, String)].collect()
