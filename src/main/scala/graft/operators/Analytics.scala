@@ -893,27 +893,40 @@ object Analytics {
     * IEEE op sequence in the identical order (Spark: left fold;
     * DuckDB: recursive CTE stepping rn + 1), and each op is correctly
     * rounded, so every intermediate double matches. */
-  def visitsEwma(events: DataFrame, alpha: Double = 0.25): DataFrame =
+  def visitsEwma(events: DataFrame, alpha: Double = 0.25): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // The recurrence is inherently serial (each ewma depends on the
+    // previous), so the sequential stage runs over the MINUTE SERIES —
+    // calendar-bounded (1 row/minute: a decade is ~5M rows), never
+    // event-sized — as one O(n) iterator pass on a single task with
+    // O(1) state. The per-minute count itself stays fully distributed.
+    // An in-plan `aggregate`+`array_append` fold here is O(n²) in
+    // array copies (65 s at sf0.1's minute count — measured); a
+    // partition-parallel formulation would have to re-associate the
+    // recurrence into powers of (1-α), changing the IEEE op order and
+    // breaking the bit-exact oracle contract.
     events
       .groupBy(date_format(date_trunc("minute", col("ts")),
         "yyyy_MM_dd'T'HH_mm").as("minute_key"))
       .agg(count(lit(1)).as("visits"))
-      .agg(sort_array(collect_list(struct(col("minute_key"), col("visits"))))
-        .as("s"))
-      .select(explode(expr(
-        s"""aggregate(s,
-           |  CAST(array() AS
-           |    ARRAY<STRUCT<minute_key: STRING, visits: BIGINT,
-           |                 ewma: DOUBLE>>),
-           |  (acc, x) -> array_append(acc, named_struct(
-           |    'minute_key', x.minute_key, 'visits', x.visits,
-           |    'ewma', CASE WHEN size(acc) = 0
-           |      THEN CAST(x.visits AS DOUBLE)
-           |      ELSE element_at(acc, -1).ewma + $alpha *
-           |        (CAST(x.visits AS DOUBLE) - element_at(acc, -1).ewma)
-           |    END)))""".stripMargin)).as("r"))
-      .select(col("r.minute_key"), col("r.visits"), col("r.ewma"))
+      .as[(String, Long)]
+      .repartition(1)
+      .sortWithinPartitions("minute_key")
+      .mapPartitions { it =>
+        var prev = 0.0
+        var first = true
+        it.map { case (mk, v) =>
+          val e =
+            if (first) { first = false; v.toDouble }
+            else prev + alpha * (v.toDouble - prev)
+          prev = e
+          (mk, v, e)
+        }
+      }
+      .toDF("minute_key", "visits", "ewma")
       .orderBy("minute_key")
+  }
 
   /** Oracle for [[visitsEwma]]: the same recurrence as a recursive
     * CTE stepping one minute at a time — the sequential order is the

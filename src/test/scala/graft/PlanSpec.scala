@@ -112,6 +112,36 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(1200))
   }
 
+  test("line_dedup: the dup-group window is line-keyed, never a single partition") {
+    val docs = Tables.documents(spark, d)
+    val p = finalPlan(Dedup.lineDedup(docs))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    // one line-keyed exchange for the window, one doc-keyed regroup
+    assert(p.contains("Window"), p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      p.take(1600))
+  }
+
+  test("length_batching: within-band order is range-partitioned, no per-band window funnel") {
+    val docs = Tables.documents(spark, d)
+    val p = plan(graft.operators.Corpus.lengthBatching(docs))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    assert(p.contains("rangepartitioning") || p.contains("REPARTITION_BY_RANGE"),
+      p.take(1200))
+    // band starts broadcast back — no shuffled join against the ranked set
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("nsp_pairs: negative draws resolve through a keyed equi-join, not a nested loop") {
+    val docs = Tables.documents(spark, d)
+    val p = finalPlan(graft.operators.Corpus.nspPairs(docs))
+    // the only nested loop allowed is the whitelisted 1-row max-id
+    // broadcast; the first-line join itself must be hash/merge keyed
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1600))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p.take(1600))
+  }
+
   test("order_deciles never concentrates the sort on a single partition") {
     val p = plan(Analytics.orderDeciles(Tables.orders(spark, d)))
     assert(!p.contains("SinglePartition"), p.take(1200))
