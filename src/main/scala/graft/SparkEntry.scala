@@ -179,6 +179,10 @@ object SparkEntry {
     // projection into a fixed dim (sparse nonzero cells)
     "feature_hashing" -> ((s, d) =>
       TextAnalysis.featureHashing(par(Tables.documents(s, d)))),
+    // OOV-rate curve: corpus-token coverage of top-K vocabularies
+    // (vocab-bounded rank + 1-row total broadcast)
+    "vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(par(Tables.documents(s, d)))),
     "token_stats_udaf" -> ((s, d) => TextAnalysis.tokenStats(par(Tables.documents(s, d)))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
@@ -649,6 +653,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "feature_hashing" -> TextAnalysis.featureHashingSql(),
+    "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
     "token_stats_udaf" -> TextAnalysis.tokenStatsSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,

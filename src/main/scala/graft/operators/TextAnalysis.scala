@@ -103,6 +103,80 @@ object TextAnalysis {
        |ORDER BY doc_id, dim""".stripMargin
   }
 
+  /** Vocabulary coverage curve — what fraction of corpus TOKENS a
+    * top-K word vocabulary covers, for several K (the OOV-rate curve
+    * every tokenizer/vocab-size decision starts from; the cumulative
+    * complement of [[zipfFit]]'s rank-frequency view).
+    *
+    * Scale shape: the one corpus-sized pass is the word count (bounded
+    * output ≈ vocabulary size); the rank and the per-K rollup run on
+    * vocab rows only (the [[zipfFit]] convention — a vocab-bounded
+    * window is fine where a corpus-bounded one would not be), plus a
+    * 1-row corpus-token-total broadcast. Coverage fractions are single
+    * IEEE divisions of exact integers on the 1e-9 floor lattice.
+    *
+    * Output per K: (vocab_size, n_types, covered_tokens, total_tokens,
+    * coverage, oov_rate), `n_types = min(K, |vocab|)`. */
+  def vocabCoverage(documents: DataFrame,
+      sizes: Seq[Int] = Seq(64, 256, 1024, 4096)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val ranked = counts.withColumn("rank",
+      row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
+    val ks = sizes.map(k => s"$k").mkString(",")
+    ranked
+      .select(col("cnt"), col("rank"),
+        explode(expr(s"array($ks)")).as("vocab_size"))
+      .where(col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage", expr(
+        """floor(CAST(covered_tokens AS DOUBLE)
+          |  / CAST(total_tokens AS DOUBLE) * 1e9 + 0.5) / 1e9"""
+          .stripMargin))
+      .withColumn("oov_rate", expr(
+        """floor(CAST(total_tokens - covered_tokens AS DOUBLE)
+          |  / CAST(total_tokens AS DOUBLE) * 1e9 + 0.5) / 1e9"""
+          .stripMargin))
+      .select(col("vocab_size").cast("long").as("vocab_size"),
+        col("n_types"), col("covered_tokens"), col("total_tokens"),
+        col("coverage"), col("oov_rate"))
+      .orderBy("vocab_size")
+  }
+
+  /** DuckDB replay of [[vocabCoverage]]: same rank, same per-K rollup,
+    * same lattice divisions. */
+  def vocabCoverageSql(sizes: Seq[Int] = Seq(64, 256, 1024, 4096)): String = {
+    val ks = sizes.mkString(", ")
+    s"""WITH wc AS (
+       |  SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY 1),
+       |tot AS (SELECT sum(cnt)::BIGINT AS total_tokens FROM wc),
+       |r AS (
+       |  SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, w)::BIGINT AS rank
+       |  FROM wc),
+       |k AS (SELECT unnest(ARRAY[$ks])::BIGINT AS vocab_size),
+       |cov AS (
+       |  SELECT k.vocab_size, count(*)::BIGINT AS n_types,
+       |    sum(r.cnt)::BIGINT AS covered_tokens
+       |  FROM k JOIN r ON r.rank <= k.vocab_size
+       |  GROUP BY 1)
+       |SELECT vocab_size, n_types, covered_tokens, total_tokens,
+       |  floor(CAST(covered_tokens AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE) * 1e9 + 0.5) / 1e9 AS coverage,
+       |  floor(CAST(total_tokens - covered_tokens AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE) * 1e9 + 0.5) / 1e9 AS oov_rate
+       |FROM cov CROSS JOIN tot ORDER BY vocab_size""".stripMargin
+  }
+
   /** "BPE-ish" subword regex: greedy runs of up to 3 letters — a
     * deterministic stand-in for a learned-merge tokenizer ('window' →
     * ['win','dow']). Simple enough that Java regex (Spark) and RE2

@@ -509,6 +509,23 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabCoverage: monotone cumulative coverage, exact at the full-vocab knee") {
+    // 10 'a', 5 'b', 3 'c', 1 'd' -> total 19, vocab 4
+    val docs = Seq(
+      (1L, ("a " * 10 + "b " * 5 + "c c c d").trim)
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .vocabCoverage(docs, sizes = Seq(1, 2, 3, 64))
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toList
+    def cov(c: Long) = math.floor(c.toDouble / 19.0 * 1e9 + 0.5) / 1e9
+    def oov(c: Long) = math.floor((19L - c).toDouble / 19.0 * 1e9 + 0.5) / 1e9
+    assert(got === List(
+      (1L, 1L, 10L, 19L, cov(10), oov(10)),
+      (2L, 2L, 15L, 19L, cov(15), oov(15)),
+      (3L, 3L, 18L, 19L, cov(18), oov(18)),
+      (64L, 4L, 19L, 19L, 1.0, 0.0)))
+  }
+
   test("visitsEwma reproduces the driver-computed recurrence bit-for-bit") {
     val ev = Seq(
       ("2026-01-01 00:00:01", 3), ("2026-01-01 00:01:30", 1),

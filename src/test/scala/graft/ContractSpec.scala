@@ -62,7 +62,10 @@ class ContractSpec extends AnyFunSuite {
       "source_kl",
       // 1-row max-doc-id broadcast sizing the negative-draw modulus;
       // the negative join itself is a keyed equi-join
-      "nsp_pairs")
+      "nsp_pairs",
+      // 1-row corpus-token-total broadcast into the K-bounded coverage
+      // rollup — the tfidf_top_terms pattern
+      "vocab_coverage")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
