@@ -893,23 +893,31 @@ object Analytics {
     * IEEE op sequence in the identical order (Spark: left fold;
     * DuckDB: recursive CTE stepping rn + 1), and each op is correctly
     * rounded, so every intermediate double matches. */
-  def visitsEwma(events: DataFrame, alpha: Double = 0.25): DataFrame = {
+  def visitsEwma(events: DataFrame, alpha: Double = 0.25,
+      windowMinutes: Int = 1440): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     // The recurrence is inherently serial (each ewma depends on the
-    // previous), so the sequential stage runs over the MINUTE SERIES —
-    // calendar-bounded (1 row/minute: a decade is ~5M rows), never
-    // event-sized — as one O(n) iterator pass on a single task with
-    // O(1) state. The per-minute count itself stays fully distributed.
-    // An in-plan `aggregate`+`array_append` fold here is O(n²) in
-    // array copies (65 s at sf0.1's minute count — measured); a
-    // partition-parallel formulation would have to re-associate the
-    // recurrence into powers of (1-α), changing the IEEE op order and
-    // breaking the bit-exact oracle contract.
-    events
-      .groupBy(date_format(date_trunc("minute", col("ts")),
-        "yyyy_MM_dd'T'HH_mm").as("minute_key"))
+    // previous), and the face is the dashboard-read idiom: smooth the
+    // TRAILING WINDOW of closed minutes (default one day), not the
+    // full history — with α=0.25 the recurrence forgets past ~20
+    // steps anyway, and the bound is what keeps BOTH engines O(window)
+    // at any corpus scale (the full-history recursion is quadratic in
+    // DuckDB and was 39k sequential steps at sf0.1). The per-minute
+    // count is fully distributed; the sequential stage is one O(window)
+    // iterator pass on a single task with O(1) state, preserving the
+    // exact IEEE op order of the reference recurrence. (An in-plan
+    // `aggregate`+`array_append` fold is O(n²) in array copies —
+    // measured 65 s at sf0.1; a partition-parallel formulation would
+    // re-associate into powers of (1-α) and break bit-exactness.)
+    val pm = events
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
       .agg(count(lit(1)).as("visits"))
+    val mx = pm.agg(max(col("m")).as("mx"))
+    pm.crossJoin(broadcast(mx))
+      .where(col("m") >= expr(s"mx - INTERVAL ${windowMinutes - 1} MINUTES"))
+      .select(date_format(col("m"), "yyyy_MM_dd'T'HH_mm").as("minute_key"),
+        col("visits"))
       .as[(String, Long)]
       .repartition(1)
       .sortWithinPartitions("minute_key")
@@ -929,16 +937,20 @@ object Analytics {
   }
 
   /** Oracle for [[visitsEwma]]: the same recurrence as a recursive
-    * CTE stepping one minute at a time — the sequential order is the
-    * exactness contract, so no lattice quantization is needed. */
-  def visitsEwmaSql(alpha: Double = 0.25): String =
+    * CTE stepping one minute at a time over the same trailing window —
+    * the sequential order is the exactness contract, so no lattice
+    * quantization is needed, and the window bound keeps the recursion
+    * O(window) at any scale. */
+  def visitsEwmaSql(alpha: Double = 0.25, windowMinutes: Int = 1440): String =
     s"""WITH RECURSIVE pm AS (
-       |  SELECT strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M')
-       |      AS minute_key,
-       |    count(*) AS visits FROM events GROUP BY 1),
+       |  SELECT date_trunc('minute', ts) AS m, count(*) AS visits
+       |  FROM events GROUP BY 1),
+       |mx AS (SELECT max(m) AS mx FROM pm),
        |rn AS (
-       |  SELECT minute_key, visits,
-       |    row_number() OVER (ORDER BY minute_key) AS rn FROM pm),
+       |  SELECT strftime(m, '%Y_%m_%dT%H_%M') AS minute_key, visits,
+       |    row_number() OVER (ORDER BY m) AS rn
+       |  FROM pm, mx
+       |  WHERE m >= mx - INTERVAL ${windowMinutes - 1} MINUTE),
        |f AS (
        |  SELECT rn, minute_key, visits, CAST(visits AS DOUBLE) AS ewma
        |  FROM rn WHERE rn = 1

@@ -65,7 +65,9 @@ class ContractSpec extends AnyFunSuite {
       "nsp_pairs",
       // 1-row corpus-token-total broadcast into the K-bounded coverage
       // rollup — the tfidf_top_terms pattern
-      "vocab_coverage")
+      "vocab_coverage",
+      // 1-row max-minute broadcast bounding the trailing EWMA window
+      "visits_ewma")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
