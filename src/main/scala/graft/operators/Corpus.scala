@@ -1288,7 +1288,20 @@ object Corpus {
     * masked_md5, labels_md5) — counts per branch plus the MD5 of the
     * masked text and of the space-joined label sequence (`md5('')`
     * when nothing selected). NULL-text rows are dropped. */
-  def mlmMasking(documents: DataFrame, maskPct: Int = 15): DataFrame = {
+  def mlmMasking(documents: DataFrame, maskPct: Int = 15): DataFrame =
+    mlmProject(documents, maskPct).orderBy("doc_id")
+
+  /** The streaming face of [[mlmMasking]]: the identical stateless
+    * projection without the batch face's global ORDER BY (illegal on a
+    * stream, and meaningless there — examples flow out per
+    * micro-batch). Because every decision is a poly_hash62 of
+    * (doc_id, position), the streamed example set over any batch
+    * slicing is EXACTLY the batch output for the same documents —
+    * asserted in `StreamingSpec`. */
+  def mlmMaskingStream(documents: DataFrame, maskPct: Int = 15): DataFrame =
+    mlmProject(documents, maskPct)
+
+  private def mlmProject(documents: DataFrame, maskPct: Int): DataFrame = {
     graft.functions.PolyHash62.register(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
@@ -1326,7 +1339,6 @@ object Corpus {
         md5(expr(
           "array_join(transform(filter(cells, c -> c.sel), c -> c.orig), ' ')"))
           .as("labels_md5"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[mlmMasking]]: identical poly_hash62 stream,
