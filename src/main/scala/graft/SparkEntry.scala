@@ -183,6 +183,10 @@ object SparkEntry {
     // (vocab-bounded rank + 1-row total broadcast)
     "vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(par(Tables.documents(s, d)))),
+    // CCNet canonical-form normalization (pre-dedup): per-row regex
+    // chain fused into the scan, zero shuffle
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.textNormalize(par(Tables.documents(s, d)))),
     "token_stats_udaf" -> ((s, d) => TextAnalysis.tokenStats(par(Tables.documents(s, d)))),
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
@@ -654,6 +658,7 @@ object SparkEntry {
     "token_count" -> TextAnalysis.tokenCountSql,
     "feature_hashing" -> TextAnalysis.featureHashingSql(),
     "vocab_coverage" -> TextAnalysis.vocabCoverageSql(),
+    "text_normalize" -> TextAnalysis.textNormalizeSql,
     "token_stats_udaf" -> TextAnalysis.tokenStatsSql,
     "text_quality" -> TextAnalysis.textQualitySql,
     "lang_id" -> TextAnalysis.langIdSql,

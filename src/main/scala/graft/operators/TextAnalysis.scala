@@ -49,6 +49,52 @@ object TextAnalysis {
       |  len(string_split(text, ' ')) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** CCNet-style text normalization (Wenzek et al., arXiv 1911.00359
+    * §4.1 — the canonical form computed BEFORE fingerprint dedup so
+    * near-identical pages hash identically): lowercase, fold every
+    * digit to `0`, collapse whitespace runs, strip non-alphanumeric
+    * characters (keeping single spaces). Deliberately restricted to
+    * ASCII-safe regex classes on which Java regex (Spark) and RE2
+    * (DuckDB) agree exactly — the [[SubwordPattern]] discipline — so
+    * the normalized text carries a hash-exact oracle.
+    *
+    * Pure per-row regex chain fused into the scan by codegen (the
+    * [[Corpus.redact]] shape): zero shuffle, scan speed at 100 TB.
+    * Output: (doc_id, n_chars_raw, n_chars_norm, changed, norm_md5) —
+    * the md5 is what a downstream [[Dedup.dedupExact]] would key on. */
+  def textNormalize(documents: DataFrame): DataFrame =
+    documents
+      .where(col("text").isNotNull)
+      .withColumn("norm",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col("text")), "[0-9]", "0"),
+            "[^a-z0-9 ]", ""),
+          "  +", " "))
+      .withColumn("norm", expr("trim(norm)"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        (col("norm") =!= col("text")).as("changed"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy("doc_id")
+
+  /** DuckDB replay of [[textNormalize]]: same regex chain (RE2 and
+    * Java regex agree on these classes), same trim and md5. */
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  length(text)::BIGINT AS n_chars_raw,
+      |  length(norm)::BIGINT AS n_chars_norm,
+      |  norm <> text AS changed,
+      |  md5(norm) AS norm_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |      '[0-9]', '0', 'g'), '[^a-z0-9 ]', '', 'g'), '  +', ' ', 'g'))
+      |      AS norm
+      |  FROM documents WHERE text IS NOT NULL)
+      |ORDER BY doc_id""".stripMargin
+
   /** Feature hashing (Weinberger et al., arXiv 0902.2206 — the
     * "hashing trick"): project every document's bag of words into a
     * fixed `dim`-dimensional integer vector with

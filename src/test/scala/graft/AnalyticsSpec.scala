@@ -509,6 +509,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("textNormalize: lowercase, digit-fold, punct strip, whitespace collapse") {
+    import org.apache.spark.sql.functions.{md5 => md5f, lit}
+    def h(s: String) = spark.range(1).select(md5f(lit(s))).as[String].head()
+    val docs = Seq(
+      (1L, "Hello,  World! 42 times"),  // case, punct, double space, digits
+      (2L, "already clean text"),        // untouched -> changed = false
+      (3L, "  edge  ")                   // trims to a bare word
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.textNormalize(docs)
+      .as[(Long, Long, Long, Boolean, String)].collect().toList
+    assert(got(0) === ((1L, 23L, 20L, true, h("hello world 00 times"))))
+    assert(got(1) === ((2L, 18L, 18L, false, h("already clean text"))))
+    assert(got(2) === ((3L, 8L, 4L, true, h("edge"))))
+  }
+
   test("vocabCoverage: monotone cumulative coverage, exact at the full-vocab knee") {
     // 10 'a', 5 'b', 3 'c', 1 'd' -> total 19, vocab 4
     val docs = Seq(
