@@ -166,15 +166,21 @@ object Analytics {
   def rankByRange(df: DataFrame, sortCols: Seq[String],
       partitions: Int = 32): (DataFrame, Long) = {
     val cols = sortCols.map(col)
-    // stamp the range-partition id ONCE and persist: the count pass and
-    // the ranking pass must see the same partition assignment, and a
-    // re-executed range exchange does not guarantee that (AQE may remix
-    // the two jobs differently). At cluster scale this materialization
-    // is the sorted staging write an exact global bucketing needs
-    // anyway (checkpoint instead if it outgrows memory+disk).
+    // stamp the range-partition id ONCE and localCheckpoint: the count
+    // pass and the ranking pass must see the same partition assignment,
+    // and a re-executed range exchange does not guarantee that (AQE may
+    // remix the two jobs differently). localCheckpoint over persist
+    // because the returned frame is LAZY: an explicit persist here has
+    // no matching unpersist site and would pin a corpus-sized cache for
+    // the session lifetime (callers multiplied this round:
+    // order_deciles, perplexity_buckets, curriculum_order,
+    // length_batching) — checkpoint blocks are released by the
+    // ContextCleaner when the caller drops the frame. At cluster scale
+    // this materialization is the sorted staging write an exact global
+    // bucketing needs anyway.
     val ranged = df.repartitionByRange(partitions, cols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val counts = ranged
       .groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -910,9 +916,15 @@ object Analytics {
     // `aggregate`+`array_append` fold is O(n²) in array copies —
     // measured 65 s at sf0.1; a partition-parallel formulation would
     // re-associate into powers of (1-α) and break bit-exactness.)
+    // localCheckpoint: pm feeds BOTH the 1-row max subtree and the
+    // probe side of the crossJoin — the DataFrame API does not dedupe
+    // common subplans, so without it the corpus-sized scan+aggregate
+    // would run twice (the sourceOverlap discipline; pm itself is
+    // calendar-bounded, one row per minute).
     val pm = events
       .groupBy(date_trunc("minute", col("ts")).as("m"))
       .agg(count(lit(1)).as("visits"))
+      .localCheckpoint()
     val mx = pm.agg(max(col("m")).as("mx"))
     pm.crossJoin(broadcast(mx))
       .where(col("m") >= expr(s"mx - INTERVAL ${windowMinutes - 1} MINUTES"))

@@ -492,11 +492,7 @@ object Corpus {
     // DuckDB replay of poly_hash62 over the shingle string (the
     // [[Dedup.simhashPairsSql]] char-fold construction) — same fold,
     // same collisions, both engines.
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(shingle) + 1),
-         |        j -> CAST(unicode(substr(shingle, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    val fold = Dedup.polyFoldOver("shingle") _
     s"""WITH arr AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS toks
        |  FROM documents),
@@ -1344,11 +1340,7 @@ object Corpus {
   /** DuckDB replay of [[mlmMasking]]: identical poly_hash62 stream,
     * per-position CASE, ordered `string_agg` rebuilds. */
   def mlmMaskingSql(maskPct: Int = 15): String = {
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(key) + 1),
-         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    val fold = Dedup.polyFold
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE text IS NOT NULL),
@@ -1391,11 +1383,7 @@ object Corpus {
     * gaps-and-islands window, ordered `string_agg` rebuilds — a
     * relational formulation provably equal to the engine-side fold. */
   def spanCorruptionSql(startPct: Int = 5): String = {
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(key) + 1),
-         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    val fold = Dedup.polyFold
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE text IS NOT NULL),

@@ -1053,13 +1053,24 @@ object Dedup {
        |  SELECT doc_id, line_id, string_agg(tok, ' ' ORDER BY pos) AS l
        |  FROM lid GROUP BY 1, 2)""".stripMargin
 
-  /** The char-fold DuckDB construction of `poly_hash62` over a column
-    * named `key` (the [[simhashPairsSql]] construction). */
-  private[operators] val polyFold: Int => String = (base: Int) =>
+  /** The char-fold DuckDB construction of `poly_hash62`'s two 31-bit
+    * lanes over an arbitrary column (the [[simhashPairsSql]]
+    * construction). Every SQL oracle that replays `poly_hash62` must
+    * build its folds HERE so the replay can never drift from the
+    * Spark-side expression one operator at a time. */
+  private[operators] def polyFoldOver(column: String)(base: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, length(key) + 1),
-       |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
+       |      list_transform(range(1, length($column) + 1),
+       |        j -> CAST(unicode(substr($column, CAST(j AS INT), 1)) AS BIGINT))),
        |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+
+  /** [[polyFoldOver]] specialized to the conventional `key` column. */
+  private[operators] val polyFold: Int => String = polyFoldOver("key")
+
+  /** The full 62-bit `poly_hash62` replay over a column named `key`:
+    * `lane(131) | lane(137) << 31`. */
+  private[operators] val polyHash62Sql: String =
+    s"(${polyFold(131)} | (${polyFold(137)} << 31))"
 
   def lineDedup(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -128,11 +128,7 @@ object TextAnalysis {
   /** DuckDB replay of [[featureHashing]]: same char fold, same
     * bucket/sign extraction, same zero-cell drop. */
   def featureHashingSql(dim: Int = 32): String = {
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(key) + 1),
-         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    val fold = Dedup.polyFold
     s"""WITH w AS (
        |  SELECT doc_id, 'fh:' || w AS key FROM (
        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -871,26 +867,46 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
-  /** ONE training per (corpus, hyperparams) per session for each
+  /** ONE training per (session, corpus, hyperparams) for each
     * tokenizer family — the [[Unigram.unigramVocab]] memo discipline:
     * the train and encode catalog faces share a single training run
     * (the merge list is O(nMerges) driver rows; the segmentation table
-    * is a `localCheckpoint`ed leaf, safe to reuse across actions). */
+    * is a `localCheckpoint`ed leaf — VOCAB-bounded, safe to reuse
+    * across actions). The application id (1:1 with the SparkContext)
+    * is part of the key: a cached DataFrame's checkpoint blocks die
+    * with the SparkContext that made them, so an entry must never be
+    * served under a later context (it would throw "SparkContext has
+    * been shut down" at action time). Size stays bounded by distinct
+    * (corpus, params) per live context; entries from dead contexts
+    * are evicted on the next lookup. */
   private val bpeTrained = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Long, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]()
+    (String, Int, Int, Long, Int), (Seq[(Int, String, String, String, Long)], DataFrame)]()
   private val wpTrained = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Int, Long, Int), (Seq[(Int, String, String, String, Long, Long)], DataFrame)]()
+    (String, Int, Int, Long, Int), (Seq[(Int, String, String, String, Long, Long)], DataFrame)]()
+
+  private def memoKey(documents: DataFrame, nMerges: Int, minCount: Long,
+      samplePct: Int): (String, Int, Int, Long, Int) =
+    (documents.sparkSession.sparkContext.applicationId,
+      documents.queryExecution.analyzed.semanticHash(), nMerges, minCount,
+      samplePct)
+
+  /** Drop memo entries whose owning context is not the live one —
+    * their checkpointed blocks are unreachable anyway. */
+  private def evictDead[V](m: java.util.concurrent.ConcurrentHashMap[
+      (String, Int, Int, Long, Int), V], live: String): Unit =
+    m.keySet.removeIf(_._1 != live)
 
   /** Shared trainer: returns the merge list AND the post-training
     * word→symbols vocabulary (which IS the segmentation table
     * [[bpeEncode]] joins against — no replay at encode time). */
   private def bpeTrainSeg(documents: DataFrame, nMerges: Int,
       minCount: Long, samplePct: Int)
-      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    evictDead(bpeTrained, documents.sparkSession.sparkContext.applicationId)
     bpeTrained.computeIfAbsent(
-      (documents.queryExecution.analyzed.semanticHash(), nMerges, minCount,
-        samplePct),
+      memoKey(documents, nMerges, minCount, samplePct),
       _ => bpeTrainSegUncached(documents, nMerges, minCount, samplePct))
+  }
 
   private def bpeTrainSegUncached(documents: DataFrame, nMerges: Int,
       minCount: Long, samplePct: Int)
@@ -1108,11 +1124,12 @@ object TextAnalysis {
     * memoized per session like [[bpeTrainSeg]]. */
   private def wordpieceTrainSeg(documents: DataFrame, nMerges: Int,
       minCount: Long, samplePct: Int)
-      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) =
+      : (Seq[(Int, String, String, String, Long, Long)], DataFrame) = {
+    evictDead(wpTrained, documents.sparkSession.sparkContext.applicationId)
     wpTrained.computeIfAbsent(
-      (documents.queryExecution.analyzed.semanticHash(), nMerges, minCount,
-        samplePct),
+      memoKey(documents, nMerges, minCount, samplePct),
       _ => wordpieceTrainSegUncached(documents, nMerges, minCount, samplePct))
+  }
 
   private def wordpieceTrainSegUncached(documents: DataFrame, nMerges: Int,
       minCount: Long, samplePct: Int)
@@ -1651,11 +1668,7 @@ object TextAnalysis {
   }
 
   def cmsWordFreqSql(depth: Int = 4, width: Int = 512, k: Int = 20): String = {
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(word) + 1),
-         |        j -> CAST(unicode(substr(word, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    val fold = Dedup.polyFoldOver("word") _
     s"""WITH words AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
        |w AS (SELECT word FROM words WHERE word <> ''),
@@ -2044,11 +2057,7 @@ object TextAnalysis {
     * (the [[Corpus.spanCorruptionSql]] char-fold construction), line
     * ids via a prefix-count window, ordered `string_agg` rebuilds. */
   def c4LineFilterSql(minLineWords: Int = 5, minKeptLines: Int = 3): String = {
-    val fold = (base: Int) =>
-      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(1, length(key) + 1),
-         |        j -> CAST(unicode(substr(key, CAST(j AS INT), 1)) AS BIGINT))),
-         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    val fold = Dedup.polyFold
     s"""WITH d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE text IS NOT NULL),

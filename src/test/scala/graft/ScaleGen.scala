@@ -24,11 +24,11 @@ object ScaleGen {
     val spark = TestSpark.spark
     val shift = 10000000L
 
-    def replicate(df: DataFrame, build: Int => DataFrame): DataFrame =
+    def replicate(build: Int => DataFrame): DataFrame =
       (0 until factor).map(build).reduce(_ unionAll _)
 
     val docs = Tables.documents(spark, srcDir)
-    replicate(docs, i => docs.select(
+    replicate(i => docs.select(
       (col("doc_id") + lit(i * shift)).as("doc_id"),
       (if (i == 0) col("text")
        else concat(col("text"), lit(s" r$i"))).as("text"),
@@ -38,7 +38,7 @@ object ScaleGen {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
     val emb = Tables.embeddings(spark, srcDir)
-    replicate(emb, i => emb.select(
+    replicate(i => emb.select(
       (col("vec_id") + lit(i * shift)).as("vec_id"),
       (if (i == 0) col("embedding")
        // 2^-10 steps: exact in float, small vs unit-scale coordinates
@@ -48,7 +48,7 @@ object ScaleGen {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
     val ev = Tables.events(spark, srcDir)
-    replicate(ev, i => ev.select(
+    replicate(i => ev.select(
       (col("event_id") + lit(i * shift)).as("event_id"),
       col("ts"),
       (col("user_id") + lit(i * shift)).as("user_id"),
