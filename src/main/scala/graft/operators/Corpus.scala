@@ -313,6 +313,43 @@ object Corpus {
        |    AS BIGINT) AS pos
        |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Materialize one epoch's shuffled shards to disk and return the
+    * MANIFEST — the missing write half of [[corpusShuffle]]: a
+    * training loader needs (a) the documents physically clustered by
+    * shard so one reader task streams one shard sequentially, and (b)
+    * a small manifest table to schedule/audit against (the lakehouse
+    * snapshot idiom, same family as [[Maintenance.zorderWrite]]).
+    *
+    * Scale shape: the shard assignment is [[corpusShuffle]]'s (hash
+    * shard + per-shard position, no global sort); the write is
+    * `partitionBy(shard)` parquet — one directory per shard, readable
+    * with partition pruning (`WHERE shard = k` touches one shard's
+    * files). The manifest is one shard-keyed aggregate: `(shard,
+    * n_docs, n_tokens, doc_ids_md5)` where `doc_ids_md5` hashes the
+    * position-ordered doc id sequence — two manifests agree iff the
+    * epoch's permutation agrees, the cheap cross-run reproducibility
+    * check. Determinism: every column is a pure function of
+    * (epoch, doc_id), so re-running a failed epoch write produces
+    * byte-identical shards. */
+  def writeCorpusShards(documents: DataFrame, outPath: String,
+      epoch: Int = 0, shards: Int = 8): DataFrame = {
+    val assigned = corpusShuffle(documents, epoch, shards)
+      .join(documents, Seq("doc_id"))
+    assigned
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    assigned.sparkSession.read.parquet(outPath)
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        md5(array_join(expr(
+          """transform(sort_array(collect_list(struct(pos, doc_id))),
+            |  s -> CAST(s.doc_id AS STRING))""".stripMargin), ","))
+          .as("doc_ids_md5"))
+      .orderBy("shard")
+  }
+
   /** DSIR-shape importance weighting (Xie et al. 2302.03169): score
     * every raw document by how much more likely its hashed-unigram
     * features are under a TARGET distribution than under the raw-corpus
