@@ -158,6 +158,20 @@ object Analytics {
          |AS BIGINT)""".stripMargin)
   }
 
+  /** The staged (pre-checkpoint) frame of [[rankByRange]]: the range
+    * exchange plus the captured partition-id stamp. Exposed separately
+    * because `localCheckpoint()` hides everything upstream of it
+    * behind `Scan ExistingRDD` in the executed plan — plan tests that
+    * want to assert the rank's range-repartition shape must inspect
+    * THIS frame (asserting `rangepartitioning` on a rankByRange
+    * caller's final plan only sees whatever trailing orderBy the
+    * caller added, which would keep passing even if the rank's own
+    * exchange regressed). */
+  def rankByRangeStaging(df: DataFrame, sortCols: Seq[String],
+      partitions: Int = 32): DataFrame =
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+
   /** Exact global ROW_NUMBER as data, same plan ([[ntileByRange]]'s
     * body): range-repartition, rank locally per range partition, add
     * the partition's prefix offset from a P-row count pass. Returns
@@ -165,7 +179,6 @@ object Analytics {
     * count. The sort must be total (pass tiebreaker columns). */
   def rankByRange(df: DataFrame, sortCols: Seq[String],
       partitions: Int = 32): (DataFrame, Long) = {
-    val cols = sortCols.map(col)
     // stamp the range-partition id ONCE and localCheckpoint: the count
     // pass and the ranking pass must see the same partition assignment,
     // and a re-executed range exchange does not guarantee that (AQE may
@@ -177,9 +190,16 @@ object Analytics {
     // length_batching) — checkpoint blocks are released by the
     // ContextCleaner when the caller drops the frame. At cluster scale
     // this materialization is the sorted staging write an exact global
-    // bucketing needs anyway.
-    val ranged = df.repartitionByRange(partitions, cols: _*)
-      .withColumn("__pid", spark_partition_id())
+    // bucketing needs anyway. Trade-offs localCheckpoint buys that
+    // win with: (a) it TRUNCATES lineage, so after executor loss the
+    // checkpointed blocks are unrecoverable and the job fails instead
+    // of recomputing — on a real cluster with preemption, swap in
+    // reliable `checkpoint()` (HDFS-backed) or persist+unpersist at
+    // the call sites; (b) it runs a materialization job eagerly at
+    // DataFrame-CONSTRUCTION time, so even explain-only callers pay
+    // one pass over `df`.
+    val cols = sortCols.map(col)
+    val ranged = rankByRangeStaging(df, sortCols, partitions)
       .localCheckpoint()
     val counts = ranged
       .groupBy(col("__pid")).count()

@@ -325,14 +325,23 @@ object Corpus {
     * `partitionBy(shard)` parquet — one directory per shard, readable
     * with partition pruning (`WHERE shard = k` touches one shard's
     * files). The manifest is one shard-keyed aggregate: `(shard,
-    * n_docs, n_tokens, doc_ids_md5)` where `doc_ids_md5` hashes the
-    * position-ordered doc id sequence — two manifests agree iff the
-    * epoch's permutation agrees, the cheap cross-run reproducibility
-    * check. Determinism: every column is a pure function of
-    * (epoch, doc_id), so re-running a failed epoch write produces
-    * byte-identical shards. */
+    * n_docs, n_tokens, perm_digest)` where `perm_digest` is the
+    * bit_xor of `poly_hash62(pos || ':' || doc_id)` over the shard's
+    * rows — a commutative streaming fold whose aggregation state is
+    * ONE long per shard (an earlier version collected the whole
+    * position-ordered id sequence per shard before hashing, which at
+    * 100 TB is corpus/shards rows of per-group buffer — exactly the
+    * unbounded-state shape the rest of the repo forbids). Position is
+    * baked into each hashed term, so the digest still changes whenever
+    * the permutation changes (w.h.p.; xor-cancellation needs two
+    * identical (pos, doc_id) terms, impossible within a shard where
+    * pos is unique): two manifests agree iff the epoch's permutation
+    * agrees, the cheap cross-run reproducibility check. Determinism:
+    * every column is a pure function of (epoch, doc_id), so re-running
+    * a failed epoch write produces byte-identical shards. */
   def writeCorpusShards(documents: DataFrame, outPath: String,
       epoch: Int = 0, shards: Int = 8): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
     val assigned = corpusShuffle(documents, epoch, shards)
       .join(documents, Seq("doc_id"))
     assigned
@@ -343,10 +352,9 @@ object Corpus {
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
-        md5(array_join(expr(
-          """transform(sort_array(collect_list(struct(pos, doc_id))),
-            |  s -> CAST(s.doc_id AS STRING))""".stripMargin), ","))
-          .as("doc_ids_md5"))
+        expr("""bit_xor(poly_hash62(concat(CAST(pos AS STRING), ':',
+               |                           CAST(doc_id AS STRING))))"""
+          .stripMargin).as("perm_digest"))
       .orderBy("shard")
   }
 
@@ -1128,9 +1136,13 @@ object Corpus {
     * vocabulary — input text must not contain them literally, or the
     * (input, target) pair is ambiguous and irreversible. T5 reserves
     * the sentinel ids in its vocab for exactly this reason; callers
-    * feeding untrusted text should strip/escape them first. NULL-text
-    * rows are dropped (both engines), matching the dedup-family
-    * convention of filtering null keys at the source.
+    * feeding untrusted text should strip/escape them first. ENFORCED:
+    * a document containing a literal sentinel fails the job loudly
+    * (`raise_error` naming the doc_id) instead of silently emitting an
+    * unreconstructable pair — one cheap rlike per document, scan-side,
+    * no plan change. NULL-text rows are dropped (both engines),
+    * matching the dedup-family convention of filtering null keys at
+    * the source.
     *
     * Output: (doc_id, n_tokens, n_masked, n_spans, input_text,
     * target_text). Zero-mask docs keep their text verbatim with an
@@ -1139,7 +1151,14 @@ object Corpus {
     graft.functions.PolyHash62.register(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        split(when(col("text").rlike("<extra_id_[0-9]+>"),
+          raise_error(concat(
+            lit("spanCorruption: doc_id="), col("doc_id").cast("string"),
+            lit(" contains a literal reserved sentinel <extra_id_k>; " +
+              "strip or escape sentinels before span corruption")))
+            .cast("string"))
+          .otherwise(col("text")), " ").as("toks"))
       // span length per candidate-start position (0 = not a start),
       // then ONE forward fold turns it into a boolean coverage mask:
       // rem carries how many upcoming positions the widest span seen
@@ -1202,31 +1221,45 @@ object Corpus {
     * pos/neg coin and the negative's source document — comes from
     * `poly_hash62('nsp:' || doc_id || ':' || i)`, so the pair set is
     * byte-identical across runs and engines. The negative line is the
-    * FIRST line of document `(h >> 3) mod (max_doc_id + 1)`; when the
-    * draw lands on the pair's own document or on an id gap, the pair
-    * falls back to positive (a deterministic, engine-replayable rule —
-    * the tiny label-rate skew it introduces is O(1/n_docs)).
+    * FIRST line of the document at DENSE index `(h >> 3) mod n_docs`
+    * of the at-least-one-line docs, where the dense 0-based index is a
+    * deterministic global rank of `doc_id` ([[Analytics.rankByRange]]
+    * — range-partitioned, O(partitions) driver state): modding by a
+    * dense count instead of `max(doc_id) + 1` keeps every draw landing
+    * on a real document even when the id space is sparse (an earlier
+    * max-id draw collapsed the negative class to ~0 on shifted-id
+    * layouts like ScaleGen's +10M replica ranges, where nearly every
+    * draw fell in an id gap). Only a self-draw (`tgt_doc = doc_id`)
+    * still falls back to positive — a deterministic, engine-replayable
+    * rule with O(1/n_docs) label-rate skew that now holds for ANY id
+    * layout.
     *
     * Scale shape: positives are a per-row projection; negatives need
-    * exactly ONE equi-join from pairs (keyed by the drawn doc id) to
-    * the one-line-per-doc `first` table — at 100 TB that is a standard
-    * shuffled hash join with no skew (draws are hash-uniform), plus the
-    * 1-row `max_doc_id` broadcast (the [[mixtureWeights]] free nested
-    * loop). Per-doc rollup keeps the face bounded: `(doc_id, n_pairs,
-    * n_pos, n_neg, pairs_md5)` with `pairs_md5` the MD5 of the
-    * newline-joined `A|B|label` triplets in pair order. Docs with
-    * fewer than two lines emit nothing. */
+    * exactly ONE equi-join from pairs (keyed by the drawn dense index)
+    * to the one-line-per-doc `first` table — at 100 TB that is a
+    * standard shuffled hash join with no skew (draws are
+    * hash-uniform). The dense index costs the rank's one range shuffle
+    * plus a P-row count pass over `first` (one row per doc, never
+    * token-proportional). Per-doc rollup keeps the face bounded:
+    * `(doc_id, n_pairs, n_pos, n_neg, pairs_md5)` with `pairs_md5` the
+    * MD5 of the newline-joined `A|B|label` triplets in pair order.
+    * Docs with fewer than two lines emit nothing. */
   def nspPairs(documents: DataFrame): DataFrame = {
     graft.functions.PolyHash62.register(documents.sparkSession)
     val withLines = documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .withColumn("lines", expr(Dedup.contentLinesExpr))
-    val nDocs = documents.agg((max(col("doc_id")) + 1L).as("n"))
+    val first = withLines
+      .where(size(col("lines")) >= 1)
+      .select(col("doc_id").as("tgt_doc"),
+        element_at(col("lines"), 1).as("b_rand"))
+    val (firstRanked, nFirst) = Analytics.rankByRange(first, Seq("tgt_doc"))
+    val firstIdx = firstRanked.select(col("tgt_doc"), col("b_rand"),
+      (col("__rank") - 1L).as("idx"))
     val pairs = withLines
       .where(size(col("lines")) >= 2)
-      .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("n"), explode(expr(
+      .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(lines) - 2),
           |  i -> named_struct('i', i,
           |    'a', element_at(lines, i + 1),
@@ -1237,14 +1270,12 @@ object Corpus {
       .select(col("doc_id"), col("p.i").as("i"), col("p.a").as("a"),
         col("p.b_next").as("b_next"),
         expr("pmod(p.h, 2) = 1").as("want_neg"),
-        expr("pmod(shiftright(p.h, 3), n)").as("tgt"))
-    val first = withLines
-      .select(col("doc_id").as("tgt_doc"),
-        element_at(col("lines"), 1).as("b_rand"))
+        expr(s"pmod(shiftright(p.h, 3), ${math.max(nFirst, 1L)}L)")
+          .as("tgt"))
     pairs
-      .join(first, pairs("tgt") === first("tgt_doc"), "left")
+      .join(firstIdx, pairs("tgt") === firstIdx("idx"), "left")
       .withColumn("is_next",
-        when(col("want_neg") && col("tgt") =!= col("doc_id") &&
+        when(col("want_neg") && col("tgt_doc") =!= col("doc_id") &&
           col("b_rand").isNotNull, 0L).otherwise(1L))
       .withColumn("sent_b",
         when(col("is_next") === 0L, col("b_rand")).otherwise(col("b_next")))
@@ -1262,11 +1293,17 @@ object Corpus {
   }
 
   /** DuckDB replay of [[nspPairs]]: the shared line CTEs, the same
-    * poly_hash62 coin and target draw, one LEFT JOIN to the
-    * first-line-per-doc table, ordered `string_agg` rollup. */
+    * poly_hash62 coin and dense-index target draw (`row_number` over
+    * doc_id replays [[Analytics.rankByRange]]'s rank — both are the
+    * unique-key global order), one LEFT JOIN to the first-line-per-doc
+    * table, ordered `string_agg` rollup. */
   def nspPairsSql(): String =
     s"""WITH ${Dedup.contentLinesCtes(Dedup.polyFold)},
-       |nd AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |fst AS (
+       |  SELECT doc_id AS tgt_doc, l AS b_rand,
+       |    row_number() OVER (ORDER BY doc_id) - 1 AS idx
+       |  FROM line WHERE line_id = 0),
+       |nd AS (SELECT count(*) AS n FROM fst),
        |pr AS (
        |  SELECT a.doc_id, a.line_id AS i, a.l AS a_l, b.l AS b_next,
        |    'nsp:' || CAST(a.doc_id AS VARCHAR) || ':'
@@ -1279,19 +1316,18 @@ object Corpus {
        |  FROM pr),
        |pc AS (
        |  SELECT doc_id, i, a_l, b_next,
-       |    h % 2 = 1 AS want_neg, (h >> 3) % (SELECT n FROM nd) AS tgt
+       |    h % 2 = 1 AS want_neg,
+       |    (h >> 3) % greatest((SELECT n FROM nd), 1) AS tgt
        |  FROM ph),
-       |fst AS (
-       |  SELECT doc_id AS tgt_doc, l AS b_rand FROM line WHERE line_id = 0),
        |lab AS (
        |  SELECT pc.doc_id, pc.i, pc.a_l,
-       |    CASE WHEN pc.want_neg AND pc.tgt <> pc.doc_id
+       |    CASE WHEN pc.want_neg AND f.tgt_doc <> pc.doc_id
        |              AND f.b_rand IS NOT NULL
        |         THEN 0 ELSE 1 END AS is_next,
-       |    CASE WHEN pc.want_neg AND pc.tgt <> pc.doc_id
+       |    CASE WHEN pc.want_neg AND f.tgt_doc <> pc.doc_id
        |              AND f.b_rand IS NOT NULL
        |         THEN f.b_rand ELSE pc.b_next END AS sent_b
-       |  FROM pc LEFT JOIN fst f ON pc.tgt = f.tgt_doc)
+       |  FROM pc LEFT JOIN fst f ON pc.tgt = f.idx)
        |SELECT doc_id, count(*)::BIGINT AS n_pairs,
        |  sum(is_next)::BIGINT AS n_pos,
        |  sum(1 - is_next)::BIGINT AS n_neg,

@@ -60,9 +60,9 @@ class ContractSpec extends AnyFunSuite {
       // 1-row corpus-token-total broadcast into the vocab-bounded
       // (source, word) count table — the same pattern
       "source_kl",
-      // 1-row max-doc-id broadcast sizing the negative-draw modulus;
-      // the negative join itself is a keyed equi-join
-      "nsp_pairs",
+      // (nsp_pairs left this list: its negative-draw modulus is now a
+      // driver-side count from rankByRange, so the 1-row max-doc-id
+      // broadcast is gone and the plan is pure equi-joins)
       // 1-row corpus-token-total broadcast into the K-bounded coverage
       // rollup — the tfidf_top_terms pattern
       "vocab_coverage",

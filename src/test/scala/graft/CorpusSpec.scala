@@ -326,6 +326,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("span corruption REJECTS input containing a literal reserved sentinel") {
+    val tainted = Seq(
+      (1L, "clean text here"),
+      (2L, "evil <extra_id_0> injected")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Corpus.spanCorruption(tainted).collect()
+    }
+    // the failure must be the loud contract error naming the doc, not
+    // a downstream reconstruction ambiguity
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("reserved sentinel")),
+      s"wrong error: ${e.getMessage}")
+    assert(msgs(e).exists(m => m != null && m.contains("doc_id=2")),
+      "error must name the offending doc")
+    // clean input is untouched by the guard
+    val clean = Seq((1L, "clean text here")).toDF("doc_id", "text")
+    assert(Corpus.spanCorruption(clean).count() === 1L)
+  }
+
   test("mlmMasking: 15% selection, 80/10/10 branches, untouched docs byte-identical") {
     val got = Corpus.mlmMasking(docs)
       .as[(Long, Long, Long, Long, Long, Long, String, String)].collect()
@@ -358,7 +378,7 @@ class CorpusSpec extends AnyFunSuite {
   test("writeCorpusShards: clustered shard dirs, reproducible manifest, total coverage") {
     val out = java.nio.file.Files.createTempDirectory("shards_t").toString
     val m1 = Corpus.writeCorpusShards(docs, out, epoch = 1, shards = 4)
-      .as[(Long, Long, Long, String)].collect().toList
+      .as[(Long, Long, Long, Long)].collect().toList
     // every document lands in exactly one shard
     assert(m1.map(_._2).sum === docs.count())
     assert(m1.map(_._1) === m1.map(_._1).sorted && m1.size <= 4)
@@ -369,12 +389,12 @@ class CorpusSpec extends AnyFunSuite {
     // re-running the same epoch reproduces the manifest byte-for-byte
     val out2 = java.nio.file.Files.createTempDirectory("shards_t2").toString
     val m2 = Corpus.writeCorpusShards(docs, out2, epoch = 1, shards = 4)
-      .as[(Long, Long, Long, String)].collect().toList
+      .as[(Long, Long, Long, Long)].collect().toList
     assert(m2 === m1)
     // a different epoch is a different permutation: some shard's
     // position-ordered id sequence must change
     val m3 = Corpus.writeCorpusShards(docs, out2, epoch = 2, shards = 4)
-      .as[(Long, Long, Long, String)].collect().toList
+      .as[(Long, Long, Long, Long)].collect().toList
     assert(m3.map(_._4) !== m1.map(_._4))
     // shard content round-trips: the union of shard reads is the corpus
     val spark2 = spark
@@ -433,6 +453,21 @@ class CorpusSpec extends AnyFunSuite {
     val again = Corpus.nspPairs(docs)
       .as[(Long, Long, Long, Long, String)].collect()
     assert(again.toSeq === got.toSeq)
+  }
+
+  test("nspPairs: negative rate survives a SPARSE id space (ScaleGen-style gaps)") {
+    // the draw mods into a dense rank of the docs that exist, so the
+    // id layout is irrelevant — under the previous max(doc_id)+1 draw
+    // this layout (ids spread 997 apart) put ~99.9% of draws in id
+    // gaps and collapsed the negative class to ~0
+    val sparse = docs.withColumn("doc_id", col("doc_id") * 997L + 123456L)
+    val got = Corpus.nspPairs(sparse)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(got.nonEmpty)
+    val (pos, tot) = (got.map(_._3).sum.toDouble, got.map(_._2).sum.toDouble)
+    assert(pos / tot > 0.4 && pos / tot < 0.6,
+      s"pos share ${pos / tot} under sparse ids")
+    assert(got.map(_._4).sum > 0, "negatives must survive sparse ids")
   }
 
   test("curriculumOrder: ranks are the exact permutation of the entropy " +
