@@ -19,6 +19,23 @@ object Bench {
     spark.range(2).selectExpr(
       "from_json(to_json(named_struct('uid', CAST(id AS STRING))), 'uid STRING').uid AS u")
       .groupBy("u").count().count()
+    // Untimed warmup #2: one full-column scan of EVERY input table.
+    // Sorted execution order pins the run's cold start (directory
+    // listing, parquet footer reads, OS page cache, scan codegen) onto
+    // the alphabetically-first queries, permanently taxing the same
+    // ones each round (r11: bm25_search/bpe_encode/dedup_exact).
+    // bit_xor(xxhash64(struct(*))) forces real column decode — a bare
+    // count() is satisfied by parquet row-group metadata and would
+    // leave the data pages cold.
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .foreach { f =>
+        try spark.read.parquet(f.getPath)
+          .selectExpr("bit_xor(xxhash64(struct(*))) AS h").count()
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH-WARMUP-SKIP ${f.getName}: ${t.getMessage}")
+        }
+      }
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.err.println(s"BENCH-START $name")
       val t0 = System.nanoTime()
