@@ -257,6 +257,11 @@ object SparkEntry {
     // learnability floors + analytic gradient check in ClassifierSpec
     "quality_classifier" -> ((s, d) =>
       Classifier.qualityClassifier(par(Tables.documents(s, d)))),
+    // the SCORING half of the classifier under pinned md5-derived
+    // integer weights — hash-exact oracle for the deployment-path
+    // arithmetic (training stays rows-only above)
+    "quality_score_pinned" -> ((s, d) =>
+      Classifier.qualityScorePinned(par(Tables.documents(s, d)))),
     "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
@@ -388,6 +393,10 @@ object SparkEntry {
     // rows-only: trained-centroid IVF (kmeansFit is deterministic, but
     // the index is approximate like knn_ivf)
     "knn_ivf_trained" -> ((s, d) => Similarity.knnIvfTrained(par(Tables.embeddings(s, d)))),
+    // the trained path's pinned-centroid twin: same assign/probe code,
+    // unequal-norm pinned centroids, hash-exact oracle
+    "knn_ivf_trained_pinned" -> ((s, d) =>
+      Similarity.knnIvfTrainedPinned(par(Tables.embeddings(s, d)))),
     // trained k-means corpus clustering (size + majority-label purity
     // per cluster) — rows-only; invariants in SimilaritySpec
     "embedding_clusters" -> ((s, d) => Similarity.embeddingClusters(par(Tables.embeddings(s, d)))),
@@ -723,6 +732,8 @@ object SparkEntry {
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "knn_lsh" -> Similarity.knnLshSql(),
     "knn_ivf" -> Similarity.knnIvfSql(),
+    "knn_ivf_trained_pinned" -> Similarity.knnIvfTrainedPinnedSql(),
+    "quality_score_pinned" -> Classifier.qualityScorePinnedSql(),
     "knn_lsh_recall" -> Similarity.knnLshRecallSql(),
     "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
     "knn_pq" -> Similarity.knnPqSql(),

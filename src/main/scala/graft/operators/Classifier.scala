@@ -134,11 +134,98 @@ object Classifier {
         (p >= 0.5).cast("double").as("predicted"))
   }
 
+  /** Driver-side replica of DuckDB's `('0x' || substr(md5(s), 1, 15))
+    * ::BIGINT` — the engine-portable 60-bit md5 prefix the repo's
+    * portable hashes build on (`hashSplit` / `dsirWeights`). */
+  private def md5Long15(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** PINNED integer weight table: `w(f) = md5("w:" || f) % 2001 − 1000`
+    * (fixed-point, units of 1e-4) — a deterministic stand-in for a
+    * trained weight vector, derivable by any engine from the feature
+    * index alone. */
+  def pinnedWeights(dim: Int): Array[Long] =
+    Array.tabulate(dim)(f => md5Long15("w:" + f) % 2001 - 1000)
+
+  /** The SCORING half of [[qualityClassifier]] split out under pinned
+    * weights, so the deployment-path arithmetic carries a hash-exact
+    * DuckDB oracle (the `embeddingClustersPinned` discipline — train
+    * stays rows-only as measured model quality, scoring is replayable
+    * arithmetic): hashed bag-of-words features (md5-bucket — the
+    * engine-portable hash, where the trained face's xxhash64 is
+    * Spark-only), one broadcast weight-literal lookup per token
+    * instance, mean-pooled margin, threshold. All-integer until one
+    * final double division, so the hash compare is exact by IEEE
+    * correct rounding, never by FP luck. Plan shape = the production
+    * scoring profile: a single scan-side projection, zero shuffles
+    * before the presentation sort, model shipped as one `dim`-long
+    * literal. Also emits the [[meanTokenLenLabel]] teacher label
+    * (integer-exact sum of token lengths) so the face reports
+    * label/prediction side by side. Output: (doc_id, n_toks, w_sum,
+    * margin, predicted, label). */
+  def qualityScorePinned(documents: DataFrame, dim: Int = 4096): DataFrame = {
+    val wLit = typedLit(pinnedWeights(dim))
+    documents
+      .withColumn("toks",
+        filter(split(col("text"), " "), t => length(t) > 0))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        transform(col("toks"), t =>
+          (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim)
+            .cast("int")).as("idxs"),
+        size(col("toks")).cast("long").as("n_toks"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("sum_len"))
+      .select(col("doc_id"), col("n_toks"),
+        aggregate(col("idxs"), lit(0L),
+          (acc, i) => acc + element_at(wLit, i + lit(1))).as("w_sum"),
+        col("sum_len"))
+      .withColumn("margin",
+        col("w_sum").cast("double") / lit(10000.0) /
+          col("n_toks").cast("double"))
+      .select(col("doc_id"), col("n_toks"), col("w_sum"), col("margin"),
+        (col("margin") >= 0).cast("long").as("predicted"),
+        (col("sum_len").cast("double") / col("n_toks").cast("double")
+          >= 4.5).cast("long").as("label"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[qualityScorePinned]]: identical md5-bucket
+    * feature hash, identical inline pinned-weight derivation, integer
+    * folds, one final double division. */
+  def qualityScorePinnedSql(dim: Int = 4096): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $dim AS f,
+       |    length(tok) AS lt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_toks,
+       |    sum(('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 2001 - 1000)::BIGINT AS w_sum,
+       |    sum(lt)::BIGINT AS sum_len
+       |  FROM toks GROUP BY 1)
+       |SELECT doc_id, n_toks, w_sum,
+       |  w_sum::DOUBLE / 10000.0 / n_toks::DOUBLE AS margin,
+       |  (CASE WHEN w_sum::DOUBLE / 10000.0 / n_toks::DOUBLE >= 0
+       |    THEN 1 ELSE 0 END)::BIGINT AS predicted,
+       |  (CASE WHEN sum_len::DOUBLE / n_toks::DOUBLE >= 4.5
+       |    THEN 1 ELSE 0 END)::BIGINT AS label
+       |FROM sc ORDER BY doc_id""".stripMargin
+
   /** Catalog face — quality-classifier distillation end to end: derive
     * the teacher label, train on the hash-split 80% and evaluate on
     * both splits. Output: (split, n_docs, n_pos, n_correct, accuracy),
     * rows-only by the twin convention (iterative FP training is not
-    * SQL-expressible); learnability floors live in `ClassifierSpec`. */
+    * SQL-expressible); learnability floors live in `ClassifierSpec`.
+    * The scoring arithmetic itself IS oracled — see
+    * [[qualityScorePinned]]. */
   def qualityClassifier(documents: DataFrame, dim: Int = 4096,
       iters: Int = 30, lr: Double = 8.0, valPct: Int = 20): DataFrame = {
     val feats = hashedFeatures(documents, dim, meanTokenLenLabel())

@@ -679,8 +679,18 @@ object Similarity {
     * the same nProbe; still rows-only (approximate), recall reported
     * by the trained recall test in `SimilaritySpec`. */
   def knnIvfTrained(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
-      nList: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
-    val cents = kmeansFit(embeddings, nList, iters)
+      nList: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame =
+    centsProbePath(embeddings, kmeansFit(embeddings, nList, iters),
+      k, queryMod, nProbe)
+
+  /** The trained path's post-training body (assign against arbitrary
+    * centroids → norm-scored probes → equi-join probe): shared by
+    * [[knnIvfTrained]] and its pinned twin so the oracle exercises the
+    * EXACT production scoring/probing code, only the centroid source
+    * differs. */
+  private def centsProbePath(embeddings: DataFrame,
+      cents: Array[Array[Float]], k: Int, queryMod: Int,
+      nProbe: Int): DataFrame = {
     val assigned = assignWith(embeddings, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scores = array(cents.map { c =>
@@ -692,6 +702,38 @@ object Similarity {
         .withColumn("cent_scores", scores), nProbe)
     ivfProbeJoin(assigned, probes, k)
   }
+
+  /** Deterministic pinned centroid for the trained-path twin: entries
+    * in {±1, ±2} from two splitmix bits (a different stream from
+    * [[centroid]]'s ±1 stand-ins), so per-centroid NORMS DIFFER and
+    * [[assignWith]]'s `dot / ||c||` spherical normalization — the
+    * behavior that distinguishes the trained path from [[ivfAssign]]'s
+    * equal-norm argmax — is actually exercised, not canceled out. */
+  private[graft] def pinnedCentroid(c: Int, dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      var z = (c.toLong + 104729L) * 0x9E3779B97F4A7C15L +
+        i.toLong * 0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      val sign = if ((z & 1L) == 0L) -1f else 1f
+      if ((z & 2L) == 0L) sign else sign * 2f
+    }
+
+  /** [[knnIvfTrained]]'s PINNED-centroid twin (the
+    * [[embeddingClustersPinned]] discipline, round-11 verdict ask):
+    * the identical production path — [[assignWith]] spherical argmax,
+    * norm-divided probe scores, [[ivfProbeJoin]] — with [[kmeansFit]]
+    * replaced by [[pinnedCentroid]] literals, making every step
+    * replayable arithmetic with a hash-exact DuckDB oracle; the
+    * trained face keeps measuring real k-means as data
+    * (recall-floored in `ContractSpec`). */
+  def knnIvfTrainedPinned(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100, nList: Int = 16, nProbe: Int = 4,
+      dim: Int = 64): DataFrame =
+    centsProbePath(embeddings,
+      Array.tabulate(nList)(c => pinnedCentroid(c, dim)), k, queryMod,
+      nProbe)
 
   /** Corpus clustering as a first-class output: train spherical
     * k-means ([[kmeansFit]] — per Lloyd iteration one scan + one
@@ -873,6 +915,15 @@ object Similarity {
       s"i -> e[i] * ($lst::DOUBLE[])[i]), (a, b) -> a + b)"
   }
 
+  /** [[signedFold]] generalized to small-integer coefficients (the
+    * [[pinnedCentroid]] ±1/±2 entries): same left-to-right `vec_dot`
+    * association, so the double bits agree cross-engine. */
+  private def weightedFold(w: Array[Float]): String = {
+    val lst = w.map(f => s"${f.toInt}.0").mkString("[", ",", "]")
+    s"list_reduce(list_transform(range(1, ${w.length + 1}), " +
+      s"i -> e[i] * ($lst::DOUBLE[])[i]), (a, b) -> a + b)"
+  }
+
   private val EmbCte =
     "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e " +
       "FROM embeddings)"
@@ -925,6 +976,37 @@ object Similarity {
       dim: Int, out: String): String = {
     val scores = (0 until nList).map { c =>
       s"struct_pack(c := $c, s := ${signedFold(centroid(c, dim))})"
+    }.mkString("[", ",\n    ", "]")
+    s"""cs AS MATERIALIZED (
+       |  SELECT vec_id, u.c AS c, u.s AS s FROM (
+       |    SELECT vec_id, unnest($scores) AS u FROM emb)),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs) WHERE rk = 1),
+       |iprobes AS (
+       |  SELECT vec_id AS query_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs
+       |    WHERE vec_id % $queryMod = 0) WHERE rk <= $nProbe),
+       |icand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM iprobes p JOIN assigned a USING (cluster_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |${rankTailSql(k, out, "icand")}""".stripMargin
+  }
+
+  /** [[ivfCtes]] with [[pinnedCentroid]] literals and the TRAINED
+    * path's score geometry — `dot / sqrt(||c||²)` (norms differ per
+    * pinned centroid, so the division is load-bearing); the sqrt is
+    * taken of the same integer in both engines (correctly rounded →
+    * identical bits). */
+  private def pinnedIvfCtes(k: Int, queryMod: Int, nList: Int,
+      nProbe: Int, dim: Int, out: String): String = {
+    val scores = (0 until nList).map { c =>
+      val w = pinnedCentroid(c, dim)
+      val sq = w.map(x => x.toDouble * x).sum.toLong
+      s"struct_pack(c := $c, s := (${weightedFold(w)}) / sqrt($sq.0))"
     }.mkString("[", ",\n    ", "]")
     s"""cs AS MATERIALIZED (
        |  SELECT vec_id, u.c AS c, u.s AS s FROM (
@@ -1150,6 +1232,14 @@ object Similarity {
        |${bfCte(k, queryMod, "bf")},
        |${lshCtes(k, queryMod, 6, 4, 64, "ap")}
        |${recallTailSql("lsh", "bf", "ap")}""".stripMargin
+
+  /** DuckDB replay of [[knnIvfTrainedPinned]]. */
+  def knnIvfTrainedPinnedSql(k: Int = 10, queryMod: Int = 100,
+      nList: Int = 16, nProbe: Int = 4, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${pinnedIvfCtes(k, queryMod, nList, nProbe, dim, "res")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
 
   def knnIvfRecallSql(k: Int = 10, queryMod: Int = 100): String =
     s"""WITH $EmbCte,

@@ -67,4 +67,31 @@ class ClassifierSpec extends AnyFunSuite {
     assert(got("train")._5 >= 0.85,
       s"train accuracy ${got("train")._5} should be high on a text-derived rule")
   }
+
+  test("pinned scoring face: integer margin arithmetic matches a driver recompute") {
+    val dim = 64
+    val docs = Seq((1L, "alpha beta beta"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val got = Classifier.qualityScorePinned(docs, dim)
+      .as[(Long, Long, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the empty doc is dropped; the others score
+    assert(got.keySet === Set(1L, 3L))
+    val w = Classifier.pinnedWeights(dim)
+    assert(w.forall(v => v >= -1000 && v <= 1000))
+    assert(w.distinct.length > dim / 2, "pinned weights should be spread out")
+    def md5l(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def wsum(toks: Seq[String]): Long =
+      toks.map(t => w((md5l(t) % dim).toInt)).sum
+    val (_, n1, ws1, m1, p1, _) = got(1L)
+    assert(n1 === 3L && ws1 === wsum(Seq("alpha", "beta", "beta")))
+    assert(m1 === ws1.toDouble / 10000.0 / 3.0)
+    assert(p1 === (if (m1 >= 0) 1L else 0L))
+    val (_, n3, ws3, _, _, _) = got(3L)
+    assert(n3 === 1L && ws3 === wsum(Seq("x")))
+  }
 }

@@ -137,6 +137,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rTrained >= 0.25, f"trained IVF recall $rTrained%.2f below floor")
   }
 
+  test("pinned trained-path twin: same shape as trained IVF, deterministic, unequal norms") {
+    val got = Similarity.knnIvfTrainedPinned(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    // ranked output contract: ranks 1..k' per query, no self matches
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+      assert(!rows.exists(_._2 == q))
+    }
+    val again = Similarity.knnIvfTrainedPinned(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect()
+    assert(again.toSeq === got.toSeq)
+    // the pinned centroids must have UNEQUAL norms — otherwise the
+    // twin would not exercise assignWith's /||c|| normalization (the
+    // behavior that distinguishes the trained path from ivfAssign)
+    val norms = (0 until 16).map(c =>
+      Similarity.pinnedCentroid(c, 64).map(x => x.toDouble * x).sum)
+    assert(norms.distinct.size > 1, s"pinned centroid norms all equal: $norms")
+  }
+
   test("IVF assignment is a total partition of the collection") {
     val assigned = Similarity.ivfAssign(emb, nList = 16)
     assert(assigned.count() === emb.count())
