@@ -268,11 +268,22 @@ object StreamingMetrics {
 
   /** Stateless branch projections (P2–P8) + store merges, one streaming
     * query per reference pipeline branch family. Returns the started
-    * queries; callers own their lifecycle. */
+    * queries; callers own their lifecycle. With `checkpointRoot` each
+    * branch checkpoints under its own subdirectory — the restartable
+    * production form of the WHOLE fan-out (each branch recovers its
+    * committed offsets and, for the update-mode approx branch, its
+    * state store, independently). Restart safety per branch: INCRBY
+    * rides the `writeBatchOnce` (queryName, batchId) ledger; SADD/
+    * PFADD/puts are idempotent — so an abrupt kill mid-batch
+    * re-delivers but never double-counts (`StreamingSpec` soak). */
   def startPipeline(events: Dataset[LogEvent], store: KeyValueMetricsSink,
-      watermark: Option[String] = None): Seq[StreamingQuery] = {
+      watermark: Option[String] = None,
+      checkpointRoot: Option[String] = None): Seq[StreamingQuery] = {
     val spark = events.sparkSession
     import spark.implicits._
+    def withCk[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
+        name: String): org.apache.spark.sql.streaming.DataStreamWriter[T] =
+      checkpointRoot.fold(w)(r => w.option("checkpointLocation", s"$r/$name"))
     val ev0 = events.toDF()
       .withColumnRenamed("experimentId", LogEvent.ExperimentId)
     val ev = watermark.fold(ev0)(w => ev0.withWatermark(LogEvent.Ts, w))
@@ -284,14 +295,14 @@ object StreamingMetrics {
     // POST-aggregation per-minute counts — bounded by key cardinality,
     // not data volume — which is why the driver hop is acceptable on
     // this branch and only this branch.
-    val visits = ev
+    val visits = withCk(ev
       .select(minuteKey("visitCounter").as("k"))
       .writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val _ = store.writeBatchOnce("visits_counter", batchId,
           incrs = batch.groupBy("k").count().collect()
             .toSeq.map(r => r.getString(0) -> r.getLong(1)))
-      }
+      }, "visits_counter")
       .queryName("visits_counter").start()
 
     // set branches (A3/A5/A7 exact families): distinct members → SADD.
@@ -306,7 +317,7 @@ object StreamingMetrics {
     def setBranch(name: String, keyCol: org.apache.spark.sql.Column,
         memberCol: org.apache.spark.sql.Column): StreamingQuery = {
       val proj = ev.select(keyCol.as("k"), memberCol.as("m"))
-      (store.partitionWriter match {
+      withCk(store.partitionWriter match {
         case Some(factory) =>
           proj.writeStream.outputMode("append")
             .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -321,7 +332,7 @@ object StreamingMetrics {
                 .groupBy(_.getString(0)).toSeq
                 .map { case (k, rows) => k -> rows.toSeq.map(_.getString(1)) })
             }
-      }).queryName(name).start()
+      }, name).queryName(name).start()
     }
 
     val usersPerMinute = setBranch("set_users_minute",
@@ -337,7 +348,7 @@ object StreamingMetrics {
     // and batches (MetricsCalculationPipeline.java:73-87); idempotent,
     // so no ledger. In-memory store: Spark's own HLL aggregate
     // (update mode) holds the merged sketch and upserts the estimate.
-    val approxUsers = (store.partitionWriter match {
+    val approxUsers = withCk(store.partitionWriter match {
       case Some(factory) =>
         ev.select(minuteKey("hll_dthr").as("k"), col(LogEvent.Uid).as("m"))
           .writeStream.outputMode("append")
@@ -354,7 +365,7 @@ object StreamingMetrics {
             store.writeBatch(puts = batch.collect().toSeq
               .map(r => r.getString(0) -> r.getLong(1)))
           }
-    }).queryName("hll_users_minute").start()
+    }, "hll_users_minute").queryName("hll_users_minute").start()
 
     Seq(visits, usersPerMinute, usersPerVariant, experimentsPerMinute, approxUsers)
   }

@@ -550,4 +550,83 @@ class StreamingSpec extends AnyFunSuite {
       assert(store2.counters.toMap === snap, "duplicate replay must be a no-op")
     } finally q2.stop()
   }
+
+  test("soak: O(100) micro-batches through the checkpointed 5-branch fan-out " +
+    "with an abrupt mid-run kill/restart — store ≡ batch twin") {
+    import spark.implicits._
+    // file source, not MemoryStream: the fan-out is FIVE independently
+    // checkpointed queries over one source, and MemoryStream keeps a
+    // single global commit pointer (restarting queries at diverged
+    // offsets trips its out-of-order commit check) — a real source
+    // (files, Kafka, Pub/Sub) has per-consumer progress, which is
+    // exactly what each branch's checkpoint records
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_soak_src")
+    val root = java.nio.file.Files.createTempDirectory("graft_soak_ck").toString
+    val store = new MetricsStore
+    def wire(i: Int): String = {
+      val uid = s"u${i % 37}"; val exp = s"e${i % 5}"; val v = s"${i % 3}"
+      val iso = f"2026-08-12T10:${15 + i / 20}%02d:${i % 60}%02dZ"
+      s"""{"uid":"$uid","experiment_id":"$exp","variant":"$v","timestamp":"$iso"}"""
+    }
+    def writeSlice(b: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempFile("graft_soak_stage", ".json")
+      java.nio.file.Files.write(tmp,
+        (0 until 5).map(i => wire(b * 5 + i)).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, srcDir.resolve(f"slice$b%03d.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    def fileEvents = {
+      // maxFilesPerTrigger=1 pins one file per micro-batch, so 50
+      // slices drive ~50 batches PER branch (~250 across the fan-out)
+      val raw = spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(srcDir.toString)
+      graft.sources.Tables.parseJsonEvents(raw)
+        .withColumnRenamed(LogEvent.ExperimentId, "experimentId")
+        .as[LogEvent]
+    }
+    def start() = StreamingMetrics.startPipeline(fileEvents, store,
+      checkpointRoot = Some(root))
+    val nSlices = 50
+    var queries = start()
+    try {
+      (0 until 20).foreach { b =>
+        writeSlice(b); queries.foreach(_.processAllAvailable())
+      }
+      // abrupt kill: slices 20-24 land but are NOT drained before
+      // stop — whatever batch was in flight is redelivered on restart,
+      // and the ledger (INCRBY) / idempotence (SADD, upsert) must
+      // absorb it without double-counting
+      (20 until 25).foreach(writeSlice)
+      queries.foreach(_.stop())
+      queries = start()
+      (25 until nSlices).foreach { b =>
+        writeSlice(b); queries.foreach(_.processAllAvailable())
+      }
+      queries.foreach(_.processAllAvailable())
+    } finally queries.foreach(q => if (q.isActive) q.stop())
+    // batch twin over the same 250 events
+    case class E(uid: String, exp: String, variant: String, minute: String)
+    val all = (0 until nSlices * 5).map(i =>
+      E(s"u${i % 37}", s"e${i % 5}", s"${i % 3}",
+        f"2026_08_12T10_${15 + i / 20}%02d"))
+    all.groupBy(_.minute).foreach { case (mk, evs) =>
+      assert(store.counter(s"visitCounter_$mk") === evs.size.toLong,
+        s"visits at $mk")
+      assert(store.scard(s"set_dthr_$mk") ===
+        evs.map(_.uid).distinct.size.toLong, s"unique users at $mk")
+      assert(store.scard(s"set_experiments_$mk") ===
+        evs.map(_.exp).distinct.size.toLong, s"experiments at $mk")
+      // the update-mode approx branch recovered its HLL state across
+      // the kill: estimate within the sketch's error of the exact count
+      val exact = evs.map(_.uid).distinct.size.toDouble
+      val est = store.counter(s"hll_dthr_$mk").toDouble
+      assert(est > exact * 0.8 && est < exact * 1.2,
+        s"HLL estimate $est vs exact $exact at $mk")
+    }
+    all.groupBy(_.variant).foreach { case (v, evs) =>
+      assert(store.scard(s"set_var_$v") ===
+        evs.map(_.uid).distinct.size.toLong, s"variant $v uniques")
+    }
+  }
 }
