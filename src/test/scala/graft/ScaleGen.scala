@@ -7,12 +7,25 @@ import org.apache.spark.sql.functions._
 /** Scaling-curve fixture blow-up (test scope): replicate the sf0.1
   * `documents` / `embeddings` / `events` tables `factor`× with
   * deterministic per-replica perturbation, so the heaviest queries can
-  * be benched at two sizes and their time-vs-rows exponents recorded
-  * in SCALE.md. Perturbation matters: byte-identical replicas would
-  * inflate every dup group 10× and turn near-dup pair work quadratic
-  * in the factor — each replica instead gets a distinct id range, a
-  * per-replica text suffix, and a tiny embedding shift, preserving the
-  * original duplicate/similarity structure at 10× the rows.
+  * be benched at several sizes and their time-vs-rows exponents
+  * recorded in SCALE.md. Perturbation matters TWICE over:
+  * byte-identical replicas would inflate every dup group `factor`× —
+  * but so, it turned out, does a perturbation that is too gentle. The
+  * original design appended a per-replica SUFFIX to each text, which
+  * left every replica sharing ~98% of its shingles with every other
+  * replica of the same doc: each document became a TRUE near-dup of
+  * its `factor−1` twins, and the genuine pair set grew quadratically
+  * in the factor (measured: 256 / 250,600 / 2,405,400 n-gram-Jaccard
+  * pairs at 1/10/30×) — the dedup scaling curve was measuring that
+  * pair blow-up, not per-row operator cost. Text replicas now carry a
+  * per-TOKEN tag (`tok~rI`), making each replica's token/shingle space
+  * DISJOINT from every other's: the fixture is exactly "factor
+  * independent shards, each with the original's internal duplicate
+  * structure", which is what `factor`× more real data looks like.
+  * Embeddings keep the tiny-shift scheme (2⁻¹⁰ steps — NOTE: replicas
+  * remain cosine-near-dups of each other, so embedding near-dup
+  * queries scaled on this fixture measure pair growth, not row cost);
+  * ids get distinct ranges per replica.
   *
   * Run: `sbt "Test/runMain graft.ScaleGen <outDir> [factor] [srcDir]"`.
   */
@@ -28,13 +41,16 @@ object ScaleGen {
       (0 until factor).map(build).reduce(_ unionAll _)
 
     val docs = Tables.documents(spark, srcDir)
-    replicate(i => docs.select(
-      (col("doc_id") + lit(i * shift)).as("doc_id"),
-      (if (i == 0) col("text")
-       else concat(col("text"), lit(s" r$i"))).as("text"),
-      col("lang"), col("source"),
-      (if (i == 0) col("n_chars")
-       else col("n_chars") + lit(s" r$i".length.toLong)).as("n_chars")))
+    replicate(i => docs
+      .withColumn("doc_id", col("doc_id") + lit(i * shift))
+      .withColumn("text",
+        if (i == 0) col("text")
+        else expr(s"array_join(transform(split(text, ' '), " +
+          s"t -> concat(t, '~r$i')), ' ')"))
+      .withColumn("n_chars",
+        if (i == 0) col("n_chars")
+        else expr("CAST(length(text) AS BIGINT)"))
+      .select("doc_id", "text", "lang", "source", "n_chars"))
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
     val emb = Tables.embeddings(spark, srcDir)
