@@ -307,6 +307,9 @@ object SparkEntry {
     // BERT MLM example construction (15% select, 80/10/10): the
     // encoder-objective sibling of span_corruption, zero-shuffle
     "mlm_masking" -> ((s, d) => Corpus.mlmMasking(par(Tables.documents(s, d)))),
+    // instruction-tuning face: prompt/completion split + chat-template
+    // render + completion-only loss mask (zero-shuffle projection)
+    "sft_examples" -> ((s, d) => Corpus.sftExamples(par(Tables.documents(s, d)))),
     // BERT NSP pair construction: positives per-row, negatives via one
     // equi-join on the hash-drawn source doc
     "nsp_pairs" -> ((s, d) => Corpus.nspPairs(par(Tables.documents(s, d)))),
@@ -336,6 +339,15 @@ object SparkEntry {
     // ---- deduplication ----
     "dedup_exact" -> ((s, d) => Dedup.dedupExact(par(Tables.documents(s, d)))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(par(Tables.documents(s, d)))),
+    // exact token-set similarity join via prefix filtering (AllPairs/
+    // PPJoin family) — no false negatives, candidates keyed on each
+    // doc's rarest tokens
+    "dedup_prefix_jaccard" -> ((s, d) => Dedup.prefixJaccardPairs(par(Tables.documents(s, d)))),
+    // sorted-neighborhood blocking (SNM): O(n·window) candidates by
+    // construction — deterministic, so hash-exact despite heuristic
+    // recall
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(par(Tables.documents(s, d)))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(par(Tables.documents(s, d)))),
     "dedup_incremental" -> ((s, d) => {
       val docs = par(Tables.documents(s, d))
@@ -701,6 +713,8 @@ object SparkEntry {
     "curriculum_order" -> Corpus.curriculumOrderSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),
+    "dedup_prefix_jaccard" -> Dedup.prefixJaccardPairsSql(),
+    "dedup_sorted_neighborhood" -> Dedup.sortedNeighborhoodPairsSql(),
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_bloom_gate" -> Dedup.bloomGateSql,
     "cross_doc_ngram_dup" -> Dedup.crossDocNgramDupSql(),
@@ -713,6 +727,7 @@ object SparkEntry {
     "length_batching" -> Corpus.lengthBatchingSql(),
     "span_corruption" -> Corpus.spanCorruptionSql(),
     "mlm_masking" -> Corpus.mlmMaskingSql(),
+    "sft_examples" -> Corpus.sftExamplesSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the

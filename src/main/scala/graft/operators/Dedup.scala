@@ -138,6 +138,232 @@ object Dedup {
        |SELECT doc_id_a, doc_id_b, jaccard FROM pairs
        |ORDER BY 1, 2""".stripMargin
 
+  /** Exact token-set Jaccard pairs via PREFIX FILTERING (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): the third candidate-generation strategy in the dedup
+    * toolbox, next to the df-capped inverted index
+    * ([[ngramJaccardPairs]] — exact, but pair fan-out is df² per
+    * posting) and MinHash banding ([[minhashLshPairs]] — linear, but
+    * probabilistic recall). Prefix filtering is EXACT with no false
+    * negatives AND prunes the candidate space: order every document's
+    * distinct tokens by ascending global document frequency (rarest
+    * first, ties by token), take only the first
+    * `n − ceil(t·n) + 1` tokens (the "prefix"), and join documents on
+    * shared PREFIX tokens. Completeness: if `J(x,y) ≥ t` then
+    * `|x∩y| ≥ ceil(t·max(|x|,|y|))`, and two sets whose overlap is
+    * ≥ o must share an element within their first `|·| − o + 1`
+    * positions of any common total order (else all common elements
+    * hide in the last `o−1` positions of one side — fewer than o).
+    *
+    * Scale shape: one df aggregate (vocab-bounded) joined back to the
+    * token stream; per-doc prefix construction is one bounded-per-doc
+    * sort_array/collect (the document's OWN token set — the
+    * [[ngramJaccardPairs]] bounded-state discipline); the candidate
+    * join keys on prefix tokens, which by construction are each
+    * document's RAREST tokens, so posting lists on the join key are
+    * short exactly where fan-out would bite — the inverse of the
+    * stop-shingle rule's cap: instead of dropping hot keys, never join
+    * on them. A length filter (`t·na ≤ nb ≤ na/t`) rides the join
+    * condition. Verification re-joins the pair ids to the per-doc
+    * sorted-token arrays and computes exact `|∩|/|∪|` via
+    * `array_intersect` — one codegen'd row per candidate pair.
+    * The `− 1e-9` guard inside both ceil()s keeps the float threshold
+    * conservative (a longer prefix / looser filter can only ADD
+    * candidates, never lose a true pair); both engines compute the
+    * identical expression, so the oracle is still hash-exact.
+    * Output: (doc_id_a, doc_id_b, inter, union_sz, jaccard).
+    *
+    * The catalog default is t = 0.9 ("near-identical token sets"):
+    * the operator is OUTPUT-bound — on the synthetic corpus the true
+    * pair mass at word-set level is large (sf0.1: 5.1M pairs at 0.7,
+    * 0.96M at 0.9, measured) because short docs from a small
+    * vocabulary collide as sets far more than as 4-gram shingles —
+    * and the completeness test (`DedupSpec`) runs at 0.7 to exercise
+    * longer prefixes. */
+  def prefixJaccardPairs(documents: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val toks = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), explode(array_distinct(
+        filter(split(col("text"), " "), t => length(t) > 0))).as("tok"))
+    val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = toks.join(dfs, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(expr("sort_array(collect_list(struct(df, tok)))").as("s"))
+      .select(col("doc_id"), expr("transform(s, x -> x.tok)").as("toks"),
+        size(col("s")).cast("long").as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pre = ranked.select(col("doc_id"), col("n"),
+      explode(expr(
+        s"""slice(toks, 1, CAST(size(toks)
+           |  - ceil($threshold * size(toks) - 1e-9) + 1 AS INT))"""
+          .stripMargin)).as("tok"))
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n") - lit(1e-9)) &&
+          col("a.n") >= ceil(lit(threshold) * col("b.n") - lit(1e-9)))
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"))
+      .distinct()
+    cand
+      .join(ranked.select(col("doc_id").as("doc_id_a"),
+        col("toks").as("toks_a"), col("n").as("na")), Seq("doc_id_a"))
+      .join(ranked.select(col("doc_id").as("doc_id_b"),
+        col("toks").as("toks_b"), col("n").as("nb")), Seq("doc_id_b"))
+      .select(col("doc_id_a"), col("doc_id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b")))
+          .cast("long").as("inter"),
+        col("na"), col("nb"))
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .where(col("inter").cast("double") / col("union_sz").cast("double")
+        >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("inter"),
+        col("union_sz"),
+        expr("""CAST(CAST(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE)
+               |  AS DECIMAL(9,6)) AS DOUBLE)""".stripMargin).as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** DuckDB replay of [[prefixJaccardPairs]]: same df ranking (window
+    * row_number over (df, tok) replays the sort_array order on the
+    * unique (df, tok) key), same guarded ceil arithmetic, intersection
+    * counted relationally instead of via array_intersect. */
+  def prefixJaccardPairsSql(threshold: Double = 0.9): String =
+    s"""WITH ptoks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(tok) > 0),
+       |pdf AS (SELECT tok, count(*) AS df FROM ptoks GROUP BY 1),
+       |pn AS (SELECT doc_id, count(*) AS n FROM ptoks GROUP BY 1),
+       |pr AS (
+       |  SELECT t.doc_id, t.tok, n.n,
+       |    row_number() OVER (PARTITION BY t.doc_id
+       |      ORDER BY d.df, t.tok) AS rk
+       |  FROM ptoks t JOIN pdf d USING (tok) JOIN pn n USING (doc_id)),
+       |pre AS (
+       |  SELECT doc_id, tok, n FROM pr
+       |  WHERE rk <= n - ceil($threshold * n - 1e-9) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+       |  FROM pre a JOIN pre b ON a.tok = b.tok
+       |    AND a.doc_id < b.doc_id
+       |    AND b.n >= ceil($threshold * a.n - 1e-9)
+       |    AND a.n >= ceil($threshold * b.n - 1e-9)),
+       |pinter AS (
+       |  SELECT c.doc_id_a, c.doc_id_b, count(*)::BIGINT AS inter
+       |  FROM cand c
+       |  JOIN ptoks ta ON ta.doc_id = c.doc_id_a
+       |  JOIN ptoks tb ON tb.doc_id = c.doc_id_b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_id_a, i.doc_id_b, i.inter,
+       |  (na.n + nb.n - i.inter)::BIGINT AS union_sz,
+       |  CAST(CAST(CAST(i.inter AS DOUBLE)
+       |    / CAST(na.n + nb.n - i.inter AS DOUBLE)
+       |    AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
+       |FROM pinter i
+       |JOIN pn na ON na.doc_id = i.doc_id_a
+       |JOIN pn nb ON nb.doc_id = i.doc_id_b
+       |WHERE CAST(i.inter AS DOUBLE)
+       |  / CAST(na.n + nb.n - i.inter AS DOUBLE) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95
+    * — the classic entity-resolution blocker, here as the FOURTH
+    * candidate-generation strategy beside the inverted index
+    * ([[ngramJaccardPairs]]), MinHash banding ([[minhashLshPairs]]),
+    * and prefix filtering ([[prefixJaccardPairs]])): sort the corpus
+    * by a content key that places near-duplicates close together —
+    * `(n_tokens, space-joined sorted distinct tokens, doc_id)` — and
+    * compare each document only with its `window` successors in that
+    * order. Candidates are O(n·window) REGARDLESS of how much
+    * duplicate mass the corpus carries (the bound the other three
+    * can't give; the price is heuristic recall — a near-dup pair
+    * whose keys land > window apart is missed, the method's
+    * documented trade-off since '95).
+    *
+    * Scale shape: the global sort is [[Analytics.rankByRange]]
+    * (range-partitioned rank, O(partitions) driver state — never a
+    * single-partition window); neighbors resolve through ONE
+    * equi-join on rank (each doc explodes its `window` successor
+    * ranks); verification is per-pair `array_intersect` on the
+    * already-carried sorted token arrays. Deterministic end to end —
+    * both engines sort the same total order — so the face is
+    * hash-exact despite being approximate-recall. Output:
+    * (doc_id_a, doc_id_b, inter, union_sz, jaccard), ids normalized
+    * ascending. */
+  def sortedNeighborhoodPairs(documents: DataFrame, window: Int = 5,
+      threshold: Double = 0.9): DataFrame = {
+    val base = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), expr(
+        "array_sort(array_distinct(filter(split(text, ' '), t -> length(t) > 0)))")
+        .as("stoks"))
+      .where(size(col("stoks")) > 0)
+      .select(col("doc_id"), col("stoks"),
+        size(col("stoks")).cast("long").as("n"),
+        concat_ws(" ", col("stoks")).as("skey"))
+    val (ranked, _) = Analytics.rankByRange(base, Seq("n", "skey", "doc_id"))
+    val r = ranked.select(col("doc_id"), col("stoks"), col("n"),
+      col("__rank").as("rk"))
+    val probes = r.select(col("doc_id").as("doc_id_x"),
+      col("stoks").as("stoks_x"), col("n").as("nx"),
+      explode(expr(s"transform(sequence(1, $window), o -> rk + o)"))
+        .as("rk"))
+    probes
+      .join(r.select(col("doc_id").as("doc_id_y"),
+        col("stoks").as("stoks_y"), col("n").as("ny"), col("rk")),
+        Seq("rk"))
+      .select(
+        least(col("doc_id_x"), col("doc_id_y")).as("doc_id_a"),
+        greatest(col("doc_id_x"), col("doc_id_y")).as("doc_id_b"),
+        size(array_intersect(col("stoks_x"), col("stoks_y")))
+          .cast("long").as("inter"),
+        (col("nx") + col("ny")).as("nsum"))
+      .withColumn("union_sz", col("nsum") - col("inter"))
+      .where(col("inter").cast("double") / col("union_sz").cast("double")
+        >= threshold)
+      .select(col("doc_id_a"), col("doc_id_b"), col("inter"),
+        col("union_sz"),
+        expr("""CAST(CAST(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE)
+               |  AS DECIMAL(9,6)) AS DOUBLE)""".stripMargin).as("jaccard"))
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** DuckDB replay of [[sortedNeighborhoodPairs]]: `row_number` over
+    * the same (n, skey, doc_id) total order replays rankByRange, the
+    * window join is a rank-offset join, `list_intersect` counts the
+    * set overlap. */
+  def sortedNeighborhoodPairsSql(window: Int = 5,
+      threshold: Double = 0.9): String =
+    s"""WITH sb AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_filter(
+       |    string_split(text, ' '), t -> length(t) > 0))) AS stoks
+       |  FROM documents WHERE text IS NOT NULL),
+       |sb2 AS (
+       |  SELECT doc_id, stoks, len(stoks)::BIGINT AS n,
+       |    array_to_string(stoks, ' ') AS skey
+       |  FROM sb WHERE len(stoks) > 0),
+       |sr AS (
+       |  SELECT doc_id, stoks, n,
+       |    row_number() OVER (ORDER BY n, skey, doc_id) AS rk
+       |  FROM sb2),
+       |sp AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS doc_id_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_id_b,
+       |    len(list_intersect(a.stoks, b.stoks))::BIGINT AS inter,
+       |    (a.n + b.n - len(list_intersect(a.stoks, b.stoks)))::BIGINT
+       |      AS union_sz
+       |  FROM sr a JOIN sr b
+       |    ON b.rk BETWEEN a.rk + 1 AND a.rk + $window)
+       |SELECT doc_id_a, doc_id_b, inter, union_sz,
+       |  CAST(CAST(CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE)
+       |    AS DECIMAL(9,6)) AS DOUBLE) AS jaccard
+       |FROM sp
+       |WHERE CAST(inter AS DOUBLE) / CAST(union_sz AS DOUBLE)
+       |  >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+
   /** Shingle CONTAINMENT pairs: `|A∩B| / min(|A|,|B|)` ≥ `threshold` —
     * the asymmetric cousin of [[ngramJaccardPairs]] that catches a
     * short document living inside a long one (quotes, excerpts,

@@ -360,4 +360,58 @@ class DedupSpec extends AnyFunSuite {
     // certain at fixture scale — some dup mass must exist
     assert(got.map(_._4).sum > 0)
   }
+
+  test("prefix-filter jaccard join == direct all-pairs (completeness: no false negatives)") {
+    val t = 0.7
+    val got = Dedup.prefixJaccardPairs(docs, threshold = t)
+      .select("doc_id_a", "doc_id_b", "inter", "union_sz", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // driver reference: exhaustive token-set jaccard over all pairs —
+    // the ground truth the prefix filter must not prune a true pair from
+    val sets = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, tx) =>
+        id -> Option(tx).map(_.split(" ").filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+      }.filter(_._2.nonEmpty).sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices.iterator; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size; uni = sa.size + sb.size - inter
+      if inter.toDouble / uni >= t
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet === expected)
+    assert(got.nonEmpty, "fixture must contain near-dup pairs")
+    got.foreach { case (_, _, _, _, j) => assert(j >= t && j <= 1.0) }
+  }
+
+  test("sorted-neighborhood pairs: window-bounded candidates, finds adjacent near-dups") {
+    // near-identical token sets sort adjacently on the (n, sorted-token
+    // string) key; the distinct doc lands far away
+    val d = Seq(
+      (30L, "m n o p q r s t"),
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g x"),   // 7/9 with 1 — below 0.9, above 0.7
+      (3L, "a b c d e f g h"),   // identical set to 1 -> J = 1
+      (9L, "z z z z y y y y")
+    ).toDF("doc_id", "text")
+    val strict = Dedup.sortedNeighborhoodPairs(d, window = 3, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(strict.map(r => (r._1, r._2)).toSet === Set((1L, 3L)))
+    val loose = Dedup.sortedNeighborhoodPairs(d, window = 3, threshold = 0.7)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(loose.map(r => (r._1, r._2)).toSet ===
+      Set((1L, 3L), (1L, 2L), (2L, 3L)))
+    // fixture scale: every emitted pair's ranks are within the window
+    // and the candidate count is O(n·window)
+    val got = Dedup.sortedNeighborhoodPairs(docs, window = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length <= docs.count() * 5)
+    got.foreach { case (a, b, _, _, j) =>
+      assert(a < b); assert(j >= 0.9 && j <= 1.0)
+    }
+    // deterministic across runs (the sort is a total order)
+    val again = Dedup.sortedNeighborhoodPairs(docs, window = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(again.toSeq === got.toSeq)
+  }
 }
