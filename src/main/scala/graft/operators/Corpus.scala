@@ -1360,6 +1360,84 @@ object Corpus {
   def mlmMasking(documents: DataFrame, maskPct: Int = 15): DataFrame =
     mlmProject(documents, maskPct).orderBy("doc_id")
 
+  /** Instruction-tuning (SFT) example construction — the fourth face
+    * of the example-construction family ([[mlmMasking]] BERT-MLM,
+    * [[nspPairs]] BERT-NSP, [[spanCorruption]] T5): split each
+    * document into a PROMPT (its first [[Dedup.contentLinesExpr]]
+    * line — the shared deterministic segmentation) and a COMPLETION
+    * (the remaining lines), render the chat-template sequence
+    * `<|user|> prompt <|assistant|> completion`, and emit the
+    * per-token LOSS MASK that trains only on completion tokens —
+    * `0` for the prompt and both template tokens, `1` for the
+    * completion (the standard SFT convention: loss on assistant
+    * turns only).
+    *
+    * Scale shape: a pure zero-shuffle per-row projection (the
+    * [[mlmMasking]] discipline) — runs at scan speed on 100 TB; the
+    * only order-sensitive work is inside each row's own token array.
+    * Deterministic with no RNG at all, so the face is hash-exact by
+    * construction. Docs with fewer than two lines emit nothing (no
+    * completion to train on). Output: (doc_id, n_prompt,
+    * n_completion, n_total, rendered_md5, mask_md5) where `n_total`
+    * counts template tokens too and `mask_md5` hashes the
+    * space-joined 0/1 mask sequence. */
+  def sftExamples(documents: DataFrame): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("lines", expr(Dedup.contentLinesExpr))
+      .where(size(col("lines")) >= 2)
+      .select(col("doc_id"),
+        element_at(col("lines"), 1).as("prompt"),
+        expr("array_join(slice(lines, 2, size(lines) - 1), ' ')")
+          .as("completion"))
+      .select(col("doc_id"),
+        size(split(col("prompt"), " ")).cast("long").as("n_prompt"),
+        size(split(col("completion"), " ")).cast("long")
+          .as("n_completion"),
+        md5(concat(lit("<|user|> "), col("prompt"),
+          lit(" <|assistant|> "), col("completion"))).as("rendered_md5"))
+      .withColumn("n_total", col("n_prompt") + col("n_completion") + 2L)
+      .withColumn("mask_md5", md5(expr(
+        """array_join(concat(
+          |  transform(sequence(1, CAST(n_prompt AS INT) + 2), x -> '0'),
+          |  transform(sequence(1, CAST(n_completion AS INT)), x -> '1')),
+          |' ')""".stripMargin)))
+      .select(col("doc_id"), col("n_prompt"), col("n_completion"),
+        col("n_total"), col("rendered_md5"), col("mask_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[sftExamples]]: the shared line CTEs, first
+    * line vs ordered rest, the same template render and 0/1 mask
+    * fold. */
+  def sftExamplesSql(): String =
+    s"""WITH ${Dedup.contentLinesCtes(Dedup.polyFold)},
+       |nl AS (SELECT doc_id, count(*) AS n_lines FROM line GROUP BY 1),
+       |pc AS (
+       |  SELECT l.doc_id,
+       |    max(CASE WHEN l.line_id = 0 THEN l.l END) AS prompt,
+       |    string_agg(CASE WHEN l.line_id > 0 THEN l.l END, ' '
+       |      ORDER BY l.line_id) AS completion
+       |  FROM line l JOIN nl USING (doc_id)
+       |  WHERE nl.n_lines >= 2 GROUP BY 1),
+       |sz AS (
+       |  SELECT doc_id,
+       |    len(string_split(prompt, ' '))::BIGINT AS n_prompt,
+       |    len(string_split(completion, ' '))::BIGINT AS n_completion,
+       |    md5('<|user|> ' || prompt || ' <|assistant|> ' || completion)
+       |      AS rendered_md5
+       |  FROM pc)
+       |SELECT doc_id, n_prompt, n_completion,
+       |  (n_prompt + n_completion + 2)::BIGINT AS n_total,
+       |  rendered_md5,
+       |  md5(array_to_string(list_concat(
+       |    list_transform(range(1, CAST(n_prompt AS INT) + 3), x -> '0'),
+       |    list_transform(range(1, CAST(n_completion AS INT) + 1), x -> '1')),
+       |    ' ')) AS mask_md5
+       |FROM sz ORDER BY doc_id""".stripMargin
+
   /** The streaming face of [[mlmMasking]]: the identical stateless
     * projection without the batch face's global ORDER BY (illegal on a
     * stream, and meaningless there — examples flow out per
