@@ -1381,7 +1381,18 @@ object Corpus {
     * n_completion, n_total, rendered_md5, mask_md5) where `n_total`
     * counts template tokens too and `mask_md5` hashes the
     * space-joined 0/1 mask sequence. */
-  def sftExamples(documents: DataFrame): DataFrame = {
+  def sftExamples(documents: DataFrame): DataFrame =
+    sftProject(documents).orderBy("doc_id")
+
+  /** The streaming face of [[sftExamples]] (the [[mlmMaskingStream]]
+    * convention): identical stateless projection minus the batch
+    * face's global ORDER BY — deterministic per row, so the streamed
+    * example set over any micro-batch slicing equals the batch output
+    * for the same documents (asserted in `StreamingSpec`). */
+  def sftExamplesStream(documents: DataFrame): DataFrame =
+    sftProject(documents)
+
+  private def sftProject(documents: DataFrame): DataFrame = {
     graft.functions.PolyHash62.register(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
@@ -1406,7 +1417,6 @@ object Corpus {
           |' ')""".stripMargin)))
       .select(col("doc_id"), col("n_prompt"), col("n_completion"),
         col("n_total"), col("rendered_md5"), col("mask_md5"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[sftExamples]]: the shared line CTEs, first
