@@ -417,6 +417,10 @@ object SparkEntry {
     // precedent); the trained face above stays the k-means measurement
     "embedding_clusters_pinned" -> ((s, d) =>
       Similarity.embeddingClustersPinned(par(Tables.embeddings(s, d)))),
+    // cluster-balanced mixture sampling over the pinned assignment —
+    // per-cluster picks via the bounded-heap TopKPerGroup plan
+    "cluster_balanced_sample" -> ((s, d) =>
+      Similarity.clusterBalancedSample(par(Tables.embeddings(s, d)))),
     "knn_ivf_recall" -> ((s, d) => Similarity.knnIvfRecall(par(Tables.embeddings(s, d)))),
     // int8 vector-store compression: exact integer-summary oracle row,
     // plus the quantized-search twin and its recall-as-data row
@@ -754,6 +758,7 @@ object SparkEntry {
     "knn_pq" -> Similarity.knnPqSql(),
     "knn_pca" -> Similarity.knnPcaSql(),
     "embedding_clusters_pinned" -> Similarity.embeddingClustersPinnedSql(),
+    "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql(),
     "embedding_pca" -> Similarity.embeddingPcaSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqSql(),
     "knn_int8" -> Similarity.knnInt8Sql(),

@@ -821,6 +821,59 @@ object Similarity {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Cluster-BALANCED deterministic sampling: `perCluster` vectors
+    * from every [[ivfAssign]] pinned cluster, chosen by ascending
+    * `md5('cbs:' || vec_id)` — the cluster-diversity sampler a
+    * training mixture uses to avoid over-drawing from dense regions
+    * (the SemDeDup/DCLM-style "sample across the embedding space"
+    * step), composed from two existing engines: the pinned assignment
+    * (replayable arithmetic) and the custom bounded-heap
+    * [[graft.plans.TopK.topKPerGroup]] physical operator — per-group
+    * state is a k-row heap, NEVER a per-cluster sort, so the pick
+    * costs one scan + one k-bounded shuffle at any corpus size.
+    * Deterministic: the hash order is a pure function of vec_id.
+    * Output: (cluster_id, rk, vec_id, label). */
+  def clusterBalancedSample(embeddings: DataFrame, perCluster: Int = 8,
+      nList: Int = 16, dim: Int = 64): DataFrame = {
+    val keyed = ivfAssign(
+      embeddings.select(col("vec_id"), col("embedding")), nList, dim)
+      .select(col("vec_id"), col("cluster_id"),
+        md5(concat(lit("cbs:"), col("vec_id").cast("string"))).as("h"))
+    graft.plans.TopK.topKPerGroup(keyed, Seq("cluster_id"),
+        Seq("h" -> false, "vec_id" -> false), perCluster, "rk")
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("cluster_id"), col("rk"), col("vec_id"), col("label"))
+      .orderBy("cluster_id", "rk")
+  }
+
+  /** DuckDB replay of [[clusterBalancedSample]]: the
+    * [[embeddingClustersPinnedSql]] assignment CTE + a per-cluster
+    * row_number over the same md5 order. */
+  def clusterBalancedSampleSql(perCluster: Int = 8, nList: Int = 16,
+      dim: Int = 64): String = {
+    val scores = (0 until nList).map { c =>
+      s"struct_pack(c := $c, s := ${signedFold(centroid(c, dim))})"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH $EmbCte,
+       |cs AS (
+       |  SELECT vec_id, u.c AS c, u.s AS s FROM (
+       |    SELECT vec_id, unnest($scores) AS u FROM emb)),
+       |assigned AS (
+       |  SELECT vec_id, c AS cluster_id FROM (
+       |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY s DESC, c) AS rk FROM cs) WHERE rk = 1),
+       |picked AS (
+       |  SELECT cluster_id, vec_id,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)), vec_id)
+       |      AS rk
+       |  FROM assigned)
+       |SELECT p.cluster_id, CAST(p.rk AS INT) AS rk, p.vec_id, m.label
+       |FROM picked p JOIN embeddings m USING (vec_id)
+       |WHERE p.rk <= $perCluster
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** One (query_id, q_emb, cluster_id) row per probed list — the
     * nProbe best entries of `cent_scores`. */
   private def probeRows(scored: DataFrame, nProbe: Int): DataFrame =

@@ -212,6 +212,29 @@ class PlanSpec extends AnyFunSuite {
       s"shard scan not partition-pruned: $scanLine")
   }
 
+  test("prefix-filter jaccard: candidates via keyed equi-joins, no nested loop") {
+    val p = finalPlan(Dedup.prefixJaccardPairs(Tables.documents(spark, d)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("sorted-neighborhood: window resolves through a rank equi-join; no single-partition sort") {
+    val p = finalPlan(Dedup.sortedNeighborhoodPairs(Tables.documents(spark, d)))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("cluster_balanced_sample picks per cluster through the bounded-heap TopK plan") {
+    val p = finalPlan(graft.operators.Similarity.clusterBalancedSample(
+      Tables.embeddings(spark, d)))
+    assert(p.contains("TopKPerGroup"), p.take(1200))
+    // the pick is never a per-cluster full sort feeding a window
+    assert(!p.contains("Window"), p.take(1200))
+  }
+
   test("pii_redaction: per-row regex chain adds no hash shuffle") {
     val p = finalPlan(graft.operators.Corpus.redactionReport(
       Tables.documents(spark, d)))
