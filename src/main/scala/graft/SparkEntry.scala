@@ -452,6 +452,10 @@ object SparkEntry {
     // (ImageIO cross-check stays in the spec)
     "media_ahash_dedup" -> ((s, d) =>
       MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d)))),
+    // gradient-hash sibling: local adjacent-block relations instead of
+    // the global-mean threshold (same fixture, plan, and full oracle)
+    "media_dhash_dedup" -> ((s, d) =>
+      MediaCodecs.mediaDhashDedup(s, par(Tables.documents(s, d)))),
     // real PCM sample decode -> integer audio features; DuckDB replays
     // the closed-form sample stream, so the decode is hash-exact
     "audio_features" -> ((s, d) =>
@@ -747,6 +751,7 @@ object SparkEntry {
     "audio_features" -> MediaCodecs.audioFeaturesSql,
     "image_pixel_stats" -> MediaCodecs.imagePixelStatsSql,
     "media_ahash_dedup" -> MediaCodecs.mediaAhashDedupSql(),
+    "media_dhash_dedup" -> MediaCodecs.mediaDhashDedupSql(),
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "knn_lsh" -> Similarity.knnLshSql(),

@@ -897,6 +897,84 @@ object MediaCodecs {
     Some(hash)
   }
 
+  /** 64-bit difference hash (dHash): luma block sums over a 9-column ×
+    * 8-row grid; bit (i·8+j) set when block (i,j)'s mean exceeds block
+    * (i,j+1)'s — the LOCAL-GRADIENT sibling of [[aHash]]. aHash
+    * thresholds every block against the GLOBAL mean, so large-scale
+    * illumination structure (vignetting, a brightness ramp) moves many
+    * bits together; dHash encodes only adjacent-block relations, the
+    * property that made it the de-facto crawl-dedup hash. Both hashes
+    * are exactly invariant under a uniform brightness shift in this
+    * integer form (the +c terms cancel in the cross-multiplied
+    * compare — asserted in `MediaCodecsSpec`); what dHash additionally
+    * survives EXACTLY is any vertical illumination gradient — an
+    * offset that depends only on the row adds the same amount to the
+    * two compared blocks' means, because horizontally adjacent blocks
+    * span identical row ranges (also asserted, against aHash which
+    * does flip). Pure integer — no division, no float —
+    * bit-reproducible on any platform. Needs w ≥ 9, h ≥ 8. */
+  def dHash(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val s = Array.ofDim[Long](8, 9)
+    val n = Array.ofDim[Long](8, 9)
+    var bi = 0
+    while (bi < 8) {
+      val y0 = bi * h / 8; val y1 = (bi + 1) * h / 8
+      var bj = 0
+      while (bj < 9) {
+        val x0 = bj * w / 9; val x1 = (bj + 1) * w / 9
+        var acc = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { acc += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        s(bi)(bj) = acc
+        n(bi)(bj) = (x1 - x0).toLong * (y1 - y0)
+        bj += 1
+      }
+      bi += 1
+    }
+    var hv = 0L
+    bi = 0
+    while (bi < 8) {
+      var bj = 0
+      while (bj < 8) {
+        if (s(bi)(bj) * n(bi)(bj + 1) > s(bi)(bj + 1) * n(bi)(bj))
+          hv |= 1L << (bi * 8 + bj)
+        bj += 1
+      }
+      bi += 1
+    }
+    Some(hv)
+  }
+
+  /** Shared banded-hamming pair tail for the perceptual hashes: 16-bit
+    * band equi-join (pigeonhole: hamming ≤ 3 of 64 bits agrees exactly
+    * on ≥ 1 of 4 bands — NO false negatives at the default threshold)
+    * then exact `bit_count(xor)` verify. Input: (media_id, hv). */
+  private def bandedHammingPairs(hashes: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val bands = hashes.select(col("media_id"), col("hv"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band_idx,
+          |    shiftright(hv, b * 16) & 65535 AS band_val))""".stripMargin))
+        .as("b"))
+      .select(col("media_id"), col("hv"),
+        col("b.band_idx"), col("b.band_val"))
+    val a = bands.toDF("media_id_a", "hv_a", "band_idx", "band_val")
+    val b = bands.toDF("media_id_b", "hv_b", "band_idx", "band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("media_id_a") < col("media_id_b"))
+      .select(col("media_id_a"), col("media_id_b"),
+        expr("bit_count(hv_a ^ hv_b)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("media_id_a", "media_id_b")
+  }
+
   /** Perceptual image near-dup pairs over a fabricated corpus: one
     * 32×32 hashed-noise BMP per document, where `doc_id % groupMod`
     * picks the base image (so each group of docs shares content) and
@@ -919,34 +997,35 @@ object MediaCodecs {
     * against the independent JDK ImageIO decoder in `MediaCodecsSpec`.
     * Output: (media_id_a, media_id_b, hamming). */
   def mediaAhashDedup(spark: SparkSession, documents: DataFrame,
-      maxHamming: Int = 3, groupMod: Int = 25): DataFrame = {
+      maxHamming: Int = 3, groupMod: Int = 25): DataFrame =
+    bandedHammingPairs(perceptualHashes(spark, documents, groupMod,
+      aHash), maxHamming)
+
+  /** [[mediaAhashDedup]] with [[dHash]] — the gradient-hash face of
+    * the same fixture, plan (scan-side decode+hash, band equi-join,
+    * exact verify), and fully-regenerating DuckDB oracle
+    * ([[mediaDhashDedupSql]]). */
+  def mediaDhashDedup(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3, groupMod: Int = 25): DataFrame =
+    bandedHammingPairs(perceptualHashes(spark, documents, groupMod,
+      dHash), maxHamming)
+
+  /** Shared fixture→hash stage: fabricate each doc's 32×32 hashed-noise
+    * BMP, REALLY decode it, hash with `hashFn` — per-row, zero
+    * shuffle. */
+  private def perceptualHashes(spark: SparkSession, documents: DataFrame,
+      groupMod: Int,
+      hashFn: (Int, Int, Array[Int]) => Option[Long]): DataFrame = {
     import spark.implicits._
-    val hashes = documents.select(col("doc_id")).as[Long]
+    documents.select(col("doc_id")).as[Long]
       .mapPartitions(_.flatMap { id =>
         val payload = encodeBmpHashed(32, 32, seed = id % groupMod,
           flips = ((id / groupMod) % 3).toInt, flipSeed = id)
         for {
           (w, h, gray) <- decodeBmpGray(payload)
-          hv <- aHash(w, h, gray)
+          hv <- hashFn(w, h, gray)
         } yield (id, hv)
-      }).toDF("media_id", "ahash")
-    val bands = hashes.select(col("media_id"), col("ahash"),
-      explode(expr(
-        """transform(sequence(0, 3), b ->
-          |  struct(b AS band_idx,
-          |    shiftright(ahash, b * 16) & 65535 AS band_val))""".stripMargin))
-        .as("b"))
-      .select(col("media_id"), col("ahash"),
-        col("b.band_idx"), col("b.band_val"))
-    val a = bands.toDF("media_id_a", "ahash_a", "band_idx", "band_val")
-    val b = bands.toDF("media_id_b", "ahash_b", "band_idx", "band_val")
-    a.join(b, Seq("band_idx", "band_val"))
-      .where(col("media_id_a") < col("media_id_b"))
-      .select(col("media_id_a"), col("media_id_b"),
-        expr("bit_count(ahash_a ^ ahash_b)").cast("long").as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-      .orderBy("media_id_a", "media_id_b")
+      }).toDF("media_id", "hv")
   }
 
   /** DuckDB replay of [[mediaAhashDedup]]: regenerate the [[mix24]]
@@ -957,9 +1036,46 @@ object MediaCodecs {
     * with the decode's bottom-up row flip (`bi = (31 − g÷32) ÷ 4`),
     * set each hash bit by the same cross-multiplied integer compare,
     * and count differing bits all-pairs. */
-  def mediaAhashDedupSql(maxHamming: Int = 3, groupMod: Int = 25): String = {
+  def mediaAhashDedupSql(maxHamming: Int = 3, groupMod: Int = 25): String =
+    s"""WITH ${mediaPixelCtes(groupMod)},
+       |blocks AS (SELECT doc_id,
+       |    (31 - g // 32) // 4 AS bi, (g % 32) // 4 AS bj, sum(l) AS s
+       |  FROM pxl GROUP BY 1, 2, 3),
+       |tot AS (SELECT doc_id, sum(l) AS total FROM pxl GROUP BY 1),
+       |bits AS (SELECT b.doc_id, b.bi * 8 + b.bj AS bit,
+       |    CASE WHEN b.s * 1024 > t.total * 16 THEN 1 ELSE 0 END AS fbit
+       |  FROM blocks b JOIN tot t USING (doc_id)),
+       |${hammingTail(maxHamming)}""".stripMargin
+
+  /** DuckDB replay of [[mediaDhashDedup]]: the shared regenerated
+    * pixel stream, 9×8 block sums+counts (the 9-column grid has
+    * unequal widths, so counts ride along for the cross-multiplied
+    * mean compare; the column index inverts `x0 = ⌊32j/9⌋` as
+    * `j = ⌊(9x+8)/32⌋`), one adjacent-column self-join per bit. */
+  def mediaDhashDedupSql(maxHamming: Int = 3, groupMod: Int = 25): String =
+    s"""WITH ${mediaPixelCtes(groupMod)},
+       |dsum AS (SELECT doc_id,
+       |    (31 - g // 32) // 4 AS bi,
+       |    ((g % 32) * 9 + 8) // 32 AS bj,
+       |    sum(l) AS s, count(*) AS n
+       |  FROM pxl GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.doc_id, a.bi * 8 + a.bj AS bit,
+       |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS fbit
+       |  FROM dsum a JOIN dsum b
+       |    ON a.doc_id = b.doc_id AND a.bi = b.bi AND b.bj = a.bj + 1),
+       |${hammingTail(maxHamming)}""".stripMargin
+
+  /** Shared DuckDB CTEs regenerating the fabricated corpus's pixel
+    * stream — [[mix24]] noise (three chained stages so the quadratic
+    * steps don't duplicate subexpressions), flip overwrites (f=1
+    * checked before f=0, matching the encoder's overwrite order on
+    * position collision), 24-bit → luma fold. Ends with
+    * `pxl(doc_id, g, l)` where `g` is the raw ENCODED pixel index
+    * (consumers apply the decode's bottom-up row flip:
+    * display row = `31 − g ÷ 32`). */
+  private def mediaPixelCtes(groupMod: Int): String = {
     val M = 2147483647L
-    s"""WITH ids AS (SELECT doc_id FROM documents),
+    s"""ids AS (SELECT doc_id FROM documents),
        |px0 AS (SELECT doc_id, t.g,
        |    ((doc_id % $groupMod) * 131 + t.g + 7) % $M AS h
        |  FROM ids, LATERAL unnest(range(0, 1024)) t(g)),
@@ -979,24 +1095,23 @@ object MediaCodecs {
        |    MAX(CASE WHEN f = 65536 THEN v END) AS val0,
        |    MAX(CASE WHEN f = 65537 THEN v END) AS val1
        |  FROM f2 GROUP BY 1),
-       |lum AS (SELECT p.doc_id,
-       |    (31 - p.g // 32) // 4 AS bi, (p.g % 32) // 4 AS bj,
+       |pmx AS (SELECT p.doc_id, p.g,
        |    CASE WHEN ((p.doc_id // $groupMod) % 3) >= 2
        |              AND p.g = fl.pos1 THEN fl.val1
        |         WHEN ((p.doc_id // $groupMod) % 3) >= 1
        |              AND p.g = fl.pos0 THEN fl.val0
        |         ELSE p.v END AS v
        |  FROM px2 p JOIN fl USING (doc_id)),
-       |l2 AS (SELECT doc_id, bi, bj,
+       |pxl AS (SELECT doc_id, g,
        |    (v % 256) + ((v // 256) % 256) + ((v // 65536) % 256) AS l
-       |  FROM lum),
-       |blocks AS (SELECT doc_id, bi, bj, sum(l) AS s
-       |  FROM l2 GROUP BY 1, 2, 3),
-       |tot AS (SELECT doc_id, sum(l) AS total FROM l2 GROUP BY 1),
-       |bits AS (SELECT b.doc_id, b.bi * 8 + b.bj AS bit,
-       |    CASE WHEN b.s * 1024 > t.total * 16 THEN 1 ELSE 0 END AS fbit
-       |  FROM blocks b JOIN tot t USING (doc_id)),
-       |ham AS (SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+       |  FROM pmx)""".stripMargin
+  }
+
+  /** Shared all-pairs hamming tail over a `bits(doc_id, bit, fbit)`
+    * CTE (the oracle side needs no banding — by pigeonhole the banded
+    * plan's output IS the hamming ≤ `maxHamming` pair set). */
+  private def hammingTail(maxHamming: Int): String =
+    s"""ham AS (SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
        |    CAST(sum(CASE WHEN a.fbit <> b.fbit THEN 1 ELSE 0 END)
        |      AS BIGINT) AS hamming
        |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.doc_id < b.doc_id
@@ -1004,5 +1119,4 @@ object MediaCodecs {
        |SELECT media_id_a, media_id_b, hamming FROM ham
        |WHERE hamming <= $maxHamming
        |ORDER BY media_id_a, media_id_b""".stripMargin
-  }
 }

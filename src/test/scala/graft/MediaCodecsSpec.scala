@@ -253,6 +253,49 @@ class MediaCodecsSpec extends AnyFunSuite {
     pairs.filter(p => exact((p._1, p._2))).foreach(p => assert(p._3 === 0L))
   }
 
+  test("dHash: gradient bits, brightness-shift invariance, vertical-ramp invariance") {
+    // left-to-right luma ramp per 32-wide row: every adjacent-block
+    // compare is left < right -> no bits set; reversed ramp sets all 64
+    val w = 32; val h = 32
+    val inc = Array.tabulate(w * h)(i => (i % w) * 10)
+    assert(MediaCodecs.dHash(w, h, inc) === Some(0L))
+    val dec = Array.tabulate(w * h)(i => (w - 1 - i % w) * 10)
+    assert(MediaCodecs.dHash(w, h, dec).map(java.lang.Long.bitCount) ===
+      Some(64))
+    // a structured image: same hash after a uniform brightness shift
+    val img = Array.tabulate(w * h)(i =>
+      (((i * 1103515245L + 12345L) >>> 16) & 0x3ff).toInt)
+    val shifted = img.map(_ + 57)
+    assert(MediaCodecs.dHash(w, h, img) === MediaCodecs.dHash(w, h, shifted))
+    // a VERTICAL illumination ramp (offset depends only on the row)
+    // leaves dHash exactly unchanged — horizontally adjacent blocks
+    // span identical rows — while aHash flips bits (top rows now all
+    // exceed the global mean)
+    val ramped = Array.tabulate(w * h)(i => img(i) + (i / w) * 25)
+    assert(MediaCodecs.dHash(w, h, ramped) === MediaCodecs.dHash(w, h, img))
+    assert(MediaCodecs.aHash(w, h, ramped) !== MediaCodecs.aHash(w, h, img))
+    assert(MediaCodecs.dHash(8, 16, Array.fill(128)(1)) === None, "w < 9")
+  }
+
+  test("mediaDhashDedup: same-content groups pair up, different content stays apart") {
+    import spark.implicits._
+    val docs = (0L until 120L).toDF("doc_id")
+    val pairs = MediaCodecs.mediaDhashDedup(spark, docs, maxHamming = 3,
+      groupMod = 25).as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, ham) =>
+      assert(a % 25 === b % 25, s"cross-content pair ($a, $b)")
+      assert(ham >= 0 && ham <= 3)
+    }
+    // byte-identical images must pair at hamming 0
+    val exact = (0L until 120L).filter(id => (id / 25) % 3 == 0)
+      .groupBy(_ % 25).values.flatMap(g =>
+        for (a <- g; b <- g if a < b) yield (a, b)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(exact.subsetOf(got),
+      s"missing exact pairs: ${(exact -- got).take(5)}")
+  }
+
   private def jdkImage(fmt: String, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
