@@ -279,6 +279,10 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, d) => Corpus.corpusShuffle(Tables.documents(s, d))),
     // BM25 probe-query retrieval over the corpus (top-k per query)
     "bm25_search" -> ((s, d) => Retrieval.bm25Search(par(Tables.documents(s, d)))),
+    // positions-aware phrase-ish retrieval: min token gap per
+    // (term-pair probe, doc), in-row fold over two position arrays
+    "proximity_search" -> ((s, d) =>
+      Retrieval.proximitySearch(par(Tables.documents(s, d)))),
     // hybrid lexical->dense: BM25 recall + PRF-vector cosine re-rank
     "hybrid_search" -> ((s, d) => Retrieval.hybridSearch(
       par(Tables.documents(s, d)), Tables.embeddings(s, d))),
@@ -698,6 +702,7 @@ object SparkEntry {
     "token_budget_mix" -> Corpus.tokenBudgetMixSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "bm25_search" -> Retrieval.bm25SearchSql(),
+    "proximity_search" -> Retrieval.proximitySearchSql(),
     "hybrid_search" -> Retrieval.hybridSearchSql(),
     "rrf_fusion" -> Retrieval.rrfFusionSql(),
     "dsir_weights" -> Corpus.dsirWeightsSql(),

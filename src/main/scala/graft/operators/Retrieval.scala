@@ -384,4 +384,86 @@ object Retrieval {
        |SELECT qid, rrf_rank, doc_id, bm25_rank, cos_rank, rrf_score
        |FROM rk WHERE rrf_rank <= $k ORDER BY qid, rrf_rank""".stripMargin
   }
+
+  /** Deterministic term-pair probes for [[proximitySearch]] (the
+    * [[DemoQueries]] vocabulary). */
+  val ProximityQueries: Seq[(String, String, String)] = Seq(
+    ("p_hash_join", "hash", "join"),
+    ("p_table_scan", "table", "scan"),
+    ("p_stream_window", "stream", "window"),
+    ("p_sort_merge", "sort", "merge"))
+
+  /** PROXIMITY search — the positions-aware retrieval face BM25 lacks:
+    * for each `(qid, term_a, term_b)` probe, find documents where the
+    * two terms occur within `window` token positions and rank by the
+    * minimum gap (phrase-ish matching; a curation pipeline uses
+    * exactly this to find boilerplate collocations and benchmark
+    * phrasings that bag-of-words scoring dilutes).
+    *
+    * Scale shape: POSITIONAL postings built once — one posexplode +
+    * one (doc_id, term) groupBy whose per-group state is the term's
+    * position list within one document (bounded by document length,
+    * the repo's bounded-per-doc discipline) — then the tiny probe
+    * table BROADCASTS into the postings and the b-side resolves
+    * through one (doc_id, term) equi-join, so each (query, doc) pair
+    * is ONE row with two position arrays; the min-gap is an in-row
+    * O(tf_a·tf_b) fold, never a row explosion. Per-query top-k is the
+    * `row_number ≤ k` idiom ([[graft.plans.TopKRewriteRule]] lowers it
+    * to bounded heaps). Output: (qid, prox_rank, doc_id, min_gap). */
+  def proximitySearch(documents: DataFrame,
+      queries: Seq[(String, String, String)] = ProximityQueries,
+      window: Int = 8, k: Int = 10): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "term_a", "term_b")
+    val pos = documents
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    pos
+      .join(broadcast(qdf), col("term") === col("term_a"))
+      .select(col("qid"), col("doc_id"), col("ps").as("pa"), col("term_b"))
+      .join(pos.select(col("doc_id"), col("term").as("term_b"),
+        col("ps").as("pb")), Seq("doc_id", "term_b"))
+      .withColumn("min_gap", expr(
+        "array_min(flatten(transform(pa, x -> transform(pb, y -> abs(x - y)))))")
+        .cast("long"))
+      .where(col("min_gap") <= window)
+      .withColumn("prox_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("min_gap").asc, col("doc_id").asc)).cast("long"))
+      .where(col("prox_rank") <= k)
+      .select(col("qid"), col("prox_rank"), col("doc_id"), col("min_gap"))
+      .orderBy("qid", "prox_rank")
+  }
+
+  /** DuckDB replay of [[proximitySearch]]: positional token stream,
+    * relational min-gap per (query, doc), same (gap, doc_id) rank. */
+  def proximitySearchSql(window: Int = 8, k: Int = 10): String = {
+    val vals = ProximityQueries
+      .map { case (q, a, b) => s"('$q', '$a', '$b')" }.mkString(", ")
+    s"""WITH qp AS (
+       |  SELECT * FROM (VALUES $vals) q(qid, term_a, term_b)),
+       |tp AS (
+       |  SELECT doc_id, tok AS term, idx - 1 AS pos FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |      generate_subscripts(string_split(text, ' '), 1) AS idx
+       |    FROM documents)),
+       |mg AS (
+       |  SELECT q.qid, a.doc_id, min(abs(a.pos - b.pos)) AS min_gap
+       |  FROM qp q
+       |  JOIN tp a ON a.term = q.term_a
+       |  JOIN tp b ON b.doc_id = a.doc_id AND b.term = q.term_b
+       |  GROUP BY 1, 2),
+       |pr AS (
+       |  SELECT qid, doc_id, min_gap,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY min_gap, doc_id) AS prox_rank
+       |  FROM mg WHERE min_gap <= $window)
+       |SELECT qid, prox_rank::BIGINT AS prox_rank, doc_id,
+       |  min_gap::BIGINT AS min_gap
+       |FROM pr WHERE prox_rank <= $k
+       |ORDER BY qid, prox_rank""".stripMargin
+  }
 }

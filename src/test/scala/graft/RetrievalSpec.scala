@@ -131,4 +131,22 @@ class RetrievalSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bm25_t_doclen")
     }
   }
+
+  test("proximity search: min gap computed over ALL occurrence pairs, window excludes, rank by gap") {
+    val d = Seq(
+      (1L, "hash x x join"),                 // gap 3
+      (2L, "hash join tail"),                // gap 1 -> ranks first
+      (3L, "join y y y y hash y join"),      // min gap over pairs = 2
+      (4L, "hash a a a a a a a a a join"),   // gap 10 > window -> out
+      (5L, "hash only here"),                // missing term_b -> out
+      (6L, "nothing relevant")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.proximitySearch(d,
+      Seq(("p", "hash", "join")), window = 8, k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSeq === Seq(
+      ("p", 1L, 2L, 1L),
+      ("p", 2L, 3L, 2L),
+      ("p", 3L, 1L, 3L)))
+  }
 }
