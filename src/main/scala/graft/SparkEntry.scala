@@ -252,6 +252,11 @@ object SparkEntry {
     // shrinks top-down by likelihood; rows-only like bpe_merges
     "unigram_vocab" -> ((s, d) => Unigram.unigramVocab(par(Tables.documents(s, d)))),
     "unigram_encode" -> ((s, d) => Unigram.unigramEncode(par(Tables.documents(s, d)))),
+    // the Viterbi DP itself under a pinned hash-cost model — the
+    // segmentation half of the unigram tokenizer with a hash-exact
+    // recursive-CTE oracle (training stays rows-only above)
+    "unigram_segment_pinned" -> ((s, d) =>
+      Unigram.unigramSegmentPinned(par(Tables.documents(s, d)))),
     // distilled linear quality classifier (hashed features, logistic
     // GD) — rows-only (iterative FP training isn't SQL-expressible);
     // learnability floors + analytic gradient check in ClassifierSpec
@@ -740,6 +745,7 @@ object SparkEntry {
     "length_batching" -> Corpus.lengthBatchingSql(),
     "span_corruption" -> Corpus.spanCorruptionSql(),
     "mlm_masking" -> Corpus.mlmMaskingSql(),
+    "unigram_segment_pinned" -> Unigram.unigramSegmentPinnedSql(),
     "sft_examples" -> Corpus.sftExamplesSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),
     "pii_redaction" -> Corpus.redactionReportSql,

@@ -137,7 +137,7 @@ object Classifier {
   /** Driver-side replica of DuckDB's `('0x' || substr(md5(s), 1, 15))
     * ::BIGINT` — the engine-portable 60-bit md5 prefix the repo's
     * portable hashes build on (`hashSplit` / `dsirWeights`). */
-  private def md5Long15(s: String): Long = {
+  private[operators] def md5Long15(s: String): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.lang.Long.parseLong(

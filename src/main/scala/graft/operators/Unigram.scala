@@ -33,7 +33,18 @@ object Unigram {
     * word is always segmentable. Ties prefer the longer last piece
     * (deterministic; matches the greedy intuition). */
   def segment(word: String, lp: collection.Map[String, Double],
-      floorLp: Double, maxPieceLen: Int = 8): List[String] = {
+      floorLp: Double, maxPieceLen: Int = 8): List[String] =
+    segmentWith(word, p =>
+      if (lp.contains(p)) lp(p)
+      else if (p.length == 1) floorLp
+      else Double.NegativeInfinity, maxPieceLen)
+
+  /** The Viterbi DP over an arbitrary piece scorer (`NegativeInfinity`
+    * = not a piece) — [[segment]]'s engine, shared with the pinned
+    * hash-model face ([[unigramSegmentPinned]]) so both run the SAME
+    * production code path. */
+  def segmentWith(word: String, lpFn: String => Double,
+      maxPieceLen: Int = 8): List[String] = {
     val n = word.length
     val best = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = new Array[Int](n + 1)
@@ -42,12 +53,7 @@ object Unigram {
     while (i <= n) {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        val piece = word.substring(j, i)
-        val plp =
-          if (lp.contains(piece)) lp(piece)
-          else if (i - j == 1) floorLp
-          else Double.NegativeInfinity
-        val cand = best(j) + plp
+        val cand = best(j) + lpFn(word.substring(j, i))
         // strict >: j ascends, so ties keep the smallest j already
         // found — the longest last piece. Deterministic.
         if (cand > best(i)) { best(i) = cand; back(i) = j }
@@ -197,5 +203,111 @@ object Unigram {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces_word")).as("n_pieces"))
       .orderBy("doc_id")
+  }
+
+  // ---- pinned-model segmentation (the oracle face of the Viterbi) --
+
+  /** Pinned integer piece cost: a piece is in-vocab iff
+    * `md5('uv:'||piece) % 5 = 0` (engine-portable 60-bit md5 prefix),
+    * costing `md5('uc:'||piece) % 1000 + 1`; out-of-vocab single
+    * characters cost the 2000 floor (coverage); anything else is not
+    * a piece. All integers — the DP compares are exact in both
+    * engines. */
+  private[graft] def pinnedPieceCost(p: String): Option[Long] = {
+    if (Classifier.md5Long15("uv:" + p) % 5 == 0)
+      Some(Classifier.md5Long15("uc:" + p) % 1000 + 1)
+    else if (p.length == 1) Some(2000L)
+    else None
+  }
+
+  /** The SAME Viterbi ([[segmentWith]] — [[segment]]'s engine) under
+    * the PINNED hash-derived cost model, segmenting every distinct
+    * corpus word: the oracle face of the unigram tokenizer's hardest
+    * part. The trained faces ([[unigramVocab]]/[[unigramEncode]]) stay
+    * rows-only (EM training is data-dependent FP state), but the
+    * segmentation DP itself — min-cost over pieces with the
+    * longest-piece tie-break — is now hash-exactly replayed by a
+    * DuckDB RECURSIVE CTE that carries a (maxPieceLen)-deep sliding
+    * window of (best, path) state per position
+    * ([[unigramSegmentPinnedSql]]).
+    *
+    * Scale shape: the distinct-word table is the corpus's vocabulary
+    * (bounded, never token-proportional); per word the DP is
+    * O(len · maxPieceLen) scan-side work; zero shuffle beyond the
+    * word distinct. Output: (word, n_pieces, pieces, cost). */
+  def unigramSegmentPinned(documents: DataFrame,
+      maxPieceLen: Int = 4): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .where(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+      .distinct().as[String]
+      .map { w =>
+        val pieces = segmentWith(w,
+          p => pinnedPieceCost(p).fold(Double.NegativeInfinity)(c =>
+            -c.toDouble), maxPieceLen)
+        val cost = pieces.map(p => pinnedPieceCost(p).get).sum
+        (w, pieces.length.toLong, pieces.mkString(" "), cost)
+      }
+      .toDF("word", "n_pieces", "pieces", "cost")
+      .orderBy("word")
+  }
+
+  /** DuckDB replay of [[unigramSegmentPinned]]: a RECURSIVE CTE runs
+    * the identical DP one position per iteration, carrying the last
+    * `maxPieceLen` (best, path) pairs as the sliding window (the
+    * recursive working table only exposes the previous iteration, so
+    * the window IS the DP state). Tie-break parity: the composite key
+    * `(best + cost) * (maxPieceLen·2) + (maxPieceLen − l)` makes the
+    * list_sort pick the cheapest candidate and, on equal cost, the
+    * LONGEST piece — exactly [[segmentWith]]'s smallest-j rule. */
+  def unigramSegmentPinnedSql(maxPieceLen: Int = 4): String = {
+    def cand(l: Int): String = {
+      val piece = s"substr(word, pos + 2 - $l, $l)"
+      val inV = s"('0x' || substr(md5('uv:' || $piece), 1, 15))::BIGINT % 5 = 0"
+      val cv = s"('0x' || substr(md5('uc:' || $piece), 1, 15))::BIGINT % 1000 + 1"
+      val cost =
+        if (l == 1) s"CASE WHEN $inV THEN $cv ELSE 2000 END"
+        else s"CASE WHEN $inV THEN $cv END"
+      val b = s"b${l - 1}"
+      s"""struct_pack(k := CASE WHEN $l <= pos + 1 AND $b IS NOT NULL
+         |      AND ($cost) IS NOT NULL
+         |    THEN ($b + ($cost)) * ${maxPieceLen * 2} + (${maxPieceLen} - $l) END,
+         |  c := $b + ($cost), pp := p${l - 1}, pc := $piece)""".stripMargin
+    }
+    val cands = (1 to maxPieceLen).map(cand).mkString(",\n    ")
+    val bInit = (1 until maxPieceLen)
+      .map(i => s"NULL::BIGINT AS b$i").mkString(", ")
+    val pInit = (1 until maxPieceLen)
+      .map(i => s"NULL::VARCHAR AS p$i").mkString(", ")
+    val bShift = (0 until maxPieceLen - 1).map(i => s"b$i").mkString(", ")
+    val pShift = (0 until maxPieceLen - 1).map(i => s"p$i").mkString(", ")
+    s"""WITH RECURSIVE
+       |uw AS (
+       |  SELECT DISTINCT tok AS word FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS tok
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(tok) > 0),
+       |seg AS (
+       |  SELECT word, 0 AS pos, 0::BIGINT AS b0, $bInit,
+       |    '' AS p0, $pInit
+       |  FROM uw
+       |  UNION ALL
+       |  SELECT word, pos + 1,
+       |    cand.c, $bShift,
+       |    CASE WHEN cand.pp = '' THEN cand.pc
+       |         ELSE cand.pp || ' ' || cand.pc END,
+       |    $pShift
+       |  FROM (
+       |    SELECT *, (list_sort(list_filter([
+       |    $cands
+       |    ], x -> x.k IS NOT NULL)))[1] AS cand
+       |    FROM seg WHERE pos < length(word)) t)
+       |SELECT word, len(string_split(p0, ' '))::BIGINT AS n_pieces,
+       |  p0 AS pieces, b0 AS cost
+       |FROM seg WHERE pos = length(word)
+       |ORDER BY word""".stripMargin
   }
 }

@@ -61,4 +61,42 @@ class UnigramSpec extends AnyFunSuite {
     val ratio = enc.map(_._3).sum.toDouble / words
     assert(ratio < 4.0, s"pieces/word ratio $ratio suspiciously high")
   }
+
+  test("pinned segmentation: reconstructs the word, cost is optimal vs brute force") {
+    import graft.operators.Unigram
+    // adversarial words beyond the corpus vocabulary, incl. repeats
+    // and lengths that stress every DP window slot
+    val words = Seq("mississippi", "tablescan", "xyzzyq", "a", "ab",
+      "zzzzzzzzzzzz", "interchangeably")
+    def brute(w: String, maxLen: Int): Long = {
+      // exhaustive min-cost segmentation (exponential — test-only)
+      val memo = scala.collection.mutable.Map.empty[Int, Option[Long]]
+      def go(i: Int): Option[Long] =
+        if (i == w.length) Some(0L)
+        else memo.getOrElseUpdate(i, {
+          val opts = for {
+            l <- 1 to math.min(maxLen, w.length - i)
+            c <- Unigram.pinnedPieceCost(w.substring(i, i + l))
+            rest <- go(i + l)
+          } yield c + rest
+          if (opts.isEmpty) None else Some(opts.min)
+        })
+      go(0).get
+    }
+    words.foreach { w =>
+      val pieces = Unigram.segmentWith(w,
+        p => Unigram.pinnedPieceCost(p)
+          .fold(Double.NegativeInfinity)(c => -c.toDouble), 4)
+      assert(pieces.mkString("") === w, s"$w reconstruction")
+      val cost = pieces.map(p => Unigram.pinnedPieceCost(p).get).sum
+      assert(cost === brute(w, 4), s"$w: DP cost $cost not optimal")
+    }
+    // the refactor guard: segment() still equals segmentWith under a
+    // map-backed scorer
+    val lp = Map("he" -> -1.0, "llo" -> -1.5, "hello" -> -9.0)
+    assert(Unigram.segment("hello", lp, floorLp = -20.0) ===
+      Unigram.segmentWith("hello",
+        p => if (lp.contains(p)) lp(p)
+             else if (p.length == 1) -20.0 else Double.NegativeInfinity))
+  }
 }
