@@ -268,6 +268,9 @@ object SparkEntry {
     "quality_score_pinned" -> ((s, d) =>
       Classifier.qualityScorePinned(par(Tables.documents(s, d)))),
     "length_buckets" -> ((s, d) => Corpus.lengthBuckets(Tables.documents(s, d))),
+    // rank-normalized multi-signal quality blend (four range-
+    // partitioned global ranks, never a single-partition window)
+    "quality_ensemble" -> ((s, d) => Corpus.qualityEnsemble(par(Tables.documents(s, d)))),
     "tfidf_top_terms" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(par(Tables.documents(s, d)))),
     "char_ngram_explode" -> ((s, d) =>
@@ -746,6 +749,7 @@ object SparkEntry {
     "span_corruption" -> Corpus.spanCorruptionSql(),
     "mlm_masking" -> Corpus.mlmMaskingSql(),
     "unigram_segment_pinned" -> Unigram.unigramSegmentPinnedSql(),
+    "quality_ensemble" -> Corpus.qualityEnsembleSql(),
     "sft_examples" -> Corpus.sftExamplesSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),
     "pii_redaction" -> Corpus.redactionReportSql,

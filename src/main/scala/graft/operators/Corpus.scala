@@ -1045,6 +1045,96 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** RANK-normalized quality ensemble — the multi-signal curation
+    * blend (DataComp/DCLM-style: no single heuristic survives contact
+    * with a web corpus, so production filters average RANKS, which are
+    * scale-free, instead of raw scores, which need per-signal
+    * calibration): three deterministic per-document signals — mean
+    * token length, type-token ratio, long-token share (1 − short-token
+    * share) — each globally ranked best-first, then the documents
+    * re-ranked by rank SUM.
+    *
+    * Scale shape: the signals are one scan of per-row array folds; the
+    * four global ranks are [[Analytics.rankByRange]] passes
+    * (range-partitioned, O(partitions) driver state — never a
+    * single-partition window), each over the doc-keyed signal table,
+    * not the corpus text. Exact: integer/ratio arithmetic only (IEEE
+    * division is correctly rounded in both engines), total order by
+    * (metric desc, doc_id). Output: (doc_id, r_len, r_ttr, r_long,
+    * rank_sum, ens_rank). */
+  def qualityEnsemble(documents: DataFrame): DataFrame = {
+    val base = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+          .as("sum_len"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(filter(col("toks"), t => length(t) <= 2)).cast("long")
+          .as("n_short"))
+      .withColumn("m_len",
+        col("sum_len").cast("double") / col("n_toks").cast("double"))
+      .withColumn("m_ttr",
+        col("n_distinct").cast("double") / col("n_toks").cast("double"))
+      .withColumn("m_long",
+        lit(1.0) - col("n_short").cast("double") / col("n_toks").cast("double"))
+    def rankBy(df: DataFrame, m: String, as: String): DataFrame = {
+      val (r, _) = Analytics.rankByRange(
+        df.withColumn("__neg", -col(m)), Seq("__neg", "doc_id"))
+      r.drop("__neg").withColumnRenamed("__rank", as)
+    }
+    val ranked = rankBy(rankBy(rankBy(base,
+      "m_len", "r_len"), "m_ttr", "r_ttr"), "m_long", "r_long")
+      .withColumn("rank_sum", col("r_len") + col("r_ttr") + col("r_long"))
+    val (ens, _) = Analytics.rankByRange(ranked, Seq("rank_sum", "doc_id"))
+    ens
+      .withColumnRenamed("__rank", "ens_rank")
+      .select(col("doc_id"), col("r_len"), col("r_ttr"), col("r_long"),
+        col("rank_sum"), col("ens_rank"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[qualityEnsemble]]: same folds, four
+    * row_numbers over the same (metric desc, doc_id) total orders. */
+  def qualityEnsembleSql(): String =
+    s"""WITH qb AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0)
+       |      AS toks
+       |  FROM documents WHERE text IS NOT NULL),
+       |qs AS (
+       |  SELECT doc_id,
+       |    len(toks)::BIGINT AS n_toks,
+       |    list_sum(list_transform(toks, t -> length(t)))::BIGINT
+       |      AS sum_len,
+       |    len(list_distinct(toks))::BIGINT AS n_distinct,
+       |    len(list_filter(toks, t -> length(t) <= 2))::BIGINT AS n_short
+       |  FROM qb WHERE len(toks) > 0),
+       |qm AS (
+       |  SELECT doc_id,
+       |    sum_len::DOUBLE / n_toks::DOUBLE AS m_len,
+       |    n_distinct::DOUBLE / n_toks::DOUBLE AS m_ttr,
+       |    1.0 - n_short::DOUBLE / n_toks::DOUBLE AS m_long
+       |  FROM qs),
+       |qr AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY m_len DESC, doc_id) AS r_len,
+       |    row_number() OVER (ORDER BY m_ttr DESC, doc_id) AS r_ttr,
+       |    row_number() OVER (ORDER BY m_long DESC, doc_id) AS r_long
+       |  FROM qm),
+       |qe AS (
+       |  SELECT doc_id, r_len, r_ttr, r_long,
+       |    (r_len + r_ttr + r_long)::BIGINT AS rank_sum
+       |  FROM qr)
+       |SELECT doc_id, r_len::BIGINT AS r_len, r_ttr::BIGINT AS r_ttr,
+       |  r_long::BIGINT AS r_long, rank_sum,
+       |  row_number() OVER (ORDER BY rank_sum, doc_id)::BIGINT
+       |    AS ens_rank
+       |FROM qe ORDER BY doc_id""".stripMargin
+
   /** Length-bucketed batching diagnostic: documents grouped into
     * power-of-two token-length buckets, reporting what batching at each
     * bucket's ceiling wastes in padding — the number a training
