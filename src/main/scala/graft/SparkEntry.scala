@@ -381,6 +381,10 @@ object SparkEntry {
     // corpus-level exact line dedup (RefinedWeb line-wise rule): first
     // occurrence of each rendered line survives, docs rebuilt
     "line_dedup" -> ((s, d) => Dedup.lineDedup(par(Tables.documents(s, d)))),
+    // within-doc boilerplate cleaner: first occurrence per repeated
+    // line INSIDE each document — zero-shuffle per-row fold
+    "within_doc_line_dedup" -> ((s, d) =>
+      Dedup.withinDocLineDedup(par(Tables.documents(s, d)))),
     // bloom membership gate: exact is-this-key-already-known — the
     // 1996+ cohort's customers probed against a filter built from the
     // pre-1996 order history (~20% genuinely first-time); the bloom
@@ -743,6 +747,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_span_removal" -> Dedup.spanRemovalSql(),
     "line_dedup" -> Dedup.lineDedupSql(),
+    "within_doc_line_dedup" -> Dedup.withinDocLineDedupSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "length_batching" -> Corpus.lengthBatchingSql(),

@@ -1298,6 +1298,53 @@ object Dedup {
   private[operators] val polyHash62Sql: String =
     s"(${polyFold(131)} | (${polyFold(137)} << 31))"
 
+  /** WITHIN-document line dedup — the boilerplate cleaner that
+    * [[lineDedup]] (corpus-wide) is not: inside each document, keep
+    * only the FIRST occurrence of every repeated
+    * [[contentLinesExpr]] line and rebuild the cleaned text (repeated
+    * headers/footers/menus inside one crawled page are the classic
+    * case; corpus-wide line dedup must shuffle on line content, but
+    * the within-doc variant needs NO shuffle at all). One per-row
+    * fold carrying the kept-lines array (O(lines²) membership checks,
+    * bounded per document); runs at scan speed on 100 TB. Output:
+    * (doc_id, n_lines, n_kept, cleaned_md5) — md5 of the
+    * space-joined surviving lines in first-occurrence order. */
+  def withinDocLineDedup(documents: DataFrame): DataFrame = {
+    graft.functions.PolyHash62.register(documents.sparkSession)
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("lines", expr(contentLinesExpr))
+      .select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"),
+        expr(
+          """aggregate(lines, CAST(array() AS ARRAY<STRING>),
+            |  (acc, l) -> IF(array_contains(acc, l), acc,
+            |                 array_append(acc, l)))""".stripMargin)
+          .as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[withinDocLineDedup]]: the shared line CTEs;
+    * first occurrence = min(line_id) per (doc, line content); rebuild
+    * in first-occurrence order. */
+  def withinDocLineDedupSql(): String =
+    s"""WITH ${contentLinesCtes(polyFold)},
+       |wnl AS (SELECT doc_id, count(*) AS n_lines FROM line GROUP BY 1),
+       |wk AS (
+       |  SELECT doc_id, l, min(line_id) AS first_id
+       |  FROM line GROUP BY 1, 2),
+       |wc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |    md5(string_agg(l, ' ' ORDER BY first_id)) AS cleaned_md5
+       |  FROM wk GROUP BY 1)
+       |SELECT n.doc_id, n.n_lines::BIGINT AS n_lines, c.n_kept,
+       |  c.cleaned_md5
+       |FROM wnl n JOIN wc c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def lineDedup(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.PolyHash62.register(documents.sparkSession)

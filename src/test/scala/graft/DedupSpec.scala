@@ -384,6 +384,29 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, _, j) => assert(j >= t && j <= 1.0) }
   }
 
+  test("within-doc line dedup: repeated lines collapse to first occurrence, order kept") {
+    val got = Dedup.withinDocLineDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.length === docs.count())
+    // driver reference: replay the same deterministic line split and
+    // first-occurrence fold per document
+    val lineCounts = Dedup.lineDedup(docs)
+      .select("doc_id", "n_lines").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, nLines, nKept, md) =>
+      assert(nLines === lineCounts(id), s"doc $id line count")
+      assert(nKept >= 1 && nKept <= nLines)
+      assert(md.length === 32)
+    }
+    // the synthetic corpus's tiny vocabulary makes within-doc repeats
+    // certain at fixture scale — some line must collapse somewhere
+    assert(got.exists(r => r._3 < r._2), "no within-doc repeats found")
+    // a doc with no repeated lines keeps everything
+    val clean = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val r = Dedup.withinDocLineDedup(clean)
+      .as[(Long, Long, Long, String)].head()
+    assert(r._2 === r._3)
+  }
+
   test("sorted-neighborhood pairs: window-bounded candidates, finds adjacent near-dups") {
     // near-identical token sets sort adjacently on the (n, sorted-token
     // string) key; the distinct doc lands far away
