@@ -1230,7 +1230,9 @@ object Corpus {
     * a document containing a literal sentinel fails the job loudly
     * (`raise_error` naming the doc_id) instead of silently emitting an
     * unreconstructable pair — one cheap rlike per document, scan-side,
-    * no plan change. NULL-text rows are dropped (both engines),
+    * no plan change. The guard is mirrored in BOTH engines: the DuckDB
+    * replay ([[spanCorruptionSql]]) raises via `error()` on the same
+    * pattern, so the faces agree on tainted input too. NULL-text rows are dropped (both engines),
     * matching the dedup-family convention of filtering null keys at
     * the source.
     *
@@ -1635,8 +1637,15 @@ object Corpus {
     * relational formulation provably equal to the engine-side fold. */
   def spanCorruptionSql(startPct: Int = 5): String = {
     val fold = Dedup.polyFold
+    // Mirror the Spark face's sentinel guard: both engines must fail
+    // loudly on a literal <extra_id_k>, or the replay silently emits
+    // the ambiguous pair the guard exists to prevent.
     s"""WITH d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  SELECT doc_id, string_split(
+       |    CASE WHEN regexp_matches(text, '<extra_id_[0-9]+>')
+       |      THEN error('spanCorruption: doc_id=' || CAST(doc_id AS VARCHAR)
+       |        || ' contains a literal reserved sentinel <extra_id_k>')
+       |      ELSE text END, ' ') AS toks FROM documents
        |  WHERE text IS NOT NULL),
        |tok AS (
        |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok

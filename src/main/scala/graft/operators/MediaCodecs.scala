@@ -956,6 +956,14 @@ object MediaCodecs {
     * then exact `bit_count(xor)` verify. Input: (media_id, hv). */
   private def bandedHammingPairs(hashes: DataFrame,
       maxHamming: Int): DataFrame = {
+    // The 4×16-bit banding is only complete for hamming ≤ 3: a pair at
+    // hamming 4 can differ in all four bands and never become a
+    // candidate, silently dropping true pairs while the exact-all-pairs
+    // oracle keeps them. Fail loudly instead of losing pairs; a larger
+    // threshold needs more/narrower bands (maxHamming+1 bands total).
+    require(maxHamming <= 3,
+      s"bandedHammingPairs: 4-band pigeonhole is complete only for " +
+        s"maxHamming <= 3 (got $maxHamming)")
     val bands = hashes.select(col("media_id"), col("hv"),
       explode(expr(
         """transform(sequence(0, 3), b ->

@@ -416,9 +416,17 @@ object Retrieval {
     val spark = documents.sparkSession
     import spark.implicits._
     val qdf = queries.toDF("qid", "term_a", "term_b")
+    // The probe-term set is driver-side and tiny: filter the token
+    // stream to it BEFORE the postings groupBy. The joins below keep
+    // only probe terms anyway, but Catalyst cannot push that predicate
+    // through the aggregate, so without this the corpus-wide
+    // (doc_id, term) shuffle builds postings for the whole vocabulary
+    // and then discards all but ~8 terms.
+    val probeTerms = queries.flatMap { case (_, a, b) => Seq(a, b) }.distinct
     val pos = documents
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .where(col("term").isin(probeTerms: _*))
       .groupBy(col("doc_id"), col("term"))
       .agg(sort_array(collect_list(col("pos"))).as("ps"))
     pos

@@ -961,12 +961,10 @@ object Similarity {
   // rows-only — their models are data-dependent FP state no static
   // SQL can embed.
 
-  private def signedFold(signs: Array[Float]): String = {
-    val lst = signs.map(f => if (f > 0) "1.0" else "-1.0")
-      .mkString("[", ",", "]")
-    s"list_reduce(list_transform(range(1, ${signs.length + 1}), " +
-      s"i -> e[i] * ($lst::DOUBLE[])[i]), (a, b) -> a + b)"
-  }
+  private def signedFold(signs: Array[Float]): String =
+    // Sign-coerce, then delegate: one fold template to maintain, so the
+    // two replays can never drift one-engine-at-a-time.
+    weightedFold(signs.map(f => if (f > 0) 1.0f else -1.0f))
 
   /** [[signedFold]] generalized to small-integer coefficients (the
     * [[pinnedCentroid]] ±1/±2 entries): same left-to-right `vec_dot`
