@@ -116,6 +116,9 @@ object SparkEntry {
     "value_stats_by_type" -> ((s, d) => Analytics.valueStatsByType(Tables.events(s, d))),
     "value_winsorized" -> ((s, d) => Analytics.valueWinsorized(Tables.events(s, d))),
     "user_enriched_salted" -> ((s, d) => Skew.userEnrichedSalted(Tables.events(s, d))),
+    // join-key distribution diagnostics: exact max-share/skew-factor/
+    // percentiles/Gini over per-key counts, ranked via rankByRange
+    "key_skew_profile" -> ((s, d) => Skew.keySkewProfile(Tables.events(s, d))),
     "first_event_per_user_minute" -> ((s, d) =>
       Analytics.firstEventPerUserMinute(Tables.events(s, d))),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
@@ -291,6 +294,10 @@ object SparkEntry {
     // (term-pair probe, doc), in-row fold over two position arrays
     "proximity_search" -> ((s, d) =>
       Retrieval.proximitySearch(par(Tables.documents(s, d)))),
+    // query-likelihood LM retrieval with Dirichlet smoothing (the
+    // sparse matched-terms + per-doc-constant decomposition)
+    "ql_dirichlet_search" -> ((s, d) =>
+      Retrieval.qlDirichletSearch(par(Tables.documents(s, d)))),
     // hybrid lexical->dense: BM25 recall + PRF-vector cosine re-rank
     "hybrid_search" -> ((s, d) => Retrieval.hybridSearch(
       par(Tables.documents(s, d)), Tables.embeddings(s, d))),
@@ -332,6 +339,10 @@ object SparkEntry {
     // temperature mixture weights (w_i ∝ n_i^α; α=0.5 because IEEE
     // sqrt is correctly rounded everywhere -> hash-exact oracle)
     "mixture_weights" -> ((s, d) => Corpus.mixtureWeights(Tables.documents(s, d))),
+    // language temperature resampling (share^alpha, dyadic alpha via
+    // correctly-rounded sqrt compositions), with effective boosts
+    "lang_temperature_mix" -> ((s, d) =>
+      Corpus.langTemperatureMix(Tables.documents(s, d))),
     // rank-frequency OLS: the distributional health check of a corpus
     "zipf_fit" -> ((s, d) => TextAnalysis.zipfFit(par(Tables.documents(s, d)))),
     // count-min sketch as relational algebra (oracle-checked, portable hash)
@@ -644,6 +655,7 @@ object SparkEntry {
     "value_stats_by_type" -> Analytics.valueStatsByTypeSql,
     "value_winsorized" -> Analytics.valueWinsorizedSql,
     "user_enriched_salted" -> Skew.userEnrichedSaltedSql,
+    "key_skew_profile" -> Skew.keySkewProfileSql(),
     "first_event_per_user_minute" -> Analytics.firstEventPerUserMinuteSql,
     "value_percentiles" -> Relational.valuePercentilesSql,
     "value_band_counts" -> Relational.valueBandCountsSql(),
@@ -714,6 +726,7 @@ object SparkEntry {
     "token_budget_mix" -> Corpus.tokenBudgetMixSql(),
     "corpus_shuffle" -> Corpus.corpusShuffleSql(),
     "bm25_search" -> Retrieval.bm25SearchSql(),
+    "ql_dirichlet_search" -> Retrieval.qlDirichletSearchSql(),
     "proximity_search" -> Retrieval.proximitySearchSql(),
     "hybrid_search" -> Retrieval.hybridSearchSql(),
     "rrf_fusion" -> Retrieval.rrfFusionSql(),
@@ -726,6 +739,7 @@ object SparkEntry {
     "corpus_pipeline" -> Corpus.corpusPipelineSql(),
     "corpus_profile" -> Corpus.corpusProfileSql(),
     "mixture_weights" -> Corpus.mixtureWeightsSql(),
+    "lang_temperature_mix" -> Corpus.langTemperatureMixSql(),
     "zipf_fit" -> TextAnalysis.zipfFitSql(),
     "word_pagerank" -> TextAnalysis.wordPagerankSql(),
     "cms_word_freq" -> TextAnalysis.cmsWordFreqSql(),

@@ -474,4 +474,136 @@ object Retrieval {
        |FROM pr WHERE prox_rank <= $k
        |ORDER BY qid, prox_rank""".stripMargin
   }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    * Croft 1998's LM ranking; Zhai & Lafferty 2001's Dirichlet prior)
+    * — the language-model face of lexical retrieval that [[bm25Search]]
+    * doesn't cover: rank by log P(q|d) under a document LM smoothed
+    * toward the collection model,
+    * `score = Σ_t log((tf_td + μ·p_t) / (dl_d + μ))`, `p_t = cf_t/|C|`.
+    *
+    * Computed via the standard sparse decomposition
+    * `Σ_{t∈q∩d} ln(1 + tf/(μ·p_t)) + m_q · ln(μ/(dl_d + μ))` so only
+    * MATCHED postings are touched (the absent-term mass folds into the
+    * per-document constant, `m_q` = the query's in-collection term
+    * count) — same candidate pruning as BM25: a document scores only
+    * if it shares ≥ 1 term with the query. Query terms absent from the
+    * collection have `p_t = 0` and drop out (the standard convention;
+    * both engines prune them with the same cf join).
+    *
+    * Plan shape = [[bm25Search]]'s: [[postings]] is the one
+    * corpus-sized shuffle; collection frequencies aggregate term-keyed
+    * then broadcast back pruned to query terms; stats are a 1-row
+    * broadcast; per-query top-k is the `row_number ≤ k` bounded-heap
+    * idiom.
+    *
+    * Cross-engine exactness (SCALE.md §8 conventions, stricter than
+    * BM25's decimal dance): every `ln` is floor-quantized to integer
+    * nanos (`floor(ln(x)·1e9 + 0.5)` — pure IEEE multiply/add/floor on
+    * identical operands), all sums and the rank key are then BIGINT
+    * (exact, order-independent), and the published score is one final
+    * int→double cast (< 2⁵³) and one division. Output:
+    * `(qid, ql_rank, doc_id, score)`. */
+  def qlDirichletSearch(documents: DataFrame,
+      queries: Seq[(String, String)] = DemoQueries, k: Int = 10,
+      mu: Double = 300.0): DataFrame =
+    qlScore(postings(documents), queryTermsDf(documents, queries), k, mu)
+
+  /** [[qlDirichletSearch]] over a pre-built [[writeBm25Index]]: the
+    * SAME index artifacts serve both ranker families — postings carry
+    * `(term, doc_id, dl, tf)`, which is the entire sufficient
+    * statistic for Dirichlet QL too (collection frequencies and the
+    * token total re-aggregate on the table's own term buckets with
+    * zero index-side exchange). Identical output to the one-shot form
+    * at equal parameters. */
+  def qlDirichletSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, queries: Seq[(String, String)] = DemoQueries,
+      k: Int = 10, mu: Double = 300.0): DataFrame = {
+    val tf = spark.table(s"${tableName}_postings")
+    qlScore(tf, queryTermsDf(spark.table(s"${tableName}_doclen"), queries),
+      k, mu)
+  }
+
+  /** Shared QL scoring tail over a postings list `(term, doc_id, dl,
+    * tf)` — the [[scoreTopK]] counterpart for the Dirichlet ranker. */
+  private def qlScore(tf: DataFrame, qterms: DataFrame, k: Int,
+      mu: Double): DataFrame = {
+    // collection term frequency, pruned to query terms at the join
+    // (cf is vocab-sized — qterms broadcasts INTO it, never the
+    // reverse), and the 1-row total token count
+    val qcf = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cf"))
+      .join(broadcast(qterms), Seq("term"))
+    val stats = tf.agg(sum(col("tf")).cast("long").as("ctot"))
+    // m_q: the query's in-collection distinct-term count (drives the
+    // absent-term constant; bounded by query length)
+    val mq = qcf.groupBy(col("qid")).agg(count(lit(1)).as("m"))
+    val matched = tf
+      .join(broadcast(qcf), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"), col("dl"),
+        expr(s"""CAST(floor(ln(1.0d + tf / ($mu *
+                |  (CAST(cf AS DOUBLE) / CAST(ctot AS DOUBLE))))
+                |  * 1000000000.0d + 0.5d) AS BIGINT)""".stripMargin)
+          .as("c"))
+    matched
+      // dl is functionally dependent on doc_id (postings carries it)
+      .groupBy(col("qid"), col("doc_id"), col("dl"))
+      .agg(sum(col("c")).as("sm"))
+      .join(broadcast(mq), Seq("qid"))
+      .withColumn("si", col("sm") + col("m") *
+        expr(s"""CAST(floor(ln($mu / (dl + $mu))
+                |  * 1000000000.0d + 0.5d) AS BIGINT)""".stripMargin))
+      .withColumn("ql_rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("si").desc, col("doc_id").asc)).cast("long"))
+      .where(col("ql_rank") <= k)
+      .select(col("qid"), col("ql_rank"), col("doc_id"),
+        (col("si").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy("qid", "ql_rank")
+  }
+
+  /** DuckDB replay of [[qlDirichletSearch]]: same postings, same
+    * floor-quantized integer-nanos log arithmetic, same
+    * (si DESC, doc_id) rank — BIGINT-exact end to end. */
+  def qlDirichletSearchSql(k: Int = 10, mu: Double = 300.0): String = {
+    val vals = DemoQueries
+      .flatMap { case (qid, q) => q.split(" ").distinct.map(qid -> _) }
+      .map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+       |  FROM tk GROUP BY 1, 2, 3),
+       |q AS (SELECT * FROM (VALUES $vals) v(qid, term)),
+       |qcf AS (
+       |  SELECT q.qid, c.term, c.cf FROM q JOIN (
+       |    SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1
+       |  ) c USING (term)),
+       |st AS (SELECT CAST(sum(tf) AS BIGINT) AS ctot FROM tf),
+       |mq AS (SELECT qid, count(*) AS m FROM qcf GROUP BY 1),
+       |mc AS (
+       |  SELECT qcf.qid, tf.doc_id, tf.dl,
+       |    CAST(floor(ln(1.0 + tf.tf / ($mu *
+       |      (CAST(qcf.cf AS DOUBLE) / CAST(st.ctot AS DOUBLE))))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS c
+       |  FROM tf JOIN qcf ON tf.term = qcf.term, st),
+       |sc AS (
+       |  SELECT qid, doc_id, dl, CAST(sum(c) AS BIGINT) AS sm
+       |  FROM mc GROUP BY 1, 2, 3),
+       |fin AS (
+       |  SELECT sc.qid, sc.doc_id,
+       |    sc.sm + mq.m * CAST(floor(ln($mu / (sc.dl + $mu))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS si
+       |  FROM sc JOIN mq USING (qid)),
+       |rk AS (
+       |  SELECT qid, doc_id, si,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY si DESC, doc_id) AS ql_rank
+       |  FROM fin)
+       |SELECT qid, CAST(ql_rank AS BIGINT) AS ql_rank, doc_id,
+       |  CAST(si AS DOUBLE) / 1000000000.0 AS score
+       |FROM rk WHERE ql_rank <= $k ORDER BY qid, ql_rank""".stripMargin
+  }
 }

@@ -66,4 +66,90 @@ object Skew {
       |  sum(user_total)::BIGINT AS sum_user_total
       |FROM events JOIN dim USING (user_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Join-key distribution diagnostics — the measurement that DECIDES
+    * whether [[saltedJoin]] (or AQE skew handling) is needed at all,
+    * and how to size `nSalts`: one row of exact statistics over the
+    * key's per-key row counts. `skew_factor` is max/mean (the
+    * straggler multiplier a hash join would see — size `nSalts` to
+    * it); `gini` is the exact Gini coefficient of the count
+    * distribution (0 = uniform keys, →1 = one key owns the table);
+    * `p50_count`/`p99_count` are exact order statistics.
+    *
+    * Scale shape: one key-keyed count (the same shuffle the join
+    * under diagnosis would do), then the per-key count table ranks
+    * through [[Analytics.rankByRange]] — range-partitioned local
+    * ranks + O(partitions) driver offsets, NO single-partition sort —
+    * and everything else is 1-row aggregates/lookups joined by
+    * broadcast. All sums/ranks BIGINT-exact; the published ratios are
+    * final double divisions written with identical expression shape
+    * in both engines (Σ rank·cnt stays < 2⁵³ far past any realistic
+    * key cardinality × row count at this profile's inputs; past that,
+    * re-enter DECIMAL per SCALE.md §8).
+    *
+    * Output: `(key, n_rows, n_keys, max_count, max_share,
+    * skew_factor, p50_count, p99_count, gini)`. */
+  def keySkewProfile(events: DataFrame,
+      keyCol: String = "user_id"): DataFrame = {
+    val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val (ranked, nKeys) = Analytics.rankByRange(counts, Seq("cnt", keyCol))
+    val agg = ranked.agg(
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_count"),
+      sum(col("cnt") * col("__rank")).as("acc"))
+    // exact order statistics: the count at ascending rank ⌈q·n⌉ —
+    // driver-side rank arithmetic mirrors the oracle's ceil() exactly
+    val p50r = math.ceil(0.50 * nKeys).toLong
+    val p99r = math.ceil(0.99 * nKeys).toLong
+    val p50 = ranked.where(col("__rank") === p50r)
+      .select(col("cnt").as("p50_count"))
+    val p99 = ranked.where(col("__rank") === p99r)
+      .select(col("cnt").as("p99_count"))
+    agg.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .select(lit(keyCol).as("key"), col("n_rows"), lit(nKeys).as("n_keys"),
+        col("max_count"),
+        expr("CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+          .as("max_share"),
+        expr(s"""CAST(max_count AS DOUBLE) * CAST($nKeys AS DOUBLE)
+                | / CAST(n_rows AS DOUBLE)""".stripMargin)
+          .as("skew_factor"),
+        col("p50_count"), col("p99_count"),
+        expr(s"""2.0d * CAST(acc AS DOUBLE)
+                | / (CAST($nKeys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                | - (CAST($nKeys AS DOUBLE) + 1.0d)
+                |   / CAST($nKeys AS DOUBLE)""".stripMargin)
+          .as("gini"))
+  }
+
+  /** DuckDB replay of [[keySkewProfile]]: the range-partitioned rank
+    * is a plain `row_number` here; identical integer statistics and
+    * identically-shaped final divisions. */
+  def keySkewProfileSql(keyCol: String = "user_id"): String =
+    s"""WITH c AS (
+       |  SELECT $keyCol AS k, count(*)::BIGINT AS cnt
+       |  FROM events GROUP BY 1),
+       |r AS (
+       |  SELECT cnt, row_number() OVER (ORDER BY cnt, k) AS rk FROM c),
+       |a AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |    CAST(max(cnt) AS BIGINT) AS max_count,
+       |    CAST(sum(cnt * rk) AS BIGINT) AS acc
+       |  FROM r),
+       |p50 AS (
+       |  SELECT r.cnt AS p50_count FROM r, a
+       |  WHERE r.rk = CAST(ceil(0.50 * a.n_keys) AS BIGINT)),
+       |p99 AS (
+       |  SELECT r.cnt AS p99_count FROM r, a
+       |  WHERE r.rk = CAST(ceil(0.99 * a.n_keys) AS BIGINT))
+       |SELECT '$keyCol' AS key, n_rows, n_keys, max_count,
+       |  CAST(max_count AS DOUBLE) / CAST(n_rows AS DOUBLE) AS max_share,
+       |  CAST(max_count AS DOUBLE) * CAST(n_keys AS DOUBLE)
+       |    / CAST(n_rows AS DOUBLE) AS skew_factor,
+       |  p50_count, p99_count,
+       |  2.0 * CAST(acc AS DOUBLE)
+       |    / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+       |    - (CAST(n_keys AS DOUBLE) + 1.0)
+       |      / CAST(n_keys AS DOUBLE) AS gini
+       |FROM a, p50, p99""".stripMargin
 }

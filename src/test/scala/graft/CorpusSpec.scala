@@ -525,4 +525,34 @@ class CorpusSpec extends AnyFunSuite {
       .where(col("col") =!= "").count()
     assert(real.map(_._2).sum === totTok)
   }
+
+  test("lang temperature mix: upsamples minority languages, flatter at smaller alpha") {
+    // 3 langs with 100/10/1 token masses: α<1 must boost the minority
+    // above 1 and cap the majority below 1, probabilities sum to 1
+    val docs = (
+      Seq.fill(10)("en" -> Seq.fill(10)("w").mkString(" ")) ++
+      Seq.fill(2)("fr" -> Seq.fill(5)("w").mkString(" ")) ++
+      Seq("sw" -> "w")
+    ).zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    def run(aq: Int) = Corpus.langTemperatureMix(docs, aq)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val a1 = run(1)
+    assert(a1.keySet === Set("en", "fr", "sw"))
+    assert(math.abs(a1.values.map(_._5).sum - 1.0) < 1e-12, "probs sum to 1")
+    assert(a1("sw")._6 > 1.0, "minority lang upsampled")
+    assert(a1("en")._6 < 1.0, "majority lang downsampled")
+    // share^α with the exact sqrt∘sqrt composition, replicated by hand
+    val sh = a1("sw")._4
+    assert(sh === 1.0 / 111.0)
+    val w = Map("en" -> 100.0, "fr" -> 10.0, "sw" -> 1.0).map { case (l, n) =>
+      l -> math.floor(math.sqrt(math.sqrt(n / 111.0)) * 1e9 + 0.5).toLong }
+    val ws = w.values.sum
+    assert(a1("sw")._5 === w("sw").toDouble / ws.toDouble)
+    // smaller α (=0.25) is flatter than α=0.75: minority prob larger
+    val a3 = run(3)
+    assert(a1("sw")._5 > a3("sw")._5)
+    assert(a1("en")._5 < a3("en")._5)
+  }
 }

@@ -149,4 +149,88 @@ class RetrievalSpec extends AnyFunSuite {
       ("p", 2L, 3L, 2L),
       ("p", 3L, 1L, 3L)))
   }
+
+  test("ql dirichlet indexed: one bm25 index serves both rankers, identical output") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    Retrieval.writeBm25Index(docs, "ql_t", buckets = 8)
+    try {
+      val oneShot = Retrieval.qlDirichletSearch(docs)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      val indexed = Retrieval.qlDirichletSearchIndexed(spark, "ql_t")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(oneShot === indexed)
+      assert(oneShot.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ql_t_postings")
+      spark.sql("DROP TABLE IF EXISTS ql_t_doclen")
+    }
+  }
+
+  test("ql dirichlet: rare-term match outranks common-term match; tf and brevity help") {
+    // 'zebra' cf=2 vs 'data' cf=14: matching the rare term wins at
+    // equal length; among zebra docs, higher tf wins; among data-only
+    // docs, the absent-term constant m_q·ln(μ/(dl+μ)) prefers shorter
+    val d = Seq(
+      (1L, "zebra data data data"),
+      (2L, "zebra zebra data data"),
+      (3L, "data data data data"),
+      (4L, "data data data data data data data data")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.qlDirichletSearch(d, Seq("q" -> "zebra data"), k = 4)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got.map(_._3) === List(2L, 1L, 3L, 4L))
+    assert(got.map(_._2) === List(1L, 2L, 3L, 4L), "dense ranks")
+    assert(got.sliding(2).forall(p => p(0)._4 >= p(1)._4), "scores descend")
+  }
+
+  test("ql dirichlet: sparse decomposition equals the dense log P(q|d) sum") {
+    // replicate the full Σ_t ln((tf + μ·p_t)/(dl + μ)) with the SAME
+    // integer-nanos quantization the operator uses, term by term, and
+    // check the published score — the decomposition must be exact, not
+    // just rank-preserving. μ=300, collection = 12 tokens.
+    val d = Seq(
+      (1L, "a a b c"),
+      (2L, "b c c d"),
+      (3L, "d d d a")
+    ).toDF("doc_id", "text")
+    val mu = 300.0
+    val cf = Map("a" -> 3.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0)
+    val ctot = 12.0
+    def q(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    def dense(toks: Seq[String], qterms: Seq[String]): Double = {
+      val dl = toks.size.toDouble
+      val si = qterms.map { t =>
+        val tf = toks.count(_ == t).toDouble
+        val p = cf(t) / ctot
+        // operator form: matched ln(1+tf/(μp)) + constant ln(μ/(dl+μ))
+        (if (tf > 0) q(math.log(1.0 + tf / (mu * p))) else 0L) +
+          q(math.log(mu / (dl + mu)))
+      }.sum
+      si.toDouble / 1e9
+    }
+    val got = Retrieval
+      .qlDirichletSearch(d, Seq("q" -> "a d"), k = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._3 -> r._4).toMap
+    val docs = Map(
+      1L -> Seq("a", "a", "b", "c"),
+      2L -> Seq("b", "c", "c", "d"),
+      3L -> Seq("d", "d", "d", "a"))
+    docs.foreach { case (id, toks) =>
+      assert(got(id) === dense(toks, Seq("a", "d")),
+        s"doc $id: sparse decomposition must equal the dense sum")
+    }
+  }
+
+  test("ql dirichlet: out-of-collection query terms drop out of m_q, not just the match") {
+    // same corpus, one query with an unseen term: the unseen term must
+    // contribute NOTHING (neither match nor absent-term constant), so
+    // scores equal the single-term query's exactly
+    val d = Seq((1L, "a a b"), (2L, "b b a")).toDF("doc_id", "text")
+    val one = Retrieval.qlDirichletSearch(d, Seq("q" -> "a"), k = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._3 -> r._4).toMap
+    val two = Retrieval.qlDirichletSearch(d, Seq("q" -> "a unseen"), k = 2)
+      .as[(String, Long, Long, Double)].collect().map(r => r._3 -> r._4).toMap
+    assert(one === two)
+  }
 }

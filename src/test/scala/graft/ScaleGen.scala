@@ -22,10 +22,19 @@ import org.apache.spark.sql.functions._
   * DISJOINT from every other's: the fixture is exactly "factor
   * independent shards, each with the original's internal duplicate
   * structure", which is what `factor`× more real data looks like.
-  * Embeddings keep the tiny-shift scheme (2⁻¹⁰ steps — NOTE: replicas
-  * remain cosine-near-dups of each other, so embedding near-dup
-  * queries scaled on this fixture measure pair growth, not row cost);
-  * ids get distinct ranges per replica.
+  * Embedding replicas get the same treatment in vector space: each
+  * replica i > 0 is mapped through a per-replica ORTHOGONAL transform
+  * (cyclic coordinate shift by `17·i mod 64` composed with
+  * deterministic pseudo-random sign flips). Orthogonality preserves
+  * every norm and every within-replica cosine EXACTLY (sign flips
+  * cancel pairwise; the shift only permutes the summation order), so
+  * each replica keeps the original's internal near-dup/cluster
+  * structure — while cross-replica cosines become sign-scrambled
+  * noise (std ≈ 1/√64 ≈ 0.125, far below the 0.44 near-dup
+  * threshold), exactly like `factor` independently-embedded shards.
+  * The earlier tiny-shift scheme (2⁻¹⁰ steps) left every replica a
+  * true cosine-near-dup of its twins — the embedding analogue of the
+  * text-suffix bug. Ids get distinct ranges per replica.
   *
   * Run: `sbt "Test/runMain graft.ScaleGen <outDir> [factor] [srcDir]"`.
   */
@@ -54,14 +63,23 @@ object ScaleGen {
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
 
     val emb = Tables.embeddings(spark, srcDir)
-    replicate(i => emb.select(
-      (col("vec_id") + lit(i * shift)).as("vec_id"),
-      (if (i == 0) col("embedding")
-       // 2^-10 steps: exact in float, small vs unit-scale coordinates
-       else expr(s"transform(embedding, x -> x + CAST($i * 0.0009765625 AS FLOAT))"))
-        .as("embedding"),
-      col("label")))
-      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+    replicate { i =>
+      // orthogonal per-replica transform: y_j = s(i,j) · x_{(j+sh) mod 64}
+      // with s(i,j) = ±1 from the top bit of a Knuth multiplicative
+      // hash of (i, j). Permutation + sign flips are exact in float.
+      val sh = (i * 17) % 64
+      emb.select(
+        (col("vec_id") + lit(i * shift)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(
+           s"""transform(sequence(0, 63), j -> CAST(
+              |  element_at(embedding, pmod(j + $sh, 64) + 1) *
+              |  (CASE WHEN pmod((CAST(j AS BIGINT) + ${64L * i}) * 2654435761,
+              |     4294967296) < 2147483648 THEN 1.0 ELSE -1.0 END)
+              |AS FLOAT))""".stripMargin))
+          .as("embedding"),
+        col("label"))
+    }.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
     val ev = Tables.events(spark, srcDir)
     replicate(i => ev.select(

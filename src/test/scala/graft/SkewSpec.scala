@@ -88,4 +88,35 @@ class SkewSpec extends AnyFunSuite {
         "AQE did not mark any partition skewed:\n" + plan.take(1500))
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("keySkewProfile: exact Gini/percentiles/skew-factor on a hand-computed fixture") {
+    // keys with counts 1,1,2,6 (ascending): n_rows=10, n_keys=4,
+    // Σ rank·cnt = 1+2+6+24 = 33, Gini = 2·33/(4·10) − 5/4 = 0.4,
+    // p50 = cnt at rank ⌈2⌉ = 1, p99 = cnt at rank ⌈3.96⌉ = 6,
+    // skew_factor = 6/(10/4) = 2.4
+    val ev = (Seq.fill(6)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L, 4L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+    val got = Skew.keySkewProfile(ev)
+      .as[(String, Long, Long, Long, Double, Double, Long, Long, Double)]
+      .collect().head
+    // gini replicated with the operator's exact expression shape
+    // (bit-identical IEEE, not an approximate compare)
+    val gini = 2.0 * 33.0 / (4.0 * 10.0) - (4.0 + 1.0) / 4.0
+    assert(got === (("user_id", 10L, 4L, 6L, 0.6, 2.4, 1L, 6L, gini)))
+    assert(math.abs(gini - 0.4) < 1e-15)
+  }
+
+  test("keySkewProfile ranks per range partition, never in one global window") {
+    val ev = (1L to 500L).map(i => (i, i % 37)).toDF("event_id", "user_id")
+    val df = Skew.keySkewProfile(ev)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank must come from the __pid-partitioned local window (the
+    // rankByRange shape); an unpartitioned window would drag the whole
+    // per-key count table onto one task at scale
+    assert(plan.contains("windowspecdefinition(__pid"),
+      "rank window is not partitioned by the range-partition id:\n" +
+        plan.take(1200))
+    assert(df.count() === 1)
+  }
 }
