@@ -67,7 +67,18 @@ class ContractSpec extends AnyFunSuite {
       // rollup — the tfidf_top_terms pattern
       "vocab_coverage",
       // 1-row max-minute broadcast bounding the trailing EWMA window
-      "visits_ewma")
+      "visits_ewma",
+      // TWO 1-row broadcasts: the exact p50/p99 rank lookups joined
+      // into the 1-row skew aggregate (Skew.keySkewProfile) — the
+      // bm25_search collection-stats pattern, twice
+      "key_skew_profile",
+      // 1-row corpus-token-total broadcast into the lang-bounded
+      // share table — the tfidf_top_terms / mixture_weights pattern
+      "lang_temperature_mix",
+      // 1-row collection-stats broadcast (N, sumdl, avg mu terms)
+      // into the postings scan — identical shape to bm25_search,
+      // whose index artifacts it shares
+      "ql_dirichlet_search")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
