@@ -32,7 +32,9 @@ object Bench {
       .foreach { f =>
         try spark.read.parquet(f.getPath)
           .selectExpr("bit_xor(xxhash64(struct(*))) AS h").count()
-        catch { case t: Throwable =>
+        catch { case scala.util.control.NonFatal(t) =>
+          // fatal JVM errors (OOM, VM errors) must propagate — a bench
+          // continuing on a corrupted JVM would record garbage numbers
           System.err.println(s"BENCH-WARMUP-SKIP ${f.getName}: ${t.getMessage}")
         }
       }

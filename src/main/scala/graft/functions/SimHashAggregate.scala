@@ -99,7 +99,6 @@ object SimHashFunctions {
       "simhash_agg", exprs => SimHashAgg(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHashDoc(exprs(0)), "built-in")
-    PolyHash62.register(spark)
   }
 }
 

@@ -425,7 +425,7 @@ object Corpus {
     * a failed epoch write produces byte-identical shards. */
   def writeCorpusShards(documents: DataFrame, outPath: String,
       epoch: Int = 0, shards: Int = 8): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val assigned = corpusShuffle(documents, epoch, shards)
       .join(documents, Seq("doc_id"))
     assigned
@@ -592,7 +592,7 @@ object Corpus {
     // shingle-keyed self-join ~8x vs ~60-char strings. The oracle
     // replays the SAME fold, so any collision collapses identically in
     // both engines and the compare stays hash-exact.
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val sg = Dedup.shingles(documents, k)
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), expr("poly_hash62(shingle)").as("shingle"))
@@ -991,7 +991,7 @@ object Corpus {
     * groupBy + final aggregate) regardless of corpus size. */
   def corpusPipeline(documents: DataFrame, minTokens: Int = 32,
       maxDupFrac: Double = 0.2, valPct: Int = 10): DataFrame = {
-    graft.functions.NgramStats.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val quality = documents
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("toks"))
@@ -1324,7 +1324,7 @@ object Corpus {
     * target_text). Zero-mask docs keep their text verbatim with an
     * empty target. */
   def spanCorruption(documents: DataFrame, startPct: Int = 5): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
       .select(col("doc_id"),
@@ -1421,7 +1421,7 @@ object Corpus {
     * MD5 of the newline-joined `A|B|label` triplets in pair order.
     * Docs with fewer than two lines emit nothing. */
   def nspPairs(documents: DataFrame): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val withLines = documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1569,7 +1569,7 @@ object Corpus {
     sftProject(documents)
 
   private def sftProject(documents: DataFrame): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1635,7 +1635,7 @@ object Corpus {
     mlmProject(documents, maskPct)
 
   private def mlmProject(documents: DataFrame, maskPct: Int): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -62,7 +62,7 @@ object Dedup {
     * so 0.5 is far from any float boundary. */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    graft.functions.BoundedCollectFunctions.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val sh = shingles(documents, k)
     // inverted index: ONE shuffle of the shingle stream builds postings
     // lists; the df cap is the stop-shingle rule and bounds each
@@ -179,7 +179,14 @@ object Dedup {
     * 0.96M at 0.9, measured) because short docs from a small
     * vocabulary collide as sets far more than as 4-gram shingles —
     * and the completeness test (`DedupSpec`) runs at 0.7 to exercise
-    * longer prefixes. */
+    * longer prefixes.
+    *
+    * The persisted `ranked` frame (per-doc sorted token arrays, read
+    * three times: prefix generation + both verification joins) is
+    * released by the ContextCleaner when the caller drops the result —
+    * the [[graft.operators.Analytics.rankByRange]] convention; an
+    * eager unpersist here would race the caller's first action on the
+    * still-lazy result. */
   def prefixJaccardPairs(documents: DataFrame,
       threshold: Double = 0.9): DataFrame = {
     val toks = documents
@@ -373,7 +380,7 @@ object Dedup {
     * final ratio differs — one double division of exact integers. */
   def containmentPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.7, maxDf: Int = 1000): DataFrame = {
-    graft.functions.BoundedCollectFunctions.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val sh = shingles(documents, k)
     val postings = sh.groupBy(col("shingle"))
       .agg(expr(s"bounded_collect_long(doc_id, $maxDf)").as("ids"))
@@ -420,7 +427,7 @@ object Dedup {
     * 64-buffer aggregate). */
   def minhashSignatures(documents: DataFrame, k: Int = 4,
       numPerm: Int = 64): DataFrame = {
-    graft.functions.MinHashFunctions.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= k)
@@ -642,7 +649,7 @@ object Dedup {
   def bloomProbe(corpus: DataFrame, batch: DataFrame, keyCol: String,
       expectedItems: Long = 100000L, fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
-    graft.functions.BloomFunctions.register(spark)
+    graft.functions.Registry.ensure(spark)
     val nBits = math.max(64L, math.ceil(
       -expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val blob = corpus
@@ -776,7 +783,7 @@ object Dedup {
     * the engine-portable poly_hash62, so the whole fingerprint is
     * replayed exactly by the DuckDB oracle. */
   def simhash(documents: DataFrame): DataFrame = {
-    graft.functions.SimHashFunctions.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .select(col("doc_id"),
         expr("simhash64(split(text, ' '))").as("simhash"))
@@ -1310,7 +1317,7 @@ object Dedup {
     * (doc_id, n_lines, n_kept, cleaned_md5) — md5 of the
     * space-joined surviving lines in first-occurrence order. */
   def withinDocLineDedup(documents: DataFrame): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1347,7 +1354,7 @@ object Dedup {
 
   def lineDedup(documents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val lines = documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -193,7 +193,7 @@ object Maintenance {
       bits: Int = 16): DataFrame = {
     require(cols.nonEmpty && cols.size * bits <= 63,
       s"need 1 <= n cols and n*bits <= 63, got n=${cols.size} bits=$bits")
-    graft.functions.ZValue.register(df.sparkSession)
+    graft.functions.Registry.ensure(df.sparkSession)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val mm = df.agg(aggs.head, aggs.tail: _*).head()

@@ -530,9 +530,17 @@ object Retrieval {
       mu: Double): DataFrame = {
     // collection term frequency, pruned to query terms at the join
     // (cf is vocab-sized — qterms broadcasts INTO it, never the
-    // reverse), and the 1-row total token count
-    val qcf = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("cf"))
+    // reverse), and the 1-row total token count. The post-join frame
+    // is query-bounded (≤ |queries|·|query terms| rows), so collect it
+    // ONCE: both consumers (the scoring broadcast and m_q) would
+    // otherwise each re-execute the vocab-sized postings aggregation
+    // behind it.
+    val qcfAgg = tf.groupBy(col("term"))
+      .agg(sum(col("tf")).cast("long").as("cf"))
       .join(broadcast(qterms), Seq("term"))
+    val qcfRows = qcfAgg.collect()
+    val qcf = tf.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qcfRows: _*), qcfAgg.schema)
     val stats = tf.agg(sum(col("tf")).cast("long").as("ctot"))
     // m_q: the query's in-collection distinct-term count (drives the
     // absent-term constant; bounded by query length)

@@ -28,7 +28,7 @@ object Similarity {
   /** (id, emb, norm) projection — norm computed once per vector. */
   private def withNorm(embeddings: DataFrame, idAs: String, embAs: String,
       normAs: String): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     embeddings.select(col("vec_id").as(idAs), col("embedding").as(embAs),
       expr("sqrt(vec_dot(embedding, embedding))").as(normAs))
   }
@@ -73,7 +73,7 @@ object Similarity {
     * rank-only, no floats in the compared result. */
   def hardNegatives(embeddings: DataFrame, k: Int = 10,
       queryMod: Int = 100): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"),
       col("label"), expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
     val queries = base.where(pmod(col("vec_id"), lit(queryMod)) === 0)
@@ -503,7 +503,7 @@ object Similarity {
     * index. */
   def lshKeys(embeddings: DataFrame, nBits: Int = 6, nTables: Int = 4,
       dim: Int = 64): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val tableCols = (0 until nTables).map { t =>
       val bits: Column = (0 until nBits).map { j =>
         val h = typedLit(hyperplane(t, j, dim))
@@ -551,7 +551,7 @@ object Similarity {
           .cast("int") - 1).as("cluster_id"))
 
   private def withScores(embeddings: DataFrame, nList: Int, dim: Int): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     embeddings.withColumn("cent_scores",
       array((0 until nList).map { c =>
         call_function("vec_dot", col("embedding"), typedLit(centroid(c, dim)))
@@ -564,7 +564,7 @@ object Similarity {
     * codegen'd dot products per row, no shuffle. */
   def assignWith(embeddings: DataFrame, cents: Array[Array[Float]],
       l2: Boolean = false): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     // two assignment geometries, one argmax shape:
     //  - spherical (default): argmax cosine = dot / ||c|| — IVF's
     //    convention (the row's own norm can't change its argmax);
@@ -597,7 +597,7 @@ object Similarity {
     * deterministic ones) — the loop is already sample-agnostic. */
   def kmeansFit(embeddings: DataFrame, k: Int = 16, iters: Int = 5,
       dim: Int = 64): Array[Array[Float]] = {
-    graft.functions.VecSumAgg.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     var cents = Array.tabulate(k)(c => centroid(c, dim))
     // iterative algorithm: cache the training set once, not one source
     // re-read per Lloyd iteration; released before returning
@@ -639,7 +639,7 @@ object Similarity {
     * iterations never increase it (up to FP noise). One scan + a
     * scalar aggregate. */
   def inertia(embeddings: DataFrame, cents: Array[Array[Float]]): Double = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val best = array(cents.map { c =>
       val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
       call_function("vec_dot", col("embedding"), typedLit(c)) /
@@ -1323,7 +1323,7 @@ object Similarity {
     * All-zero vectors quantize to scale 0 and zero codes. Per-row
     * higher-order functions, scan-side, no shuffle. */
   def quantizeEmbeddings(embeddings: DataFrame): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     embeddings
       .withColumn("max_abs",
         expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
@@ -1428,7 +1428,7 @@ object Similarity {
   def pqEncode(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
       dim: Int = 64,
       codebooks: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val subDim = dim / m
     val books = codebooks.getOrElse(
       Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
@@ -1501,7 +1501,7 @@ object Similarity {
       m: Int = 16, ksub: Int = 16, dim: Int = 64,
       codebooks: Option[Array[Array[Array[Float]]]] = None,
       rerank: Int = 8): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val subDim = dim / m
     val books = codebooks.getOrElse(
       Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
@@ -1560,7 +1560,7 @@ object Similarity {
       codebooks: Option[Array[Array[Array[Float]]]] = None,
       rerank: Int = 8,
       coarseCents: Option[Array[Array[Float]]] = None): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val subDim = dim / m
     val books = codebooks.getOrElse(
       Array.tabulate(m)(j => pqCodebook(j, ksub, subDim)))
@@ -1630,8 +1630,7 @@ object Similarity {
   def pqFit(embeddings: DataFrame, m: Int = 16, ksub: Int = 16,
       dim: Int = 64, iters: Int = 3,
       sampleMod: Int = 2): Array[Array[Array[Float]]] = {
-    VectorFunctions.register(embeddings.sparkSession)
-    graft.functions.VecSumAgg.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val subDim = dim / m
     // codebooks are statistics of the distribution, not of every row —
     // train on a deterministic sample exactly as kmeansFit's doc
@@ -1740,8 +1739,7 @@ object Similarity {
     * positive) so the model is unique and re-runs are identical. */
   def pcaFit(embeddings: DataFrame, k: Int = 16): PcaModel = {
     val spark = embeddings.sparkSession
-    graft.functions.GramAgg.register(spark)
-    graft.functions.VecSumAgg.register(spark)
+    graft.functions.Registry.ensure(spark)
     val row = embeddings.agg(
       expr("vec_gram(embedding)").as("g"),
       expr("vec_sum(embedding)").as("s")).head()
@@ -1861,7 +1859,7 @@ object Similarity {
     * and [[knnPcaRecall]] measures it as data. */
   def embeddingPca(embeddings: DataFrame, k: Int = 4,
       dim: Int = 64): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val basis = pinnedBasis(k, dim)
     embeddings.select(col("vec_id") +:
       basis.zipWithIndex.map { case (b, c) =>
@@ -1897,7 +1895,7 @@ object Similarity {
     * twin with the identical plan. */
   def knnPca(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
       pcaK: Int = 16, rerank: Int = 8, dim: Int = 64): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val basis = pinnedBasis(pcaK, dim)
     val proj = embeddings.select(col("vec_id"),
       array(basis.map(b => expr(
@@ -1925,7 +1923,7 @@ object Similarity {
     * query sample, then [[rerankExact]]'s full-vector shortlist pass. */
   private def knnProjected(embeddings: DataFrame, proj: DataFrame,
       k: Int, queryMod: Int, rerank: Int): DataFrame = {
-    VectorFunctions.register(embeddings.sparkSession)
+    graft.functions.Registry.ensure(embeddings.sparkSession)
     val base = proj.select(col("vec_id"), col("embedding"),
       expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
     val queries = base.where(pmod(col("vec_id"), lit(queryMod)) === 0)

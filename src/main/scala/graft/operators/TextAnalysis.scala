@@ -111,7 +111,7 @@ object TextAnalysis {
     * `(doc_id, dim, value)` (signed counts cancel; exact zeros are
     * dropped, matching sparse-vector semantics). */
   def featureHashing(documents: DataFrame, dim: Int = 32): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
@@ -400,7 +400,7 @@ object TextAnalysis {
     * exact integers, bit-identical across engines. */
   def ngramRepetition(documents: DataFrame, n: Int = 3,
       maxDupFrac: Double = 0.2): DataFrame = {
-    graft.functions.NgramStats.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= n)
@@ -519,7 +519,7 @@ object TextAnalysis {
     * knob is what makes it survive a 100 TB token stream. */
   def topTokens(documents: DataFrame, k: Int = 20,
       capacity: Int = 4096): DataFrame = {
-    graft.functions.TopKSketchFunctions.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(expr(s"topk_sketch(tok, $k, $capacity)").as("m"))
@@ -544,7 +544,7 @@ object TextAnalysis {
     * over the same gram-hash sequence). */
   def winnowingFingerprints(documents: DataFrame, k: Int = 8,
       w: Int = 4): DataFrame = {
-    graft.functions.WinnowFingerprints.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .select(col("doc_id"),
         explode(expr(s"winnow_fingerprints(text, $k, $w)")).as("fingerprint"))
@@ -708,7 +708,7 @@ object TextAnalysis {
     * engines (the generator yields no rows for them). */
   def charNgramExplode(spark: org.apache.spark.sql.SparkSession,
       documents: DataFrame, n: Int = 4): DataFrame = {
-    graft.functions.CharNgrams.register(spark)
+    graft.functions.Registry.ensure(spark)
     documents
       .where(length(col("text")) >= n)
       .select(col("doc_id"), expr(s"char_ngrams(text, $n)").as("gram"))
@@ -1635,7 +1635,7 @@ object TextAnalysis {
   def cmsWordFreq(documents: DataFrame, depth: Int = 4, width: Int = 512,
       k: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     val words = documents
       .select(explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
@@ -1985,7 +1985,7 @@ object TextAnalysis {
     * byte-exact digest of the kept lines joined by '\n'. */
   def c4LineFilter(documents: DataFrame, minLineWords: Int = 5,
       minKeptLines: Int = 3): DataFrame = {
-    graft.functions.PolyHash62.register(documents.sparkSession)
+    graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))

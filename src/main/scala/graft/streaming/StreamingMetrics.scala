@@ -655,7 +655,7 @@ object StreamingMetrics {
       valPct: Int = 10): StreamingQuery = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.functions.NgramStats.register(spark)
+    graft.functions.Registry.ensure(spark)
     val quality = docs
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("toks"))

@@ -26,8 +26,11 @@ import org.apache.spark.sql.functions._
   * replica i > 0 is mapped through a per-replica ORTHOGONAL transform
   * (cyclic coordinate shift by `17·i mod 64` composed with
   * deterministic pseudo-random sign flips). Orthogonality preserves
-  * every norm and every within-replica cosine EXACTLY (sign flips
-  * cancel pairwise; the shift only permutes the summation order), so
+  * every norm and every within-replica cosine exactly in real
+  * arithmetic — in IEEE terms, up to summation ORDER (the shift
+  * permutes the coordinates `vec_dot` folds over, so dots drift by
+  * ulps; threshold-adjacent pair counts may differ by a hair between
+  * replicas, which is fine for scaling curves) — so
   * each replica keeps the original's internal near-dup/cluster
   * structure — while cross-replica cosines become sign-scrambled
   * noise (std ≈ 1/√64 ≈ 0.125, far below the 0.44 near-dup
