@@ -22,6 +22,18 @@ object SparkEntry {
   private def ev(s: SparkSession, dir: String): DataFrame =
     Tables.logEvents(s, dir, fanOut = true)
 
+  /** Base-image group modulus of the fabricated media corpus. The
+    * default (25) keeps ~200-doc dup groups at sf0.1; scaling sweeps
+    * over a `ScaleGen` blow-up set `SPARK_GRAFT_MEDIA_GROUPMOD` to
+    * 25×factor so group SIZE stays constant and pair output grows
+    * linearly with the corpus (a fixed modulus would grow every group
+    * with the factor and the pair mass quadratically — fixture
+    * blow-up, not operator cost; SCALE.md §7.3). Read by both the
+    * Spark queries and their DuckDB oracles, so the two stay in
+    * lockstep whatever the knob. */
+  private def mediaGroupMod: Int =
+    sys.env.get("SPARK_GRAFT_MEDIA_GROUPMOD").map(_.toInt).getOrElse(25)
+
   /** Fan a small-file scan out to all cores before CPU-heavy per-row
     * work (JSON parse, shingling, hashing, vector math). The driver's
     * tables are single parquet files → single input partition; on a
@@ -478,11 +490,13 @@ object SparkEntry {
     // pixels and every hash bit, so the pair set is hash-exact
     // (ImageIO cross-check stays in the spec)
     "media_ahash_dedup" -> ((s, d) =>
-      MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d)))),
+      MediaCodecs.mediaAhashDedup(s, par(Tables.documents(s, d)),
+        groupMod = mediaGroupMod)),
     // gradient-hash sibling: local adjacent-block relations instead of
     // the global-mean threshold (same fixture, plan, and full oracle)
     "media_dhash_dedup" -> ((s, d) =>
-      MediaCodecs.mediaDhashDedup(s, par(Tables.documents(s, d)))),
+      MediaCodecs.mediaDhashDedup(s, par(Tables.documents(s, d)),
+        groupMod = mediaGroupMod)),
     // real PCM sample decode -> integer audio features; DuckDB replays
     // the closed-form sample stream, so the decode is hash-exact
     "audio_features" -> ((s, d) =>
@@ -784,8 +798,10 @@ object SparkEntry {
     "media_metadata" -> MediaCodecs.mediaMetadataSql,
     "audio_features" -> MediaCodecs.audioFeaturesSql,
     "image_pixel_stats" -> MediaCodecs.imagePixelStatsSql,
-    "media_ahash_dedup" -> MediaCodecs.mediaAhashDedupSql(),
-    "media_dhash_dedup" -> MediaCodecs.mediaDhashDedupSql(),
+    "media_ahash_dedup" ->
+      MediaCodecs.mediaAhashDedupSql(groupMod = mediaGroupMod),
+    "media_dhash_dedup" ->
+      MediaCodecs.mediaDhashDedupSql(groupMod = mediaGroupMod),
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "knn_lsh" -> Similarity.knnLshSql(),
