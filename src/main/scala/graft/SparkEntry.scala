@@ -341,6 +341,9 @@ object SparkEntry {
     // instruction-tuning face: prompt/completion split + chat-template
     // render + completion-only loss mask (zero-shuffle projection)
     "sft_examples" -> ((s, d) => Corpus.sftExamples(par(Tables.documents(s, d)))),
+    // DPO preference pairs: quality-ensemble rank extremes paired by
+    // one half-vs-half equi-join on the dense pair index
+    "dpo_pairs" -> ((s, d) => Corpus.dpoPairs(par(Tables.documents(s, d)))),
     // BERT NSP pair construction: positives per-row, negatives via one
     // equi-join on the hash-drawn source doc
     "nsp_pairs" -> ((s, d) => Corpus.nspPairs(par(Tables.documents(s, d)))),
@@ -784,6 +787,7 @@ object SparkEntry {
     "unigram_segment_pinned" -> Unigram.unigramSegmentPinnedSql(),
     "quality_ensemble" -> Corpus.qualityEnsembleSql(),
     "sft_examples" -> Corpus.sftExamplesSql(),
+    "dpo_pairs" -> Corpus.dpoPairsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the

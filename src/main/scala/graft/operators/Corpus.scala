@@ -1182,9 +1182,12 @@ object Corpus {
   }
 
   /** DuckDB replay of [[qualityEnsemble]]: same folds, four
-    * row_numbers over the same (metric desc, doc_id) total orders. */
-  def qualityEnsembleSql(): String =
-    s"""WITH qb AS (
+    * row_numbers over the same (metric desc, doc_id) total orders.
+    * Exposed as a WITH-body so [[dpoPairsSql]] can build on the same
+    * ensemble CTEs (`qq` is the ranked output) without a drift-prone
+    * second copy. */
+  private[operators] def qualityEnsembleCtes: String =
+    s"""qb AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), t -> length(t) > 0)
        |      AS toks
@@ -1212,12 +1215,18 @@ object Corpus {
        |qe AS (
        |  SELECT doc_id, r_len, r_ttr, r_long,
        |    (r_len + r_ttr + r_long)::BIGINT AS rank_sum
-       |  FROM qr)
-       |SELECT doc_id, r_len::BIGINT AS r_len, r_ttr::BIGINT AS r_ttr,
-       |  r_long::BIGINT AS r_long, rank_sum,
-       |  row_number() OVER (ORDER BY rank_sum, doc_id)::BIGINT
-       |    AS ens_rank
-       |FROM qe ORDER BY doc_id""".stripMargin
+       |  FROM qr),
+       |qq AS (
+       |  SELECT doc_id, r_len::BIGINT AS r_len, r_ttr::BIGINT AS r_ttr,
+       |    r_long::BIGINT AS r_long, rank_sum,
+       |    row_number() OVER (ORDER BY rank_sum, doc_id)::BIGINT
+       |      AS ens_rank
+       |  FROM qe)""".stripMargin
+
+  def qualityEnsembleSql(): String =
+    s"""WITH $qualityEnsembleCtes
+       |SELECT doc_id, r_len, r_ttr, r_long, rank_sum, ens_rank
+       |FROM qq ORDER BY doc_id""".stripMargin
 
   /** Length-bucketed batching diagnostic: documents grouped into
     * power-of-two token-length buckets, reporting what batching at each
@@ -1568,7 +1577,11 @@ object Corpus {
   def sftExamplesStream(documents: DataFrame): DataFrame =
     sftProject(documents)
 
-  private def sftProject(documents: DataFrame): DataFrame = {
+  /** Shared prompt/completion split of the SFT and DPO faces: prompt
+    * is the document's first [[Dedup.contentLinesExpr]] line,
+    * completion the remaining lines; docs with fewer than two lines
+    * emit nothing. Pure zero-shuffle per-row projection. */
+  private def sftPromptCompletion(documents: DataFrame): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
@@ -1579,6 +1592,10 @@ object Corpus {
         element_at(col("lines"), 1).as("prompt"),
         expr("array_join(slice(lines, 2, size(lines) - 1), ' ')")
           .as("completion"))
+  }
+
+  private def sftProject(documents: DataFrame): DataFrame = {
+    sftPromptCompletion(documents)
       .select(col("doc_id"),
         size(split(col("prompt"), " ")).cast("long").as("n_prompt"),
         size(split(col("completion"), " ")).cast("long")
@@ -1623,6 +1640,99 @@ object Corpus {
        |    list_transform(range(1, CAST(n_completion AS INT) + 1), x -> '1')),
        |    ' ')) AS mask_md5
        |FROM sz ORDER BY doc_id""".stripMargin
+
+  /** Preference-pair (DPO/RLHF) example construction — the fifth face
+    * of the example-construction family ([[mlmMasking]] BERT-MLM,
+    * [[nspPairs]] BERT-NSP, [[spanCorruption]] T5, [[sftExamples]]
+    * SFT; Rafailov et al., arXiv 2305.18290 define the (prompt,
+    * chosen, rejected) triple DPO trains on): pair the
+    * [[qualityEnsemble]] rank EXTREMES of the SFT-eligible corpus —
+    * the r-th BEST document contributes the prompt and the CHOSEN
+    * completion, the r-th WORST contributes the REJECTED completion,
+    * both rendered through the [[sftExamples]] chat template. Rank
+    * extremes are the standard synthetic-preference recipe when no
+    * human labels exist: the quality gap between y⁺ and y⁻ is largest
+    * at the ends and shrinks to zero at the middle, and this pairing
+    * maximizes the summed gap.
+    *
+    * Scale shape: the ensemble ranks are [[Analytics.rankByRange]]
+    * passes (range-partitioned, O(partitions) driver state); the
+    * eligible re-rank is one more; pairing is ONE equi-join of the
+    * top half against the bottom half on the dense pair index
+    * (`r` ↔ `m+1−r`) — never a cartesian, both sides corpus-halves.
+    * Deterministic with no RNG, so fully hash-exact. Output:
+    * (pair_id, chosen_doc_id, rejected_doc_id, n_prompt, n_chosen,
+    * n_rejected, chosen_md5, rejected_md5) where the md5s hash the
+    * rendered `<|user|> prompt <|assistant|> completion` sequences
+    * (prompt always from the CHOSEN side — DPO scores both
+    * completions under the same prompt). Odd-count corpora leave the
+    * exact-median document unpaired. */
+  def dpoPairs(documents: DataFrame): DataFrame = {
+    val ens = qualityEnsemble(documents)
+      .select(col("doc_id"), col("ens_rank"))
+    val elig = sftPromptCompletion(documents).join(ens, Seq("doc_id"))
+    val (rk, m) = Analytics.rankByRange(elig, Seq("ens_rank"))
+    val half = m / 2
+    val top = rk.where(col("__rank") <= half).select(
+      col("__rank").as("pair_id"),
+      col("doc_id").as("chosen_doc_id"),
+      col("prompt"), col("completion").as("chosen"))
+    val bot = rk.where(col("__rank") > m - half).select(
+      (lit(m) + 1L - col("__rank")).as("pair_id"),
+      col("doc_id").as("rejected_doc_id"),
+      col("completion").as("rejected"))
+    top.join(bot, Seq("pair_id"))
+      .select(col("pair_id"), col("chosen_doc_id"), col("rejected_doc_id"),
+        size(split(col("prompt"), " ")).cast("long").as("n_prompt"),
+        size(split(col("chosen"), " ")).cast("long").as("n_chosen"),
+        size(split(col("rejected"), " ")).cast("long").as("n_rejected"),
+        md5(concat(lit("<|user|> "), col("prompt"),
+          lit(" <|assistant|> "), col("chosen"))).as("chosen_md5"),
+        md5(concat(lit("<|user|> "), col("prompt"),
+          lit(" <|assistant|> "), col("rejected"))).as("rejected_md5"))
+      .orderBy("pair_id")
+  }
+
+  /** DuckDB replay of [[dpoPairs]]: the shared line CTEs and
+    * prompt/completion split, the shared [[qualityEnsembleCtes]], one
+    * row_number over the eligible ens_rank order, and the same
+    * `r ↔ m+1−r` half-join. */
+  def dpoPairsSql(): String =
+    s"""WITH ${Dedup.contentLinesCtes(Dedup.polyFold)},
+       |nl AS (SELECT doc_id, count(*) AS n_lines FROM line GROUP BY 1),
+       |pc AS (
+       |  SELECT l.doc_id,
+       |    max(CASE WHEN l.line_id = 0 THEN l.l END) AS prompt,
+       |    string_agg(CASE WHEN l.line_id > 0 THEN l.l END, ' '
+       |      ORDER BY l.line_id) AS completion
+       |  FROM line l JOIN nl USING (doc_id)
+       |  WHERE nl.n_lines >= 2 GROUP BY 1),
+       |$qualityEnsembleCtes,
+       |el AS (
+       |  SELECT pc.doc_id, pc.prompt, pc.completion, qq.ens_rank
+       |  FROM pc JOIN qq USING (doc_id)),
+       |rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY ens_rank) AS r,
+       |    count(*) OVER () AS m
+       |  FROM el),
+       |t AS (
+       |  SELECT r AS pair_id, doc_id AS chosen_doc_id, prompt,
+       |    completion AS chosen
+       |  FROM rk WHERE r <= m // 2),
+       |b AS (
+       |  SELECT m + 1 - r AS pair_id, doc_id AS rejected_doc_id,
+       |    completion AS rejected
+       |  FROM rk WHERE r > m - m // 2)
+       |SELECT pair_id::BIGINT AS pair_id, chosen_doc_id,
+       |  rejected_doc_id,
+       |  len(string_split(prompt, ' '))::BIGINT AS n_prompt,
+       |  len(string_split(chosen, ' '))::BIGINT AS n_chosen,
+       |  len(string_split(rejected, ' '))::BIGINT AS n_rejected,
+       |  md5('<|user|> ' || prompt || ' <|assistant|> ' || chosen)
+       |    AS chosen_md5,
+       |  md5('<|user|> ' || prompt || ' <|assistant|> ' || rejected)
+       |    AS rejected_md5
+       |FROM t JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin
 
   /** The streaming face of [[mlmMasking]]: the identical stateless
     * projection without the batch face's global ORDER BY (illegal on a

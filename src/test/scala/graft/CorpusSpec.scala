@@ -555,4 +555,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(a1("sw")._5 > a3("sw")._5)
     assert(a1("en")._5 < a3("en")._5)
   }
+
+  test("dpo pairs: rank-extreme pairing, chosen strictly better, deterministic") {
+    val ens = Corpus.qualityEnsemble(docs)
+      .select(col("doc_id"), col("ens_rank"))
+      .as[(Long, Long)].collect().toMap
+    val out = Corpus.dpoPairs(docs).collect()
+    // eligible set = docs with >= 2 content lines = sft_examples rows
+    val m = Corpus.sftExamples(docs).count()
+    assert(out.length === (m / 2).toInt, "one pair per top/bottom rank slot")
+    // pair ids are the dense 1..m/2 sequence
+    assert(out.map(_.getAs[Long]("pair_id")).sorted.toSeq
+      === (1L to m / 2).toSeq)
+    // every chosen doc outranks (smaller ens_rank) its rejected partner,
+    // and the two sides never overlap
+    val chosen = out.map(_.getAs[Long]("chosen_doc_id")).toSet
+    val rejected = out.map(_.getAs[Long]("rejected_doc_id")).toSet
+    assert(chosen.intersect(rejected).isEmpty)
+    out.foreach { r =>
+      assert(ens(r.getAs[Long]("chosen_doc_id"))
+        < ens(r.getAs[Long]("rejected_doc_id")))
+    }
+    // deterministic under input reordering/partitioning
+    val again = Corpus.dpoPairs(docs.orderBy(desc("doc_id")).repartition(7))
+      .collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
