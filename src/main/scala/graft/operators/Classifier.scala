@@ -167,31 +167,50 @@ object Classifier {
     * (integer-exact sum of token lengths) so the face reports
     * label/prediction side by side. Output: (doc_id, n_toks, w_sum,
     * margin, predicted, label). */
-  def qualityScorePinned(documents: DataFrame, dim: Int = 4096): DataFrame = {
+  def qualityScorePinned(documents: DataFrame, dim: Int = 4096): DataFrame =
+    qualityScorePinnedStream(documents, dim).orderBy("doc_id")
+
+  /** The streaming face of [[qualityScorePinned]] (the
+    * `mlmMaskingStream` convention): identical per-row projection
+    * minus the batch face's global ORDER BY, so the streamed score
+    * set over any micro-batch slicing equals the batch output for the
+    * same documents (asserted in `StreamingSpec`). */
+  def qualityScorePinnedStream(documents: DataFrame,
+      dim: Int = 4096): DataFrame =
+    withPinnedScore(documents.select(col("doc_id"), col("text")), dim)
+      .select(col("doc_id"), col("n_toks"), col("w_sum"), col("margin"),
+        col("predicted"), col("label"))
+
+  /** [[qualityScorePinned]]'s score columns (`n_toks`, `sum_len`,
+    * `w_sum`, `margin`, `predicted`, `label`) APPENDED to `df` (which
+    * must carry `text`), dropping rows with no tokens — the reusable
+    * deployment-path projection: a streaming ingest gate keeps its
+    * own payload columns and filters on `predicted`/`margin` while
+    * exercising the exact oracled arithmetic. Still a single
+    * scan-side projection: the model rides along as one `dim`-long
+    * broadcast literal, zero shuffles. */
+  def withPinnedScore(df: DataFrame, dim: Int = 4096): DataFrame = {
     val wLit = typedLit(pinnedWeights(dim))
-    documents
-      .withColumn("toks",
+    df
+      .withColumn("__toks",
         filter(split(col("text"), " "), t => length(t) > 0))
-      .where(size(col("toks")) > 0)
-      .select(col("doc_id"),
-        transform(col("toks"), t =>
-          (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim)
-            .cast("int")).as("idxs"),
-        size(col("toks")).cast("long").as("n_toks"),
-        aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-          .as("sum_len"))
-      .select(col("doc_id"), col("n_toks"),
-        aggregate(col("idxs"), lit(0L),
-          (acc, i) => acc + element_at(wLit, i + lit(1))).as("w_sum"),
-        col("sum_len"))
+      .where(size(col("__toks")) > 0)
+      .withColumn("__idxs", transform(col("__toks"), t =>
+        (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim)
+          .cast("int")))
+      .withColumn("n_toks", size(col("__toks")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)))
+      .withColumn("w_sum", aggregate(col("__idxs"), lit(0L),
+        (acc, i) => acc + element_at(wLit, i + lit(1))))
       .withColumn("margin",
         col("w_sum").cast("double") / lit(10000.0) /
           col("n_toks").cast("double"))
-      .select(col("doc_id"), col("n_toks"), col("w_sum"), col("margin"),
-        (col("margin") >= 0).cast("long").as("predicted"),
+      .withColumn("predicted", (col("margin") >= 0).cast("long"))
+      .withColumn("label",
         (col("sum_len").cast("double") / col("n_toks").cast("double")
-          >= 4.5).cast("long").as("label"))
-      .orderBy("doc_id")
+          >= 4.5).cast("long"))
+      .drop("__toks", "__idxs")
   }
 
   /** DuckDB replay of [[qualityScorePinned]]: identical md5-bucket

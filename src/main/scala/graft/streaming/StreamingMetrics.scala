@@ -649,14 +649,20 @@ object StreamingMetrics {
     * as `corpus_docs:<split>:<lang>` INCRBY counters under the
     * (queryName, batchId) ledger. The batch-side collect is the
     * post-aggregation (split, lang) counts — bounded by label
-    * cardinality, never by stream volume. */
+    * cardinality, never by stream volume. With `modelGate` the
+    * heuristic rules are followed by the oracled
+    * [[graft.operators.Classifier.qualityScorePinned]] deployment
+    * scoring (broadcast pinned-weight literal, admit `predicted = 1`)
+    * — streamed scores ≡ the batch face, asserted in
+    * `StreamingSpec`. */
   def startCorpusIngest(docs: DataFrame, store: KeyValueMetricsSink,
       queryName: String, minTokens: Int = 32, maxDupFrac: Double = 0.2,
-      valPct: Int = 10): StreamingQuery = {
+      valPct: Int = 10, modelGate: Boolean = false,
+      scoreDim: Int = 4096): StreamingQuery = {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.Registry.ensure(spark)
-    val quality = docs
+    val heur = docs
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= minTokens)
@@ -664,6 +670,19 @@ object StreamingMetrics {
         expr("ngram_stats(toks, 3)").as("st"))
       .where(lit(1.0) - col("st.n_distinct_ngrams").cast("double") /
         col("st.n_ngrams").cast("double") <= maxDupFrac)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // optional trained-model gate: the EXACT oracled deployment-path
+    // arithmetic of quality_score_pinned (broadcast weight literal,
+    // integer folds, one division) applied per micro-batch — still a
+    // stateless scan-side projection, so the gate adds no state and
+    // no shuffle to the stream
+    val passed =
+      if (modelGate)
+        graft.operators.Classifier.withPinnedScore(heur, scoreDim)
+          .where(col("predicted") === 1L)
+          .select(col("doc_id"), col("lang"), col("text"))
+      else heur
+    val quality = passed
       .select(col("doc_id"), col("lang"), md5(col("text")).as("fp"))
       .as[(Long, String, String)]
     val admitted = quality.groupByKey(_._3)
