@@ -344,6 +344,14 @@ object SparkEntry {
     // DPO preference pairs: quality-ensemble rank extremes paired by
     // one half-vs-half equi-join on the dense pair index
     "dpo_pairs" -> ((s, d) => Corpus.dpoPairs(par(Tables.documents(s, d)))),
+    // SimCSE-style dual-view construction: zero-shuffle projection,
+    // every drop decision a poly_hash62 of (view, doc, position)
+    "contrastive_views" -> ((s, d) =>
+      Corpus.contrastiveViews(par(Tables.documents(s, d)))),
+    // distant-supervision lexicon tagging: corpus-mined per-source
+    // lexicons broadcast into the token stream, integer-hit argmax
+    "lexicon_tags" -> ((s, d) =>
+      TextAnalysis.lexiconTags(par(Tables.documents(s, d)))),
     // BERT NSP pair construction: positives per-row, negatives via one
     // equi-join on the hash-drawn source doc
     "nsp_pairs" -> ((s, d) => Corpus.nspPairs(par(Tables.documents(s, d)))),
@@ -788,6 +796,8 @@ object SparkEntry {
     "quality_ensemble" -> Corpus.qualityEnsembleSql(),
     "sft_examples" -> Corpus.sftExamplesSql(),
     "dpo_pairs" -> Corpus.dpoPairsSql(),
+    "contrastive_views" -> Corpus.contrastiveViewsSql(),
+    "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the

@@ -1734,6 +1734,83 @@ object Corpus {
        |    AS rejected_md5
        |FROM t JOIN b USING (pair_id) ORDER BY pair_id""".stripMargin
 
+  /** Contrastive dual-view example construction (SimCSE/CERT-style
+    * unsupervised contrastive pretraining data, Gao et al.,
+    * arXiv 2104.08821 §3 — two corrupted "views" of the same document
+    * form a positive pair, views of different documents are
+    * in-batch negatives): each view drops `dropPct`% of token
+    * POSITIONS independently, with every drop decision drawn from the
+    * engine-portable `poly_hash62` over `cv:<view>:doc_id:position`
+    * (the [[mlmMasking]] determinism contract — byte-identical views
+    * on every re-run, engine, and partitioning; no RNG).
+    *
+    * Scale shape: a pure zero-shuffle per-row projection — all
+    * position hashing and both reconstructions happen inside each
+    * row's own token array, so the operator runs at scan speed on
+    * 100 TB. Output: (doc_id, n_tokens, n_v1, n_v2, n_both, v1_md5,
+    * v2_md5) — kept counts per view, the positions kept in BOTH
+    * views (the anchor overlap a collapse diagnostic watches), and
+    * the MD5 of each rendered view (`md5('')` when a view drops
+    * everything). */
+  def contrastiveViews(documents: DataFrame, dropPct: Int = 15): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("cells", expr(
+        s"""transform(sequence(0, size(toks) - 1),
+           |  i -> named_struct(
+           |    'tok', element_at(toks, i + 1),
+           |    'k1', pmod(poly_hash62(concat('cv:1:',
+           |      CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 100)
+           |      >= $dropPct,
+           |    'k2', pmod(poly_hash62(concat('cv:2:',
+           |      CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 100)
+           |      >= $dropPct))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("CAST(size(filter(cells, c -> c.k1)) AS BIGINT)").as("n_v1"),
+        expr("CAST(size(filter(cells, c -> c.k2)) AS BIGINT)").as("n_v2"),
+        expr("CAST(size(filter(cells, c -> c.k1 AND c.k2)) AS BIGINT)")
+          .as("n_both"),
+        md5(expr("array_join(transform(filter(cells, c -> c.k1), " +
+          "c -> c.tok), ' ')")).as("v1_md5"),
+        md5(expr("array_join(transform(filter(cells, c -> c.k2), " +
+          "c -> c.tok), ' ')")).as("v2_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[contrastiveViews]]: the [[mlmMaskingSql]]
+    * fold construction run twice over the two per-view keys. */
+  def contrastiveViewsSql(dropPct: Int = 15): String = {
+    val f1 = Dedup.polyFoldOver("key1") _
+    val f2 = Dedup.polyFoldOver("key2") _
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+       |    'cv:1:' || CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(i - 1 AS VARCHAR) AS key1,
+       |    'cv:2:' || CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(i - 1 AS VARCHAR) AS key2
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |h AS (
+       |  SELECT doc_id, pos, tok,
+       |    (${f1(131)} | (${f1(137)} << 31)) % 100 >= $dropPct AS k1,
+       |    (${f2(131)} | (${f2(137)} << 31)) % 100 >= $dropPct AS k2
+       |  FROM tok)
+       |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       |  sum(CASE WHEN k1 THEN 1 ELSE 0 END)::BIGINT AS n_v1,
+       |  sum(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS n_v2,
+       |  sum(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       |  md5(coalesce(string_agg(CASE WHEN k1 THEN tok END,
+       |    ' ' ORDER BY pos), '')) AS v1_md5,
+       |  md5(coalesce(string_agg(CASE WHEN k2 THEN tok END,
+       |    ' ' ORDER BY pos), '')) AS v2_md5
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** The streaming face of [[mlmMasking]]: the identical stateless
     * projection without the batch face's global ORDER BY (illegal on a
     * stream, and meaningless there — examples flow out per

@@ -700,6 +700,100 @@ object TextAnalysis {
        |  CAST(score_dec AS DOUBLE) AS tfidf
        |FROM r WHERE term_rank <= $k ORDER BY doc_id, term_rank""".stripMargin
 
+  /** Lexicon tagging with DISTANT SUPERVISION (the dictionary/seed-word
+    * text classifier — Aho-Corasick/FlashText-style keyword tagging,
+    * with the lexicons MINED from the corpus itself the way
+    * weakly-supervised taxonomy pipelines bootstrap them): treat each
+    * `source` as a topic, build its lexicon as the top-`k` terms by
+    * source-level TF-IDF (source-concatenated tf × inverse SOURCE
+    * frequency — the [[tfidfTopTerms]] smoothing, one level up), then
+    * tag every document with the lexicon that matches the most of its
+    * token instances (ties broken lexicographically; zero-hit docs tag
+    * `''`). Reports prediction vs. actual source per document — the
+    * distant-supervision confusion a domain-mixing pipeline uses to
+    * route untagged crawl text into its source buckets.
+    *
+    * Scale shape: source-level tf is one map-side-combined aggregate;
+    * the lexicon is ≤ sources×k rows → BROADCAST into the token
+    * stream (the join that must never shuffle the corpus side); hit
+    * counting is one (doc, topic)-keyed aggregate and the per-doc
+    * argmax a doc-partitioned row_number over ≤ |sources| rows per
+    * doc. The lexicon-build window partitions by `source` —
+    * vocab-bounded per source, never corpus-proportional. Exactness:
+    * integer counts everywhere; the only ln sits inside the
+    * [[tfidfTopTerms]] DECIMAL(20,10) quantization both engines share.
+    * Output: (doc_id, source, predicted_source, n_hits, is_correct). */
+  def lexiconTags(documents: DataFrame, k: Int = 10): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val tf = tok.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy("term").agg(count(lit(1)).as("sf"))
+    val ns = documents.agg(countDistinct(col("source")).as("n_sources"))
+    val scored = tf.join(sf, Seq("term"))
+      .crossJoin(broadcast(ns))
+      .withColumn("score_dec", expr(
+        "CAST(tf * (ln((n_sources + 1.0) / (sf + 1.0)) + 1.0) AS DECIMAL(20,10))"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score_dec").desc, col("term"))
+    val lex = scored.withColumn("r", row_number().over(wLex))
+      .where(col("r") <= k)
+      .select(col("term"), col("source").as("lex_source"))
+    val hits = tok.join(broadcast(lex), Seq("term"))
+      .groupBy(col("doc_id"), col("lex_source"))
+      .agg(count(lit(1)).as("hits"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("hits").desc, col("lex_source"))
+    val best = hits.withColumn("rr", row_number().over(wDoc))
+      .where(col("rr") === 1)
+      .select(col("doc_id"), col("lex_source"), col("hits"))
+    documents.select(col("doc_id"), col("source"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lex_source"), lit("")).as("predicted_source"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"))
+      .withColumn("is_correct",
+        (col("source") === col("predicted_source")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[lexiconTags]]: same source-level TF-IDF
+    * lexicon (shared DECIMAL quantization), same integer hit counts
+    * and (hits desc, topic) argmax. */
+  def lexiconTagsSql(k: Int = 10): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |t2 AS (SELECT * FROM tok WHERE term <> ''),
+       |tf AS (SELECT source, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+       |sf AS (SELECT term, count(*) AS sf FROM tf GROUP BY 1),
+       |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+       |scored AS (SELECT tf.source, tf.term,
+       |  CAST(tf.tf * (ln((ns.n_sources + 1.0) / (sf.sf + 1.0)) + 1.0)
+       |       AS DECIMAL(20,10)) AS score_dec
+       |  FROM tf JOIN sf USING (term) CROSS JOIN ns),
+       |lex AS (
+       |  SELECT term, source AS lex_source FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source
+       |      ORDER BY score_dec DESC, term) AS r
+       |    FROM scored) WHERE r <= $k),
+       |hits AS (
+       |  SELECT t2.doc_id, lex.lex_source, count(*) AS hits
+       |  FROM t2 JOIN lex USING (term) GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, lex_source, hits FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY hits DESC, lex_source) AS rr
+       |    FROM hits) WHERE rr = 1)
+       |SELECT d.doc_id, d.source,
+       |  coalesce(b.lex_source, '') AS predicted_source,
+       |  coalesce(b.hits, 0)::BIGINT AS n_hits,
+       |  (CASE WHEN d.source = coalesce(b.lex_source, '')
+       |    THEN 1 ELSE 0 END)::BIGINT AS is_correct
+       |FROM documents d LEFT JOIN best b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Character n-gram statistics per document via the custom
     * [[graft.functions.CharNgrams]] Generator (UDTF surface): each doc
     * streams its overlapping n-grams through `Generate` — no

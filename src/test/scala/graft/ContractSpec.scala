@@ -78,7 +78,10 @@ class ContractSpec extends AnyFunSuite {
       // 1-row collection-stats broadcast (N, sumdl, avg mu terms)
       // into the postings scan — identical shape to bm25_search,
       // whose index artifacts it shares
-      "ql_dirichlet_search")
+      "ql_dirichlet_search",
+      // 1-row source-count broadcast into the vocab-bounded
+      // (source, term) score table — the tfidf_top_terms pattern
+      "lexicon_tags")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -581,4 +581,46 @@ class CorpusSpec extends AnyFunSuite {
       .collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("contrastive views: deterministic, ~dropPct dropped, independent views") {
+    val out = Corpus.contrastiveViews(docs, dropPct = 15).collect()
+    assert(out.length === docs.where(col("text").isNotNull).count())
+    val nTok = out.map(_.getAs[Long]("n_tokens")).sum.toDouble
+    val nV1 = out.map(_.getAs[Long]("n_v1")).sum.toDouble
+    val nV2 = out.map(_.getAs[Long]("n_v2")).sum.toDouble
+    val nBoth = out.map(_.getAs[Long]("n_both")).sum.toDouble
+    // keep rate ~85% per view; joint keep ~72% (independent hashes)
+    assert(math.abs(nV1 / nTok - 0.85) < 0.03, s"v1 keep ${nV1 / nTok}")
+    assert(math.abs(nV2 / nTok - 0.85) < 0.03, s"v2 keep ${nV2 / nTok}")
+    assert(math.abs(nBoth / nTok - 0.7225) < 0.04,
+      s"joint keep ${nBoth / nTok} — views are not independent")
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_both") <=
+        math.min(r.getAs[Long]("n_v1"), r.getAs[Long]("n_v2")))
+    }
+    // most docs get two DIFFERENT views (the training signal)
+    val differ = out.count(r =>
+      r.getAs[String]("v1_md5") != r.getAs[String]("v2_md5"))
+    assert(differ.toDouble / out.length > 0.8)
+    // deterministic under reordering/partitioning
+    val again = Corpus.contrastiveViews(
+      docs.orderBy(desc("doc_id")).repartition(7), dropPct = 15).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("lexicon tags: mined lexicons beat chance on their own sources") {
+    val out = graft.operators.TextAnalysis.lexiconTags(docs).collect()
+    assert(out.length === docs.count())
+    val acc = out.map(_.getAs[Long]("is_correct")).sum.toDouble / out.length
+    val chance = 1.0 / docs.select("source").distinct().count()
+    assert(acc > 2 * chance, s"accuracy $acc vs chance $chance")
+    // zero-hit docs tag '' and never count correct
+    out.filter(_.getAs[Long]("n_hits") == 0L).foreach { r =>
+      assert(r.getAs[String]("predicted_source") === "")
+      assert(r.getAs[Long]("is_correct") === 0L)
+    }
+    val again = graft.operators.TextAnalysis.lexiconTags(
+      docs.orderBy(desc("doc_id")).repartition(7)).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
