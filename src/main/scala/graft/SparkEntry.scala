@@ -508,6 +508,11 @@ object SparkEntry {
     "media_dhash_dedup" -> ((s, d) =>
       MediaCodecs.mediaDhashDedup(s, par(Tables.documents(s, d)),
         groupMod = mediaGroupMod)),
+    // temporal sibling: per-frame dHash over REAL animated-GIF
+    // encode/decode, frame-level band join, shorter-side frame vote
+    "media_video_dedup" -> ((s, d) =>
+      MediaCodecs.mediaVideoDedup(s, par(Tables.documents(s, d)),
+        groupMod = mediaGroupMod)),
     // real PCM sample decode -> integer audio features; DuckDB replays
     // the closed-form sample stream, so the decode is hash-exact
     "audio_features" -> ((s, d) =>
@@ -816,6 +821,8 @@ object SparkEntry {
       MediaCodecs.mediaAhashDedupSql(groupMod = mediaGroupMod),
     "media_dhash_dedup" ->
       MediaCodecs.mediaDhashDedupSql(groupMod = mediaGroupMod),
+    "media_video_dedup" ->
+      MediaCodecs.mediaVideoDedupSql(groupMod = mediaGroupMod),
     "embedding_quantization" -> Similarity.embeddingQuantizationSql,
     "knn_bruteforce" -> Similarity.knnBruteForceSql(),
     "knn_lsh" -> Similarity.knnLshSql(),

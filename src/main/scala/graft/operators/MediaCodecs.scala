@@ -499,6 +499,66 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** A real ANIMATED GIF89a: the [[encodeGif]] container with one
+    * Graphic Control Extension + full-frame image descriptor + LZW
+    * stream per frame (same grayscale GCT, luma = 3·index; same
+    * root-codes-only LZW with a CLEAR every 254 symbols). `frames`
+    * are palette-index arrays (0..255), all `width`×`height`.
+    * ImageIO reads every frame back (`MediaCodecsSpec`). */
+  def encodeGifAnimated(width: Int, height: Int,
+      frames: Array[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.forall(_.length == width * height))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    out.write(width & 0xff); out.write((width >> 8) & 0xff)
+    out.write(height & 0xff); out.write((height >> 8) & 0xff)
+    out.write(0xf7) // GCT present, 8-bit color res, 256 entries
+    out.write(0); out.write(0)
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 }
+    frames.foreach { px =>
+      // Graphic Control Extension: no disposal tricks, 4/100 s delay
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); out.write(4); out.write(0); out.write(0); out.write(0)
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0)
+      out.write(width & 0xff); out.write((width >> 8) & 0xff)
+      out.write(height & 0xff); out.write((height >> 8) & 0xff)
+      out.write(0) // no LCT, not interlaced
+      out.write(8) // LZW min code size
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0
+      var nb = 0
+      def code9(cd: Int): Unit = {
+        acc |= cd << nb
+        nb += 9
+        while (nb >= 8) { bits.write(acc & 0xff); acc >>= 8; nb -= 8 }
+      }
+      code9(256) // CLEAR
+      var i = 0
+      var run = 0
+      while (i < px.length) {
+        if (run == 254) { code9(256); run = 0 }
+        code9(px(i) & 0xff)
+        run += 1
+        i += 1
+      }
+      code9(257) // EOI
+      if (nb > 0) bits.write(acc & 0xff)
+      val data = bits.toByteArray
+      var off = 0
+      while (off < data.length) {
+        val len = math.min(255, data.length - off)
+        out.write(len)
+        out.write(data, off, len)
+        off += len
+      }
+      out.write(0)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** GIF LZW decompressor (the GIF89a flavor: variable-width codes
     * starting at `minCodeSize+1`, clear/EOI codes, 4096-entry
     * dictionary, KwKwK case). Returns exactly `nPixels` color indices,
@@ -640,6 +700,86 @@ object MediaCodecs {
             }
             return Some((w, h, gray))
           case 0x3b => return None // trailer before any image frame
+          case _ => return None
+        }
+      }
+      None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** [[decodeGifGray]] generalized to EVERY frame of an animated GIF:
+    * the same extension-skipping walk and per-frame LZW decode,
+    * accumulating `(w, h, luma)` per image descriptor until the
+    * trailer. None for malformed streams or zero frames. */
+  def decodeGifFrames(b: Array[Byte]): Option[Vector[(Int, Int, Array[Int])]] = {
+    if (b == null || b.length < 14 || !startsWith(b, "GIF8", 0)) return None
+    try {
+      var pos = 13
+      var gct: Array[Int] = null
+      val packed = b(10) & 0xff
+      if ((packed & 0x80) != 0) {
+        val n = 2 << (packed & 7)
+        if (pos + 3 * n > b.length) return None
+        gct = Array.tabulate(n)(i => (b(pos + i * 3) & 0xff) +
+          (b(pos + i * 3 + 1) & 0xff) + (b(pos + i * 3 + 2) & 0xff))
+        pos += 3 * n
+      }
+      val frames = Vector.newBuilder[(Int, Int, Array[Int])]
+      var nFrames = 0
+      while (pos < b.length) {
+        (b(pos) & 0xff) match {
+          case 0x21 =>
+            pos += 2
+            while (pos < b.length && (b(pos) & 0xff) != 0)
+              pos += 1 + (b(pos) & 0xff)
+            pos += 1
+          case 0x2c =>
+            if (pos + 10 > b.length) return None
+            val w = u16le(b, pos + 5)
+            val h = u16le(b, pos + 7)
+            val ip = b(pos + 9) & 0xff
+            pos += 10
+            var lum = gct
+            if ((ip & 0x80) != 0) {
+              val n = 2 << (ip & 7)
+              if (pos + 3 * n > b.length) return None
+              lum = Array.tabulate(n)(i => (b(pos + i * 3) & 0xff) +
+                (b(pos + i * 3 + 1) & 0xff) + (b(pos + i * 3 + 2) & 0xff))
+              pos += 3 * n
+            }
+            if (lum == null || w <= 0 || h <= 0) return None
+            val minCode = b(pos) & 0xff
+            pos += 1
+            val data = new java.io.ByteArrayOutputStream()
+            while (pos < b.length && (b(pos) & 0xff) != 0) {
+              val n = b(pos) & 0xff
+              if (pos + 1 + n > b.length) return None
+              data.write(b, pos + 1, n)
+              pos += 1 + n
+            }
+            pos += 1 // sub-block terminator
+            val idx = lzwDecode(data.toByteArray, minCode, w * h)
+            if (idx == null || idx.exists(_ >= lum.length)) return None
+            val rowOrder: Seq[Int] =
+              if ((ip & 0x40) != 0)
+                (0 until h by 8) ++ (4 until h by 8) ++
+                  (2 until h by 4) ++ (1 until h by 2)
+              else 0 until h
+            val gray = new Array[Int](w * h)
+            var r = 0
+            while (r < h) {
+              val y = rowOrder(r)
+              var x = 0
+              while (x < w) {
+                gray(y * w + x) = lum(idx(r * w + x))
+                x += 1
+              }
+              r += 1
+            }
+            frames += ((w, h, gray))
+            nFrames += 1
+          case 0x3b =>
+            return if (nFrames > 0) Some(frames.result()) else None
           case _ => return None
         }
       }
@@ -1017,6 +1157,179 @@ object MediaCodecs {
       maxHamming: Int = 3, groupMod: Int = 25): DataFrame =
     bandedHammingPairs(perceptualHashes(spark, documents, groupMod,
       dHash), maxHamming)
+
+  /** VIDEO near-dup pairs from per-frame perceptual hashes — the
+    * temporal member of the perceptual family ([[mediaAhashDedup]] /
+    * [[mediaDhashDedup]] are its single-image siblings): each document
+    * is a fabricated multi-frame ANIMATED GIF (2–5 frames of 32×32
+    * [[mix24]]-noise; `doc_id % groupMod` picks the base clip so
+    * groups share frame content, `doc_id / groupMod` retouches 0–3
+    * pixels PER FRAME — re-encodes of the same clip), REALLY encoded
+    * ([[encodeGifAnimated]]) and REALLY decoded back
+    * ([[decodeGifFrames]] — the full LZW walk, per row), then every
+    * frame [[dHash]]ed. Two videos are near-dups when ≥
+    * `minMatchFrac` of the SHORTER video's frames have a
+    * hamming ≤ `maxHamming` partner in the other — the
+    * frame-vote rule video-dedup pipelines use (order-agnostic, so
+    * re-cuts and trims still match).
+    *
+    * Scale shape: frame hashing is per-row flatMap work (zero
+    * shuffle); candidates come from the SAME 16-bit band equi-join as
+    * the image faces, now at frame granularity (pigeonhole: complete
+    * for hamming ≤ 3), and the video-level vote is one
+    * (pair)-keyed aggregate over candidate frame matches — never an
+    * all-pairs comparison of videos or frames. HASH-EXACT oracle:
+    * [[mediaVideoDedupSql]] regenerates every frame pixel, flip, dHash
+    * bit, band key, and the same vote in DuckDB — the two plans are
+    * equal as sets by the pigeonhole argument. Output:
+    * (media_id_a, media_id_b, nf_a, nf_b, n_match, score). */
+  def mediaVideoDedup(spark: SparkSession, documents: DataFrame,
+      maxHamming: Int = 3, minMatchFrac: Double = 0.5,
+      groupMod: Int = 25): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole is complete only for maxHamming <= 3")
+    import spark.implicits._
+    val frames = documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val nf = (id % 4).toInt + 2
+        val fpx = Array.tabulate(nf) { f =>
+          val base = Array.tabulate(1024)(g =>
+            (mix24((id % groupMod) + 1000003L * f, g) % 256).toInt)
+          val r = ((id / groupMod) % 4).toInt
+          val fs = id * 131 + f
+          var j = 0
+          while (j < r) {
+            val p = (mix24(fs, j) % 1024).toInt
+            base(p) = (mix24(fs, 65536L + j) % 256).toInt
+            j += 1
+          }
+          base
+        }
+        val payload = encodeGifAnimated(32, 32, fpx)
+        decodeGifFrames(payload) match {
+          case Some(fr) => fr.iterator.zipWithIndex.flatMap {
+            case ((w, h, gray), f) =>
+              dHash(w, h, gray).map(hv => (id, f.toLong, nf.toLong, hv))
+          }
+          case None => Iterator.empty
+        }
+      }).toDF("media_id", "frame_idx", "nf", "hv")
+    val bands = frames.select(col("media_id"), col("frame_idx"),
+      col("nf"), col("hv"),
+      explode(expr(
+        """transform(sequence(0, 3), b ->
+          |  struct(b AS band_idx,
+          |    shiftright(hv, b * 16) & 65535 AS band_val))""".stripMargin))
+        .as("b"))
+      .select(col("media_id"), col("frame_idx"), col("nf"), col("hv"),
+        col("b.band_idx"), col("b.band_val"))
+    val a = bands.toDF("ma", "fa", "nfa", "hva", "band_idx", "band_val")
+    val bb = bands.toDF("mb", "fb", "nfb", "hvb", "band_idx", "band_val")
+    val fmatch = a.join(bb, Seq("band_idx", "band_val"))
+      .where(col("ma") < col("mb"))
+      .select(col("ma"), col("fa"), col("nfa"),
+        col("mb"), col("fb"), col("nfb"),
+        expr("bit_count(hva ^ hvb)").cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+    fmatch
+      .groupBy(col("ma").as("media_id_a"), col("mb").as("media_id_b"),
+        col("nfa").as("nf_a"), col("nfb").as("nf_b"))
+      // vote on the SHORTER side's frames (ties: a) so score ≤ 1
+      .agg(countDistinct(when(col("nfa") <= col("nfb"), col("fa"))
+        .otherwise(col("fb"))).as("n_match"))
+      .withColumn("score",
+        col("n_match").cast("double") /
+          least(col("nf_a"), col("nf_b")).cast("double"))
+      .where(col("score") >= minMatchFrac)
+      .select(col("media_id_a"), col("media_id_b"), col("nf_a"),
+        col("nf_b"), col("n_match"), col("score"))
+      .orderBy("media_id_a", "media_id_b")
+  }
+
+  /** DuckDB replay of [[mediaVideoDedup]]: regenerate the per-frame
+    * [[mix24]] pixel noise and flips (descending-j CASE so the
+    * encoder's last-write-wins collision order replays), fold the
+    * dHash 8×9 block relations per frame (GIF decode is top-down —
+    * no BMP row flip), re-derive the four 16-bit band keys by bit
+    * fold, band-join candidates, verify hamming, and take the same
+    * shorter-side frame vote. */
+  def mediaVideoDedupSql(maxHamming: Int = 3, minMatchFrac: Double = 0.5,
+      groupMod: Int = 25): String = {
+    val M = 2147483647L
+    s"""WITH vids AS (
+       |  SELECT doc_id, (doc_id % 4) + 2 AS nf FROM documents),
+       |vf AS (SELECT doc_id, nf, t.f
+       |  FROM vids, LATERAL unnest(range(0, nf)) t(f)),
+       |q0 AS (SELECT doc_id, nf, f, t.g,
+       |    ((((doc_id % $groupMod) + 1000003 * f) % $M) * 131 + t.g + 7)
+       |      % $M AS h
+       |  FROM vf, LATERAL unnest(range(0, 1024)) t(g)),
+       |q1 AS (SELECT doc_id, nf, f, g, (h * h % $M + h) % $M AS h FROM q0),
+       |q2 AS (SELECT doc_id, nf, f, g,
+       |    (((h * h % $M + 131) % $M) % 16777216) % 256 AS idx FROM q1),
+       |fj AS (SELECT doc_id, f, vj.j FROM vf,
+       |  (VALUES (0), (1), (2), (65536), (65537), (65538)) vj(j)),
+       |g0 AS (SELECT doc_id, f, j,
+       |    (((doc_id * 131 + f) % $M) * 131 + j + 7) % $M AS h FROM fj),
+       |g1 AS (SELECT doc_id, f, j, (h * h % $M + h) % $M AS h FROM g0),
+       |g2 AS (SELECT doc_id, f, j,
+       |    ((h * h % $M + 131) % $M) % 16777216 AS v FROM g1),
+       |fl AS (SELECT doc_id, f,
+       |    MAX(CASE WHEN j = 0 THEN v % 1024 END) AS pos0,
+       |    MAX(CASE WHEN j = 1 THEN v % 1024 END) AS pos1,
+       |    MAX(CASE WHEN j = 2 THEN v % 1024 END) AS pos2,
+       |    MAX(CASE WHEN j = 65536 THEN v % 256 END) AS val0,
+       |    MAX(CASE WHEN j = 65537 THEN v % 256 END) AS val1,
+       |    MAX(CASE WHEN j = 65538 THEN v % 256 END) AS val2
+       |  FROM g2 GROUP BY 1, 2),
+       |pxl AS (SELECT q.doc_id, q.nf, q.f, q.g,
+       |    3 * (CASE
+       |      WHEN ((q.doc_id // $groupMod) % 4) >= 3 AND q.g = fl.pos2
+       |        THEN fl.val2
+       |      WHEN ((q.doc_id // $groupMod) % 4) >= 2 AND q.g = fl.pos1
+       |        THEN fl.val1
+       |      WHEN ((q.doc_id // $groupMod) % 4) >= 1 AND q.g = fl.pos0
+       |        THEN fl.val0
+       |      ELSE q.idx END) AS l
+       |  FROM q2 q JOIN fl ON q.doc_id = fl.doc_id AND q.f = fl.f),
+       |dsum AS (SELECT doc_id, nf, f,
+       |    (g // 32) // 4 AS bi, ((g % 32) * 9 + 8) // 32 AS bj,
+       |    sum(l) AS s, count(*) AS n
+       |  FROM pxl GROUP BY 1, 2, 3, 4, 5),
+       |bits AS (SELECT a.doc_id, a.nf, a.f, a.bi * 8 + a.bj AS bit,
+       |    CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS fbit
+       |  FROM dsum a JOIN dsum b
+       |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.bi = b.bi
+       |      AND b.bj = a.bj + 1),
+       |fb AS (SELECT doc_id, nf, f, bit // 16 AS band_idx,
+       |    SUM(fbit * (1::BIGINT << (bit % 16)))::BIGINT AS band_val
+       |  FROM bits GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS ma, a.f AS fa, a.nf AS nfa,
+       |    b.doc_id AS mb, b.f AS fb, b.nf AS nfb
+       |  FROM fb a JOIN fb b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |      AND a.doc_id < b.doc_id),
+       |ham AS (SELECT c.ma, c.fa, c.nfa, c.mb, c.fb, c.nfb,
+       |    CAST(sum(CASE WHEN x.fbit <> y.fbit THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hamming
+       |  FROM cand c
+       |  JOIN bits x ON x.doc_id = c.ma AND x.f = c.fa
+       |  JOIN bits y ON y.doc_id = c.mb AND y.f = c.fb AND y.bit = x.bit
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |agg AS (SELECT ma AS media_id_a, mb AS media_id_b,
+       |    nfa::BIGINT AS nf_a, nfb::BIGINT AS nf_b,
+       |    count(DISTINCT CASE WHEN nfa <= nfb THEN fa ELSE fb END)
+       |      ::BIGINT AS n_match
+       |  FROM ham WHERE hamming <= $maxHamming GROUP BY 1, 2, 3, 4)
+       |SELECT media_id_a, media_id_b, nf_a, nf_b, n_match,
+       |  CAST(n_match AS DOUBLE) / CAST(least(nf_a, nf_b) AS DOUBLE)
+       |    AS score
+       |FROM agg
+       |WHERE CAST(n_match AS DOUBLE) / CAST(least(nf_a, nf_b) AS DOUBLE)
+       |  >= $minMatchFrac
+       |ORDER BY media_id_a, media_id_b""".stripMargin
+  }
 
   /** Shared fixture→hash stage: fabricate each doc's 32×32 hashed-noise
     * BMP, REALLY decode it, hash with `hashFn` — per-row, zero

@@ -389,4 +389,63 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(got.where(col("format") =!= "wav" && col("width").isNull)
       .count() === 0)
   }
+
+  test("animated GIF: every frame round-trips and agrees with the JDK frame reader") {
+    import graft.operators.MediaCodecs
+    // three distinct deterministic frames
+    val frames = Array.tabulate(3)(f =>
+      Array.tabulate(32 * 32)(g => (f * 83 + g * 7) % 256))
+    val payload = MediaCodecs.encodeGifAnimated(32, 32, frames)
+    // our decoder: all frames, luma = 3 * index
+    val ours = MediaCodecs.decodeGifFrames(payload).get
+    assert(ours.length === 3)
+    ours.zipWithIndex.foreach { case ((w, h, gray), f) =>
+      assert((w, h) === ((32, 32)))
+      assert(gray.toSeq === frames(f).map(_ * 3).toSeq, s"frame $f")
+    }
+    // the single-frame face still reads frame 0
+    assert(MediaCodecs.decodeGifGray(payload).get._3.toSeq
+      === frames(0).map(_ * 3).toSeq)
+    // independent JDK reader: same per-frame pixels (palette r=g=b=idx,
+    // so any channel == index)
+    val it = javax.imageio.ImageIO.getImageReadersBySuffix("gif")
+    assert(it.hasNext, "JDK has no gif reader")
+    val reader = it.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
+    assert(reader.getNumImages(true) === 3)
+    (0 until 3).foreach { f =>
+      val img = reader.read(f)
+      val jdk = Array.tabulate(32 * 32)(g =>
+        (img.getRGB(g % 32, g / 32) & 0xff) * 3)
+      assert(jdk.toSeq === ours(f)._3.toSeq, s"JDK frame $f")
+    }
+  }
+
+  test("mediaVideoDedup: same-clip groups vote together, r=0 twins score 1.0") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // 12 videos, groupMod=4 -> 4 clips x 3 re-encodes; doc_id // 4 in
+    // {0,1,2} -> 0/1/2 retouched pixels per frame
+    val docs = (0L until 12L).toDF("doc_id")
+    val out = graft.operators.MediaCodecs
+      .mediaVideoDedup(spark, docs, groupMod = 4).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val a = r.getAs[Long]("media_id_a"); val b = r.getAs[Long]("media_id_b")
+      assert(a % 4 === b % 4, s"cross-clip pair ($a,$b)")
+      assert(r.getAs[Double]("score") >= 0.5 && r.getAs[Double]("score") <= 1.0)
+      assert(r.getAs[Long]("n_match") <=
+        math.min(r.getAs[Long]("nf_a"), r.getAs[Long]("nf_b")))
+    }
+    // r=0 re-encodes of the same clip are byte-identical per frame:
+    // every shared frame index matches -> score exactly 1.0
+    val zeroFlip = out.filter(r => r.getAs[Long]("media_id_a") / 4 == 0
+      && r.getAs[Long]("media_id_b") / 4 == 0)
+    assert(zeroFlip.forall(_.getAs[Double]("score") === 1.0))
+    // deterministic
+    val again = graft.operators.MediaCodecs
+      .mediaVideoDedup(spark, docs.repartition(5), groupMod = 4).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
