@@ -1752,7 +1752,20 @@ object Corpus {
     * views (the anchor overlap a collapse diagnostic watches), and
     * the MD5 of each rendered view (`md5('')` when a view drops
     * everything). */
-  def contrastiveViews(documents: DataFrame, dropPct: Int = 15): DataFrame = {
+  def contrastiveViews(documents: DataFrame, dropPct: Int = 15): DataFrame =
+    contrastiveProject(documents, dropPct).orderBy("doc_id")
+
+  /** The streaming face of [[contrastiveViews]] (the
+    * [[mlmMaskingStream]] convention): identical stateless projection
+    * minus the batch face's global ORDER BY — per-row deterministic,
+    * so the streamed view set over any micro-batch slicing equals the
+    * batch output (asserted in `StreamingSpec`). */
+  def contrastiveViewsStream(documents: DataFrame,
+      dropPct: Int = 15): DataFrame =
+    contrastiveProject(documents, dropPct)
+
+  private def contrastiveProject(documents: DataFrame,
+      dropPct: Int): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
     documents
       .where(col("text").isNotNull)
@@ -1777,7 +1790,6 @@ object Corpus {
           "c -> c.tok), ' ')")).as("v1_md5"),
         md5(expr("array_join(transform(filter(cells, c -> c.k2), " +
           "c -> c.tok), ' ')")).as("v2_md5"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB replay of [[contrastiveViews]]: the [[mlmMaskingSql]]

@@ -235,6 +235,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(1200))
   }
 
+  test("lexicon_tags: the lexicon joins the token stream by broadcast; the corpus side never shuffles for it") {
+    val p = finalPlan(graft.operators.TextAnalysis.lexiconTags(
+      Tables.documents(spark, d)))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
+  test("media_video_dedup: frame candidates via band equi-join, never an all-pairs comparison") {
+    val p = finalPlan(graft.operators.MediaCodecs.mediaVideoDedup(
+      spark, Tables.documents(spark, d)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("dpo_pairs: the half-vs-half pairing is an equi-join on the dense pair index") {
+    val p = finalPlan(graft.operators.Corpus.dpoPairs(
+      Tables.documents(spark, d)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
   test("pii_redaction: per-row regex chain adds no hash shuffle") {
     val p = finalPlan(graft.operators.Corpus.redactionReport(
       Tables.documents(spark, d)))

@@ -290,6 +290,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed contrastive views equal the batch construction under any batch slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val docsData = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta " * 4),
+      (2L, "one two three four five six seven eight nine ten " * 3),
+      (3L, "red orange yellow green blue indigo violet " * 5))
+      .map { case (id, t) => (id, t.trim) }
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.Corpus
+      .contrastiveViewsStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cv_stream_t").start()
+    try {
+      input.addData(docsData(0))
+      q.processAllAvailable()
+      input.addData(docsData(1), docsData(2))
+      q.processAllAvailable()
+      val streamed = spark.table("cv_stream_t")
+        .as[(Long, Long, Long, Long, Long, String, String)].collect().toSet
+      val batch = graft.operators.Corpus
+        .contrastiveViews(docsData.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Long, Long, String, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sliding-window visits update all covering windows each micro-batch") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
