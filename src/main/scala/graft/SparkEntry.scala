@@ -206,6 +206,10 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextAnalysis.textQuality(par(Tables.documents(s, d)))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(s, par(Tables.documents(s, d)))),
     "doc_winnowing" -> ((s, d) => TextAnalysis.winnowingSummary(par(Tables.documents(s, d)))),
+    // MOSS pairing face: df-capped fingerprint postings join, pair
+    // fan-out bounded per fingerprint
+    "winnow_pairs" -> ((s, d) =>
+      TextAnalysis.winnowPairs(par(Tables.documents(s, d)), k = 16, w = 8)),
     "top_tokens" -> ((s, d) => TextAnalysis.topTokens(par(Tables.documents(s, d)))),
     "unigram_familiarity" -> ((s, d) =>
       TextAnalysis.unigramFamiliarity(par(Tables.documents(s, d)))),
@@ -221,6 +225,11 @@ object SparkEntry {
     // CCNet-shape LM quality filter: corpus-trained bigram model,
     // per-doc mean negative log-prob (low = fluent, high = garbage)
     "lm_bigram_score" -> ((s, d) => TextAnalysis.lmBigramScore(par(Tables.documents(s, d)))),
+    // interpolated Kneser-Ney bigram scoring: absolute discount +
+    // continuation-probability backoff, one exact integer ratio per
+    // scored bigram on the add-one face's plan shape
+    "lm_kneser_ney_score" -> ((s, d) =>
+      TextAnalysis.lmKneserNeyScore(par(Tables.documents(s, d)))),
     // held-out stupid-backoff trigram LM (Brants 2007 / CCNet
     // deployment shape): train on src1..n, score src0 — the backoff
     // tiers genuinely fire, and the per-tier hit counts are the
@@ -724,6 +733,7 @@ object SparkEntry {
     "experiment_entropy" -> Analytics.experimentEntropySql,
     "collocations" -> TextAnalysis.collocationsSql(),
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
+    "lm_kneser_ney_score" -> TextAnalysis.lmKneserNeyScoreSql,
     "lm_trigram_score" -> TextAnalysis.lmTrigramScoreSql(),
     "perplexity_buckets" -> TextAnalysis.perplexityBucketsSql(),
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
@@ -793,6 +803,7 @@ object SparkEntry {
     "line_dedup" -> Dedup.lineDedupSql(),
     "within_doc_line_dedup" -> Dedup.withinDocLineDedupSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
+    "winnow_pairs" -> TextAnalysis.winnowPairsSql(k = 16, w = 8),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),
     "length_batching" -> Corpus.lengthBatchingSql(),
     "span_corruption" -> Corpus.spanCorruptionSql(),

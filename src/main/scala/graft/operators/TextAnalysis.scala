@@ -559,22 +559,24 @@ object TextAnalysis {
         expr("bit_xor(fingerprint)").as("fingerprint_xor"))
       .orderBy("doc_id")
 
-  /** DuckDB replay of [[winnowingSummary]]: the poly_hash62 gram fold
-    * via `list_reduce` over code points, window minima via a windowed
-    * `min` over gram position, distinct + count/xor per doc. */
-  def winnowingSummarySql(k: Int = 8, w: Int = 4): String = {
+  /** The shared DuckDB CTE body replaying [[winnowingFingerprints]]
+    * (poly_hash62 gram fold via `list_reduce` over code points,
+    * windowed `min` over gram position), ending in
+    * `f(doc_id, fp)` — each doc's DISTINCT fingerprints. Both
+    * [[winnowingSummarySql]] and [[winnowPairsSql]] build on it. */
+  private def winnowFpCtes(k: Int, w: Int): String = {
     val gramFold = (base: Int) =>
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(range(1, ${k + 1}),
          |        j -> CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
          |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
-    s"""WITH pos AS (
+    s"""pos AS (
        |  SELECT doc_id, text, unnest(range(0, length(text) - $k + 1)) AS i
        |  FROM documents WHERE length(text) >= ${k + w - 1}),
        |g AS (
        |  SELECT doc_id, i,
-       |    ${gramFold(131)}
-       |    | (${gramFold(137)} << 31) AS gh
+       |    ${gramFold(131)} |
+       |    (${gramFold(137)} << 31) AS gh
        |  FROM pos),
        |m AS (
        |  SELECT doc_id, i,
@@ -582,10 +584,63 @@ object TextAnalysis {
        |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp,
        |    count(*) OVER (PARTITION BY doc_id) AS n_grams
        |  FROM g),
-       |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE i < n_grams - ${w - 1})
+       |f AS (SELECT DISTINCT doc_id, fp FROM m WHERE i < n_grams - ${w - 1})"""
+      .stripMargin
+  }
+
+  /** DuckDB replay of [[winnowingSummary]]: the shared fingerprint
+    * CTEs, then count/xor per doc. */
+  def winnowingSummarySql(k: Int = 8, w: Int = 4): String =
+    s"""WITH ${winnowFpCtes(k, w)}
        |SELECT doc_id, count(*) AS n_fingerprints, bit_xor(fp) AS fingerprint_xor
        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** MOSS candidate pairs (Schleimer et al., SIGMOD'03 §5 — the
+    * winnowing index actually USED for plagiarism/boilerplate
+    * detection, the pairing face of [[winnowingSummary]]): documents
+    * sharing ≥ `minShared` distinct winnowing fingerprints. Because
+    * winnowing guarantees any shared substring of length ≥ k+w−1
+    * yields a shared fingerprint, `n_shared` lower-bounds the number
+    * of distinct shared substrings that long — a candidate generator
+    * with guaranteed substring-level recall, where the shingle/MinHash
+    * faces see only token sets.
+    *
+    * Scale shape: fingerprints with document frequency > `maxDf` are
+    * DROPPED before pairing (the stop-shingle discipline: boilerplate
+    * fingerprints would contribute df² pair fan-out and match
+    * everything — exactly the rows a plagiarism index ignores), so
+    * every posting list in the pair join is ≤ maxDf and the fan-out
+    * is bounded per fingerprint; the pair aggregate is map-side
+    * combined. Output: (doc_id_a, doc_id_b, n_shared). */
+  def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Long = 3, maxDf: Long = 64): DataFrame = {
+    val fps = winnowingFingerprints(documents, k, w).distinct()
+    val dfs = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val pruned = fps.join(dfs.select("fingerprint"), Seq("fingerprint"))
+    val a = pruned.select(col("fingerprint"), col("doc_id").as("doc_id_a"))
+    val b = pruned.select(col("fingerprint"), col("doc_id").as("doc_id_b"))
+    a.join(b, Seq("fingerprint"))
+      .where(col("doc_id_a") < col("doc_id_b"))
+      .groupBy("doc_id_a", "doc_id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_id_a", "doc_id_b")
   }
+
+  /** DuckDB replay of [[winnowPairs]]: the shared fingerprint CTEs,
+    * the same df cap, self-join, and threshold. */
+  def winnowPairsSql(k: Int = 8, w: Int = 4, minShared: Long = 3,
+      maxDf: Long = 64): String =
+    s"""WITH ${winnowFpCtes(k, w)},
+       |dfs AS (SELECT fp, count(*) AS df FROM f GROUP BY 1),
+       |pr AS (SELECT f.doc_id, f.fp FROM f JOIN dfs USING (fp)
+       |       WHERE dfs.df <= $maxDf)
+       |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       |  count(*) AS n_shared
+       |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $minShared
+       |ORDER BY doc_id_a, doc_id_b""".stripMargin
 
   val langIdSql: String = {
     val lexValues = Lexicons
@@ -927,6 +982,83 @@ object TextAnalysis {
       |      (CAST(uc.c_a AS DOUBLE) + v.v)) AS DECIMAL(18,9)) AS nll_i
       |  FROM dbg JOIN bc USING (tok_a, tok_b)
       |  JOIN uc ON dbg.tok_a = uc.tok CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(nll_i) AS DOUBLE) AS nll_sum
+      |FROM inst GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form — the smoothing every serious
+    * count-based LM uses, next to [[lmBigramScore]]'s add-one
+    * baseline): P(w|v) = (c(vw) − D)/c(v·) + D·N₁₊(v·)/c(v·) ·
+    * N₁₊(·w)/N₁₊(··) with discount D = 3/4 — absolute discounting
+    * plus the continuation-probability backoff that scores a word by
+    * how many CONTEXTS it follows, not how often it occurs (the
+    * "San Francisco" correction). Every scored bigram is seen
+    * (c ≥ 1), so the max(·,0) clamp never binds on this face.
+    *
+    * Exactness: with D = 3/4 the probability is one ratio of two
+    * BIGINT-exact integers over the common denominator 4·c(v·)·N₁₊
+    * ((4c−3)·N₁₊(··) + 3·N₁₊(v·)·N₁₊(·w) over 4·c(v·)·N₁₊(··)),
+    * then ONE double division and the [[lmBigramScore]]
+    * DECIMAL(18,9)-quantized −ln — order-independent sums after
+    * quantization. (The integer products stay far under 2⁶³ at any
+    * tested fixture; a corpus where c(v·)·N₁₊(··) approaches 2⁶¹
+    * re-enters DECIMAL per SCALE.md §8.)
+    *
+    * Scale shape = the [[lmBigramScore]] template: one bigram-count
+    * shuffle (map-side combined, vocab²-bounded sparse), the context
+    * and continuation tables re-aggregate FROM the count table (never
+    * the corpus), and scoring joins the token stream by key with a
+    * 1-row N₁₊(··) broadcast. Output: (doc_id, n_bigrams, nll_sum). */
+  def lmKneserNeyScore(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val docBigrams = toks.where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS a, t[i + 1] AS b))")).as("g"))
+      .select(col("doc_id"), col("g.a").as("tok_a"), col("g.b").as("tok_b"))
+    val bc = docBigrams.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("c_ab"))
+    val ctx = bc.groupBy("tok_a")
+      .agg(sum(col("c_ab")).as("c_v"), count(lit(1)).as("n1p_v"))
+    val cont = bc.groupBy("tok_b").agg(count(lit(1)).as("n1p_w"))
+    val tot = bc.agg(count(lit(1)).as("n1pp"))
+    docBigrams
+      .join(bc, Seq("tok_a", "tok_b"))
+      .join(ctx, Seq("tok_a"))
+      .join(cont, Seq("tok_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr(
+        """CAST(-ln(
+          |  CAST((4 * c_ab - 3) * n1pp + 3 * n1p_v * n1p_w AS DOUBLE) /
+          |  CAST(4 * c_v * n1pp AS DOUBLE)) AS DECIMAL(18,9))"""
+          .stripMargin).as("nll_i"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(nll_i) AS DOUBLE)").as("nll_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[lmKneserNeyScore]]: identical count tables,
+    * identical integer numerator/denominator, one division, the same
+    * quantized ln lattice. */
+  def lmKneserNeyScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |dbg AS (SELECT doc_id, g.a AS tok_a, g.b AS tok_b
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |          i -> struct_pack(a := t[i], b := t[i + 1]))) AS g
+      |        FROM toks WHERE len(t) >= 2)),
+      |bc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM dbg GROUP BY 1, 2),
+      |ctx AS (SELECT tok_a, sum(c_ab) AS c_v, count(*) AS n1p_v
+      |        FROM bc GROUP BY 1),
+      |cont AS (SELECT tok_b, count(*) AS n1p_w FROM bc GROUP BY 1),
+      |tot AS (SELECT count(*) AS n1pp FROM bc),
+      |inst AS (SELECT doc_id,
+      |    CAST(-ln(
+      |      CAST((4 * c_ab - 3) * n1pp + 3 * n1p_v * n1p_w AS DOUBLE) /
+      |      CAST(4 * c_v * n1pp AS DOUBLE)) AS DECIMAL(18,9)) AS nll_i
+      |  FROM dbg JOIN bc USING (tok_a, tok_b)
+      |  JOIN ctx USING (tok_a) JOIN cont USING (tok_b) CROSS JOIN tot)
       |SELECT doc_id, count(*) AS n_bigrams,
       |  CAST(sum(nll_i) AS DOUBLE) AS nll_sum
       |FROM inst GROUP BY doc_id ORDER BY doc_id""".stripMargin

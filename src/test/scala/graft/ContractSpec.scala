@@ -42,6 +42,8 @@ class ContractSpec extends AnyFunSuite {
       "value_band_counts", "tfidf_top_terms", "collocations",
       // same 1-row corpus-totals broadcast as collocations (vocab size)
       "lm_bigram_score",
+      // same pattern: 1-row distinct-bigram-type total broadcast
+      "lm_kneser_ney_score",
       // same 1-row corpus-totals broadcast (trigram-LM vocab size);
       // perplexity_buckets embeds it
       "lm_trigram_score", "perplexity_buckets",
