@@ -413,6 +413,9 @@ object SparkEntry {
     // substring-level dup signal: share of each doc's word 4-grams
     // that occur in at least one other document (Lee et al. shape)
     "cross_doc_ngram_dup" -> ((s, d) => Dedup.crossDocNgramDup(par(Tables.documents(s, d)))),
+    // ingestion-order novelty curve: first-owner min(doc_id) join,
+    // no ordering dependency materializes
+    "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(par(Tables.documents(s, d)))),
     // near-dup clusters keep their best member, not their smallest id
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(par(Tables.documents(s, d)))),
     // containment pairs: short-inside-long duplication Jaccard misses
@@ -797,6 +800,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.dedupClustersSql(),
     "dedup_bloom_gate" -> Dedup.bloomGateSql,
     "cross_doc_ngram_dup" -> Dedup.crossDocNgramDupSql(),
+    "ngram_novelty" -> Dedup.ngramNoveltySql(),
     "dedup_keep_best" -> Dedup.dedupKeepBestSql(),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_span_removal" -> Dedup.spanRemovalSql(),

@@ -40,6 +40,55 @@ object Dedup {
         expr(s"transform(sequence(0, size(toks) - $k), " +
           s"i -> concat_ws(' ', slice(toks, i + 1, $k)))"))).as("shingle"))
 
+  /** N-gram NOVELTY curve — per-document fraction of shingles never
+    * seen in any EARLIER document (doc_id order = ingestion order):
+    * the redundancy-growth diagnostic a crawl pipeline watches to
+    * decide when additional data stops adding information (novelty
+    * falls → the crawl is re-reading the same web; the corpus-level
+    * complement of [[crossDocNgramDup]], which is order-agnostic).
+    *
+    * Scale shape: ONE shuffle builds each distinct shingle's first
+    * owner (`min(doc_id)` — algebraic, map-side combined), a
+    * shingle-keyed join tags each doc's shingles with their first
+    * owner (same clustering as the aggregate, AQE reuses it), and a
+    * doc-keyed aggregate closes it — no ordering dependency
+    * materializes anywhere, the "earlier" semantics ride entirely on
+    * `min`. Output: (doc_id, n_shingles, n_novel, novelty). */
+  def ngramNovelty(documents: DataFrame, k: Int = 4): DataFrame = {
+    val sh = shingles(documents, k)
+    val first = sh.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[ngramNovelty]]: same distinct shingle stream,
+    * same min-owner join. */
+  def ngramNoveltySql(k: Int = 4): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(t[i : i + ${k - 1}], ' ') AS shingle
+       |  FROM toks, LATERAL unnest(range(1, len(t) - ${k - 2})) AS u(i)
+       |  WHERE len(t) >= $k),
+       |fst AS (SELECT shingle, min(doc_id) AS first_doc
+       |        FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, count(*) AS n_shingles,
+       |  sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |    ::BIGINT AS n_novel,
+       |  CAST(sum(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM sh JOIN fst USING (shingle)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** Exact dedup: one representative (minimum doc_id) per distinct
     * content hash. A single hash-groupBy — the cheapest dedup and the
     * first pass of any pipeline. */

@@ -437,4 +437,28 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(again.toSeq === got.toSeq)
   }
+
+  test("ngram novelty: first doc fully novel, exact copy fully redundant, monotone semantics") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"),          // exact copy -> zero novelty
+      (3L, "p q r s t u v w"),          // disjoint -> fully novel
+      (4L, "a b c d p q r s"))          // half old, half spanning
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.ngramNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 === 1.0, "first owner of all its shingles")
+    assert(got(2L)._4 === 0.0, "exact copy adds nothing")
+    assert(got(3L)._4 === 1.0, "disjoint vocabulary is fully novel")
+    // doc 4: 5 shingles; 'a b c d' seen in doc 1; the 3 spanning
+    // shingles (b c d p / c d p q / d p q r) and 'p q r s'... p q r s
+    // is doc 3's first shingle -> owned by doc 3. Novel = 3.
+    assert(got(4L)._2 === 5L && got(4L)._3 === 3L)
+    // determinism under partitioning
+    val again = graft.operators.Dedup.ngramNovelty(docs.repartition(3))
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
 }
