@@ -387,6 +387,8 @@ object SparkEntry {
     "source_overlap" -> ((s, d) => Corpus.sourceOverlap(par(Tables.documents(s, d)))),
     // per-source unigram KL vs the corpus mixture — one (source, word)
     // count shuffle, everything downstream vocab-bounded
+    "corpus_drift" -> ((s, d) =>
+      Corpus.corpusDrift(par(Tables.documents(s, d)))),
     "source_kl" -> ((s, d) => Corpus.sourceKlDivergence(par(Tables.documents(s, d)))),
     // easy-first curriculum position + phase split — range-partitioned
     // global rank (no single-task sort), entropy as difficulty
@@ -792,6 +794,7 @@ object SparkEntry {
     "contamination" -> Corpus.contaminationSql(),
     "source_overlap" -> Corpus.sourceOverlapSql(),
     "source_kl" -> Corpus.sourceKlDivergenceSql,
+    "corpus_drift" -> Corpus.corpusDriftSql(),
     "curriculum_order" -> Corpus.curriculumOrderSql(),
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardPairsSql(),

@@ -730,6 +730,93 @@ object Corpus {
       |  CAST(sum(t) AS DOUBLE) AS kl_nats
       |FROM term GROUP BY source ORDER BY source""".stripMargin
 
+  /** Ingestion-window distribution DRIFT — [[sourceKlDivergence]]'s
+    * diagnostic run over TIME instead of provenance: split the corpus
+    * into `buckets` equal ingestion windows (exact NTILE over doc_id
+    * order — the crawl's arrival order) and report each window's
+    * unigram KL against the whole-corpus mixture. Rising tail-window
+    * KL = the crawl's content is drifting (new domains, new
+    * languages, new spam); flat ≈ stationary. The temporal complement
+    * of [[Dedup.ngramNovelty]] (which watches redundancy, not
+    * distribution shape).
+    *
+    * Scale shape: window assignment is
+    * [[Analytics.ntileByRange]] (range-partitioned exact ntile, no
+    * single-partition sort); then exactly [[sourceKlDivergence]]'s
+    * plan with `bucket` for `source` — one (bucket, word) count
+    * shuffle, vocab-bounded tails, the identical floor-lattice term
+    * quantization. Output: (bucket, n_docs, n_tokens, n_terms,
+    * kl_nats). */
+  def corpusDrift(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    val bucketed = Analytics.ntileByRange(
+      documents.where(col("text").isNotNull)
+        .select(col("doc_id"), col("text")),
+      Seq("doc_id"), buckets)
+    val cbw = bucketed
+      .select(col("bucket"), col("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("bucket"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint()
+    val nd = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val ns = cbw.groupBy(col("bucket")).agg(sum("c_sw").as("n_s"))
+    val cw = cbw.groupBy(col("w")).agg(sum("c_sw").as("c_w"))
+    val n = cw.agg(sum("c_w").as("n_tok"))
+    cbw
+      .join(broadcast(ns), Seq("bucket"))
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"), col("n_s"),
+        expr("""CAST(floor(
+          |  CAST(CAST(ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+          |        / (CAST(c_w AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+          |    AS DECIMAL(18,9)) AS DOUBLE)
+          |  * (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+          |  * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))""".stripMargin).as("t"))
+      .groupBy(col("bucket"))
+      .agg(max("n_s").as("n_tokens"),
+        count(lit(1)).as("n_terms"),
+        expr("CAST(sum(t) AS DOUBLE)").as("kl_nats"))
+      .join(broadcast(nd), Seq("bucket"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("n_terms"), col("kl_nats"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB replay of [[corpusDrift]]: NTILE over doc_id order (the
+    * [[Analytics.ntileByRange]] semantics), then the
+    * [[sourceKlDivergenceSql]] lattice with bucket for source. */
+  def corpusDriftSql(buckets: Int = 10): String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    ntile($buckets) OVER (ORDER BY doc_id)::BIGINT AS bucket
+       |  FROM documents WHERE text IS NOT NULL),
+       |nd AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM b GROUP BY 1),
+       |tok AS (SELECT bucket, unnest(string_split(text, ' ')) AS w FROM b),
+       |csw AS (
+       |  SELECT bucket, w, count(*) AS c_sw FROM tok
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |ns AS (SELECT bucket, sum(c_sw)::BIGINT AS n_s FROM csw GROUP BY 1),
+       |cw AS (SELECT w, sum(c_sw)::BIGINT AS c_w FROM csw GROUP BY 1),
+       |n AS (SELECT sum(c_w)::BIGINT AS n_tok FROM cw),
+       |term AS (
+       |  SELECT bucket, n_s,
+       |    CAST(floor(
+       |      CAST(CAST(ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+       |            / (CAST(c_w AS DOUBLE) / CAST(n_tok AS DOUBLE)))
+       |        AS DECIMAL(18,9)) AS DOUBLE)
+       |      * (CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+       |      * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9)) AS t
+       |  FROM csw JOIN ns USING (bucket) JOIN cw USING (w) CROSS JOIN n),
+       |agg AS (
+       |  SELECT bucket, max(n_s) AS n_tokens, count(*) AS n_terms,
+       |    CAST(sum(t) AS DOUBLE) AS kl_nats
+       |  FROM term GROUP BY bucket)
+       |SELECT bucket, n_docs, n_tokens, n_terms, kl_nats
+       |FROM agg JOIN nd USING (bucket) ORDER BY bucket""".stripMargin
+
   /** Curriculum ordering (Bengio et al., ICML 2009 — present training
     * examples easy-first): the exact global training position of every
     * document under a difficulty score, plus the early/middle/late

@@ -62,6 +62,8 @@ class ContractSpec extends AnyFunSuite {
       // 1-row corpus-token-total broadcast into the vocab-bounded
       // (source, word) count table — the same pattern
       "source_kl",
+      // the identical plan with ingestion-window buckets for sources
+      "corpus_drift",
       // (nsp_pairs left this list: its negative-draw modulus is now a
       // driver-side count from rankByRange, so the 1-row max-doc-id
       // broadcast is gone and the plan is pure equi-joins)

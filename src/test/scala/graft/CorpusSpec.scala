@@ -623,4 +623,28 @@ class CorpusSpec extends AnyFunSuite {
       docs.orderBy(desc("doc_id")).repartition(7)).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("corpus drift: stationary corpus flat, planted tail drift spikes the last window") {
+    import org.apache.spark.sql.functions._
+    // 100 docs of one vocabulary; the last 20 switch vocabulary
+    val sd = (0 until 100).map { i =>
+      val t = if (i < 80) s"common words everywhere common words w${i % 7}"
+              else s"zz1 zz2 zz3 zz4 zz5 zz6 zz${i % 3}"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val got = Corpus.corpusDrift(sd, buckets = 5)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === (1L to 5L).toSet)
+    assert(got.values.map(_._2).sum === 100L, "every doc in a window")
+    // windows 1-4 are identically distributed-ish (low KL); window 5
+    // is the drifted vocabulary (high KL against the mixture)
+    val head = (1L to 4L).map(got(_)._5).max
+    assert(got(5L)._5 > 4 * math.max(head, 1e-6),
+      s"tail drift ${got(5L)._5} must dominate head $head")
+    // deterministic under partitioning
+    val again = Corpus.corpusDrift(sd.repartition(7), buckets = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
 }
