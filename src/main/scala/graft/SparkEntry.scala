@@ -387,9 +387,11 @@ object SparkEntry {
     "source_overlap" -> ((s, d) => Corpus.sourceOverlap(par(Tables.documents(s, d)))),
     // per-source unigram KL vs the corpus mixture — one (source, word)
     // count shuffle, everything downstream vocab-bounded
+    "source_kl" -> ((s, d) => Corpus.sourceKlDivergence(par(Tables.documents(s, d)))),
+    // the same KL lattice over exact-NTILE ingestion windows: the
+    // crawl-drift diagnostic (bucket for source, same plan shape)
     "corpus_drift" -> ((s, d) =>
       Corpus.corpusDrift(par(Tables.documents(s, d)))),
-    "source_kl" -> ((s, d) => Corpus.sourceKlDivergence(par(Tables.documents(s, d)))),
     // easy-first curriculum position + phase split — range-partitioned
     // global rank (no single-task sort), entropy as difficulty
     "curriculum_order" -> ((s, d) => Corpus.curriculumOrder(par(Tables.documents(s, d)))),

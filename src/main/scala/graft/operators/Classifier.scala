@@ -190,6 +190,12 @@ object Classifier {
     * scan-side projection: the model rides along as one `dim`-long
     * broadcast literal, zero shuffles. */
   def withPinnedScore(df: DataFrame, dim: Int = 4096): DataFrame = {
+    val produced = Seq("n_toks", "sum_len", "w_sum", "margin",
+      "predicted", "label", "__toks", "__idxs")
+    val clash = df.columns.toSeq.intersect(produced)
+    require(clash.isEmpty,
+      s"withPinnedScore would overwrite caller columns $clash - " +
+        "rename or drop them before scoring")
     val wLit = typedLit(pinnedWeights(dim))
     df
       .withColumn("__toks",

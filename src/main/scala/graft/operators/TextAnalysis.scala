@@ -614,7 +614,9 @@ object TextAnalysis {
     * combined. Output: (doc_id_a, doc_id_b, n_shared). */
   def winnowPairs(documents: DataFrame, k: Int = 8, w: Int = 4,
       minShared: Long = 3, maxDf: Long = 64): DataFrame = {
-    val fps = winnowingFingerprints(documents, k, w).distinct()
+    // winnow_fingerprints returns each doc's DISTINCT minima already —
+    // no dedup shuffle needed before the df aggregate
+    val fps = winnowingFingerprints(documents, k, w)
     val dfs = fps.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
     val pruned = fps.join(dfs.select("fingerprint"), Seq("fingerprint"))

@@ -425,27 +425,37 @@ class MediaCodecsSpec extends AnyFunSuite {
   test("mediaVideoDedup: same-clip groups vote together, r=0 twins score 1.0") {
     val spark = TestSpark.spark
     import spark.implicits._
-    // 12 videos, groupMod=4 -> 4 clips x 3 re-encodes; doc_id // 4 in
-    // {0,1,2} -> 0/1/2 retouched pixels per frame
-    val docs = (0L until 12L).toDF("doc_id")
+    // 18 videos, groupMod=3 -> 3 clips x 6 re-encodes. With gm=3,
+    // nf = id%4+2 VARIES inside a group (unequal-frame-count pairs
+    // exercise the shorter-side vote denominator) and id/3 reaches 3
+    // (the r=3 three-flips-per-frame branch, whose last-write-wins
+    // collision order the oracle replays with a descending CASE).
+    val docs = (0L until 18L).toDF("doc_id")
     val out = graft.operators.MediaCodecs
-      .mediaVideoDedup(spark, docs, groupMod = 4).collect()
+      .mediaVideoDedup(spark, docs, groupMod = 3).collect()
     assert(out.nonEmpty)
     out.foreach { r =>
       val a = r.getAs[Long]("media_id_a"); val b = r.getAs[Long]("media_id_b")
-      assert(a % 4 === b % 4, s"cross-clip pair ($a,$b)")
+      assert(a % 3 === b % 3, s"cross-clip pair ($a,$b)")
       assert(r.getAs[Double]("score") >= 0.5 && r.getAs[Double]("score") <= 1.0)
       assert(r.getAs[Long]("n_match") <=
         math.min(r.getAs[Long]("nf_a"), r.getAs[Long]("nf_b")))
     }
+    // the shorter-side vote genuinely runs on unequal frame counts
+    assert(out.exists(r =>
+      r.getAs[Long]("nf_a") != r.getAs[Long]("nf_b")),
+      "fixture produced no unequal-frame-count pair")
     // r=0 re-encodes of the same clip are byte-identical per frame:
     // every shared frame index matches -> score exactly 1.0
-    val zeroFlip = out.filter(r => r.getAs[Long]("media_id_a") / 4 == 0
-      && r.getAs[Long]("media_id_b") / 4 == 0)
+    // (r = id/3 % 4 == 0 for ids 0-2 and 12-14; same-group zero-flip
+    // pairs are (0,12) (1,13) (2,14))
+    val zeroFlip = out.filter(r => r.getAs[Long]("media_id_a") / 3 % 4 == 0
+      && r.getAs[Long]("media_id_b") / 3 % 4 == 0)
+    assert(zeroFlip.nonEmpty)
     assert(zeroFlip.forall(_.getAs[Double]("score") === 1.0))
     // deterministic
     val again = graft.operators.MediaCodecs
-      .mediaVideoDedup(spark, docs.repartition(5), groupMod = 4).collect()
+      .mediaVideoDedup(spark, docs.repartition(5), groupMod = 3).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 }
