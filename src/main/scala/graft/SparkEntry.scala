@@ -134,6 +134,10 @@ object SparkEntry {
     "first_event_per_user_minute" -> ((s, d) =>
       Analytics.firstEventPerUserMinute(Tables.events(s, d))),
     "value_percentiles" -> ((s, d) => Relational.valuePercentiles(Tables.events(s, d))),
+    // numeric drift: PSI over reference-half decile bins (exact
+    // NTILEs via range-partitioned ranks; 9 edges fold back as one
+    // array literal - zero-join bin assignment)
+    "value_psi" -> ((s, d) => Analytics.valuePsi(Tables.events(s, d))),
     "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
     "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(Tables.events(s, d))),
     "event_type_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
@@ -704,6 +708,7 @@ object SparkEntry {
     "key_skew_profile" -> Skew.keySkewProfileSql(),
     "first_event_per_user_minute" -> Analytics.firstEventPerUserMinuteSql,
     "value_percentiles" -> Relational.valuePercentilesSql,
+    "value_psi" -> Analytics.valuePsiSql(),
     "value_band_counts" -> Relational.valueBandCountsSql(),
     "props_variant_stats" -> Relational.propsVariantStatsSql,
     "event_type_pivot" -> Relational.eventTypePivotSql(),

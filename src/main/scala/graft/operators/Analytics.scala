@@ -238,6 +238,106 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** Population Stability Index over the value stream — the standard
+    * production drift metric for NUMERIC features (the banking/ML-ops
+    * convention: PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur) over the
+    * reference period's decile bins; < 0.1 stationary, > 0.25 act):
+    * split events into two halves by EVENT TIME (exact NTILE(2) over
+    * (ts, event_id)), bin the whole stream by the REFERENCE half's
+    * exact decile edges, and report each bin's reference/current
+    * shares and its quantized PSI term. The numeric sibling of
+    * [[graft.operators.Corpus.corpusDrift]]'s distributional KL.
+    *
+    * Scale shape: both NTILEs are [[ntileByRange]] (range-partitioned
+    * exact ranks — no single-partition window); the 9 inner edges are
+    * a BOUNDED driver collect (bins−1 doubles, the k-means-sums
+    * discipline) folded back in as one array literal, so bin
+    * assignment is a zero-join scan-side filter-count. Exactness:
+    * bin counts are integers; shares are single IEEE divisions by the
+    * arithmetically-derived half sizes; `ln` rides the
+    * [[graft.operators.Corpus.sourceKlDivergence]] DECIMAL(18,9)
+    * lattice; the 1e-6 floor (the standard empty-bin guard) is an
+    * exact double literal in both engines. Output: (bin, n_ref,
+    * n_cur, p_ref, p_cur, psi_term). */
+  def valuePsi(events: DataFrame, bins: Int = 10): DataFrame = {
+    val base = events.select(col("event_id"), col("ts"), col("value"))
+      .where(col("value").isNotNull)
+    val halves = ntileByRange(base, Seq("ts", "event_id"), 2)
+      .withColumnRenamed("bucket", "half")
+    val n = base.count()
+    val nRef = n / 2 + n % 2
+    val nCur = n / 2
+    val refDeciles = ntileByRange(
+      halves.where(col("half") === 1).select(col("value"), col("event_id")),
+      Seq("value", "event_id"), bins)
+    // the bins−1 inner edges: each reference decile's max value
+    val edges = refDeciles.groupBy(col("bucket"))
+      .agg(max(col("value")).as("edge"))
+      .where(col("bucket") < bins)
+      .orderBy("bucket").collect().map(_.getDouble(1))
+    val eLit = typedLit(edges)
+    halves
+      .withColumn("bin",
+        (lit(1) + size(filter(eLit, e => col("value") > e))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("n_cur"))
+      .withColumn("p_ref", expr(
+        s"greatest(CAST(n_ref AS DOUBLE) / CAST($nRef AS DOUBLE), 1e-6)"))
+      .withColumn("p_cur", expr(
+        s"greatest(CAST(n_cur AS DOUBLE) / CAST($nCur AS DOUBLE), 1e-6)"))
+      .withColumn("psi_term", expr(
+        """CAST(CAST(floor(
+          |  CAST(CAST(ln(p_ref / p_cur) AS DECIMAL(18,9)) AS DOUBLE)
+          |  * (p_ref - p_cur) * 1e9 + 0.5) / 1e9
+          |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"), col("psi_term"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB replay of [[valuePsi]]: NTILE halves and reference
+    * deciles over the same total orders, the same strict `>` edge
+    * comparison (correlated count over the bins−1 edge rows), the
+    * same floored shares and quantized-ln terms. */
+  def valuePsiSql(bins: Int = 10): String =
+    s"""WITH base AS (
+       |  SELECT event_id, ts, value FROM events WHERE value IS NOT NULL),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |h AS (
+       |  SELECT event_id, value,
+       |    ntile(2) OVER (ORDER BY ts, event_id) AS half
+       |  FROM base),
+       |rd AS (
+       |  SELECT value,
+       |    ntile($bins) OVER (ORDER BY value, event_id) AS bucket
+       |  FROM h WHERE half = 1),
+       |ed AS (SELECT bucket, max(value) AS edge FROM rd
+       |       WHERE bucket < $bins GROUP BY 1),
+       |b AS (
+       |  SELECT h.half,
+       |    1 + (SELECT count(*) FROM ed WHERE h.value > ed.edge) AS bin
+       |  FROM h),
+       |c AS (
+       |  SELECT bin,
+       |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+       |    sum(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+       |  FROM b GROUP BY 1),
+       |p AS (
+       |  SELECT bin::BIGINT AS bin, n_ref, n_cur,
+       |    greatest(CAST(n_ref AS DOUBLE)
+       |      / CAST((SELECT n // 2 + n % 2 FROM nn) AS DOUBLE), 1e-6)
+       |      AS p_ref,
+       |    greatest(CAST(n_cur AS DOUBLE)
+       |      / CAST((SELECT n // 2 FROM nn) AS DOUBLE), 1e-6) AS p_cur
+       |  FROM c)
+       |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+       |  CAST(CAST(floor(
+       |    CAST(CAST(ln(p_ref / p_cur) AS DECIMAL(18,9)) AS DOUBLE)
+       |    * (p_ref - p_cur) * 1e9 + 0.5) / 1e9
+       |  AS DECIMAL(18,9)) AS DOUBLE) AS psi_term
+       |FROM p ORDER BY bin""".stripMargin
+
   val orderDecilesSql: String =
     """WITH d AS (
       |  SELECT o_totalprice,

@@ -916,4 +916,28 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(again === got)
   }
+
+  test("value PSI: stationary stream near zero, planted shift spikes the PSI") {
+    import java.sql.Timestamp
+    // 2000 events over a day; first half N(values 0..99 cycling),
+    // second half shifted up by 80 -> mass leaves low bins for high
+    def ev(i: Int, v: Double) =
+      (i.toLong, Timestamp.valueOf(f"2024-01-01 ${i / 84}%02d:${(i / 2) % 60}%02d:${i % 60}%02d"), v)
+    val shifted = ((0 until 1000).map(i => ev(i, (i % 100).toDouble)) ++
+      (1000 until 2000).map(i => ev(i, (i % 100).toDouble + 80)))
+      .toDF("event_id", "ts", "value")
+    val out = graft.operators.Analytics.valuePsi(shifted).collect()
+    val psi = out.map(_.getAs[Double]("psi_term")).sum
+    assert(psi > 0.25, s"planted shift must cross the act threshold: $psi")
+    // shares are probabilities over their own half
+    assert(math.abs(out.map(_.getAs[Long]("n_ref")).sum - 1000L) === 0L)
+    assert(math.abs(out.map(_.getAs[Long]("n_cur")).sum - 1000L) === 0L)
+    // a stationary stream (second half re-draws the same cycle) is flat
+    val flat = (0 until 2000).map(i => ev(i, (i % 100).toDouble))
+      .toDF("event_id", "ts", "value")
+    val psiFlat = graft.operators.Analytics.valuePsi(flat).collect()
+      .map(_.getAs[Double]("psi_term")).sum
+    assert(psiFlat < 0.1, s"stationary stream must stay under 0.1: $psiFlat")
+    assert(psiFlat < psi / 5)
+  }
 }
