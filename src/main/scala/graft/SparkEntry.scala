@@ -424,6 +424,9 @@ object SparkEntry {
     // ingestion-order novelty curve: first-owner min(doc_id) join,
     // no ordering dependency materializes
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(par(Tables.documents(s, d)))),
+    // split-leakage audit: exact near-dup pairs per (split, split)
+    // cell of the hash split - the memorization canary
+    "split_leakage" -> ((s, d) => Dedup.splitLeakage(par(Tables.documents(s, d)))),
     // near-dup clusters keep their best member, not their smallest id
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(par(Tables.documents(s, d)))),
     // containment pairs: short-inside-long duplication Jaccard misses
@@ -811,6 +814,7 @@ object SparkEntry {
     "dedup_bloom_gate" -> Dedup.bloomGateSql,
     "cross_doc_ngram_dup" -> Dedup.crossDocNgramDupSql(),
     "ngram_novelty" -> Dedup.ngramNoveltySql(),
+    "split_leakage" -> Dedup.splitLeakageSql(),
     "dedup_keep_best" -> Dedup.dedupKeepBestSql(),
     "dedup_simhash_pairs" -> Dedup.simhashPairsSql(),
     "dedup_span_removal" -> Dedup.spanRemovalSql(),

@@ -152,7 +152,8 @@ object Dedup {
     * index → pair intersection counts) reused by
     * [[ngramJaccardPairsSql]] and [[dedupClustersSql]]. Ends with the
     * `pairs` CTE: thresholded `(doc_id_a, doc_id_b, jaccard)`. */
-  private def ngramJaccardCtes(threshold: Double, maxDf: Int): String =
+  private[operators] def ngramJaccardCtes(threshold: Double,
+      maxDf: Int): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
        |    generate_subscripts(string_split(text, ' '), 1) AS idx
@@ -186,6 +187,77 @@ object Dedup {
     s"""WITH ${ngramJaccardCtes(threshold, maxDf)}
        |SELECT doc_id_a, doc_id_b, jaccard FROM pairs
        |ORDER BY 1, 2""".stripMargin
+
+  /** Train/val split-LEAKAGE audit — the near-dup decontamination
+    * check run ACROSS the split boundary (the canary every eval
+    * pipeline needs: a random split of a corpus with internal
+    * near-dups puts one twin in train and one in val, and the val
+    * loss silently measures memorization; Lee et al. 2107.06499 §6
+    * report exactly this leak class): count the exact
+    * [[ngramJaccardPairs]] near-dup pairs per (split, split) cell of
+    * the [[Corpus.hashSplit]] assignment. A healthy split's
+    * cross-cell count matches the dup rate × split mass; the fix is
+    * cluster-level splitting (assign [[connectedComponents]] clusters,
+    * not docs).
+    *
+    * Scale shape: the pair generator is the df-capped inverted index
+    * (bounded fan-out, one shuffle); the split table is a zero-cost
+    * hash projection joined twice by doc_id; the final rollup is
+    * ≤ 3 cells and its share division rides a 3-row window (the
+    * `langTemperatureMix` bounded-frame precedent). Output:
+    * (split_a, split_b, n_pairs, share, leaked). */
+  def splitLeakage(documents: DataFrame, k: Int = 4,
+      threshold: Double = 0.5, maxDf: Int = 1000,
+      valPct: Int = 10): DataFrame = {
+    val pairs = ngramJaccardPairs(documents, k, threshold, maxDf)
+      .select(col("doc_id_a"), col("doc_id_b"))
+    val splits = Corpus.hashSplit(documents, valPct)
+    pairs
+      .join(splits.toDF("doc_id_a", "split_a"), Seq("doc_id_a"))
+      .join(splits.toDF("doc_id_b", "split_b"), Seq("doc_id_b"))
+      .select(least(col("split_a"), col("split_b")).as("split_a"),
+        greatest(col("split_a"), col("split_b")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(lit(1)))
+            .cast("double"))
+      .withColumn("leaked",
+        (col("split_a") =!= col("split_b")).cast("long"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        col("share"), col("leaked"))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** DuckDB replay of [[splitLeakage]]: the shared
+    * [[ngramJaccardCtes]] pair body, the [[Corpus.hashSplitSql]]
+    * assignment, the same sorted-cell rollup and window share. */
+  def splitLeakageSql(k: Int = 4, threshold: Double = 0.5,
+      maxDf: Int = 1000, valPct: Int = 10): String =
+    s"""WITH ${ngramJaccardCtes(threshold, maxDf)},
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))
+       |      ::BIGINT % 100 < $valPct THEN 'val' ELSE 'train' END
+       |      AS split
+       |  FROM documents),
+       |px AS (
+       |  SELECT least(a.split, b.split) AS split_a,
+       |    greatest(a.split, b.split) AS split_b
+       |  FROM pairs p
+       |  JOIN sp a ON p.doc_id_a = a.doc_id
+       |  JOIN sp b ON p.doc_id_b = b.doc_id),
+       |cc AS (
+       |  SELECT split_a, split_b, count(*)::BIGINT AS n_pairs
+       |  FROM px GROUP BY 1, 2)
+       |SELECT split_a, split_b, n_pairs,
+       |  CAST(n_pairs AS DOUBLE) / CAST(sum(n_pairs) OVER () AS DOUBLE)
+       |    AS share,
+       |  (CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)::BIGINT
+       |    AS leaked
+       |FROM cc ORDER BY split_a, split_b""".stripMargin
 
   /** Exact token-set Jaccard pairs via PREFIX FILTERING (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,

@@ -461,4 +461,27 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(again === got)
   }
+
+  test("split leakage: cells partition the pair set; leaked flags exactly the cross-split cells") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs).collect()
+    val out = graft.operators.Dedup.splitLeakage(docs).collect()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === pairs.length.toLong,
+      "every near-dup pair lands in exactly one (split, split) cell")
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    // hand-join the splits and compare each cell
+    val splits = graft.operators.Corpus.hashSplit(docs)
+      .as[(Long, String)].collect().toMap
+    val expected = pairs.groupBy { r =>
+      val sa = splits(r.getAs[Long]("doc_id_a"))
+      val sb = splits(r.getAs[Long]("doc_id_b"))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, v) => k -> v.length.toLong }
+    out.foreach { r =>
+      val k = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(expected(k) === r.getAs[Long]("n_pairs"), k)
+      assert(r.getAs[Long]("leaked") === (if (k._1 != k._2) 1L else 0L))
+    }
+  }
 }
