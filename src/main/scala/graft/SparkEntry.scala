@@ -190,6 +190,17 @@ object SparkEntry {
     // EWMA smoothing of the minute series — sequential fold over the
     // calendar-bounded aggregate, bit-exact by identical IEEE op order
     "visits_ewma" -> ((s, d) => Analytics.visitsEwma(Tables.events(s, d))),
+    // CUSUM level-shift detector over the minute series: the
+    // recurrence rewritten as integer prefix-extremum windows
+    "visits_cusum" -> ((s, d) => Analytics.visitsCusum(Tables.events(s, d))),
+    // per-(experiment, variant) value lift + Welch t vs the control
+    // arm — the statistical readout layer over the reference's
+    // experiment bookkeeping
+    "variant_lift" -> ((s, d) => Analytics.variantLift(Tables.events(s, d))),
+    // Poisson bootstrap: B hash-drawn resample means in one pass —
+    // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
+    "value_bootstrap_ci" -> ((s, d) =>
+      Analytics.valueBootstrapCi(par(Tables.events(s, d)))),
     "fuzzy_name_matches" -> ((s, d) => Relational.fuzzyNameMatches(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
@@ -368,6 +379,15 @@ object SparkEntry {
     // BERT NSP pair construction: positives per-row, negatives via one
     // equi-join on the hash-drawn source doc
     "nsp_pairs" -> ((s, d) => Corpus.nspPairs(par(Tables.documents(s, d)))),
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // dyadic source weights, TakeOrdered top-k — no corpus shuffle
+    "weighted_sample" -> ((s, d) => Corpus.weightedSample(Tables.documents(s, d))),
+    // annotation consensus: majority vote + agreement + Fleiss P_o per
+    // doc over a fabricated m-rater vote table (one doc-keyed shuffle)
+    "label_majority" -> ((s, d) => Corpus.labelMajority(par(Tables.documents(s, d)))),
+    // thread root/depth by pointer doubling — O(log depth) equi-join
+    // rounds; oracle replays the walk as a recursive CTE
+    "thread_assembly" -> ((s, d) => Corpus.threadAssembly(par(Tables.documents(s, d)))),
     "pii_redaction" -> ((s, d) => Corpus.redactionReport(par(Tables.documents(s, d)))),
     "corpus_pipeline" -> ((s, d) => Corpus.corpusPipeline(par(Tables.documents(s, d)))),
     // per-source data card published alongside each training mix
@@ -762,6 +782,9 @@ object SparkEntry {
     "modal_event_type" -> Analytics.modalEventTypeSql,
     "visits_zscore" -> Analytics.visitsZscoreSql(),
     "visits_ewma" -> Analytics.visitsEwmaSql(),
+    "visits_cusum" -> Analytics.visitsCusumSql(),
+    "variant_lift" -> Analytics.variantLiftSql,
+    "value_bootstrap_ci" -> Analytics.valueBootstrapCiSql(),
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),
@@ -833,6 +856,9 @@ object SparkEntry {
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),
+    "weighted_sample" -> Corpus.weightedSampleSql(),
+    "label_majority" -> Corpus.labelMajoritySql(),
+    "thread_assembly" -> Corpus.threadAssemblySql(),
     "pii_redaction" -> Corpus.redactionReportSql,
     // LSH is deterministic and, on the bimodal corpus, finds exactly the
     // exact-Jaccard pair set (candidate recall ≈ 1 at j ≥ 0.8, and the

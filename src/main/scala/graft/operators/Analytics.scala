@@ -1244,4 +1244,279 @@ object Analytics {
        |     AS DECIMAL(18,9)) AS DOUBLE)
        |  END AS z
        |FROM tw ORDER BY minute_key""".stripMargin
+
+  /** CUSUM change-point detection over the per-minute visit series —
+    * the sequential drift detector that catches slow level shifts a
+    * pointwise z-score ([[visitsZscore]]) misses (Page 1954 shape; the
+    * streaming-monitoring classic). Deviations are scaled to stay in
+    * INTEGER arithmetic: with n minutes and `total` visits overall,
+    * the textbook slack k = mean/2 (≈0.5σ for Poisson-ish counts —
+    * without slack a stationary random walk accumulates unboundedly
+    * and every long series alarms) scales to x⁺_i = 2n·v_i − 3·total
+    * and x⁻_i = total − 2n·v_i (units: 2n·visits), and each one-sided
+    * statistic uses the prefix-extremum identity —
+    * S_i = max(0, S_{i−1} + x_i) equals
+    * prefix_i − min(0, min_{j≤i} prefix_j) — so the RECURRENCE becomes
+    * running-extremum windows instead of a sequential fold. `alarm`
+    * fires when either statistic exceeds `2·alarmMult·total`, i.e. the
+    * normalized CUSUM S/(2n) exceeds `alarmMult` times the global mean
+    * rate — an integer compare, so the flag is engine-exact.
+    *
+    * Scale shape: one shuffle to the minute grain (key space bounded
+    * by the calendar), then ordered windows over the minute SERIES —
+    * bounded by minutes-in-time-range, not event volume, the same
+    * budget [[visitsZscore]]'s global window already spends (at 100 TB
+    * the series for a year is ~526k rows). The (n, total) pair rides
+    * in as a 1-row broadcast crossJoin (whitelisted pattern). All
+    * outputs are integers except the normalized columns, each ONE
+    * IEEE division from integers — hash-exact. */
+  def visitsCusum(events: DataFrame, alarmMult: Int = 4): DataFrame = {
+    val perMin = events
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy_MM_dd'T'HH_mm").as("minute_key"))
+      .agg(count(lit(1)).as("visits"))
+    val totals = perMin.agg(count(lit(1)).as("n_min"),
+      sum(col("visits")).as("total"))
+    val wRun = Window.orderBy(col("minute_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin.crossJoin(broadcast(totals))
+      .withColumn("pre_pos", sum(lit(2L) * col("n_min") * col("visits")
+        - lit(3L) * col("total")).over(wRun))
+      .withColumn("pre_neg", sum(col("total")
+        - lit(2L) * col("n_min") * col("visits")).over(wRun))
+      .withColumn("cusum_pos",
+        col("pre_pos") - least(lit(0L), min(col("pre_pos")).over(wRun)))
+      .withColumn("cusum_neg",
+        col("pre_neg") - least(lit(0L), min(col("pre_neg")).over(wRun)))
+      .select(col("minute_key"), col("visits"),
+        col("cusum_pos"), col("cusum_neg"),
+        expr("CAST(cusum_pos AS DOUBLE) / CAST(2 * n_min AS DOUBLE)")
+          .as("cusum_pos_visits"),
+        expr("CAST(cusum_neg AS DOUBLE) / CAST(2 * n_min AS DOUBLE)")
+          .as("cusum_neg_visits"),
+        (greatest(col("cusum_pos"), col("cusum_neg")) >
+          lit(2L * alarmMult) * col("total")).as("alarm"))
+      .orderBy("minute_key")
+  }
+
+  /** Oracle for [[visitsCusum]]: the same integer prefix-extremum
+    * identity as two DuckDB running windows. */
+  def visitsCusumSql(alarmMult: Int = 4): String =
+    s"""WITH pm AS (
+       |  SELECT strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M')
+       |      AS minute_key,
+       |    count(*) AS visits
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT count(*) AS n_min, sum(visits) AS total FROM pm),
+       |p AS (
+       |  SELECT minute_key, visits, t.n_min, t.total,
+       |    sum(2 * n_min * visits - 3 * total) OVER w AS pre_pos,
+       |    sum(total - 2 * n_min * visits) OVER w AS pre_neg
+       |  FROM pm, t
+       |  WINDOW w AS (ORDER BY minute_key
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |c AS (
+       |  SELECT minute_key, visits, n_min, total,
+       |    (pre_pos - least(0, min(pre_pos)
+       |      OVER (ORDER BY minute_key
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+       |      AS cusum_pos,
+       |    (pre_neg - least(0, min(pre_neg)
+       |      OVER (ORDER BY minute_key
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))::BIGINT
+       |      AS cusum_neg
+       |  FROM p)
+       |SELECT minute_key, visits::BIGINT AS visits, cusum_pos, cusum_neg,
+       |  CAST(cusum_pos AS DOUBLE) / CAST(2 * n_min AS DOUBLE)
+       |    AS cusum_pos_visits,
+       |  CAST(cusum_neg AS DOUBLE) / CAST(2 * n_min AS DOUBLE)
+       |    AS cusum_neg_visits,
+       |  greatest(cusum_pos, cusum_neg) > 2 * $alarmMult * total AS alarm
+       |FROM c ORDER BY minute_key""".stripMargin
+
+  /** A/B experiment readout: per (experiment, variant) value moments
+    * plus lift and Welch's t versus the experiment's control variant —
+    * the statistical-analysis layer the reference's dashboard stops
+    * short of (it reports uniques per experiment/variant; the next
+    * question every experimenter asks is "did the metric move, and is
+    * it noise?"). Control = the alphabetically-first variant within
+    * each experiment (the deterministic stand-in for a labeled
+    * control arm). Welch rather than pooled-variance t because variant
+    * arms have no reason to share a variance.
+    *
+    * Scale shape: one shuffle to the (experiment, variant) grain —
+    * everything downstream operates on the BOUNDED arm table (arms ×
+    * experiments, hundreds of rows at any scale), with the control
+    * row folded back by a broadcast equi-join on experiment_id. Moments
+    * ride the [[valueStatsByType]] decimal two-sums (value carries two
+    * decimals → DECIMAL sums are exact and order-independent); lift and
+    * t are short scalar IEEE chains written verbatim in both engines,
+    * with t quantized through DECIMAL(18,9) and the [[valueStatsByType]]
+    * degenerate-group guards (NULL when either arm has n ≤ 1 or the
+    * variance argument cancels to ≤ 0). */
+  def variantLift(events: DataFrame): DataFrame = {
+    val armsAgg = events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"$SumValue").as("s1"),
+        expr(s"$SumValueSq").as("s2"))
+    // the arm table is BOUNDED (experiments × variants); collect it once
+    // so the three downstream references (stats, control pick, join-back)
+    // cost ONE scan of events, not three — the Retrieval.qlScore qcf
+    // discipline
+    val armRows = armsAgg.collect()
+    val arms = events.sparkSession.createDataFrame(
+      java.util.Arrays.asList(armRows: _*), armsAgg.schema)
+      .withColumn("mean_value", expr("s1 / CAST(n AS DOUBLE)"))
+      .withColumn("var_value", expr(
+        """CASE WHEN n > 1 THEN
+          |  greatest(CAST(0 AS DOUBLE),
+          |    s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+          |END""".stripMargin))
+    val control = arms
+      .groupBy(col("experiment_id"))
+      .agg(min(col("variant")).as("variant"))
+      .join(arms, Seq("experiment_id", "variant"))
+      .select(col("experiment_id"), col("variant").as("control_variant"),
+        col("n").as("n_ctl"), col("mean_value").as("mean_ctl"),
+        col("var_value").as("var_ctl"))
+    arms.join(broadcast(control), Seq("experiment_id"))
+      .select(col("experiment_id"), col("variant"), col("n"),
+        col("mean_value"), col("control_variant"), col("mean_ctl"),
+        expr("mean_value - mean_ctl").as("lift"),
+        expr(
+          """CASE WHEN variant <> control_variant AND n > 1 AND n_ctl > 1
+            |  AND var_value / CAST(n AS DOUBLE)
+            |    + var_ctl / CAST(n_ctl AS DOUBLE) > 0 THEN
+            |  CAST(CAST(
+            |    (mean_value - mean_ctl)
+            |    / sqrt(var_value / CAST(n AS DOUBLE)
+            |           + var_ctl / CAST(n_ctl AS DOUBLE))
+            |  AS DECIMAL(18,9)) AS DOUBLE)
+            |END""".stripMargin).as("t_welch"))
+      .orderBy("experiment_id", "variant")
+  }
+
+  /** Poisson bootstrap over the value stream: B resample means from
+    * hash-drawn Poisson(1) multiplicities — the one-pass bootstrap a
+    * distributed engine can actually run (exact multinomial resampling
+    * needs the row count up front and a second pass; Poissonization
+    * decouples rows, so each row draws its replicate multiplicities
+    * independently — Chamandy et al., "Estimating uncertainty for
+    * massive data streams", Google 2012; also the Bag of Little
+    * Bootstraps' cousin). Each (row, replicate) multiplicity inverts
+    * the Poisson(1) CDF at a dyadic md5 uniform — the CDF breakpoints
+    * are exact double literals in both engines, so multiplicities are
+    * integers and hash-exact.
+    *
+    * Scale shape: explode ×B at the scan (B=32 — the flatMap a real
+    * pipeline fuses into the pass), partial-aggregate per replicate
+    * map-side, then ONE B-row shuffle; means ride the
+    * [[valueStatsByType]] decimal-sum lattice. Output: one row per
+    * replicate (replicate, n_eff, mean_value) — the replicate
+    * DISTRIBUTION, from which any CI quantile follows; the full-data
+    * mean rides along for centering. */
+  def valueBootstrapCi(events: DataFrame, replicates: Int = 32): DataFrame = {
+    // Poisson(1) inverse CDF at cumulative breakpoints e^-1 * Σ 1/k!
+    // (k = 0..5; P(X > 5) ≈ 6e-4 truncated to 5 — documented bias far
+    // below bootstrap noise). Literals are shared verbatim by both
+    // engines, so every comparison is exact.
+    val mult = """CASE WHEN u < 0.36787944117144233 THEN 0
+                 |  WHEN u < 0.7357588823428847 THEN 1
+                 |  WHEN u < 0.9196986029286058 THEN 2
+                 |  WHEN u < 0.9810118431238462 THEN 3
+                 |  WHEN u < 0.9963401531726563 THEN 4
+                 |  ELSE 5 END""".stripMargin
+    events
+      .select(col("event_id"), col("value"))
+      .where(col("value").isNotNull)
+      .select(col("event_id"), col("value"),
+        explode(array((0 until replicates).map(lit): _*)).as("replicate"))
+      .withColumn("u", expr(
+        "(CAST(conv(substring(md5(CAST(event_id AS STRING) || ':' || " +
+          "CAST(replicate AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1) " +
+          "/ CAST(4294967296 AS DOUBLE)"))
+      .withColumn("m", expr(mult))
+      .groupBy(col("replicate"))
+      .agg(sum(col("m")).cast("long").as("n_eff"),
+        expr("CAST(sum(m * CAST(value AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("s1"))
+      .select(col("replicate").cast("long").as("replicate"), col("n_eff"),
+        expr("CASE WHEN n_eff > 0 THEN s1 / CAST(n_eff AS DOUBLE) END")
+          .as("mean_value"))
+      .orderBy("replicate")
+  }
+
+  /** Oracle for [[valueBootstrapCi]]: the same dyadic uniforms, CDF
+    * breakpoints, and decimal sums. */
+  def valueBootstrapCiSql(replicates: Int = 32): String =
+    s"""WITH x AS (
+       |  SELECT e.event_id, e.value, t.replicate,
+       |    (('0x' || substr(md5(e.event_id::VARCHAR || ':' ||
+       |        t.replicate::VARCHAR), 1, 8))::BIGINT + 1)
+       |      / CAST(4294967296 AS DOUBLE) AS u
+       |  FROM events e, (SELECT unnest(range($replicates)) AS replicate) t
+       |  WHERE e.value IS NOT NULL),
+       |mlt AS (
+       |  SELECT replicate, value,
+       |    CASE WHEN u < 0.36787944117144233 THEN 0
+       |      WHEN u < 0.7357588823428847 THEN 1
+       |      WHEN u < 0.9196986029286058 THEN 2
+       |      WHEN u < 0.9810118431238462 THEN 3
+       |      WHEN u < 0.9963401531726563 THEN 4
+       |      ELSE 5 END AS m
+       |  FROM x),
+       |g AS (
+       |  SELECT replicate, sum(m)::BIGINT AS n_eff,
+       |    CAST(sum(m * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1
+       |  FROM mlt GROUP BY 1)
+       |SELECT replicate::BIGINT AS replicate, n_eff,
+       |  CASE WHEN n_eff > 0 THEN s1 / CAST(n_eff AS DOUBLE) END
+       |    AS mean_value
+       |FROM g ORDER BY replicate""".stripMargin
+
+  /** Oracle for [[variantLift]]: the same decimal two-sums, control
+    * pick, and verbatim Welch chain. */
+  val variantLiftSql: String =
+    s"""WITH arms AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    event_type AS variant, count(*) AS n,
+       |    $SumValue AS s1,
+       |    $SumValueSq AS s2
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT experiment_id, variant, n, s1, s2,
+       |    s1 / CAST(n AS DOUBLE) AS mean_value,
+       |    CASE WHEN n > 1 THEN
+       |      greatest(CAST(0 AS DOUBLE),
+       |        s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+       |    END AS var_value
+       |  FROM arms),
+       |ctl AS (
+       |  SELECT m.experiment_id, m.variant AS control_variant,
+       |    m.n AS n_ctl, m.mean_value AS mean_ctl, m.var_value AS var_ctl
+       |  FROM m
+       |  JOIN (SELECT experiment_id, min(variant) AS variant
+       |        FROM m GROUP BY 1) c
+       |    ON m.experiment_id = c.experiment_id AND m.variant = c.variant)
+       |SELECT m.experiment_id, m.variant, m.n, m.mean_value,
+       |  ctl.control_variant, ctl.mean_ctl,
+       |  m.mean_value - ctl.mean_ctl AS lift,
+       |  CASE WHEN m.variant <> ctl.control_variant AND m.n > 1
+       |    AND ctl.n_ctl > 1
+       |    AND m.var_value / CAST(m.n AS DOUBLE)
+       |      + ctl.var_ctl / CAST(ctl.n_ctl AS DOUBLE) > 0 THEN
+       |    CAST(CAST(
+       |      (m.mean_value - ctl.mean_ctl)
+       |      / sqrt(m.var_value / CAST(m.n AS DOUBLE)
+       |             + ctl.var_ctl / CAST(ctl.n_ctl AS DOUBLE))
+       |    AS DECIMAL(18,9)) AS DOUBLE)
+       |  END AS t_welch
+       |FROM m JOIN ctl ON m.experiment_id = ctl.experiment_id
+       |ORDER BY m.experiment_id, m.variant""".stripMargin
 }

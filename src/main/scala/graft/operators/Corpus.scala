@@ -2077,4 +2077,235 @@ object Corpus {
        |LEFT JOIN cnt c USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    * exponential-keys scheme (A-Res, Inf. Proc. Letters 2006): each doc
+    * draws key u^(1/w) from a per-doc uniform u and its source weight
+    * w, and the k LARGEST keys are exactly a weighted sample without
+    * replacement — the one-pass, merge-friendly formulation (per
+    * partition: a k-bounded heap; across partitions: keep the k
+    * largest of the union), which is why it is THE distributed
+    * weighted sampler. Spark expresses it as a TakeOrdered over the
+    * scan — no global sort, no shuffle of the corpus, driver state k
+    * rows.
+    *
+    * Exactness: u = (h32 + 1)/2^32 from the doc's md5 — a dyadic
+    * rational both engines represent exactly; weights are DYADIC
+    * (src0→4, src1→2, else 1), so u^(1/w) is an sqrt-composition chain
+    * and IEEE sqrt is correctly rounded everywhere (the
+    * lang_temperature_mix convention) — the key set, and hence the
+    * selected sample and its order, is hash-exact. Ties (impossible
+    * among distinct 32-bit draws at this k) still carry a doc_id
+    * tiebreak so the ORDER itself is total. */
+  def weightedSample(docs: DataFrame, k: Int = 200): DataFrame = {
+    val u = "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+      "AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE)"
+    val w = "CASE WHEN source = 'src0' THEN 4 WHEN source = 'src1' THEN 2 " +
+      "ELSE 1 END"
+    val keyed = docs
+      .select(col("doc_id"), col("source"),
+        expr(w).as("weight"),
+        expr(s"""CASE $w
+                |  WHEN 4 THEN sqrt(sqrt($u))
+                |  WHEN 2 THEN sqrt($u)
+                |  ELSE $u END""".stripMargin).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+    // rank over the k-bounded result (k rows — a driver-sized window,
+    // not a corpus one)
+    import org.apache.spark.sql.expressions.Window
+    keyed.withColumn("rank",
+      row_number().over(Window.orderBy(col("sample_key").desc,
+        col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"),
+        col("weight").cast("long").as("weight"), col("sample_key"))
+      .orderBy("rank")
+  }
+
+  /** Oracle for [[weightedSample]]: the same dyadic keys, ORDER BY
+    * key DESC LIMIT k. */
+  def weightedSampleSql(k: Int = 200): String = {
+    val u = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1) " +
+      "/ CAST(4294967296 AS DOUBLE)"
+    val w = "CASE WHEN source = 'src0' THEN 4 WHEN source = 'src1' THEN 2 " +
+      "ELSE 1 END"
+    s"""WITH keyed AS (
+       |  SELECT doc_id, source, $w AS weight,
+       |    CASE $w
+       |      WHEN 4 THEN sqrt(sqrt($u))
+       |      WHEN 2 THEN sqrt($u)
+       |      ELSE $u END AS sample_key
+       |  FROM documents)
+       |SELECT row_number() OVER (ORDER BY sample_key DESC, doc_id)::BIGINT
+       |    AS rank,
+       |  doc_id, source, weight::BIGINT AS weight, sample_key
+       |FROM keyed ORDER BY sample_key DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Annotation-consensus aggregation: majority label, vote margin and
+    * inter-annotator agreement per document — the label-aggregation
+    * step every human-labeled (or LLM-judge-labeled) training set runs
+    * before the labels are trusted (Dawid–Skene's majority-vote
+    * baseline; the per-doc observed agreement P_o = Σ_k c_k(c_k−1) /
+    * (m(m−1)) is the per-item term of Fleiss' kappa). The vote table
+    * is fabricated deterministically — m annotators each report the
+    * doc's hash-derived "true" class, except each (doc, annotator)
+    * pair whose own md5 lands in the noise quartile, which reports a
+    * shifted class — so the consensus mechanics run over realistic
+    * ~75%-accurate raters while staying integer-exact end to end.
+    *
+    * Scale shape: explode to the (doc, annotator) vote grain (m× the
+    * corpus — the shape a real label table arrives in), then ONE
+    * doc-keyed shuffle folds it to per-class counts; majority,
+    * margin, agreement and P_o are scalar integer arithmetic plus one
+    * IEEE division each — hash-exact. Ties break toward the smaller
+    * class id (deterministic, engine-agnostic). */
+  def labelMajority(docs: DataFrame, annotators: Int = 5): DataFrame = {
+    val m = annotators
+    val votes = docs
+      .select(col("doc_id"),
+        explode(array((0 until m).map(lit): _*)).as("annotator"))
+      .withColumn("truth", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) " +
+          "AS BIGINT) % 3"))
+      .withColumn("noise", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING) || ':' || " +
+          "CAST(annotator AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("label", expr(
+        "CASE WHEN noise % 4 = 0 THEN (truth + 1 + noise % 2) % 3 " +
+          "ELSE truth END"))
+    votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("label") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("doc_id"), col("n0"), col("n1"), col("n2"),
+        expr("CASE WHEN n0 >= n1 AND n0 >= n2 THEN 0 " +
+          "WHEN n1 >= n2 THEN 1 ELSE 2 END").cast("long")
+          .as("majority_label"),
+        expr(s"CAST(greatest(n0, n1, n2) AS DOUBLE) / CAST($m AS DOUBLE)")
+          .as("agreement"),
+        expr(s"""CAST(n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1)
+                |  AS DOUBLE) / CAST($m * ($m - 1) AS DOUBLE)""".stripMargin)
+          .as("pairwise_po"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[labelMajority]]: the same fabricated votes and
+    * integer consensus arithmetic. */
+  def labelMajoritySql(annotators: Int = 5): String = {
+    val m = annotators
+    s"""WITH votes AS (
+       |  SELECT doc_id, t.annotator,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 3
+       |      AS truth,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+       |      t.annotator::VARCHAR), 1, 15))::BIGINT AS noise
+       |  FROM documents, (SELECT unnest(range($m)) AS annotator) t),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN noise % 4 = 0 THEN (truth + 1 + noise % 2) % 3
+       |         ELSE truth END AS label
+       |  FROM votes),
+       |c AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+       |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+       |    sum(CASE WHEN label = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+       |  FROM lab GROUP BY 1)
+       |SELECT doc_id, n0, n1, n2,
+       |  (CASE WHEN n0 >= n1 AND n0 >= n2 THEN 0
+       |        WHEN n1 >= n2 THEN 1 ELSE 2 END)::BIGINT AS majority_label,
+       |  CAST(greatest(n0, n1, n2) AS DOUBLE) / CAST($m AS DOUBLE)
+       |    AS agreement,
+       |  CAST(n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1) AS DOUBLE)
+       |    / CAST($m * ($m - 1) AS DOUBLE) AS pairwise_po
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  /** Conversation-thread flattening by POINTER DOUBLING: every message
+    * finds its thread root and depth in O(log depth) join rounds — the
+    * Wyllie list-ranking / parallel pointer-jumping classic, and the
+    * reason a 100 TB chat corpus can be threaded at all (the naive
+    * parent-walk needs depth-many passes; a 500-deep thread costs 500
+    * corpus joins sequentially but only ~9 here). Threads are needed
+    * upstream of chat-SFT assembly ([[sftExamples]]): raw logs arrive
+    * as (message, reply-to-parent) edges, and training examples are
+    * built per THREAD, so root-id + depth is the grouping/ordering key
+    * the example builder consumes.
+    *
+    * The reply forest is fabricated deterministically from doc_id (the
+    * first `roots` docs are thread roots; every other doc replies to a
+    * strictly-smaller id drawn from its md5), so the traversal is
+    * integer-exact and the DuckDB oracle can replay it as a recursive
+    * CTE — the sequential formulation checking the parallel one.
+    *
+    * Scale shape: each round is ONE equi-join of the frame with itself
+    * (hash shuffle on the ancestor key, linear in corpus size) plus a
+    * localCheckpoint to truncate the iterated lineage. The round count
+    * is FIXED up front from the forest's analytic depth bound (every
+    * parent step descends by at least `roots`, so depth ≤ maxId/roots
+    * and ⌈log₂⌉ doublings suffice) — no per-round convergence count,
+    * so the driver runs exactly log-many jobs; one bounded assert at
+    * the end guards the invariant. */
+  def threadAssembly(docs: DataFrame, roots: Int = 64): DataFrame = {
+    val h = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
+      "16, 10) AS BIGINT)"
+    val parent = s"""CASE WHEN doc_id < $roots THEN doc_id
+                    |  WHEN doc_id - $roots * (1 + $h % 3) >= 0
+                    |    THEN doc_id - $roots * (1 + $h % 3)
+                    |  ELSE doc_id % $roots END""".stripMargin
+    var f = docs
+      .select(col("doc_id").as("id"), expr(parent).as("anc"))
+      .withColumn("depth",
+        when(col("id") < roots, 0L).otherwise(1L))
+      .localCheckpoint()
+    val maxId = f.agg(max(col("id"))).collect()(0).getLong(0)
+    val maxDepth = math.max(1L, maxId / roots) // parent steps ≥ roots
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(maxDepth) + 1
+    for (_ <- 1 to rounds) {
+      val g = f.select(col("id").as("g_id"), col("anc").as("g_anc"),
+        col("depth").as("g_depth"))
+      // anc's ancestor becomes ours; a root's ancestor is itself at
+      // depth 0, so finished rows pass through unchanged
+      f = f.join(g, col("anc") === col("g_id"))
+        .select(col("id"), col("g_anc").as("anc"),
+          (col("depth") + col("g_depth")).as("depth"))
+        .localCheckpoint()
+    }
+    val remaining = f.where(col("anc") >= roots).count()
+    require(remaining == 0,
+      s"pointer doubling left $remaining unconverged rows after " +
+        s"$rounds rounds (depth bound $maxDepth)")
+    val sizes = f.groupBy(col("anc")).agg(count(lit(1)).as("thread_size"))
+    f.join(broadcast(sizes), Seq("anc")) // ≤ `roots` rows — broadcast
+      .select(col("id").as("doc_id"), col("anc").as("root_id"),
+        col("depth"), col("thread_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[threadAssembly]]: the sequential parent walk as a
+    * recursive CTE over the same fabricated reply forest. */
+  def threadAssemblySql(roots: Int = 64): String = {
+    val h = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+    s"""WITH RECURSIVE par AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN doc_id < $roots THEN doc_id
+       |      WHEN doc_id - $roots * (1 + $h % 3) >= 0
+       |        THEN doc_id - $roots * (1 + $h % 3)
+       |      ELSE doc_id % $roots END AS parent
+       |  FROM documents),
+       |walk AS (
+       |  SELECT id, id AS cur, 0 AS depth FROM par
+       |  UNION ALL
+       |  SELECT w.id, p.parent AS cur, w.depth + 1
+       |  FROM walk w JOIN par p ON w.cur = p.id
+       |  WHERE w.cur >= $roots),
+       |fin AS (SELECT id, cur, depth FROM walk WHERE cur < $roots),
+       |sz AS (SELECT cur, count(*)::BIGINT AS thread_size
+       |       FROM fin GROUP BY 1)
+       |SELECT f.id AS doc_id, f.cur AS root_id, f.depth::BIGINT AS depth,
+       |  sz.thread_size
+       |FROM fin f JOIN sz ON f.cur = sz.cur
+       |ORDER BY f.id""".stripMargin
+  }
 }

@@ -940,4 +940,90 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(psiFlat < 0.1, s"stationary stream must stay under 0.1: $psiFlat")
     assert(psiFlat < psi / 5)
   }
+
+  test("visitsCusum: prefix-extremum identity reproduces the recurrence; " +
+    "planted level shift alarms, stationary series does not") {
+    // 40 minutes at 10 visits/min, then 20 minutes at 30 — a level
+    // shift a pointwise z-score barely flags but CUSUM accumulates
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, m) =>
+      (0 until c).map(j =>
+        (m.toLong * 1000 + j, f"2026-01-01 00:$m%02d:00"))
+    }.toDF("event_id", "s")
+      .select(col("event_id"), col("s").cast("timestamp").as("ts"))
+    val counts = Seq.fill(40)(10) ++ Seq.fill(20)(30)
+    val got = Analytics.visitsCusum(mk(counts), alarmMult = 4)
+      .orderBy("minute_key").collect()
+    // driver-side replay of the textbook recurrence on the same
+    // integer scaling (slack = mean/2, scale 2n):
+    // x+ = 2n*v - 3*total, x- = total - 2n*v
+    val n = counts.size.toLong
+    val total = counts.map(_.toLong).sum
+    var sPos = 0L; var sNeg = 0L
+    val expected = counts.map { v =>
+      sPos = math.max(0L, sPos + 2 * n * v - 3 * total)
+      sNeg = math.max(0L, sNeg + total - 2 * n * v)
+      (sPos, sNeg)
+    }
+    assert(got.length === counts.size)
+    got.zip(expected).foreach { case (r, (ep, en)) =>
+      assert(r.getAs[Long]("cusum_pos") === ep)
+      assert(r.getAs[Long]("cusum_neg") === en)
+    }
+    // the shifted tail must alarm; the pre-shift head must not
+    assert(got.last.getAs[Boolean]("alarm"))
+    assert(!got(39).getAs[Boolean]("alarm"))
+    // a stationary series never alarms and ends at cusum 0 (Σx = 0)
+    val flat = Analytics.visitsCusum(mk(Seq.fill(60)(10)))
+      .orderBy("minute_key").collect()
+    assert(flat.forall(!_.getAs[Boolean]("alarm")))
+    assert(flat.forall(r => r.getAs[Long]("cusum_pos") === 0L &&
+      r.getAs[Long]("cusum_neg") === 0L))
+  }
+
+  test("valueBootstrapCi: replicate means bracket the true mean, " +
+    "multiplicities behave like Poisson(1)") {
+    val n = 2000
+    val rows = (0 until n).map(i => (i.toLong, (i % 100).toDouble + 0.25))
+      .toDF("event_id", "value")
+    val out = Analytics.valueBootstrapCi(rows, replicates = 32).collect()
+    assert(out.length === 32)
+    val trueMean = rows.agg(avg("value")).collect()(0).getDouble(0)
+    val means = out.map(_.getAs[Double]("mean_value"))
+    // every replicate mean is a consistent estimate: within a wide
+    // tolerance (sd of a 2000-row mean of a ~29-sd variable ≈ 0.65)
+    means.foreach(m => assert(math.abs(m - trueMean) < 4.0, s"mean $m"))
+    // and they are not all identical (resampling actually varied)
+    assert(means.distinct.length > 16)
+    // n_eff concentrates around n (Poisson(1) multiplicities sum ~ n)
+    out.map(_.getAs[Long]("n_eff")).foreach { ne =>
+      assert(math.abs(ne - n) < 5 * math.sqrt(n.toDouble), s"n_eff $ne")
+    }
+    // deterministic under partitioning
+    val again = Analytics.valueBootstrapCi(rows.repartition(7),
+      replicates = 32).collect()
+    assert(again.map(_.getAs[Double]("mean_value")).toSeq === means.toSeq)
+  }
+
+  test("variantLift: Welch t on hand arms; control rows carry NULL t") {
+    // experiment e1: control arm a (values 1,2,3), treatment b (4,6)
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "b", 4.0), (5L, "b", 6.0),
+      (6L, "c", 7.0) // singleton arm: n = 1 -> NULL t
+    ).map { case (id, v, value) =>
+      (id, v, value, """{"k":"e1"}""")
+    }.toDF("event_id", "event_type", "value", "props")
+    val got = Analytics.variantLift(rows).orderBy("variant").collect()
+    assert(got.length === 3)
+    val a = got(0); val b = got(1); val c = got(2)
+    assert(a.getAs[String]("control_variant") === "a")
+    assert(a.isNullAt(a.fieldIndex("t_welch")), "control arm has no t")
+    assert(a.getAs[Double]("lift") === 0.0)
+    // arm a: mean 2, var 1; arm b: mean 5, var 2
+    assert(b.getAs[Double]("mean_value") === 5.0)
+    assert(b.getAs[Double]("lift") === 3.0)
+    val tExp = 3.0 / math.sqrt(2.0 / 2 + 1.0 / 3)
+    assert(math.abs(b.getAs[Double]("t_welch") - tExp) < 1e-9)
+    assert(c.isNullAt(c.fieldIndex("t_welch")), "singleton arm -> NULL t")
+  }
 }

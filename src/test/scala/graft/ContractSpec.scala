@@ -72,6 +72,9 @@ class ContractSpec extends AnyFunSuite {
       "vocab_coverage",
       // 1-row max-minute broadcast bounding the trailing EWMA window
       "visits_ewma",
+      // 1-row (n_min, total) series-totals broadcast into the
+      // calendar-bounded minute series — the visits_ewma pattern
+      "visits_cusum",
       // TWO 1-row broadcasts: the exact p50/p99 rank lookups joined
       // into the 1-row skew aggregate (Skew.keySkewProfile) — the
       // bm25_search collection-stats pattern, twice

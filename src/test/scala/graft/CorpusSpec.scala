@@ -647,4 +647,94 @@ class CorpusSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(again === got)
   }
+
+  test("weightedSample: ES keys rank-order correctly and weights bias inclusion") {
+    val out = Corpus.weightedSample(docs, k = 100).collect()
+    assert(out.length === 100)
+    // ranks are 1..k aligned with strictly descending keys
+    assert(out.map(_.getAs[Long]("rank")).toSeq === (1L to 100L))
+    val keys = out.map(_.getAs[Double]("sample_key"))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    assert(keys.forall(u => u > 0.0 && u <= 1.0))
+    // u^(1/w) stochastically dominates u for w > 1: the weighted
+    // sources must be overrepresented vs their corpus share
+    val total = docs.count().toDouble
+    val w4share = docs.where(col("source") === "src0").count() / total
+    val got4 = out.count(_.getAs[String]("source") == "src0") / 100.0
+    assert(got4 > w4share, s"weight-4 share $got4 <= corpus share $w4share")
+    // deterministic under partitioning
+    val again = Corpus.weightedSample(docs.repartition(7), k = 100).collect()
+    assert(again.map(_.getAs[Long]("doc_id")).toSeq ===
+      out.map(_.getAs[Long]("doc_id")).toSeq)
+  }
+
+  test("labelMajority: counts total m, majority recovers the planted truth mostly") {
+    val m = 5
+    val out = Corpus.labelMajority(docs, annotators = m).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") +
+        r.getAs[Long]("n2") === m.toLong)
+      val counts = Seq(r.getAs[Long]("n0"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"))
+      val maj = r.getAs[Long]("majority_label").toInt
+      assert(counts(maj) === counts.max)
+      // tie-break toward the smaller class id
+      assert(counts.take(maj).forall(_ < counts(maj)))
+      assert(r.getAs[Double]("agreement") === counts.max.toDouble / m)
+      val po = counts.map(c => c * (c - 1)).sum.toDouble / (m * (m - 1))
+      assert(r.getAs[Double]("pairwise_po") === po)
+    }
+    // ~75%-accurate raters, 5 votes: the majority matches the planted
+    // truth for the overwhelming share of docs
+    val hit = out.count { r =>
+      val id = r.getAs[Long]("doc_id")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val truth = java.lang.Long.parseLong(md5.take(15), 16) % 3
+      r.getAs[Long]("majority_label") === truth
+    }
+    // fixture-observed 0.888 (444/500): ~25%-noisy raters, 5 votes,
+    // errors split across two classes — floor with margin
+    assert(hit.toDouble / out.length > 0.85, s"majority hit rate $hit/${out.length}")
+  }
+
+  test("threadAssembly: pointer doubling ≡ sequential parent walk") {
+    val out = Corpus.threadAssembly(docs, roots = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("root_id"), r.getAs[Long]("depth"),
+          r.getAs[Long]("thread_size"))).toMap
+    val n = docs.count()
+    assert(out.size === n)
+    // driver-side sequential walk over the same fabricated forest
+    def parent(d: Long): Long = {
+      if (d < 64) d
+      else {
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(md5.take(15), 16)
+        val p = d - 64 * (1 + h % 3)
+        if (p >= 0) p else d % 64
+      }
+    }
+    val walked = (0L until n).map { d =>
+      var cur = d; var depth = 0L
+      while (cur >= 64) { cur = parent(cur); depth += 1 }
+      d -> (cur, depth)
+    }.toMap
+    walked.foreach { case (d, (root, depth)) =>
+      assert(out(d)._1 === root, s"doc $d root")
+      assert(out(d)._2 === depth, s"doc $d depth")
+    }
+    val sizes = walked.values.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (d, (root, _, sz)) =>
+      assert(sz === sizes(root), s"doc $d thread_size")
+    }
+    // roots self-report at depth 0
+    (0L until math.min(64L, n)).foreach { d =>
+      assert(out(d) === ((d, 0L, sizes(d))))
+    }
+  }
 }
