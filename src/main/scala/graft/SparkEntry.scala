@@ -201,6 +201,14 @@ object SparkEntry {
     // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
     "value_bootstrap_ci" -> ((s, d) =>
       Analytics.valueBootstrapCi(par(Tables.events(s, d)))),
+    // U-shaped multi-touch attribution: windowed user-key join, credit
+    // decimals summed per channel — the as-of join's credit-spreading
+    // sibling
+    "multi_touch_attribution" -> ((s, d) =>
+      Analytics.multiTouchAttribution(par(Tables.events(s, d)))),
+    // median/MAD Hampel outlier screen: exact per-type medians, 5-row
+    // broadcasts, zero event shuffles in the flagging pass
+    "value_mad" -> ((s, d) => Analytics.valueMad(Tables.events(s, d))),
     "fuzzy_name_matches" -> ((s, d) => Relational.fuzzyNameMatches(Tables.part(s, d))),
     // ---- text analysis (training-data pipeline ops) ----
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(par(Tables.documents(s, d)))),
@@ -486,6 +494,11 @@ object SparkEntry {
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(par(Tables.embeddings(s, d)))),
     "knn_pca" -> ((s, d) => Similarity.knnPca(par(Tables.embeddings(s, d)))),
     "knn_pca_recall" -> ((s, d) => Similarity.knnPcaRecall(par(Tables.embeddings(s, d)))),
+    // Matryoshka truncated-prefix search: model-free dimensionality
+    // reduction (slice), exact re-rank — BOTH faces fully oracle-able
+    "knn_mrl" -> ((s, d) => Similarity.knnMrl(par(Tables.embeddings(s, d)))),
+    "knn_mrl_recall" -> ((s, d) =>
+      Similarity.knnMrlRecall(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
     // SemDeDup: connected components over embedding-cosine near-dup
     // pairs, keep-smallest-id (exact pair stage -> exact oracle)
@@ -785,6 +798,10 @@ object SparkEntry {
     "visits_cusum" -> Analytics.visitsCusumSql(),
     "variant_lift" -> Analytics.variantLiftSql,
     "value_bootstrap_ci" -> Analytics.valueBootstrapCiSql(),
+    "multi_touch_attribution" -> Analytics.multiTouchAttributionSql(),
+    "value_mad" -> Analytics.valueMadSql,
+    "knn_mrl" -> Similarity.knnMrlSql(),
+    "knn_mrl_recall" -> Similarity.knnMrlRecallSql(),
     "cosine_sim_histogram" -> Similarity.cosineSimHistogramSql(),
     "fuzzy_name_matches" -> Relational.fuzzyNameMatchesSql(),
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql(),

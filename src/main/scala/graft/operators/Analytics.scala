@@ -1478,6 +1478,151 @@ object Analytics {
        |    AS mean_value
        |FROM g ORDER BY replicate""".stripMargin
 
+  /** U-shaped multi-touch attribution: every purchase distributes one
+    * unit of credit over the user's touch events (click/view/signup)
+    * in the preceding `windowHours` — 40/20/40 position weighting (the
+    * industry-standard U-shape: first and last touch carry 0.4 each,
+    * the middle splits 0.2; a lone touch takes 1.0, a pair 0.5/0.5) —
+    * and the per-CHANNEL credit totals are the marketing readout. The
+    * attribution sibling of the as-of join ([[graft.operators.AsOf]]):
+    * last-touch is the as-of special case, this spreads the credit.
+    *
+    * Scale shape: one equi-join on user_id with the time-window
+    * predicate riding the join condition (never a cross join), then a
+    * window partitioned by purchase_id (bounded: one user's touches in
+    * a day), then a channel-bounded aggregate. Exactness: positions
+    * and counts are integers; the three credit cases are exact DECIMAL
+    * literals or one quantized division (middle credit through
+    * DECIMAL(18,6)); credit sums are DECIMAL-exact and rendered as
+    * doubles at the edge. */
+  def multiTouchAttribution(events: DataFrame,
+      windowHours: Int = 24): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val touches = events
+      .where(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts").as("t_ts"))
+    val joined = touches.join(purchases, Seq("user_id"))
+      .where(col("t_ts") <= col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $windowHours HOURS"))
+    val w = Window.partitionBy(col("purchase_id"))
+    val credit = joined
+      .withColumn("pos", row_number().over(
+        w.orderBy(col("t_ts"), col("touch_id"))))
+      .withColumn("n_touch", count(lit(1)).over(w))
+      .withColumn("credit", expr(
+        """CASE WHEN n_touch = 1 THEN CAST(1.0 AS DECIMAL(18,6))
+          |  WHEN n_touch = 2 THEN CAST(0.5 AS DECIMAL(18,6))
+          |  WHEN pos = 1 OR pos = n_touch THEN CAST(0.4 AS DECIMAL(18,6))
+          |  ELSE CAST(0.2 / CAST(n_touch - 2 AS DOUBLE) AS DECIMAL(18,6))
+          |END""".stripMargin))
+    credit.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        count_distinct(col("purchase_id")).as("n_purchases"),
+        expr("CAST(sum(credit) AS DOUBLE)").as("credit"))
+      .orderBy("channel")
+  }
+
+  /** Oracle for [[multiTouchAttribution]]: the same windowed join,
+    * U-shape cases, and decimal credit sums. */
+  def multiTouchAttributionSql(windowHours: Int = 24): String =
+    s"""WITH p AS (
+       |  SELECT event_id AS purchase_id, user_id, ts AS p_ts
+       |  FROM events WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id, event_id AS touch_id, event_type AS channel,
+       |    ts AS t_ts
+       |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+       |j AS (
+       |  SELECT t.channel, t.touch_id, t.t_ts, p.purchase_id
+       |  FROM t JOIN p ON t.user_id = p.user_id
+       |    AND t.t_ts <= p.p_ts
+       |    AND t.t_ts >= p.p_ts - INTERVAL $windowHours HOUR),
+       |c AS (
+       |  SELECT channel, purchase_id,
+       |    row_number() OVER (PARTITION BY purchase_id
+       |      ORDER BY t_ts, touch_id) AS pos,
+       |    count(*) OVER (PARTITION BY purchase_id) AS n_touch
+       |  FROM j),
+       |cr AS (
+       |  SELECT channel, purchase_id,
+       |    CASE WHEN n_touch = 1 THEN CAST(1.0 AS DECIMAL(18,6))
+       |      WHEN n_touch = 2 THEN CAST(0.5 AS DECIMAL(18,6))
+       |      WHEN pos = 1 OR pos = n_touch THEN CAST(0.4 AS DECIMAL(18,6))
+       |      ELSE CAST(0.2 / CAST(n_touch - 2 AS DOUBLE) AS DECIMAL(18,6))
+       |    END AS credit
+       |  FROM c)
+       |SELECT channel, count(*)::BIGINT AS n_touches,
+       |  count(DISTINCT purchase_id)::BIGINT AS n_purchases,
+       |  CAST(sum(credit) AS DOUBLE) AS credit
+       |FROM cr GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** Robust per-type outlier screen via median/MAD — the
+    * heavy-tail-safe sibling of [[valueStatsByType]]'s mean/stddev
+    * (one corrupt burst moves a mean arbitrarily; the median and the
+    * median absolute deviation barely notice — Hampel's rule, the
+    * production default for sensor/metric streams). A value is flagged
+    * when |v − median| > 3 · 1.4826 · MAD (1.4826 rescales MAD to σ
+    * under normality).
+    *
+    * Scale shape: exact per-group percentiles cost one per-group sort
+    * each (the [[valueWinsorized]] trade — the approx-sketch
+    * alternative lives in `value_percentiles_approx`); the medians are
+    * a 5-row broadcast back into the scan, so the flagging pass never
+    * shuffles events. Both medians are quantized through
+    * DECIMAL(18,6), making the threshold compare engine-exact. */
+  def valueMad(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(expr(
+        "CAST(CAST(percentile(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE)")
+        .as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(first(col("med")).as("med"),
+        expr(
+          "CAST(CAST(percentile(adev, 0.5) AS DECIMAL(18,6)) AS DOUBLE)")
+          .as("mad"))
+    dev.drop("med").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_share",
+        expr("CAST(n_outliers AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"), col("outlier_share"))
+      .orderBy("event_type")
+  }
+
+  /** Oracle for [[valueMad]]: the same quantized medians and Hampel
+    * threshold. */
+  val valueMadSql: String =
+    """WITH med AS (
+      |  SELECT event_type,
+      |    CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE)
+      |      AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, med.med, abs(e.value - med.med) AS adev
+      |  FROM events e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, any_value(med) AS med,
+      |    CAST(CAST(quantile_cont(adev, 0.5) AS DECIMAL(18,6)) AS DOUBLE)
+      |      AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, count(*)::BIGINT AS n,
+      |  any_value(m.med) AS med, any_value(m.mad) AS mad,
+      |  sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outliers,
+      |  CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0
+      |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS outlier_share
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   /** Oracle for [[variantLift]]: the same decimal two-sums, control
     * pick, and verbatim Welch chain. */
   val variantLiftSql: String =

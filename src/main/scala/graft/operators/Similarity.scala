@@ -1937,6 +1937,108 @@ object Similarity {
     rerankExact(embeddings, scored, k, queryMod, rerank)
   }
 
+  /** Matryoshka-style truncated-dimension search: score in the
+    * embedding's FIRST `mrlDim` coordinates, exact-re-rank the
+    * shortlist (Kusupati et al., "Matryoshka Representation Learning",
+    * NeurIPS 2022 — MRL-trained encoders front-load information so a
+    * prefix of the vector is itself a usable embedding; the search
+    * side needs no model at all, just `slice`). The cheapest
+    * dimensionality-reduction face in the battery: unlike PCA there is
+    * nothing to train or pin — which also makes BOTH faces fully
+    * oracle-able (the projection is exact in either engine). On these
+    * non-MRL-trained fixture embeddings the prefix is an arbitrary
+    * coordinate subset, so measured recall is the floor an MRL encoder
+    * would improve on; the recall face reports it as data.
+    *
+    * Scale shape: identical to [[knnPca]] — broadcast query sample vs
+    * one collection stream in the reduced space (4× fewer multiplies
+    * at mrlDim=16), then [[rerankExact]]'s shortlist pass. */
+  def knnMrl(embeddings: DataFrame, k: Int = 10, queryMod: Int = 100,
+      mrlDim: Int = 16, rerank: Int = 8): DataFrame = {
+    val proj = embeddings.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $mrlDim)").as("embedding"))
+    knnProjected(embeddings, proj, k, queryMod, rerank)
+  }
+
+  /** recall@10 of the truncated-prefix search vs the full-dim exact
+    * baseline — hash-exact end to end (both sides deterministic). */
+  def knnMrlRecall(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100, mrlDim: Int = 16, rerank: Int = 8): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnMrl(embeddings, k, queryMod, mrlDim, rerank), s"mrl$mrlDim")
+
+  /** DuckDB replay of [[knnMrl]]: prefix slice of the DOUBLE-cast
+    * embedding, the same left-to-right dot fold, the shared
+    * exact-cosine rank tail. */
+  def knnMrlSql(k: Int = 10, queryMod: Int = 100, mrlDim: Int = 16,
+      rerank: Int = 8): String = {
+    val pdot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${mrlDim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"""WITH $EmbCte,
+       |pv AS MATERIALIZED (
+       |  SELECT vec_id, e[1:$mrlDim] AS p FROM emb),
+       |pq2 AS (SELECT vec_id AS query_id, p AS qp,
+       |    sqrt(${pdot("p", "p")}) AS qn
+       |  FROM pv WHERE vec_id % $queryMod = 0),
+       |pscored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${pdot("q.qp", "n.p")}
+       |      / (q.qn * sqrt(${pdot("n.p", "n.p")})) AS score
+       |  FROM pq2 q JOIN pv n ON n.vec_id <> q.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pscored) WHERE rk <= ${k * rerank}),
+       |${rankTailSql(k, "res", "short")}
+       |SELECT query_id, neighbor_id, rank FROM res
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[knnMrlRecall]]: both pipelines plus the
+    * [[annRecall]] arithmetic (quantized through DECIMAL(9,6)). */
+  def knnMrlRecallSql(k: Int = 10, queryMod: Int = 100,
+      mrlDim: Int = 16, rerank: Int = 8): String = {
+    val pdot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, ${mrlDim + 1}), " +
+        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
+    s"""WITH $EmbCte,
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.e, e2.e) DESC,
+       |          e2.vec_id) AS rank
+       |    FROM emb q JOIN emb e2 ON e2.vec_id <> q.vec_id
+       |    WHERE q.vec_id % $queryMod = 0)
+       |  WHERE rank <= $k),
+       |pv AS MATERIALIZED (
+       |  SELECT vec_id, e[1:$mrlDim] AS p FROM emb),
+       |pq2 AS (SELECT vec_id AS query_id, p AS qp,
+       |    sqrt(${pdot("p", "p")}) AS qn
+       |  FROM pv WHERE vec_id % $queryMod = 0),
+       |pscored AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    ${pdot("q.qp", "n.p")}
+       |      / (q.qn * sqrt(${pdot("n.p", "n.p")})) AS score
+       |  FROM pq2 q JOIN pv n ON n.vec_id <> q.query_id),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
+       |    FROM pscored) WHERE rk <= ${k * rerank}),
+       |${rankTailSql(k, "approx", "short")}
+       |SELECT 'mrl$mrlDim' AS method,
+       |  count(DISTINCT x.query_id)::BIGINT AS n_queries,
+       |  count(*)::BIGINT AS n_exact,
+       |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_hit,
+       |  CAST(CAST(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1
+       |    ELSE 0 END) AS DOUBLE) / count(*) AS DECIMAL(9,6)) AS DOUBLE)
+       |    AS recall_at_k
+       |FROM exact x LEFT JOIN approx a
+       |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id""".stripMargin
+  }
+
   /** recall@10 of 64→16-dim TRAINED-PCA-pruned search (exact re-rank
     * of the 8k-candidate shortlist) vs the full-dim exact baseline
     * (rows-only) — the trained face's fidelity as data. */

@@ -786,6 +786,30 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming A/B arm statistics — the ingest-time face of
+    * [[graft.operators.Analytics.variantLift]]: per-(experiment,
+    * variant) running moments (n, Σv, Σv²) as DECIMAL sums, which are
+    * ALGEBRAIC (order- and batch-slicing-independent), so the streamed
+    * state after any micro-batch cut is bit-identical to the one-shot
+    * batch aggregate — the same fold-merge law visits_incremental
+    * pins for counters, extended to second moments. The serving layer
+    * derives mean/lift/Welch-t from the state exactly like the batch
+    * face; the state itself is bounded by the arm table (experiments ×
+    * variants), so complete-mode output stays driver-sized. */
+  def startVariantLift(events: DataFrame, queryName: String): StreamingQuery =
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
+        expr("CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)")
+          .as("s2"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+
   def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._

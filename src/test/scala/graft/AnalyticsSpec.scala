@@ -1004,6 +1004,45 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(again.map(_.getAs[Double]("mean_value")).toSeq === means.toSeq)
   }
 
+  test("multiTouchAttribution: U-shape credit on hand journeys sums to one per purchase") {
+    // user 1: three touches then a purchase -> 0.4 / 0.2 / 0.4
+    // user 2: one touch -> 1.0; user 3: touch OUTSIDE the window -> none
+    val rows = Seq(
+      (1L, 1L, "click", "2026-01-01 10:00:00"),
+      (2L, 1L, "view", "2026-01-01 10:05:00"),
+      (3L, 1L, "signup", "2026-01-01 10:10:00"),
+      (4L, 1L, "purchase", "2026-01-01 11:00:00"),
+      (5L, 2L, "view", "2026-01-02 09:00:00"),
+      (6L, 2L, "purchase", "2026-01-02 09:30:00"),
+      (7L, 3L, "click", "2026-01-01 00:00:00"),
+      (8L, 3L, "purchase", "2026-01-03 00:00:00")
+    ).toDF("event_id", "user_id", "event_type", "s")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("s").cast("timestamp").as("ts"))
+    val got = Analytics.multiTouchAttribution(rows, windowHours = 24)
+      .collect().map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Double]("credit"))).toMap
+    assert(got === Map(
+      "click" -> ((1L, 0.4)),   // user 1 first touch
+      "signup" -> ((1L, 0.4)),  // user 1 last touch
+      "view" -> ((2L, 1.2))))   // user 1 middle 0.2 + user 2 solo 1.0
+    // total credit equals the number of attributed purchases
+    assert(got.values.map(_._2).sum === 2.0)
+  }
+
+  test("valueMad: hampel flags the planted spike, median/MAD ignore it") {
+    // 99 values at 10±1 and one wild spike: mean-based z would shift,
+    // median/MAD stay at the bulk
+    val rows = ((0 until 99).map(i =>
+      (i.toLong, "a", 10.0 + (i % 3 - 1))) :+ (99L, "a", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val got = Analytics.valueMad(rows).collect()(0)
+    assert(got.getAs[Double]("med") === 10.0)
+    assert(got.getAs[Double]("mad") === 1.0)
+    assert(got.getAs[Long]("n_outliers") === 1L)
+    assert(got.getAs[Double]("outlier_share") === 0.01)
+  }
+
   test("variantLift: Welch t on hand arms; control rows carry NULL t") {
     // experiment e1: control arm a (values 1,2,3), treatment b (4,6)
     val rows = Seq(

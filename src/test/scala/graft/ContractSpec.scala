@@ -39,6 +39,8 @@ class ContractSpec extends AnyFunSuite {
       // brute-force scoring in the projected space (same declared
       // broadcast-queries shape; PCA only shrinks the vectors)
       "knn_pca", "knn_pca_recall",
+      // same projected-space shape with a model-free prefix slice
+      "knn_mrl", "knn_mrl_recall",
       "value_band_counts", "tfidf_top_terms", "collocations",
       // same 1-row corpus-totals broadcast as collocations (vocab size)
       "lm_bigram_score",

@@ -352,6 +352,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnMrl: prefix-space shortlist re-ranked exactly; recall face consistent") {
+    val got = Similarity.knnMrl(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect()
+    val byQuery = got.groupBy(_._1)
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to 10))
+      assert(!rows.map(_._2).contains(q))
+    }
+    // the recall face recomputes exactly the overlap of the two pair sets
+    val exact = Similarity.knnBruteForce(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val approx = got.map(r => (r._1, r._2)).toSet
+    val rec = Similarity.knnMrlRecall(emb, k = 10, queryMod = 100).collect()(0)
+    assert(rec.getAs[Long]("n_exact") === exact.size.toLong)
+    assert(rec.getAs[Long]("n_hit") === (exact intersect approx).size.toLong)
+    val r = rec.getAs[Double]("recall_at_k")
+    assert(r > 0.0 && r <= 1.0)
+    // widening the re-rank shortlist can only help recall
+    val recWide = Similarity.knnMrlRecall(emb, k = 10, queryMod = 100,
+      rerank = 16).collect()(0).getAs[Double]("recall_at_k")
+    assert(recWide >= r)
+  }
+
   test("vec_dot_i8 kernel equals the interpreted integer fold") {
     import org.apache.spark.sql.functions._
     val both = Similarity.quantizeEmbeddings(emb)

@@ -258,6 +258,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed variant-lift moments equal the one-shot batch aggregate under any slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // (event_id, event_type, value, props) — two experiments, three arms
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3),
+        (i % 7).toDouble + 0.25, s"""{"k":"e${i % 2}"}""")
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.StreamingMetrics.startVariantLift(
+      input.toDS().toDF("event_id", "event_type", "value", "props"),
+      "variant_lift_t")
+    try {
+      // three uneven micro-batch cuts
+      input.addData(rows.take(7))
+      q.processAllAvailable()
+      input.addData(rows.slice(7, 40))
+      q.processAllAvailable()
+      input.addData(rows.drop(40))
+      q.processAllAvailable()
+      val streamed = spark.table("variant_lift_t")
+        .as[(String, String, Long, Double, Double)].collect().toSet
+      val batch = rows.toDF("event_id", "event_type", "value", "props")
+        .selectExpr("get_json_object(props, '$.k') AS experiment_id",
+          "event_type AS variant", "value")
+        .groupBy("experiment_id", "variant")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
+          org.apache.spark.sql.functions.expr(
+            "CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)")
+            .as("s2"))
+        .as[(String, String, Long, Double, Double)].collect().toSet
+      // decimal moments are algebraic: the streamed state is
+      // bit-identical to the one-shot aggregate, any slicing
+      assert(streamed === batch)
+      assert(streamed.map(t => (t._1, t._2)).size === 6)
+    } finally q.stop()
+  }
+
   test("streamed SFT examples equal the batch construction under any batch slicing") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
