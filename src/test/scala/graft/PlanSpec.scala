@@ -259,6 +259,50 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
   }
 
+  test("weighted_sample: the top-k is a TakeOrdered over the scan, never a global sort") {
+    val p = finalPlan(graft.operators.Corpus.weightedSample(
+      Tables.documents(spark, d), k = 50))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // no corpus shuffle before the TakeOrdered (the post-limit rank
+    // window runs on k rows — driver-sized by construction)
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  test("value_mad: medians broadcast back — the flagging pass never shuffles events") {
+    val p = finalPlan(Analytics.valueMad(Tables.events(spark, d)))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1600))
+  }
+
+  test("multi_touch_attribution: the touch window rides a user equi-join, never an all-pairs") {
+    val p = finalPlan(Analytics.multiTouchAttribution(
+      Tables.events(spark, d)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("thread_assembly: doubling rounds are hash equi-joins; sizes fold back by broadcast") {
+    val p = finalPlan(graft.operators.Corpus.threadAssembly(
+      Tables.documents(spark, d)))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("value_bootstrap_ci: replicate means partial-aggregate map-side before the B-row shuffle") {
+    val p = finalPlan(Analytics.valueBootstrapCi(Tables.events(spark, d)))
+    assert(p.contains("Generate explode"), p.take(1200))
+    // partial + final HashAggregate around one exchange: the ×B blowup
+    // collapses to B rows per input partition before it moves
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      p.take(1200))
+  }
+
   test("pii_redaction: per-row regex chain adds no hash shuffle") {
     val p = finalPlan(graft.operators.Corpus.redactionReport(
       Tables.documents(spark, d)))
