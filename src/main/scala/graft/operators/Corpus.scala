@@ -2233,34 +2233,45 @@ object Corpus {
     * built per THREAD, so root-id + depth is the grouping/ordering key
     * the example builder consumes.
     *
-    * The reply forest is fabricated deterministically from doc_id (the
-    * first `roots` docs are thread roots; every other doc replies to a
-    * strictly-smaller id drawn from its md5), so the traversal is
-    * integer-exact and the DuckDB oracle can replay it as a recursive
-    * CTE — the sequential formulation checking the parallel one.
+    * The reply forest is fabricated deterministically over the DENSE
+    * RANK of doc_id (the first `roots` ranks are thread roots; every
+    * other doc replies to a strictly-smaller rank drawn from its md5),
+    * so the traversal is integer-exact and the DuckDB oracle can
+    * replay it as a recursive CTE — the sequential formulation
+    * checking the parallel one. Dense ranks, NOT raw ids: id
+    * arithmetic breaks on sparse id spaces — the 10× ScaleGen fixture
+    * (distinct per-replica id ranges, max id 90M over 50k rows) made
+    * raw-id parents land in nonexistent gaps and vanish through the
+    * inner join, silently shrinking the output, and blew the analytic
+    * depth bound up to the ID RANGE (21 doubling rounds for a 50k-row
+    * corpus). The nspPairs sparse-id lesson, one operator later.
     *
-    * Scale shape: each round is ONE equi-join of the frame with itself
-    * (hash shuffle on the ancestor key, linear in corpus size) plus a
-    * localCheckpoint to truncate the iterated lineage. The round count
-    * is FIXED up front from the forest's analytic depth bound (every
-    * parent step descends by at least `roots`, so depth ≤ maxId/roots
-    * and ⌈log₂⌉ doublings suffice) — no per-round convergence count,
-    * so the driver runs exactly log-many jobs; one bounded assert at
-    * the end guards the invariant. */
+    * Scale shape: one [[Analytics.rankByRange]] pass stamps the dense
+    * rank (range-partitioned — no single-task sort); then each round
+    * is ONE equi-join of the frame with itself (hash shuffle on the
+    * ancestor key, linear in corpus size) plus a localCheckpoint to
+    * truncate the iterated lineage. The round count is FIXED up front
+    * from the forest's analytic depth bound (every parent step
+    * descends by at least `roots` ranks, so depth ≤ n/roots and ⌈log₂⌉
+    * doublings suffice) — no per-round convergence count, so the
+    * driver runs exactly log-many jobs; one bounded assert at the end
+    * guards the invariant. */
   def threadAssembly(docs: DataFrame, roots: Int = 64): DataFrame = {
-    val h = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), " +
+    val (ranked, n) = Analytics.rankByRange(
+      docs.select(col("doc_id")), Seq("doc_id"))
+    val base = ranked.select(col("doc_id"), col("__rank").as("id"))
+    val h = "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), " +
       "16, 10) AS BIGINT)"
-    val parent = s"""CASE WHEN doc_id < $roots THEN doc_id
-                    |  WHEN doc_id - $roots * (1 + $h % 3) >= 0
-                    |    THEN doc_id - $roots * (1 + $h % 3)
-                    |  ELSE doc_id % $roots END""".stripMargin
-    var f = docs
-      .select(col("doc_id").as("id"), expr(parent).as("anc"))
+    val parent = s"""CASE WHEN id <= $roots THEN id
+                    |  WHEN id - $roots * (1 + $h % 3) >= 1
+                    |    THEN id - $roots * (1 + $h % 3)
+                    |  ELSE 1 + ((id - 1) % $roots) END""".stripMargin
+    var f = base
+      .select(col("doc_id"), col("id"), expr(parent).as("anc"))
       .withColumn("depth",
-        when(col("id") < roots, 0L).otherwise(1L))
+        when(col("id") <= roots, 0L).otherwise(1L))
       .localCheckpoint()
-    val maxId = f.agg(max(col("id"))).collect()(0).getLong(0)
-    val maxDepth = math.max(1L, maxId / roots) // parent steps ≥ roots
+    val maxDepth = math.max(1L, n / roots) // parent steps ≥ roots ranks
     val rounds = 64 - java.lang.Long.numberOfLeadingZeros(maxDepth) + 1
     for (_ <- 1 to rounds) {
       val g = f.select(col("id").as("g_id"), col("anc").as("g_anc"),
@@ -2268,44 +2279,53 @@ object Corpus {
       // anc's ancestor becomes ours; a root's ancestor is itself at
       // depth 0, so finished rows pass through unchanged
       f = f.join(g, col("anc") === col("g_id"))
-        .select(col("id"), col("g_anc").as("anc"),
+        .select(col("doc_id"), col("id"), col("g_anc").as("anc"),
           (col("depth") + col("g_depth")).as("depth"))
         .localCheckpoint()
     }
-    val remaining = f.where(col("anc") >= roots).count()
+    val remaining = f.where(col("anc") > roots).count()
     require(remaining == 0,
       s"pointer doubling left $remaining unconverged rows after " +
         s"$rounds rounds (depth bound $maxDepth)")
     val sizes = f.groupBy(col("anc")).agg(count(lit(1)).as("thread_size"))
+    val rootIds = base.where(col("id") <= roots)
+      .select(col("id").as("anc"), col("doc_id").as("root_id"))
     f.join(broadcast(sizes), Seq("anc")) // ≤ `roots` rows — broadcast
-      .select(col("id").as("doc_id"), col("anc").as("root_id"),
-        col("depth"), col("thread_size"))
+      .join(broadcast(rootIds), Seq("anc")) // rank → the root's doc_id
+      .select(col("doc_id"), col("root_id"), col("depth"),
+        col("thread_size"))
       .orderBy("doc_id")
   }
 
   /** Oracle for [[threadAssembly]]: the sequential parent walk as a
-    * recursive CTE over the same fabricated reply forest. */
+    * recursive CTE over the same dense-rank reply forest. */
   def threadAssemblySql(roots: Int = 64): String = {
-    val h = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
-    s"""WITH RECURSIVE par AS (
-       |  SELECT doc_id AS id,
-       |    CASE WHEN doc_id < $roots THEN doc_id
-       |      WHEN doc_id - $roots * (1 + $h % 3) >= 0
-       |        THEN doc_id - $roots * (1 + $h % 3)
-       |      ELSE doc_id % $roots END AS parent
+    val h = "('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT"
+    s"""WITH RECURSIVE rk AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS id
        |  FROM documents),
+       |par AS (
+       |  SELECT doc_id, id,
+       |    CASE WHEN id <= $roots THEN id
+       |      WHEN id - $roots * (1 + $h % 3) >= 1
+       |        THEN id - $roots * (1 + $h % 3)
+       |      ELSE 1 + ((id - 1) % $roots) END AS parent
+       |  FROM rk),
        |walk AS (
        |  SELECT id, id AS cur, 0 AS depth FROM par
        |  UNION ALL
        |  SELECT w.id, p.parent AS cur, w.depth + 1
        |  FROM walk w JOIN par p ON w.cur = p.id
-       |  WHERE w.cur >= $roots),
-       |fin AS (SELECT id, cur, depth FROM walk WHERE cur < $roots),
+       |  WHERE w.cur > $roots),
+       |fin AS (SELECT id, cur, depth FROM walk WHERE cur <= $roots),
        |sz AS (SELECT cur, count(*)::BIGINT AS thread_size
        |       FROM fin GROUP BY 1)
-       |SELECT f.id AS doc_id, f.cur AS root_id, f.depth::BIGINT AS depth,
+       |SELECT r.doc_id, rr.doc_id AS root_id, f.depth::BIGINT AS depth,
        |  sz.thread_size
-       |FROM fin f JOIN sz ON f.cur = sz.cur
-       |ORDER BY f.id""".stripMargin
+       |FROM fin f
+       |JOIN rk r ON r.id = f.id
+       |JOIN rk rr ON rr.id = f.cur
+       |JOIN sz ON f.cur = sz.cur
+       |ORDER BY r.doc_id""".stripMargin
   }
 }

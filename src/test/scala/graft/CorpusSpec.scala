@@ -700,29 +700,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(hit.toDouble / out.length > 0.85, s"majority hit rate $hit/${out.length}")
   }
 
-  test("threadAssembly: pointer doubling ≡ sequential parent walk") {
+  test("threadAssembly: pointer doubling ≡ sequential parent walk; sparse ids survive") {
     val out = Corpus.threadAssembly(docs, roots = 64).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("root_id"), r.getAs[Long]("depth"),
           r.getAs[Long]("thread_size"))).toMap
     val n = docs.count()
     assert(out.size === n)
-    // driver-side sequential walk over the same fabricated forest
-    def parent(d: Long): Long = {
-      if (d < 64) d
+    // driver-side sequential walk over the same dense-rank forest
+    // (sf0.001 ids are contiguous 0..n-1 -> rank = doc_id + 1)
+    def parent(r: Long): Long = {
+      if (r <= 64) r
       else {
         val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.toString.getBytes("UTF-8"))
+          .digest(r.toString.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString
         val h = java.lang.Long.parseLong(md5.take(15), 16)
-        val p = d - 64 * (1 + h % 3)
-        if (p >= 0) p else d % 64
+        val p = r - 64 * (1 + h % 3)
+        if (p >= 1) p else 1 + ((r - 1) % 64)
       }
     }
     val walked = (0L until n).map { d =>
-      var cur = d; var depth = 0L
-      while (cur >= 64) { cur = parent(cur); depth += 1 }
-      d -> (cur, depth)
+      var cur = d + 1; var depth = 0L
+      while (cur > 64) { cur = parent(cur); depth += 1 }
+      d -> (cur - 1, depth) // root rank -> the root's doc_id
     }.toMap
     walked.foreach { case (d, (root, depth)) =>
       assert(out(d)._1 === root, s"doc $d root")
@@ -735,6 +736,21 @@ class CorpusSpec extends AnyFunSuite {
     // roots self-report at depth 0
     (0L until math.min(64L, n)).foreach { d =>
       assert(out(d) === ((d, 0L, sizes(d))))
+    }
+    // the sparse-id regression the 10x fixture caught: shift every id
+    // into a gappy 90M range — the dense-rank forest must keep EVERY
+    // row (raw-id arithmetic dropped parents into nonexistent gaps)
+    val sparse = docs.select(
+      (col("doc_id") * 180009L + 7L).as("doc_id"))
+    val sparseOut = Corpus.threadAssembly(sparse, roots = 64).collect()
+    assert(sparseOut.length === n,
+      s"sparse ids lost rows: ${sparseOut.length} of $n")
+    // same forest SHAPE as the contiguous run (ranks are identical):
+    // depths match row-for-row in rank order
+    val sparseDepths = sparseOut.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("depth")).toMap
+    walked.foreach { case (d, (_, depth)) =>
+      assert(sparseDepths(d * 180009L + 7L) === depth)
     }
   }
 }
