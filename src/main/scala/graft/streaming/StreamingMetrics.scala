@@ -786,6 +786,53 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming CUSUM level-shift monitor — the ingest-time face of
+    * [[graft.operators.Analytics.visitsCusum]]. The batch face centers
+    * on the full-series mean (unknowable mid-stream), so the streaming
+    * deployment takes the EXPECTED rate as a parameter — exactly how
+    * production CUSUM monitors run (the target is the SLO/forecast,
+    * not a retrospective mean) — and maintains the two one-sided
+    * statistics over CLOSED minutes in integer arithmetic: with target
+    * t and slack k (both per-minute visit counts scaled ×2 to keep the
+    * half-unit slack integral), S⁺ += 2v − 2t − k, S⁻ += 2t − 2v − k,
+    * clamped at 0. State is two longs per monitor key — O(1) forever,
+    * no window history. Emits (minute_key, visits, cusum_pos,
+    * cusum_neg, alarm) per closed minute; alarm at S > 2·h. */
+  def startVisitsCusum(events: Dataset[LogEvent], queryName: String,
+      targetPerMin: Long, watermark: String = "2 minutes",
+      slackHalf: Long = 1, alarmVisits: Long = 8): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val closed = events.toDF()
+      .withWatermark(LogEvent.Ts, watermark)
+      .groupBy(window(col(LogEvent.Ts), "1 minute"))
+      .agg(count(lit(1)).as("visits"))
+      .select(date_format(col("window.start"), "yyyy_MM_dd'T'HH_mm")
+        .as("minute_key"), col("visits"))
+      .as[(String, Long)]
+    closed
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(String, Long)],
+            state: GroupState[(Long, Long)]) =>
+          var (sPos, sNeg) = state.getOption.getOrElse((0L, 0L))
+          // closed minutes arrive batch-wise; fold in minute order
+          val out = rows.toSeq.sortBy(_._1).map { case (mk, v) =>
+            sPos = math.max(0L, sPos + 2 * v - 2 * targetPerMin - slackHalf)
+            sNeg = math.max(0L, sNeg + 2 * targetPerMin - 2 * v - slackHalf)
+            (mk, v, sPos, sNeg,
+              math.max(sPos, sNeg) > 2 * alarmVisits)
+          }
+          state.update((sPos, sNeg))
+          out.iterator
+      }
+      .toDF("minute_key", "visits", "cusum_pos", "cusum_neg", "alarm")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming A/B arm statistics — the ingest-time face of
     * [[graft.operators.Analytics.variantLift]]: per-(experiment,
     * variant) running moments (n, Σv, Σv²) as DECIMAL sums, which are

@@ -615,6 +615,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: O(1) state reproduces the recurrence; planted shift alarms across batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // 12 minutes at the target rate (4/min), then 5 minutes at 12/min
+    def count(m: Int) = if (m < 12) 4 else 12
+    val all = (0 until 17).flatMap { m =>
+      (0 until count(m)).map(i =>
+        ev(s"u$i", "e1", "1", f"2026-08-12 10:$m%02d:10"))
+    }
+    val input = MemoryStream[LogEvent]
+    val q = StreamingMetrics.startVisitsCusum(input.toDS(), "cusum_t",
+      targetPerMin = 4, watermark = "2 minutes",
+      slackHalf = 1, alarmVisits = 8)
+    try {
+      all.grouped(25).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("cusum_t")
+        .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+      assert(streamed.nonEmpty)
+      // driver replay of the recurrence over the same closed minutes
+      var sPos = 0L; var sNeg = 0L
+      val expected = streamed.map(_._2).map { v =>
+        sPos = math.max(0L, sPos + 2 * v - 2 * 4 - 1)
+        sNeg = math.max(0L, sNeg + 2 * 4 - 2 * v - 1)
+        (sPos, sNeg, math.max(sPos, sNeg) > 16)
+      }
+      streamed.zip(expected).foreach { case ((mk, _, p, n, a), (ep, en, ea)) =>
+        assert(p === ep, mk); assert(n === en, mk); assert(a === ea, mk)
+      }
+      // the on-target head never alarms; the shifted tail does
+      // (watermark closes minutes 2 behind max ts, so the last emitted
+      // minutes sit inside the shifted region)
+      assert(!streamed.head._5)
+      assert(streamed.exists(_._5), "planted shift never alarmed")
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
