@@ -19,10 +19,15 @@ import org.apache.spark.sql.functions._
 object Analytics {
 
   // ---- shared SQL fragments (Spark expr + DuckDB agree verbatim) ----
-  private val SumValue = "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+  // package-visible: StreamingMetrics.startVariantLift folds the SAME
+  // fragments so the streamed arm state is definitionally the batch
+  // aggregate (the spec keeps an independent inline copy as the
+  // drift tripwire)
+  private[graft] val SumValue =
+    "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
   // value*value is a deterministic per-row IEEE double product; the
   // inputs are 2-decimal, so the 4-decimal cast is exact on both engines
-  private val SumValueSq =
+  private[graft] val SumValueSq =
     "CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)"
 
   /** Per-user event cadence via lag(): number of events and the longest
@@ -1493,7 +1498,11 @@ object Analytics {
     * a day), then a channel-bounded aggregate. Exactness: positions
     * and counts are integers; the three credit cases are exact DECIMAL
     * literals or one quantized division (middle credit through
-    * DECIMAL(18,6)); credit sums are DECIMAL-exact and rendered as
+    * DECIMAL(18,6)), and the LAST middle touch takes the quantization
+    * residual (0.2 − (n−3)·q) so every purchase's credit sums to
+    * EXACTLY one — without the residual, any n_touch whose 0.2/(n−2)
+    * is inexact at 6 decimals (n=5, 9, …) drifts the channel totals by
+    * ~1e-6 per purchase; credit sums are DECIMAL-exact and rendered as
     * doubles at the edge. */
   def multiTouchAttribution(events: DataFrame,
       windowHours: Int = 24): DataFrame = {
@@ -1516,6 +1525,10 @@ object Analytics {
         """CASE WHEN n_touch = 1 THEN CAST(1.0 AS DECIMAL(18,6))
           |  WHEN n_touch = 2 THEN CAST(0.5 AS DECIMAL(18,6))
           |  WHEN pos = 1 OR pos = n_touch THEN CAST(0.4 AS DECIMAL(18,6))
+          |  WHEN pos = n_touch - 1 THEN CAST(
+          |    CAST(0.2 AS DECIMAL(18,6)) - (n_touch - 3) *
+          |    CAST(0.2 / CAST(n_touch - 2 AS DOUBLE) AS DECIMAL(18,6))
+          |    AS DECIMAL(18,6))
           |  ELSE CAST(0.2 / CAST(n_touch - 2 AS DOUBLE) AS DECIMAL(18,6))
           |END""".stripMargin))
     credit.groupBy(col("channel"))
@@ -1551,6 +1564,10 @@ object Analytics {
        |    CASE WHEN n_touch = 1 THEN CAST(1.0 AS DECIMAL(18,6))
        |      WHEN n_touch = 2 THEN CAST(0.5 AS DECIMAL(18,6))
        |      WHEN pos = 1 OR pos = n_touch THEN CAST(0.4 AS DECIMAL(18,6))
+       |      WHEN pos = n_touch - 1 THEN CAST(
+       |        CAST(0.2 AS DECIMAL(18,6)) - (n_touch - 3) *
+       |        CAST(0.2 / CAST(n_touch - 2 AS DOUBLE) AS DECIMAL(18,6))
+       |        AS DECIMAL(18,6))
        |      ELSE CAST(0.2 / CAST(n_touch - 2 AS DOUBLE) AS DECIMAL(18,6))
        |    END AS credit
        |  FROM c)

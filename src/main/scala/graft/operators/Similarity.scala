@@ -1967,16 +1967,17 @@ object Similarity {
     annRecall(knnBruteForce(embeddings, k, queryMod),
       knnMrl(embeddings, k, queryMod, mrlDim, rerank), s"mrl$mrlDim")
 
-  /** DuckDB replay of [[knnMrl]]: prefix slice of the DOUBLE-cast
-    * embedding, the same left-to-right dot fold, the shared
-    * exact-cosine rank tail. */
-  def knnMrlSql(k: Int = 10, queryMod: Int = 100, mrlDim: Int = 16,
-      rerank: Int = 8): String = {
+  /** The MRL projected-search CTE chain (prefix slice → projected
+    * cosine → k·rerank shortlist), shared VERBATIM by [[knnMrlSql]]
+    * and [[knnMrlRecallSql]] so the two oracles can never drift apart
+    * one-builder-at-a-time (the rankTailSql discipline). Expects the
+    * [[EmbCte]] `emb` relation in scope; leaves `short`. */
+  private def mrlShortlistCtes(k: Int, queryMod: Int, mrlDim: Int,
+      rerank: Int): String = {
     val pdot = (a: String, b: String) =>
       s"list_reduce(list_transform(range(1, ${mrlDim + 1}), " +
         s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
-    s"""WITH $EmbCte,
-       |pv AS MATERIALIZED (
+    s"""pv AS MATERIALIZED (
        |  SELECT vec_id, e[1:$mrlDim] AS p FROM emb),
        |pq2 AS (SELECT vec_id AS query_id, p AS qp,
        |    sqrt(${pdot("p", "p")}) AS qn
@@ -1989,19 +1990,24 @@ object Similarity {
        |short AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
-       |    FROM pscored) WHERE rk <= ${k * rerank}),
+       |    FROM pscored) WHERE rk <= ${k * rerank})""".stripMargin
+  }
+
+  /** DuckDB replay of [[knnMrl]]: prefix slice of the DOUBLE-cast
+    * embedding, the same left-to-right dot fold, the shared
+    * exact-cosine rank tail. */
+  def knnMrlSql(k: Int = 10, queryMod: Int = 100, mrlDim: Int = 16,
+      rerank: Int = 8): String =
+    s"""WITH $EmbCte,
+       |${mrlShortlistCtes(k, queryMod, mrlDim, rerank)},
        |${rankTailSql(k, "res", "short")}
        |SELECT query_id, neighbor_id, rank FROM res
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** DuckDB replay of [[knnMrlRecall]]: both pipelines plus the
     * [[annRecall]] arithmetic (quantized through DECIMAL(9,6)). */
   def knnMrlRecallSql(k: Int = 10, queryMod: Int = 100,
       mrlDim: Int = 16, rerank: Int = 8): String = {
-    val pdot = (a: String, b: String) =>
-      s"list_reduce(list_transform(range(1, ${mrlDim + 1}), " +
-        s"i -> $a[i] * $b[i]), (x, y) -> x + y)"
     s"""WITH $EmbCte,
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -2012,20 +2018,7 @@ object Similarity {
        |    FROM emb q JOIN emb e2 ON e2.vec_id <> q.vec_id
        |    WHERE q.vec_id % $queryMod = 0)
        |  WHERE rank <= $k),
-       |pv AS MATERIALIZED (
-       |  SELECT vec_id, e[1:$mrlDim] AS p FROM emb),
-       |pq2 AS (SELECT vec_id AS query_id, p AS qp,
-       |    sqrt(${pdot("p", "p")}) AS qn
-       |  FROM pv WHERE vec_id % $queryMod = 0),
-       |pscored AS (
-       |  SELECT q.query_id, n.vec_id AS neighbor_id,
-       |    ${pdot("q.qp", "n.p")}
-       |      / (q.qn * sqrt(${pdot("n.p", "n.p")})) AS score
-       |  FROM pq2 q JOIN pv n ON n.vec_id <> q.query_id),
-       |short AS (SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id, row_number() OVER (
-       |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
-       |    FROM pscored) WHERE rk <= ${k * rerank}),
+       |${mrlShortlistCtes(k, queryMod, mrlDim, rerank)},
        |${rankTailSql(k, "approx", "short")}
        |SELECT 'mrl$mrlDim' AS method,
        |  count(DISTINCT x.query_id)::BIGINT AS n_queries,

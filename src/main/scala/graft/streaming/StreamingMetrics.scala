@@ -795,9 +795,18 @@ object StreamingMetrics {
     * statistics over CLOSED minutes in integer arithmetic: with target
     * t and slack k (both per-minute visit counts scaled ×2 to keep the
     * half-unit slack integral), S⁺ += 2v − 2t − k, S⁻ += 2t − 2v − k,
-    * clamped at 0. State is two longs per monitor key — O(1) forever,
-    * no window history. Emits (minute_key, visits, cusum_pos,
-    * cusum_neg, alarm) per closed minute; alarm at S > 2·h. */
+    * clamped at 0. EMPTY minutes fold too: the windowed aggregate
+    * emits no row for an event-less minute, so the fold zero-fills
+    * every gap between consecutive closed minutes — otherwise a total
+    * outage (the canonical negative shift) could never alarm, because
+    * S⁻ would only advance on minutes that HAVE events. (A source
+    * that stalls entirely also stalls the event-time watermark, so
+    * the final pre-silence minutes close only when events resume —
+    * inherent to watermark semantics; a wall-clock liveness probe is
+    * the orthogonal guard for that.) State is three longs per monitor
+    * key — O(1) forever, no window history. Emits (minute_key,
+    * visits, cusum_pos, cusum_neg, alarm) per closed OR gap minute;
+    * alarm at S > 2·h. */
   def startVisitsCusum(events: Dataset[LogEvent], queryName: String,
       targetPerMin: Long, watermark: String = "2 minutes",
       slackHalf: Long = 1, alarmVisits: Long = 8): StreamingQuery = {
@@ -807,24 +816,39 @@ object StreamingMetrics {
       .withWatermark(LogEvent.Ts, watermark)
       .groupBy(window(col(LogEvent.Ts), "1 minute"))
       .agg(count(lit(1)).as("visits"))
-      .select(date_format(col("window.start"), "yyyy_MM_dd'T'HH_mm")
-        .as("minute_key"), col("visits"))
-      .as[(String, Long)]
+      .select((col("window.start").cast("long") / 60).cast("long")
+        .as("epoch_min"), col("visits"))
+      .as[(Long, Long)]
     closed
       .groupByKey(_ => 0)
-      .flatMapGroupsWithState[(Long, Long), (String, Long, Long, Long, Boolean)](
+      // state: (S+, S-, last folded epoch minute; -1 before the first)
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (String, Long, Long, Long, Boolean)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, rows: Iterator[(String, Long)],
-            state: GroupState[(Long, Long)]) =>
-          var (sPos, sNeg) = state.getOption.getOrElse((0L, 0L))
-          // closed minutes arrive batch-wise; fold in minute order
-          val out = rows.toSeq.sortBy(_._1).map { case (mk, v) =>
+        (_: Int, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          // built per call: DateTimeFormatter is not Serializable
+          val fmt = java.time.format.DateTimeFormatter
+            .ofPattern("yyyy_MM_dd'T'HH_mm")
+            .withZone(java.time.ZoneOffset.UTC)
+          var (sPos, sNeg, last) = state.getOption.getOrElse((0L, 0L, -1L))
+          def fold(v: Long): Unit = {
             sPos = math.max(0L, sPos + 2 * v - 2 * targetPerMin - slackHalf)
             sNeg = math.max(0L, sNeg + 2 * targetPerMin - 2 * v - slackHalf)
-            (mk, v, sPos, sNeg,
-              math.max(sPos, sNeg) > 2 * alarmVisits)
           }
-          state.update((sPos, sNeg))
+          // closed minutes arrive batch-wise; fold in minute order,
+          // zero-filling every event-less gap minute in between
+          val out = rows.toSeq.sortBy(_._1).iterator.flatMap { case (em, v) =>
+            val gaps = if (last >= 0 && em > last + 1)
+              (last + 1) until em else Seq.empty[Long]
+            last = math.max(last, em)
+            (gaps.map(g => (g, 0L)) :+ ((em, v))).map { case (m, vi) =>
+              fold(vi)
+              (fmt.format(java.time.Instant.ofEpochSecond(m * 60)), vi,
+                sPos, sNeg, math.max(sPos, sNeg) > 2 * alarmVisits)
+            }
+          }.toSeq
+          state.update((sPos, sNeg, last))
           out.iterator
       }
       .toDF("minute_key", "visits", "cusum_pos", "cusum_neg", "alarm")
@@ -850,9 +874,8 @@ object StreamingMetrics {
       .where(col("experiment_id").isNotNull)
       .groupBy(col("experiment_id"), col("variant"))
       .agg(count(lit(1)).as("n"),
-        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("s1"),
-        expr("CAST(sum(CAST(value * value AS DECIMAL(20,4))) AS DOUBLE)")
-          .as("s2"))
+        expr(graft.operators.Analytics.SumValue).as("s1"),
+        expr(graft.operators.Analytics.SumValueSq).as("s2"))
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .start()

@@ -1007,7 +1007,10 @@ class AnalyticsSpec extends AnyFunSuite {
   test("multiTouchAttribution: U-shape credit on hand journeys sums to one per purchase") {
     // user 1: three touches then a purchase -> 0.4 / 0.2 / 0.4
     // user 2: one touch -> 1.0; user 3: touch OUTSIDE the window -> none
-    val rows = Seq(
+    // user 4: FIVE touches -> 0.2/3 is inexact at 6 decimals, so the
+    // last middle touch takes the quantization residual and the
+    // purchase still distributes exactly one unit
+    val rows = (Seq(
       (1L, 1L, "click", "2026-01-01 10:00:00"),
       (2L, 1L, "view", "2026-01-01 10:05:00"),
       (3L, 1L, "signup", "2026-01-01 10:10:00"),
@@ -1016,18 +1019,24 @@ class AnalyticsSpec extends AnyFunSuite {
       (6L, 2L, "purchase", "2026-01-02 09:30:00"),
       (7L, 3L, "click", "2026-01-01 00:00:00"),
       (8L, 3L, "purchase", "2026-01-03 00:00:00")
-    ).toDF("event_id", "user_id", "event_type", "s")
+    ) ++ (0 until 5).map(i =>
+      (10L + i, 4L, "click", f"2026-01-05 10:0$i%01d:00")) :+
+      (20L, 4L, "purchase", "2026-01-05 11:00:00"))
+      .toDF("event_id", "user_id", "event_type", "s")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("s").cast("timestamp").as("ts"))
     val got = Analytics.multiTouchAttribution(rows, windowHours = 24)
       .collect().map(r => r.getAs[String]("channel") ->
         (r.getAs[Long]("n_touches"), r.getAs[Double]("credit"))).toMap
     assert(got === Map(
-      "click" -> ((1L, 0.4)),   // user 1 first touch
+      // click: user 1 first touch 0.4 + user 4's whole journey 1.0
+      "click" -> ((6L, 1.4)),
       "signup" -> ((1L, 0.4)),  // user 1 last touch
       "view" -> ((2L, 1.2))))   // user 1 middle 0.2 + user 2 solo 1.0
-    // total credit equals the number of attributed purchases
-    assert(got.values.map(_._2).sum === 2.0)
+    // total credit equals the number of attributed purchases EXACTLY
+    // (the 5-touch journey exercises the residual branch: without it
+    // the total reads 3.000001)
+    assert(got.values.map(_._2).sum === 3.0)
   }
 
   test("valueMad: hampel flags the planted spike, median/MAD ignore it") {

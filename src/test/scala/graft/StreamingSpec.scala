@@ -618,8 +618,10 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming CUSUM: O(1) state reproduces the recurrence; planted shift alarms across batches") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
-    // 12 minutes at the target rate (4/min), then 5 minutes at 12/min
-    def count(m: Int) = if (m < 12) 4 else 12
+    // 12 minutes at the target rate (4/min) with a total OUTAGE at
+    // minutes 7-8 (no events at all), then 5 minutes at 12/min
+    def count(m: Int) =
+      if (m == 7 || m == 8) 0 else if (m < 12) 4 else 12
     val all = (0 until 17).flatMap { m =>
       (0 until count(m)).map(i =>
         ev(s"u$i", "e1", "1", f"2026-08-12 10:$m%02d:10"))
@@ -633,7 +635,11 @@ class StreamingSpec extends AnyFunSuite {
       val streamed = spark.table("cusum_t")
         .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._1)
       assert(streamed.nonEmpty)
-      // driver replay of the recurrence over the same closed minutes
+      // the event-less outage minutes were zero-filled into the fold
+      assert(streamed.exists(r => r._1 == "2026_08_12T10_07" && r._2 == 0L),
+        "gap minute missing from the fold")
+      assert(streamed.exists(r => r._1 == "2026_08_12T10_08" && r._2 == 0L))
+      // driver replay of the recurrence over the same minute series
       var sPos = 0L; var sNeg = 0L
       val expected = streamed.map(_._2).map { v =>
         sPos = math.max(0L, sPos + 2 * v - 2 * 4 - 1)
@@ -643,10 +649,13 @@ class StreamingSpec extends AnyFunSuite {
       streamed.zip(expected).foreach { case ((mk, _, p, n, a), (ep, en, ea)) =>
         assert(p === ep, mk); assert(n === en, mk); assert(a === ea, mk)
       }
-      // the on-target head never alarms; the shifted tail does
-      // (watermark closes minutes 2 behind max ts, so the last emitted
-      // minutes sit inside the shifted region)
+      // the on-target head never alarms; the outage accumulates real
+      // S- (2 minutes at v=0: S- = 7 then 14 — shy of the 16 bar by
+      // construction, so the DROP statistic measurably moved); the
+      // shifted tail alarms
       assert(!streamed.head._5)
+      val at8 = streamed.find(_._1 == "2026_08_12T10_08").get
+      assert(at8._4 === 14L, s"outage S- ${at8._4}")
       assert(streamed.exists(_._5), "planted shift never alarmed")
     } finally q.stop()
   }

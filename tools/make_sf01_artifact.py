@@ -2,7 +2,7 @@
 """Regenerate CORRECTNESS_SF01.json from a verify_local.py run log.
 
 Usage: python3 tools/make_sf01_artifact.py <verify_log> <out.json> \
-           [round] [why...]
+           [round] [sf_dir] [why...]
 
 Parses the PASS/SKIP/FAIL lines verify_local.py prints and emits the
 standing sweep artifact (per-query status + rows + hash_match), so the
@@ -11,7 +11,7 @@ artifact is always cut from ONE full run rather than hand-patched.
 import sys, json, re, datetime
 
 
-def main(log_path, out_path, rnd, why):
+def main(log_path, out_path, rnd, sf_dir, why):
     queries, n_pass, n_skip, n_fail = {}, 0, 0, 0
     for line in open(log_path):
         m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
@@ -35,7 +35,7 @@ def main(log_path, out_path, rnd, why):
             n_fail += 1
     artifact = {
         "_meta": {
-            "sf_dir": "/root/testdata/sf0.1",
+            "sf_dir": sf_dir,
             "date": datetime.date.today().isoformat(),
             "round": int(rnd),
             "harness": ("sbt runMain graft.Verify /root/testdata/sf0.1 + "
@@ -54,9 +54,13 @@ def main(log_path, out_path, rnd, why):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        sys.exit("usage: make_sf01_artifact.py <verify_log> <out.json> "
+                 "[round] [sf_dir] [why...]")
     main(sys.argv[1], sys.argv[2],
          sys.argv[3] if len(sys.argv) > 3 else "13",
-         " ".join(sys.argv[4:]) or
+         sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1",
+         " ".join(sys.argv[5:]) or
          "Standing sweep artifact regenerated from ONE full run at "
          "final HEAD (artifacts are re-cut after the LAST catalog "
          "change, never patched past it).")
