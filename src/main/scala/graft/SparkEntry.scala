@@ -282,6 +282,12 @@ object SparkEntry {
     // rendered lines — pure scan-side folds, zero shuffles
     "c4_line_filter" -> ((s, d) =>
       TextAnalysis.c4LineFilter(par(Tables.documents(s, d)))),
+    // HTML boilerplate extraction (the crawl stage upstream of C4
+    // cleaning): head/script/style span drops, tag strip, integer
+    // link-density keep rule over deterministically rendered markup —
+    // one scan-side projection, zero shuffles
+    "html_extract" -> ((s, d) =>
+      TextAnalysis.htmlExtract(par(Tables.documents(s, d)))),
     // BPE tokenizer training: iterative argmax over the word-frequency
     // table — deterministic given rounds, so BOTH faces carry full
     // hash-exact oracles (unrolled merge rounds; the wrapped-symbol
@@ -787,6 +793,7 @@ object SparkEntry {
     "gopher_quality" -> TextAnalysis.gopherQualitySql(),
     "gopher_repetition" -> TextAnalysis.gopherRepetitionSql(),
     "c4_line_filter" -> TextAnalysis.c4LineFilterSql(),
+    "html_extract" -> TextAnalysis.htmlExtractSql(),
     "bpe_merges" -> TextAnalysis.bpeTrainSql(),
     "bpe_encode" -> TextAnalysis.bpeEncodeSql(),
     "wordpiece_merges" -> TextAnalysis.wordpieceTrainSql(),

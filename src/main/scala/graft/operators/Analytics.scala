@@ -1115,35 +1115,43 @@ object Analytics {
     * to float error. */
   def pagerank(edges: DataFrame, iters: Int = 10,
       damping: Double = 0.85, tol: Double = 0.0): DataFrame = {
-    val e = edges.toDF("src", "dst", "w")
+    // out-weight folds into the edge frame ONCE (the per-round plan
+    // used to re-derive the outW aggregate and join it every round —
+    // two of the four per-round joins were loop-invariant)
+    val e0 = edges.toDF("src", "dst", "w")
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
+    val eo = e0
+      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // dangling-ness is a STATIC node property: flag it once on the
+    // node frame so the per-round dangling mass is a scan-side
+    // filter+sum over pr — no anti-join in the loop
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .join(eo.select(col("src").as("node")).distinct()
+        .withColumn("has_out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count().toDouble
-      val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       var pr = nodes.withColumn("pr", lit(1.0 / n))
       var converged = false
       for (_ <- 0 until iters if !converged) {
         val prev = pr
-        val contrib = e
-          .join(pr.withColumnRenamed("node", "src"), "src")
-          .join(outW, "src")
+        val contrib = eo
+          .join(pr.select(col("node").as("src"), col("pr")), "src")
           .select(col("dst").as("node"),
             (col("pr") * col("w") / col("ow")).as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("c"))
         // dangling mass stays IN the plan as a broadcast single-row
         // aggregate — a driver-side .head here would be a second
         // action re-deriving pr's lineage every round
-        val dang = pr
-          .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        val dang = pr.where(!col("has_out"))
           .agg(coalesce(sum(col("pr")), lit(0d)).as("dm"))
         pr = nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("node"),
+          .select(col("node"), col("has_out"),
             (lit((1 - damping) / n) + lit(damping) *
               (coalesce(col("c"), lit(0d)) + col("dm") / n))
               .as("pr"))
@@ -1153,13 +1161,14 @@ object Analytics {
           .localCheckpoint()
         if (tol > 0) {
           val delta = prev.withColumnRenamed("pr", "p0")
+            .select(col("node"), col("p0"))
             .join(pr, Seq("node"))
             .agg(sum(abs(col("pr") - col("p0")))).head.getDouble(0)
           converged = delta < tol
         }
       }
-      pr
-    } finally { e.unpersist(); nodes.unpersist() }
+      pr.select(col("node"), col("pr"))
+    } finally { eo.unpersist(); nodes.unpersist() }
   }
 
   /** Fixed-point mass unit for [[pagerankExact]]: ranks are integer
@@ -1185,12 +1194,21 @@ object Analytics {
     * double). Returns `(node, pr_i: long)`. */
   def pagerankExact(edges: DataFrame, iters: Int = 10,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    val e = edges.toDF("src", "dst", "w")
+    // loop-invariant work hoisted exactly as in [[pagerank]]: the
+    // out-weight joins into the edge frame once, dangling-ness flags
+    // the node frame once — the per-round plan is ONE edge⋈rank join,
+    // one dst aggregate, one scan-side dangling sum, one node join
+    val e0 = edges.toDF("src", "dst", "w")
       .groupBy(col("src"), col("dst"))
       .agg(sum(col("w")).as("w"))
+    val eo = e0
+      .join(e0.groupBy(col("src")).agg(sum(col("w")).as("ow")), "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+      .join(eo.select(col("src").as("node")).distinct()
+        .withColumn("has_out", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = nodes.count()
@@ -1198,32 +1216,29 @@ object Analytics {
       // (1 - d)/n in scale units; dampDen divides PrScale so the
       // inner floor loses nothing
       val base = (dampDen - dampNum) * (PrScale / dampDen) / n
-      val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
       var pr = nodes.withColumn("pr_i", lit(PrScale / n))
       for (_ <- 0 until iters) {
         // per-edge share: (pr_i * w) div ow — the product is done in
         // DECIMAL(38,0) (pr_i·w can pass 2^63); the integral divide
         // lands back in a long ≤ PrScale
-        val contrib = e
-          .join(pr.withColumnRenamed("node", "src"), "src")
-          .join(outW, "src")
+        val contrib = eo
+          .join(pr.select(col("node").as("src"), col("pr_i")), "src")
           .select(col("dst").as("node"),
             expr("(CAST(pr_i AS DECIMAL(38,0)) * w) div ow").as("c"))
           .groupBy(col("node")).agg(sum(col("c")).as("c"))
         // dangling mass stays IN the plan as a broadcast single-row
         // aggregate, exactly like [[pagerank]]
-        val dang = pr
-          .join(outW.select(col("src").as("node")), Seq("node"), "left_anti")
+        val dang = pr.where(!col("has_out"))
           .agg(coalesce(sum(col("pr_i")), lit(0L)).as("dm"))
         pr = nodes.join(contrib, Seq("node"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("node"),
+          .select(col("node"), col("has_out"),
             expr(s"$base + ($dampNum * (coalesce(c, 0) + dm div $n))" +
               s" div $dampDen").as("pr_i"))
           .localCheckpoint()
       }
-      pr
-    } finally { e.unpersist(); nodes.unpersist() }
+      pr.select(col("node"), col("pr_i"))
+    } finally { eo.unpersist(); nodes.unpersist() }
   }
 
   def visitsZscoreSql(lookback: Int = 10, minN: Int = 5): String =
@@ -1274,7 +1289,20 @@ object Analytics {
     * the series for a year is ~526k rows). The (n, total) pair rides
     * in as a 1-row broadcast crossJoin (whitelisted pattern). All
     * outputs are integers except the normalized columns, each ONE
-    * IEEE division from integers — hash-exact. */
+    * IEEE division from integers — hash-exact.
+    *
+    * Integer headroom (the price of BIGINT exactness): every prefix
+    * sum is bounded by |pre| ≤ 3·n_min·total and the clamped
+    * statistics by 6·n_min·total, so the BIGINT lattice holds while
+    * n_min·total < 2⁶³/6 ≈ 1.5×10¹⁸ — a year of minute keys (~526k)
+    * up to ~2.9×10¹² events, or a month (~43.8k) up to ~3.5×10¹³.
+    * Past that, coarsen the grain (hour keys divide n_min by 60) or
+    * narrow the monitored time range; under ANSI mode an overflow
+    * errors rather than wrapping, and DuckDB's silent HUGEINT widening
+    * would otherwise break the hash-exact twin contract. The streaming
+    * face ([[graft.streaming.StreamingMetrics.startVisitsCusum]])
+    * has no such bound — its state folds one minute at a time against
+    * a fixed target, never a whole-series prefix. */
   def visitsCusum(events: DataFrame, alarmMult: Int = 4): DataFrame = {
     val perMin = events
       .groupBy(date_format(date_trunc("minute", col("ts")),
@@ -1371,10 +1399,29 @@ object Analytics {
     // the arm table is BOUNDED (experiments × variants); collect it once
     // so the three downstream references (stats, control pick, join-back)
     // cost ONE scan of events, not three — the Retrieval.qlScore qcf
-    // discipline
+    // discipline. NOTE this makes the call EAGER: the events scan runs
+    // at DataFrame-CONSTRUCTION time (plan-only callers like Explain
+    // pay it too) and the returned frame is frozen at call time rather
+    // than lazy like sibling operators — the documented trade for the
+    // single scan.
     val armRows = armsAgg.collect()
-    val arms = events.sparkSession.createDataFrame(
-      java.util.Arrays.asList(armRows: _*), armsAgg.schema)
+    liftFromArms(events.sparkSession.createDataFrame(
+      java.util.Arrays.asList(armRows: _*), armsAgg.schema))
+  }
+
+  /** The derivation TAIL of [[variantLift]] — from a bounded arm table
+    * `(experiment_id, variant, n, s1, s2)` (decimal moment sums) to
+    * per-arm mean/lift/Welch-t vs the experiment's control arm. Split
+    * out so the streaming face
+    * ([[graft.streaming.StreamingMetrics.startVariantLiftT]]) replays
+    * the IDENTICAL scalar chain per micro-batch over its running arm
+    * state: decimal sums are algebraic, so the streamed readout after
+    * any batch slicing is bit-equal to the batch face over the same
+    * events (asserted in `StreamingSpec`). Input is arm-table-sized
+    * (hundreds of rows at any corpus scale); everything here is
+    * broadcast-sized work. */
+  def liftFromArms(armsIn: DataFrame): DataFrame = {
+    val arms = armsIn
       .withColumn("mean_value", expr("s1 / CAST(n AS DOUBLE)"))
       .withColumn("var_value", expr(
         """CASE WHEN n > 1 THEN

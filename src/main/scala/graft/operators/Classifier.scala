@@ -72,15 +72,33 @@ object Classifier {
     * rare hashed features, which either crawls or diverges; Adagrad's
     * accumulated-squared-gradient scaling handles the mismatch, and
     * its state is another model-sized array on the driver.
-    * Returns the trained weights and (when `trackLoss`) the mean
-    * log-loss before each update — tests assert it decreases; at scale
-    * leave it off to halve the per-iteration passes. The input should
-    * be cached by the caller (each iteration scans it). */
+    * Returns the trained weights and (when `trackLoss` or `tol > 0`)
+    * the mean log-loss before each update — tests assert it decreases;
+    * at scale leave both off to drop the loss sentinel from the pass.
+    * The input should be cached by the caller (each iteration scans
+    * it).
+    *
+    * With `tol > 0` the loop CONVERGENCE-EXITS: the loss rides the
+    * same per-iteration aggregate under the `dim + 1` sentinel (zero
+    * extra passes), and once an update IMPROVES the mean loss by less
+    * than `tol` the loop stops without applying the next step —
+    * `iters` becomes a CAP, not a fixed cost. Two guards keep an
+    * OSCILLATING early phase (Adagrad's large first steps) from faking
+    * convergence: the delta must be a signed improvement (0 ≤ Δ < tol
+    * — a worsened loss never exits), and the loss must already be
+    * below the all-zero model's ln 2 ≈ 0.693 (two adjacent crests of
+    * an oscillation can differ by < tol at a HIGH loss — observed on
+    * the sf0.001 corpus at iterations 1→2, Δ = +0.003 at loss 3.58).
+    * The trainer is driver-sequential by nature (each GD round is one
+    * Spark job), so on a full-catalog bench the saved rounds are the
+    * dominant cost of the `quality_classifier` face; at 100 TB the
+    * same early-exit saves whole corpus scans. */
   def trainLogReg(feats: DataFrame, dim: Int, iters: Int = 20,
-      lr: Double = 0.5, trackLoss: Boolean = false)
-      : (Array[Double], Seq[Double]) = {
+      lr: Double = 0.5, trackLoss: Boolean = false,
+      tol: Double = 0.0): (Array[Double], Seq[Double]) = {
     val n = feats.count().toDouble
     require(n > 0, "empty training set")
+    val withLoss = trackLoss || tol > 0
     val w = Array.fill(dim + 1)(0d)
     val gsq = Array.fill(dim + 1)(0d)
     def step(i: Int, g: Double): Unit = {
@@ -88,7 +106,9 @@ object Classifier {
       w(i) -= lr * g / math.sqrt(gsq(i) + 1e-10)
     }
     val losses = Seq.newBuilder[Double]
-    for (_ <- 0 until iters) {
+    var prevLoss = Double.NaN
+    var converged = false
+    for (_ <- 0 until iters if !converged) {
       val p = probCol(w, dim)
       // ONE scan and ONE action per iteration: the bias gradient rides
       // the same grouped aggregate as the feature gradients under the
@@ -104,7 +124,7 @@ object Classifier {
         i => struct(i.as("idx"), (col("err") / col("n_toks")).as("g")))
       val biasC = array(struct(lit(dim).as("idx"), col("err").as("g")))
       val contribs =
-        if (trackLoss) concat(featC, biasC,
+        if (withLoss) concat(featC, biasC,
           array(struct(lit(dim + 1).as("idx"), col("loss").as("g"))))
         else concat(featC, biasC)
       // model-sized shuffle: per-index partial gradients combine
@@ -115,9 +135,19 @@ object Classifier {
         .collect()
       // loss is read out BEFORE any weight update (it was measured
       // under the pre-update weights)
-      agg.find(_.getInt(0) == dim + 1)
-        .foreach(r => losses += r.getDouble(1) / n)
-      agg.foreach { r =>
+      agg.find(_.getInt(0) == dim + 1).foreach { r =>
+        val loss = r.getDouble(1) / n
+        losses += loss
+        // the PREVIOUS update improved the loss by < tol (and did not
+        // worsen it), and training has actually beaten the all-zero
+        // model: the weights have converged — stop without applying
+        // this round's step
+        val improved = prevLoss - loss
+        if (tol > 0 && !prevLoss.isNaN && improved >= 0 &&
+          improved < tol && loss < math.log(2.0)) converged = true
+        prevLoss = loss
+      }
+      if (!converged) agg.foreach { r =>
         val i = r.getInt(0)
         if (i <= dim) step(i, r.getDouble(1) / n)
       }
@@ -250,9 +280,13 @@ object Classifier {
     * rows-only by the twin convention (iterative FP training is not
     * SQL-expressible); learnability floors live in `ClassifierSpec`.
     * The scoring arithmetic itself IS oracled — see
-    * [[qualityScorePinned]]. */
+    * [[qualityScorePinned]]. `iters` caps the GD rounds; `tol` is the
+    * [[trainLogReg]] convergence exit, which is what actually ends
+    * training on well-behaved data (the floors in `ClassifierSpec`
+    * guard quality at the early-exited weights). */
   def qualityClassifier(documents: DataFrame, dim: Int = 4096,
-      iters: Int = 30, lr: Double = 8.0, valPct: Int = 20): DataFrame = {
+      iters: Int = 30, lr: Double = 8.0, valPct: Int = 20,
+      tol: Double = 0.005): DataFrame = {
     val feats = hashedFeatures(documents, dim, meanTokenLenLabel())
       .withColumn("split",
         when(pmod(xxhash64(col("doc_id")), lit(100)) < lit(100 - valPct),
@@ -260,7 +294,7 @@ object Classifier {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val (w, _) = trainLogReg(feats.where(col("split") === "train"),
-        dim, iters, lr)
+        dim, iters, lr, trackLoss = false, tol = tol)
       val p = probCol(w, dim)
       feats
         .withColumn("correct",

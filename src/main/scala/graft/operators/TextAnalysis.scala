@@ -2348,4 +2348,278 @@ object TextAnalysis {
        |    chr(10) ORDER BY line_id), '')) AS cleaned_md5
        |FROM ev GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** The deterministic page RENDERING + EXTRACTION core shared by
+    * [[htmlExtract]] (the oracled counting face) and
+    * [[htmlExtractedDocs]] (the chainable cleaned-text face).
+    * Produces per doc: `blocks` (the rendered markup lines) and `ex`
+    * (per-line extraction verdicts). One scan-side projection — no
+    * shuffle anywhere. */
+  private def htmlCore(documents: DataFrame): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
+    def ph(key: String) = s"poly_hash62(concat($key))"
+    val hTok = ph("'html:', CAST(doc_id AS STRING), ':', CAST(i AS STRING)")
+    val hLine =
+      ph("'htmlb:', CAST(doc_id AS STRING), ':', CAST(lid AS STRING)")
+    val hAnchor = ph("'htmla:', CAST(doc_id AS STRING), ':', " +
+      "CAST(lid AS STRING), ':', CAST(j AS STRING)")
+    // content line with hash-chosen inline anchors (~1/7 of words)
+    val pBody =
+      s"""array_join(transform(sequence(0, size(ws) - 1),
+         |  j -> CASE WHEN pmod($hAnchor, 7) = 0
+         |    THEN concat('<a href="#">', element_at(ws, j + 1), '</a>')
+         |    ELSE element_at(ws, j + 1) END), ' ')""".stripMargin
+    // nav line: EVERY word is a link (the link-density rule's target)
+    val liBody =
+      """array_join(transform(ws,
+        |  w -> concat('<a href="#">', w, '</a>')), ' ')""".stripMargin
+    // strip order mirrors a real extractor: whole-span drops (head /
+    // script / style) BEFORE the generic tag strip
+    val stripped =
+      """regexp_replace(regexp_replace(regexp_replace(b,
+        |  '<head>.*</head>', ''),
+        |  '<script>.*</script>', ''),
+        |  '<style>.*</style>', '')""".stripMargin
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // line assembly: the c4LineFilter fold, keeping WORD ARRAYS so
+      // the block renderer can wrap individual words
+      .withColumn("wlines", expr(
+        s"""aggregate(
+           |  transform(sequence(0, size(toks) - 1),
+           |    i -> named_struct('w', element_at(toks, i + 1),
+           |                      'brk', pmod($hTok, 6) = 0)),
+           |  named_struct('ls', CAST(array() AS ARRAY<ARRAY<STRING>>),
+           |               'cur', CAST(array() AS ARRAY<STRING>)),
+           |  (acc, c) -> CASE WHEN c.brk THEN named_struct(
+           |      'ls', array_append(acc.ls, array_append(acc.cur, c.w)),
+           |      'cur', CAST(array() AS ARRAY<STRING>))
+           |    ELSE named_struct('ls', acc.ls,
+           |      'cur', array_append(acc.cur, c.w)) END,
+           |  acc -> CASE WHEN size(acc.cur) > 0
+           |    THEN array_append(acc.ls, acc.cur) ELSE acc.ls END)
+           |""".stripMargin))
+      // block rendering: per line, the hash picks content <p> (60%),
+      // all-link nav <li> (20%), <script> (10%) or <style> (10%);
+      // a head/body wrapper frames the page
+      .withColumn("blocks", expr(
+        s"""concat(
+           |  array(concat('<html><head><title>doc ',
+           |               CAST(doc_id AS STRING), '</title></head><body>')),
+           |  transform(sequence(0, size(wlines) - 1), lid ->
+           |    CASE WHEN pmod($hLine, 10) <= 5 THEN
+           |      concat('<p>',
+           |        transform(array(element_at(wlines, lid + 1)),
+           |          ws -> $pBody)[0], '.</p>')
+           |    WHEN pmod($hLine, 10) <= 7 THEN
+           |      concat('<li>',
+           |        transform(array(element_at(wlines, lid + 1)),
+           |          ws -> $liBody)[0], '</li>')
+           |    WHEN pmod($hLine, 10) = 8 THEN
+           |      concat('<script>var v', CAST(lid AS STRING), ' = ',
+           |        CAST(pmod($hLine, 1000) AS STRING), ';</script>')
+           |    ELSE
+           |      concat('<style>.c', CAST(lid AS STRING), ' { width: ',
+           |        CAST(pmod($hLine, 100) AS STRING), 'px }</style>')
+           |    END),
+           |  array('</body></html>'))""".stripMargin))
+      // extraction verdicts: span drops, anchor-text length, visible
+      // text, and the 2·anchor ≤ visible link-density keep rule —
+      // INTEGER arithmetic only, so the verdict is engine-exact
+      .withColumn("ex", expr(
+        s"""transform(blocks, b -> named_struct(
+           |  'is_script', contains(b, '<script>'),
+           |  'is_style', contains(b, '<style>'),
+           |  'alen', aggregate(
+           |     regexp_extract_all($stripped,
+           |       '<a href="#">([^<]*)</a>', 1),
+           |     CAST(0 AS BIGINT), (a, x) -> a + length(x)),
+           |  'visible', trim(regexp_replace($stripped, '<[^>]+>', '')),
+           |  'vis_len',
+           |     CAST(length(trim(regexp_replace($stripped, '<[^>]+>', '')))
+           |       AS BIGINT)))""".stripMargin))
+  }
+
+  /** HTML/markup boilerplate extraction — the first stage of a real
+    * crawl-to-corpus pipeline (the trafilatura / jusText step
+    * upstream of [[c4LineFilter]]): drop `<head>`/`<script>`/`<style>`
+    * spans, strip the remaining tags, and apply a LINK-DENSITY line
+    * rule (a line whose anchor text is more than half its visible
+    * text is navigation boilerplate — Kohlschütter et al., WSDM 2010)
+    * keeping only content lines.
+    *
+    * The synthetic corpus is plain text, so the page is first RENDERED
+    * deterministically (the [[c4LineFilter]] planted-seed precedent):
+    * `poly_hash62` breaks the token stream into lines (mean ≈ 6
+    * words), casts each line as content `<p>` (60%, with ~1/7 of
+    * words wrapped in inline anchors), all-link nav `<li>` (20%),
+    * `<script>` (10%) or `<style>` (10%), and frames the page with a
+    * `<head><title>` wrapper — so every extraction rule has both
+    * passing and failing lines at sf0.01. Extraction then operates on
+    * the MARKUP ONLY (never the generation parameters): span drops,
+    * tag strip, and the keep rule `2·anchor_chars ≤ visible_chars`
+    * as an integer compare — no FP anywhere, so the face is
+    * hash-exact against the DuckDB replay ([[htmlExtractSql]]).
+    *
+    * Scale shape: rendering and extraction are per-row higher-order
+    * folds inside ONE projection — zero shuffles before the output
+    * sort, embarrassingly parallel at 100 TB (the real-corpus
+    * deployment swaps the renderer for the crawl's raw HTML column
+    * and keeps the extraction projection unchanged). Output per doc:
+    * line counts by verdict, anchor/visible char totals over kept
+    * lines, and the byte-exact digest of the extracted text. */
+  def htmlExtract(documents: DataFrame): DataFrame =
+    htmlCore(documents)
+      .select(col("doc_id"),
+        expr("size(blocks)").cast("long").as("n_lines"),
+        expr("size(filter(ex, e -> e.is_script))").cast("long")
+          .as("n_script"),
+        expr("size(filter(ex, e -> e.is_style))").cast("long")
+          .as("n_style"),
+        expr("""size(filter(ex, e -> NOT e.is_script AND NOT e.is_style
+               |  AND e.vis_len > 0 AND 2 * e.alen > e.vis_len))"""
+          .stripMargin).cast("long").as("n_nav"),
+        expr("""size(filter(ex, e -> NOT e.is_script AND NOT e.is_style
+               |  AND e.vis_len = 0))""".stripMargin).cast("long")
+          .as("n_empty"),
+        expr("size(filter(ex, e -> e.vis_len > 0 AND 2 * e.alen <= e.vis_len))")
+          .cast("long").as("n_kept"),
+        expr("""aggregate(filter(ex, e -> e.vis_len > 0
+               |  AND 2 * e.alen <= e.vis_len),
+               |  CAST(0 AS BIGINT), (a, e) -> a + e.alen)""".stripMargin)
+          .as("anchor_chars"),
+        expr("""aggregate(filter(ex, e -> e.vis_len > 0
+               |  AND 2 * e.alen <= e.vis_len),
+               |  CAST(0 AS BIGINT), (a, e) -> a + e.vis_len)""".stripMargin)
+          .as("kept_chars"),
+        expr("""md5(array_join(transform(filter(ex, e -> e.vis_len > 0
+               |  AND 2 * e.alen <= e.vis_len), e -> e.visible), '\n'))"""
+          .stripMargin).as("extracted_md5"))
+      .orderBy("doc_id")
+
+  /** The extracted clean text as chainable documents `(doc_id, text)`
+    * — kept visible lines joined by spaces, ready to feed the
+    * downstream text battery ([[c4LineFilter]], [[gopherQuality]],
+    * dedup): the full crawl-pipeline composition, asserted end-to-end
+    * in `TextAnalysisSpec`. Docs whose page extracted to nothing are
+    * dropped (a real pipeline discards empty extractions). */
+  def htmlExtractedDocs(documents: DataFrame): DataFrame =
+    htmlCore(documents)
+      .select(col("doc_id"),
+        expr("""array_join(transform(filter(ex, e -> e.vis_len > 0
+               |  AND 2 * e.alen <= e.vis_len), e -> e.visible), ' ')"""
+          .stripMargin).as("text"))
+      .where(length(col("text")) > 0)
+
+  /** DuckDB replay of [[htmlExtract]]: the identical poly_hash62
+    * stream (token-break, block-type and anchor lanes), line ids via
+    * the [[c4LineFilterSql]] prefix-count window, per-line render via
+    * ordered string_agg, wrapper lines via UNION ALL, and the same
+    * regex extraction chain (`'g'` flag where Spark replaces all). */
+  def htmlExtractSql(): String = {
+    val hTok = Dedup.polyHash62Sql // over column `key`
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |tok AS (
+       |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+       |  FROM d, LATERAL unnest(range(1, len(toks) + 1)) AS t (i)),
+       |hk AS (
+       |  SELECT doc_id, pos, tok,
+       |    'html:' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+       |      AS key
+       |  FROM tok),
+       |hh AS (SELECT doc_id, pos, tok, $hTok % 6 = 0 AS brk FROM hk),
+       |lid AS (
+       |  SELECT doc_id, pos, tok, brk,
+       |    coalesce(sum(CASE WHEN brk THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS line_id
+       |  FROM hh),
+       |lw AS (
+       |  SELECT doc_id, line_id, pos, tok,
+       |    row_number() OVER (PARTITION BY doc_id, line_id
+       |                       ORDER BY pos) - 1 AS j
+       |  FROM lid),
+       |aw AS (
+       |  SELECT doc_id, line_id, pos, tok,
+       |    'htmla:' || CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(line_id AS VARCHAR) || ':' || CAST(j AS VARCHAR) AS key
+       |  FROM lw),
+       |wr AS (
+       |  SELECT doc_id, line_id, pos, tok, $hTok % 7 = 0 AS anch
+       |  FROM aw),
+       |ln AS (
+       |  SELECT doc_id, line_id,
+       |    string_agg(CASE WHEN anch
+       |        THEN '<a href="#">' || tok || '</a>' ELSE tok END,
+       |      ' ' ORDER BY pos) AS pb,
+       |    string_agg('<a href="#">' || tok || '</a>', ' ' ORDER BY pos)
+       |      AS lb
+       |  FROM wr GROUP BY 1, 2),
+       |lhk AS (
+       |  SELECT doc_id, line_id, pb, lb,
+       |    'htmlb:' || CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(line_id AS VARCHAR) AS key
+       |  FROM ln),
+       |lh AS (SELECT doc_id, line_id, pb, lb, $hTok AS hl FROM lhk),
+       |blk AS (
+       |  SELECT doc_id, line_id,
+       |    CASE WHEN hl % 10 <= 5 THEN '<p>' || pb || '.</p>'
+       |         WHEN hl % 10 <= 7 THEN '<li>' || lb || '</li>'
+       |         WHEN hl % 10 = 8 THEN '<script>var v'
+       |           || CAST(line_id AS VARCHAR) || ' = '
+       |           || CAST(hl % 1000 AS VARCHAR) || ';</script>'
+       |         ELSE '<style>.c' || CAST(line_id AS VARCHAR)
+       |           || ' { width: ' || CAST(hl % 100 AS VARCHAR)
+       |           || 'px }</style>' END AS b
+       |  FROM lh
+       |  UNION ALL
+       |  SELECT doc_id, -1,
+       |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+       |      || '</title></head><body>'
+       |  FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 2147483647, '</body></html>' FROM d),
+       |st AS (
+       |  SELECT doc_id, line_id,
+       |    contains(b, '<script>') AS is_script,
+       |    contains(b, '<style>') AS is_style,
+       |    regexp_replace(regexp_replace(regexp_replace(b,
+       |      '<head>.*</head>', ''),
+       |      '<script>.*</script>', ''),
+       |      '<style>.*</style>', '') AS s
+       |  FROM blk),
+       |ev AS (
+       |  SELECT doc_id, line_id, is_script, is_style,
+       |    coalesce(list_sum(list_transform(
+       |      regexp_extract_all(s, '<a href="#">([^<]*)</a>', 1),
+       |      x -> length(x))), 0)::BIGINT AS alen,
+       |    trim(regexp_replace(s, '<[^>]+>', '', 'g')) AS visible
+       |  FROM st),
+       |ev2 AS (
+       |  SELECT doc_id, line_id, is_script, is_style, alen, visible,
+       |    length(visible)::BIGINT AS vis_len
+       |  FROM ev)
+       |SELECT doc_id,
+       |  count(*)::BIGINT AS n_lines,
+       |  sum(CASE WHEN is_script THEN 1 ELSE 0 END)::BIGINT AS n_script,
+       |  sum(CASE WHEN is_style THEN 1 ELSE 0 END)::BIGINT AS n_style,
+       |  sum(CASE WHEN NOT is_script AND NOT is_style AND vis_len > 0
+       |        AND 2 * alen > vis_len THEN 1 ELSE 0 END)::BIGINT AS n_nav,
+       |  sum(CASE WHEN NOT is_script AND NOT is_style AND vis_len = 0
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_empty,
+       |  sum(CASE WHEN vis_len > 0 AND 2 * alen <= vis_len
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  coalesce(sum(CASE WHEN vis_len > 0 AND 2 * alen <= vis_len
+       |        THEN alen END), 0)::BIGINT AS anchor_chars,
+       |  coalesce(sum(CASE WHEN vis_len > 0 AND 2 * alen <= vis_len
+       |        THEN vis_len END), 0)::BIGINT AS kept_chars,
+       |  md5(coalesce(string_agg(CASE WHEN vis_len > 0
+       |        AND 2 * alen <= vis_len THEN visible END,
+       |      chr(10) ORDER BY line_id), '')) AS extracted_md5
+       |FROM ev2 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

@@ -827,31 +827,94 @@ object StreamingMetrics {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, rows: Iterator[(Long, Long)],
             state: GroupState[(Long, Long, Long)]) =>
-          // built per call: DateTimeFormatter is not Serializable
-          val fmt = java.time.format.DateTimeFormatter
-            .ofPattern("yyyy_MM_dd'T'HH_mm")
-            .withZone(java.time.ZoneOffset.UTC)
-          var (sPos, sNeg, last) = state.getOption.getOrElse((0L, 0L, -1L))
-          def fold(v: Long): Unit = {
-            sPos = math.max(0L, sPos + 2 * v - 2 * targetPerMin - slackHalf)
-            sNeg = math.max(0L, sNeg + 2 * targetPerMin - 2 * v - slackHalf)
-          }
-          // closed minutes arrive batch-wise; fold in minute order,
-          // zero-filling every event-less gap minute in between
-          val out = rows.toSeq.sortBy(_._1).iterator.flatMap { case (em, v) =>
-            val gaps = if (last >= 0 && em > last + 1)
-              (last + 1) until em else Seq.empty[Long]
-            last = math.max(last, em)
-            (gaps.map(g => (g, 0L)) :+ ((em, v))).map { case (m, vi) =>
-              fold(vi)
-              (fmt.format(java.time.Instant.ofEpochSecond(m * 60)), vi,
-                sPos, sNeg, math.max(sPos, sNeg) > 2 * alarmVisits)
-            }
-          }.toSeq
-          state.update((sPos, sNeg, last))
-          out.iterator
+          cusumFold(rows, state, targetPerMin, slackHalf, alarmVisits)
       }
       .toDF("minute_key", "visits", "cusum_pos", "cusum_neg", "alarm")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
+  /** The CUSUM state fold shared by [[startVisitsCusum]] (one global
+    * monitor) and [[startKeyedCusum]] (one monitor per experiment ×
+    * variant): folds a micro-batch's closed minutes for ONE monitor
+    * key in minute order, zero-filling every event-less gap minute
+    * between consecutive observed minutes (a total outage is the
+    * canonical negative shift — without the fill S⁻ would only ever
+    * advance on minutes that HAVE events). State is three longs. */
+  private def cusumFold(rows: Iterator[(Long, Long)],
+      state: GroupState[(Long, Long, Long)], targetPerMin: Long,
+      slackHalf: Long, alarmVisits: Long)
+      : Iterator[(String, Long, Long, Long, Boolean)] = {
+    // built per call: DateTimeFormatter is not Serializable
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy_MM_dd'T'HH_mm")
+      .withZone(java.time.ZoneOffset.UTC)
+    var (sPos, sNeg, last) = state.getOption.getOrElse((0L, 0L, -1L))
+    def fold(v: Long): Unit = {
+      sPos = math.max(0L, sPos + 2 * v - 2 * targetPerMin - slackHalf)
+      sNeg = math.max(0L, sNeg + 2 * targetPerMin - 2 * v - slackHalf)
+    }
+    // closed minutes arrive batch-wise; fold in minute order,
+    // zero-filling every event-less gap minute in between
+    val out = rows.toSeq.sortBy(_._1).iterator.flatMap { case (em, v) =>
+      val gaps = if (last >= 0 && em > last + 1)
+        (last + 1) until em else Seq.empty[Long]
+      last = math.max(last, em)
+      (gaps.map(g => (g, 0L)) :+ ((em, v))).map { case (m, vi) =>
+        fold(vi)
+        (fmt.format(java.time.Instant.ofEpochSecond(m * 60)), vi,
+          sPos, sNeg, math.max(sPos, sNeg) > 2 * alarmVisits)
+      }
+    }.toSeq
+    state.update((sPos, sNeg, last))
+    out.iterator
+  }
+
+  /** KEYED streaming CUSUM — one independent level-shift monitor per
+    * (experiment_id, variant) arm, the production multi-tenant shape
+    * of [[startVisitsCusum]] (which keys the same fold on a constant:
+    * one global monitor = one task's state at any scale). Each arm
+    * folds ITS OWN closed per-minute counts against `targetPerMin`
+    * with the identical integer recurrence and per-key gap
+    * zero-filling, so one arm's outage alarms without touching its
+    * siblings' statistics. State is three longs PER KEY — total state
+    * is 24 bytes × live arms (bounded by experiments × variants, not
+    * by event volume), sharded by Spark's state store across
+    * executors exactly like any keyed stateful operator; a per-arm
+    * target table (SLOs differ per experiment) would ride in as a
+    * broadcast map lookup in the key extractor without changing the
+    * state shape. Emits (experiment_id, variant, minute_key, visits,
+    * cusum_pos, cusum_neg, alarm) per closed or gap minute. */
+  def startKeyedCusum(events: Dataset[LogEvent], queryName: String,
+      targetPerMin: Long, watermark: String = "2 minutes",
+      slackHalf: Long = 1, alarmVisits: Long = 8): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // Dataset[LogEvent] columns carry the case-class field names
+    // (experimentId), not the wire names
+    val closed = events.toDF()
+      .withWatermark(LogEvent.Ts, watermark)
+      .groupBy(col("experimentId"), col("variant"),
+        window(col(LogEvent.Ts), "1 minute"))
+      .agg(count(lit(1)).as("visits"))
+      .select(col("experimentId"), col("variant"),
+        (col("window.start").cast("long") / 60).cast("long")
+          .as("epoch_min"), col("visits"))
+      .as[(String, String, Long, Long)]
+    closed
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Long, Long),
+        (String, String, String, Long, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long, Long)],
+            state: GroupState[(Long, Long, Long)]) =>
+          cusumFold(rows.map(r => (r._3, r._4)), state,
+            targetPerMin, slackHalf, alarmVisits)
+            .map(o => (key._1, key._2, o._1, o._2, o._3, o._4, o._5))
+      }
+      .toDF("experiment_id", "variant", "minute_key", "visits",
+        "cusum_pos", "cusum_neg", "alarm")
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .start()
@@ -879,6 +942,45 @@ object StreamingMetrics {
       .writeStream.outputMode("complete")
       .format("memory").queryName(queryName)
       .start()
+
+  /** [[startVariantLift]] completed through to the Welch-t READOUT —
+    * the end-to-end A/B dashboard face: the same running arm moments,
+    * then per micro-batch the IDENTICAL derivation chain as the batch
+    * face (`Analytics.liftFromArms` — control pick, lift, DECIMAL(18,9)-
+    * quantized t), published to a session temp view named `queryName`.
+    * Because the moments are algebraic decimal sums and the derivation
+    * is the shared scalar chain, the streamed readout after ANY
+    * micro-batch slicing is bit-equal to `Analytics.variantLift` over
+    * the same events (asserted in `StreamingSpec`). The derivation
+    * runs inside `foreachBatch` on the complete-mode arm state — a
+    * bounded table (experiments × variants), so the per-batch tail is
+    * broadcast-sized work, never a second event scan. */
+  def startVariantLiftT(events: DataFrame, queryName: String): StreamingQuery = {
+    // the readout view must register on the CALLER's session —
+    // foreachBatch hands its frame a per-batch cloned session whose
+    // temp catalog the caller never sees
+    val session = events.sparkSession
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.operators.Analytics.SumValue).as("s1"),
+        expr(graft.operators.Analytics.SumValueSq).as("s2"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (arms: DataFrame, _: Long) =>
+        val out = graft.operators.Analytics.liftFromArms(arms)
+        // materialize the bounded readout, then publish atomically —
+        // a lazy view over the batch frame would dangle once the
+        // micro-batch's state snapshot is released
+        val rows = out.collect()
+        session
+          .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .createOrReplaceTempView(queryName)
+      }
+      .start()
+  }
 
   def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
     val spark = events.sparkSession

@@ -841,6 +841,97 @@ class AnalyticsSpec extends AnyFunSuite {
       "passes_c4 must split the corpus")
   }
 
+  test("htmlExtract matches an independent in-memory reference; every " +
+    "extraction rule fires; the extracted text chains into c4LineFilter") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.PolyHash62
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    case class RefH(nLines: Long, nScript: Long, nStyle: Long, nNav: Long,
+      nEmpty: Long, nKept: Long, aChars: Long, kChars: Long, md5: String)
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(docId: Long, text: String): RefH = {
+      var lines = Vector.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      text.split(" ", -1).zipWithIndex.foreach { case (w, i) =>
+        val h = PolyHash62.hash(UTF8String.fromString(s"html:$docId:$i"))
+        if (h % 6 == 0) { lines :+= (cur :+ w); cur = Vector.empty }
+        else cur :+= w
+      }
+      if (cur.nonEmpty) lines :+= cur
+      val blocks =
+        Vector(s"""<html><head><title>doc $docId</title></head><body>""") ++
+          lines.zipWithIndex.map { case (ws, lid) =>
+            val hl =
+              PolyHash62.hash(UTF8String.fromString(s"htmlb:$docId:$lid"))
+            (hl % 10) match {
+              case t if t <= 5 =>
+                val body = ws.zipWithIndex.map { case (w, j) =>
+                  val ha = PolyHash62.hash(
+                    UTF8String.fromString(s"htmla:$docId:$lid:$j"))
+                  if (ha % 7 == 0) s"""<a href="#">$w</a>""" else w
+                }.mkString(" ")
+                s"<p>$body.</p>"
+              case t if t <= 7 =>
+                "<li>" + ws.map(w => s"""<a href="#">$w</a>""")
+                  .mkString(" ") + "</li>"
+              case 8 => s"<script>var v$lid = ${hl % 1000};</script>"
+              case _ => s"<style>.c$lid { width: ${hl % 100}px }</style>"
+            }
+          } ++ Vector("</body></html>")
+      val anchorRe = """<a href="#">([^<]*)</a>""".r
+      val ev = blocks.map { b =>
+        val isScript = b.contains("<script>")
+        val isStyle = b.contains("<style>")
+        val s = b.replaceAll("<head>.*</head>", "")
+          .replaceAll("<script>.*</script>", "")
+          .replaceAll("<style>.*</style>", "")
+        val alen = anchorRe.findAllMatchIn(s).map(_.group(1).length).sum
+        val visible = s.replaceAll("<[^>]+>", "").trim
+        (isScript, isStyle, alen.toLong, visible, visible.length.toLong)
+      }
+      val kept = ev.filter(e => e._5 > 0 && 2 * e._3 <= e._5)
+      RefH(blocks.size.toLong,
+        ev.count(_._1).toLong, ev.count(_._2).toLong,
+        ev.count(e => !e._1 && !e._2 && e._5 > 0 && 2 * e._3 > e._5).toLong,
+        ev.count(e => !e._1 && !e._2 && e._5 == 0).toLong,
+        kept.size.toLong, kept.map(_._3).sum, kept.map(_._5).sum,
+        hex(kept.map(_._4).mkString("\n")))
+    }
+    val raw = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val got = graft.operators.TextAnalysis.htmlExtract(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size === raw.length)
+    raw.foreach { case (id, text) =>
+      val e = ref(id, text)
+      val r = got(id)
+      assert(r.getLong(1) === e.nLines, s"doc $id n_lines")
+      assert(r.getLong(2) === e.nScript, s"doc $id n_script")
+      assert(r.getLong(3) === e.nStyle, s"doc $id n_style")
+      assert(r.getLong(4) === e.nNav, s"doc $id n_nav")
+      assert(r.getLong(5) === e.nEmpty, s"doc $id n_empty")
+      assert(r.getLong(6) === e.nKept, s"doc $id n_kept")
+      assert(r.getLong(7) === e.aChars, s"doc $id anchor_chars")
+      assert(r.getLong(8) === e.kChars, s"doc $id kept_chars")
+      assert(r.getString(9) === e.md5, s"doc $id extracted_md5")
+    }
+    // the rendered fixture must exercise every extraction rule
+    val refs = raw.map { case (id, t) => ref(id, t) }
+    assert(refs.map(_.nScript).sum > 0, "no script blocks planted")
+    assert(refs.map(_.nStyle).sum > 0, "no style blocks planted")
+    assert(refs.map(_.nNav).sum > 0, "no link-dense nav lines planted")
+    assert(refs.map(_.nKept).sum > 0, "no content lines survived")
+    assert(refs.map(_.aChars).sum > 0,
+      "no inline anchors survived in kept lines")
+    // crawl-chain composition: extracted docs feed the C4 cleaner
+    val chained = graft.operators.TextAnalysis.c4LineFilter(
+      graft.operators.TextAnalysis.htmlExtractedDocs(docs))
+    val cRows = chained.collect()
+    assert(cRows.length > 0 && cRows.length <= raw.length)
+    assert(cRows.forall(_.getLong(1) > 0), "chained docs must have lines")
+  }
+
   test("kneser-ney: continuation probability penalizes one-context tokens; closed form checks") {
     // the "san francisco" fixture: "francisco" occurs 6x but ONLY
     // after "san" (1 context); "cat"/"dog" occur 3x each after 3

@@ -54,6 +54,27 @@ class ClassifierSpec extends AnyFunSuite {
     } finally feats.unpersist()
   }
 
+  test("convergence early-exit: tol stops the loop on a small improvement, never a worsening") {
+    val dim = 256
+    val feats = Classifier.hashedFeatures(syntheticDocs, dim, col("y"))
+      .persist()
+    try {
+      val (wTol, lossesTol) = Classifier.trainLogReg(feats, dim,
+        iters = 40, lr = 4.0, tol = 0.01)
+      assert(lossesTol.length < 40,
+        s"tol should exit early, ran ${lossesTol.length} rounds")
+      // the exit fired on a small IMPROVEMENT (0 <= d < tol) — a
+      // worsened loss (oscillation) must never trigger it
+      val d = lossesTol(lossesTol.length - 2) - lossesTol.last
+      assert(d >= 0 && d < 0.01, s"exit delta $d out of [0, tol)")
+      // quality at the early-exited weights still separates
+      val acc = Classifier.score(syntheticDocs, wTol, dim, col("y"))
+        .select(avg((col("predicted") === col("label")).cast("double")))
+        .head.getDouble(0)
+      assert(acc >= 0.99, s"early-exit accuracy $acc")
+    } finally feats.unpersist()
+  }
+
   test("quality_classifier distills the teacher rule above the majority baseline") {
     val docs = Tables.documents(spark, TestSpark.Sf0001)
     val got = Classifier.qualityClassifier(docs)

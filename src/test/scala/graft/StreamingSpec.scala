@@ -660,6 +660,116 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keyed streaming CUSUM: independent per-(experiment,variant) monitors, state rows = |keys|") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // three arms over 14 minutes: (e1,a) stays on target (4/min);
+    // (e1,b) has a 2-minute total outage at minutes 6-7 (ITS gap
+    // minutes must zero-fill without touching siblings; S- reaches 14
+    // — measurably moved but shy of the 16 bar, the global test's
+    // construction); (e2,a) shifts to 12/min from minute 6 and must
+    // alarm ALONE
+    def cnt(exp: String, vr: String, m: Int): Int = (exp, vr) match {
+      case ("e1", "a") => 4
+      case ("e1", "b") => if (m == 6 || m == 7) 0 else 4
+      case ("e2", "a") => if (m >= 6) 12 else 4
+      case _ => 0
+    }
+    val arms = Seq(("e1", "a"), ("e1", "b"), ("e2", "a"))
+    val all = (0 until 14).flatMap { m =>
+      arms.flatMap { case (exp, vr) =>
+        (0 until cnt(exp, vr, m)).map(i =>
+          ev(s"u$i", exp, vr, f"2026-08-12 10:$m%02d:10"))
+      }
+    }
+    val input = MemoryStream[LogEvent]
+    val q = StreamingMetrics.startKeyedCusum(input.toDS(), "cusum_keyed_t",
+      targetPerMin = 4, watermark = "2 minutes",
+      slackHalf = 1, alarmVisits = 8)
+    try {
+      all.grouped(40).foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val streamed = spark.table("cusum_keyed_t")
+        .as[(String, String, String, Long, Long, Long, Boolean)]
+        .collect().sortBy(r => (r._1, r._2, r._3))
+      assert(streamed.nonEmpty)
+      // per-key driver replay of the recurrence over each arm's own
+      // minute series — the monitors must not bleed into each other
+      arms.foreach { case (exp, vr) =>
+        val series = streamed.filter(r => r._1 == exp && r._2 == vr)
+        assert(series.nonEmpty, s"no rows for ($exp,$vr)")
+        var sPos = 0L; var sNeg = 0L
+        series.foreach { case (_, _, mk, v, p, n, a) =>
+          sPos = math.max(0L, sPos + 2 * v - 2 * 4 - 1)
+          sNeg = math.max(0L, sNeg + 2 * 4 - 2 * v - 1)
+          assert(p === sPos, s"($exp,$vr) $mk")
+          assert(n === sNeg, s"($exp,$vr) $mk")
+          assert(a === (math.max(sPos, sNeg) > 16), s"($exp,$vr) $mk")
+        }
+      }
+      // (e1,b)'s outage minutes zero-filled under ITS key only
+      assert(streamed.exists(r =>
+        r._1 == "e1" && r._2 == "b" && r._3 == "2026_08_12T10_06" && r._4 == 0L),
+        "keyed gap minute missing")
+      assert(streamed.filter(r => r._3 == "2026_08_12T10_06" && r._4 == 0L)
+        .forall(r => (r._1, r._2) == ("e1", "b")))
+      // the outage moved (e1,b)'s OWN drop statistic to 14 — real,
+      // independent per-key accumulation that stays shy of the bar
+      val bAt7 = streamed.find(r =>
+        r._1 == "e1" && r._2 == "b" && r._3 == "2026_08_12T10_07").get
+      assert(bAt7._6 === 14L, s"outage S- ${bAt7._6}")
+      // alarms are per-key: only the shifted arm fires
+      val alarmed = streamed.filter(_._7).map(r => (r._1, r._2)).toSet
+      assert(alarmed === Set(("e2", "a")), s"alarm keys $alarmed")
+      // O(1) per-key state: the fold operator holds exactly |keys| rows
+      val stateRows = q.lastProgress.stateOperators
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal).sum
+      assert(stateRows === arms.size.toLong, s"state rows $stateRows")
+    } finally q.stop()
+  }
+
+  test("streamed Welch-t readout ≡ batch variant_lift bit-exact under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3),
+        (i % 7).toDouble + 0.25, s"""{"k":"e${i % 2}"}""")
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.StreamingMetrics.startVariantLiftT(
+      input.toDS().toDF("event_id", "event_type", "value", "props"),
+      "variant_lift_t2")
+    implicit val liftEnc: org.apache.spark.sql.Encoder[(String, String,
+      Long, Double, String, Double, Double, Option[Double])] =
+      org.apache.spark.sql.Encoders.product
+    type LiftRow = (String, String, Long, Double, String, Double,
+      Double, Option[Double])
+    def batchOver(rs: Seq[(Long, String, Double, String)]): Set[LiftRow] =
+      graft.operators.Analytics.variantLift(
+        rs.toDF("event_id", "event_type", "value", "props"))
+        .as[LiftRow].collect().toSet
+    try {
+      // the readout is end-to-end per micro-batch: after EVERY cut the
+      // published view equals the batch face over the events so far
+      input.addData(rows.take(11))
+      q.processAllAvailable()
+      assert(spark.table("variant_lift_t2").as[LiftRow].collect().toSet
+        === batchOver(rows.take(11)))
+      input.addData(rows.slice(11, 43))
+      q.processAllAvailable()
+      input.addData(rows.drop(43))
+      q.processAllAvailable()
+      val streamed = spark.table("variant_lift_t2")
+        .as[LiftRow].collect().toSet
+      val batch = batchOver(rows)
+      // decimal moments are algebraic and the derivation chain is the
+      // SAME code (Analytics.liftFromArms): bit-exact, any slicing
+      assert(streamed === batch)
+      // the t column is populated for non-control arms with n > 1
+      assert(streamed.count(_._8.isDefined) >= 2)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._

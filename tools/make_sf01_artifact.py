@@ -12,27 +12,32 @@ import sys, json, re, datetime
 
 
 def main(log_path, out_path, rnd, sf_dir, why):
-    queries, n_pass, n_skip, n_fail = {}, 0, 0, 0
+    queries = {}
     for line in open(log_path):
         m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
         if m:
             queries[m.group(1)] = {"status": "pass",
                                    "rows": int(m.group(2)),
                                    "hash_match": True}
-            n_pass += 1
             continue
         m = re.match(r"SKIP\(rows-only\) (\S+): rows=(\d+)", line)
         if m:
             queries[m.group(1)] = {"status": "no_oracle",
                                    "rows": int(m.group(2))}
-            n_skip += 1
             continue
         m = re.match(r"(FAIL|ORACLE-ERROR|EMPTY-DUMP|MISSING-DUMP) (\S+)",
                      line)
         if m:
             queries[m.group(2).rstrip(":")] = {
                 "status": "fail", "detail": line.strip()[:300]}
-            n_fail += 1
+    # Summary counts derive from the FINAL per-query dict, not from
+    # per-line increments: a log that carries multiple status lines for
+    # the same query (e.g. a FAIL followed by a rerun's PASS appended
+    # to the same file) keeps only the last status per query, and the
+    # summary must agree with that map.
+    n_pass = sum(1 for q in queries.values() if q["status"] == "pass")
+    n_skip = sum(1 for q in queries.values() if q["status"] == "no_oracle")
+    n_fail = sum(1 for q in queries.values() if q["status"] == "fail")
     artifact = {
         "_meta": {
             "sf_dir": sf_dir,
