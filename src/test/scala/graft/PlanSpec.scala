@@ -303,6 +303,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("html_extract: render + extraction fuse into the scan — zero hash shuffles") {
+    val p = finalPlan(graft.operators.TextAnalysis.htmlExtract(
+      Tables.documents(spark, d)))
+    // only the presentation orderBy exchanges (range); the rendering
+    // and extraction folds are scan-fused per-row work
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 0,
+      p.take(1200))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(1600))
+  }
+
   test("pii_redaction: per-row regex chain adds no hash shuffle") {
     val p = finalPlan(graft.operators.Corpus.redactionReport(
       Tables.documents(spark, d)))
