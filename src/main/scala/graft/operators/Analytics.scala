@@ -1380,34 +1380,26 @@ object Analytics {
     * Scale shape: one shuffle to the (experiment, variant) grain —
     * everything downstream operates on the BOUNDED arm table (arms ×
     * experiments, hundreds of rows at any scale), with the control
-    * row folded back by a broadcast equi-join on experiment_id. Moments
+    * row folded back by ONE per-experiment window pass (first-over-
+    * unbounded-frame ordered by variant ≡ the min-variant control
+    * pick) — the whole derivation references the arm aggregate exactly
+    * once, so events is scanned once and the frame stays LAZY like its
+    * sibling operators. Moments
     * ride the [[valueStatsByType]] decimal two-sums (value carries two
     * decimals → DECIMAL sums are exact and order-independent); lift and
     * t are short scalar IEEE chains written verbatim in both engines,
     * with t quantized through DECIMAL(18,9) and the [[valueStatsByType]]
     * degenerate-group guards (NULL when either arm has n ≤ 1 or the
     * variance argument cancels to ≤ 0). */
-  def variantLift(events: DataFrame): DataFrame = {
-    val armsAgg = events
+  def variantLift(events: DataFrame): DataFrame =
+    liftFromArms(events
       .select(get_json_object(col("props"), "$.k").as("experiment_id"),
         col("event_type").as("variant"), col("value"))
       .where(col("experiment_id").isNotNull)
       .groupBy(col("experiment_id"), col("variant"))
       .agg(count(lit(1)).as("n"),
         expr(s"$SumValue").as("s1"),
-        expr(s"$SumValueSq").as("s2"))
-    // the arm table is BOUNDED (experiments × variants); collect it once
-    // so the three downstream references (stats, control pick, join-back)
-    // cost ONE scan of events, not three — the Retrieval.qlScore qcf
-    // discipline. NOTE this makes the call EAGER: the events scan runs
-    // at DataFrame-CONSTRUCTION time (plan-only callers like Explain
-    // pay it too) and the returned frame is frozen at call time rather
-    // than lazy like sibling operators — the documented trade for the
-    // single scan.
-    val armRows = armsAgg.collect()
-    liftFromArms(events.sparkSession.createDataFrame(
-      java.util.Arrays.asList(armRows: _*), armsAgg.schema))
-  }
+        expr(s"$SumValueSq").as("s2")))
 
   /** The derivation TAIL of [[variantLift]] — from a bounded arm table
     * `(experiment_id, variant, n, s1, s2)` (decimal moment sums) to
@@ -1418,8 +1410,11 @@ object Analytics {
     * state: decimal sums are algebraic, so the streamed readout after
     * any batch slicing is bit-equal to the batch face over the same
     * events (asserted in `StreamingSpec`). Input is arm-table-sized
-    * (hundreds of rows at any corpus scale); everything here is
-    * broadcast-sized work. */
+    * (hundreds of rows at any corpus scale); the control arm is folded
+    * in by a per-experiment window (first value over the unbounded
+    * frame ordered by variant — identical to a min-variant self-join,
+    * without the second reference to the input), so the arm aggregate
+    * upstream is evaluated exactly once and the frame stays lazy. */
   def liftFromArms(armsIn: DataFrame): DataFrame = {
     val arms = armsIn
       .withColumn("mean_value", expr("s1 / CAST(n AS DOUBLE)"))
@@ -1428,14 +1423,14 @@ object Analytics {
           |  greatest(CAST(0 AS DOUBLE),
           |    s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
           |END""".stripMargin))
-    val control = arms
-      .groupBy(col("experiment_id"))
-      .agg(min(col("variant")).as("variant"))
-      .join(arms, Seq("experiment_id", "variant"))
-      .select(col("experiment_id"), col("variant").as("control_variant"),
-        col("n").as("n_ctl"), col("mean_value").as("mean_ctl"),
-        col("var_value").as("var_ctl"))
-    arms.join(broadcast(control), Seq("experiment_id"))
+    val wCtl = Window.partitionBy(col("experiment_id"))
+      .orderBy(col("variant"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    arms
+      .withColumn("control_variant", first(col("variant")).over(wCtl))
+      .withColumn("n_ctl", first(col("n")).over(wCtl))
+      .withColumn("mean_ctl", first(col("mean_value")).over(wCtl))
+      .withColumn("var_ctl", first(col("var_value")).over(wCtl))
       .select(col("experiment_id"), col("variant"), col("n"),
         col("mean_value"), col("control_variant"), col("mean_ctl"),
         expr("mean_value - mean_ctl").as("lift"),
