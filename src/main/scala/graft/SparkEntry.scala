@@ -197,6 +197,27 @@ object SparkEntry {
     // arm — the statistical readout layer over the reference's
     // experiment bookkeeping
     "variant_lift" -> ((s, d) => Analytics.variantLift(Tables.events(s, d))),
+    // Bradley–Terry strength fit from per-user pairwise value
+    // comparisons — MM iterations over the T²-bounded wins table
+    "bt_strength" -> ((s, d) => Preference.btStrength(Tables.events(s, d))),
+    // Cohen's kappa between two deterministic rule annotators, per
+    // source — scan-side rules, one aggregate, quantized κ chain
+    "annotator_kappa" -> ((s, d) =>
+      Preference.annotatorKappa(par(Tables.documents(s, d)))),
+    // GRPO group-relative advantages: one window on the group key,
+    // decimal two-sums, per-row quantized normalization
+    "group_advantages" -> ((s, d) =>
+      Preference.groupAdvantages(Tables.events(s, d))),
+    // best-of-n rejection sampling per prompt group: one window
+    // (rank + lead + count), margin to the runner-up
+    "best_of_n" -> ((s, d) => Preference.bestOfN(Tables.events(s, d))),
+    // unbiased pass@k estimator per task: one aggregate, fixed-order
+    // product chain
+    "pass_at_k" -> ((s, d) => Preference.passAtK(Tables.events(s, d))),
+    // BLEU-2 over rank-paired documents: clipped n-gram precision via
+    // one (pair, n, gram) equi-join, brevity penalty, geometric mean
+    "bleu_pairs" -> ((s, d) =>
+      Preference.bleuPairs(par(Tables.documents(s, d)))),
     // Poisson bootstrap: B hash-drawn resample means in one pass —
     // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
     "value_bootstrap_ci" -> ((s, d) =>
@@ -877,6 +898,12 @@ object SparkEntry {
     "quality_ensemble" -> Corpus.qualityEnsembleSql(),
     "sft_examples" -> Corpus.sftExamplesSql(),
     "dpo_pairs" -> Corpus.dpoPairsSql(),
+    "bt_strength" -> Preference.btStrengthSql(),
+    "annotator_kappa" -> Preference.annotatorKappaSql(),
+    "group_advantages" -> Preference.groupAdvantagesSql(),
+    "best_of_n" -> Preference.bestOfNSql(),
+    "pass_at_k" -> Preference.passAtKSql(),
+    "bleu_pairs" -> Preference.bleuPairsSql(),
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),

@@ -1,0 +1,597 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Post-training and evaluation analytics — the preference-data layer
+  * downstream of the example-construction family
+  * ([[Corpus.sftExamples]] SFT, [[Corpus.dpoPairs]] DPO,
+  * [[Corpus.contrastiveViews]] contrastive): once a pipeline emits
+  * candidate completions and preference comparisons, the questions
+  * become "which arm is strongest" (Bradley–Terry), "do my labelers
+  * agree" (Cohen's kappa), "how do rewards normalize within a prompt
+  * group" (GRPO advantages), "which sample survives rejection
+  * sampling" (best-of-n), "how close is a candidate to its reference"
+  * (BLEU), and "what share of tasks pass at k samples" (pass@k).
+  * The reference engine (a realtime experiment dashboard —
+  * `MetricsCalculationPipeline.java` aggregates per-variant uniques)
+  * stops at arm-level counting; this file carries its
+  * experiment/variant data model forward into the readouts an
+  * RLHF/eval pipeline actually publishes.
+  *
+  * Everything here follows the repo's hash-exact twin convention:
+  * counts stay integer, metric sums ride the [[Analytics.SumValue]]
+  * DECIMAL lattice, and every IEEE chain is written as a verbatim
+  * `expr` fragment replayed by the DuckDB oracle, with final floats
+  * quantized through DECIMAL(18,9).
+  */
+object Preference {
+
+  // ---------------------------------------------------------------
+  // Bradley–Terry preference strength
+  // ---------------------------------------------------------------
+
+  /** Bradley–Terry strength fit over event-type "arms" from per-user
+    * pairwise comparisons — the preference model under RLHF reward
+    * modeling and chat-arena leaderboards (Bradley & Terry 1952;
+    * the minorization–maximization update of Hunter, "MM algorithms
+    * for generalized Bradley–Terry models", Annals of Statistics
+    * 2004, eq. 1.5: p_i ← W_i / Σ_{j≠i} n_ij/(p_i+p_j)).
+    *
+    * Comparison recipe (deterministic, no RNG): each user "judges"
+    * every pair of event types they emitted — the type with the
+    * larger exact DECIMAL(18,2) value total wins; equal totals are
+    * ties and drop (plain BT has no tie term). Winless arms are
+    * excluded from the fit (their MLE diverges to 0 and would zero
+    * the denominators; the standard connected-subgraph discipline).
+    *
+    * Scale shape: one shuffle to the (user, type) grain with
+    * map-side-combined decimal sums, one user-keyed self equi-join
+    * whose per-user output is C(T,2) with T = |event types| (domain-
+    * bounded, like [[Metrics.variantOverlap]]), then everything
+    * downstream operates on the T²-row wins table. That table is
+    * persisted (it is ≤ T² rows; the cache is released by the
+    * ContextCleaner when the caller drops the frame — the
+    * [[Analytics.rankByRange]] note) so the `iters` MM rounds are
+    * joins over cached tiny frames, not repeated corpus scans. The
+    * returned frame stays LAZY — no collect anywhere. Every division
+    * is quantized through DECIMAL(18,9) and every quantized-term sum
+    * is a DECIMAL sum (order-free), so the unrolled oracle replays
+    * the fit bit-exactly.
+    *
+    * Output: (item, n_matches, n_wins, strength) per fitted arm,
+    * ordered by item; `strength` is the unnormalized BT p_i after
+    * `iters` rounds from p⁰ = 1 (the fit is scale-invariant, so the
+    * start fixes the gauge). */
+  def btStrength(events: DataFrame, iters: Int = 3): DataFrame = {
+    val ut = events
+      .groupBy(col("user_id"), col("event_type").as("item"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    val a = ut.select(col("user_id"), col("item").as("ia"), col("s").as("sa"))
+    val b = ut.select(col("user_id"), col("item").as("ib"), col("s").as("sb"))
+    val wins = a.join(b, Seq("user_id"))
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum(when(col("sa") > col("sb"), 1L).otherwise(0L)).as("w_a"),
+        sum(when(col("sb") > col("sa"), 1L).otherwise(0L)).as("w_b"))
+      .persist()
+    val edges = wins.where(col("w_a") + col("w_b") > 0)
+      .select(col("ia").as("item"), col("ib").as("other"),
+        (col("w_a") + col("w_b")).as("n"))
+      .unionAll(wins.where(col("w_a") + col("w_b") > 0)
+        .select(col("ib").as("item"), col("ia").as("other"),
+          (col("w_a") + col("w_b")).as("n")))
+    val itemW = wins.select(col("ia").as("item"), col("w_a").as("w"))
+      .unionAll(wins.select(col("ib").as("item"), col("w_b").as("w")))
+      .groupBy(col("item")).agg(sum(col("w")).as("n_wins"))
+      .where(col("n_wins") >= 1L)
+    // fit edges: both endpoints must be fitted arms
+    val ef = edges
+      .join(itemW.select(col("item")), Seq("item"))
+      .join(itemW.select(col("item").as("other")), Seq("other"))
+    var p = itemW.select(col("item"), lit(1.0).as("p"))
+    for (_ <- 1 to iters) {
+      val denom = ef
+        .join(p.select(col("item"), col("p").as("p_i")), Seq("item"))
+        .join(p.select(col("item").as("other"), col("p").as("p_j")),
+          Seq("other"))
+        .groupBy(col("item"))
+        .agg(sum(expr(
+          "CAST(CAST(n AS DOUBLE) / (p_i + p_j) AS DECIMAL(18,9))"))
+          .as("denom"))
+      p = itemW.join(denom, Seq("item"))
+        .select(col("item"), expr(
+          """CAST(CAST(CAST(n_wins AS DOUBLE) / CAST(denom AS DOUBLE)
+            |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin).as("p"))
+    }
+    val nMatches = ef.groupBy(col("item")).agg(sum(col("n")).as("n_matches"))
+    itemW.join(nMatches, Seq("item")).join(p, Seq("item"))
+      .select(col("item"), col("n_matches"), col("n_wins"),
+        col("p").as("strength"))
+      .orderBy("item")
+  }
+
+  /** DuckDB replay of [[btStrength]]: the same per-user decimal
+    * totals, the same strict-inequality wins, and `iters` unrolled MM
+    * CTEs with the identical DECIMAL(18,9) quantization points. */
+  def btStrengthSql(iters: Int = 3): String = {
+    val base =
+      """WITH ut AS (
+        |  SELECT user_id, event_type AS item,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |cmp AS (
+        |  SELECT a.item AS ia, b.item AS ib,
+        |    CAST(sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT) AS w_a,
+        |    CAST(sum(CASE WHEN b.s > a.s THEN 1 ELSE 0 END) AS BIGINT) AS w_b
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |edge AS (
+        |  SELECT ia AS item, ib AS other, w_a + w_b AS n FROM cmp
+        |  WHERE w_a + w_b > 0
+        |  UNION ALL
+        |  SELECT ib, ia, w_a + w_b FROM cmp WHERE w_a + w_b > 0),
+        |iw AS (
+        |  SELECT item, CAST(sum(w) AS BIGINT) AS n_wins FROM (
+        |    SELECT ia AS item, w_a AS w FROM cmp
+        |    UNION ALL SELECT ib, w_b FROM cmp) u
+        |  GROUP BY 1 HAVING sum(w) >= 1),
+        |ef AS (
+        |  SELECT e.item, e.other, e.n FROM edge e
+        |  JOIN iw i ON e.item = i.item JOIN iw j ON e.other = j.item),
+        |p0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS p FROM iw)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT iw.item,
+         |    CAST(CAST(CAST(iw.n_wins AS DOUBLE) / CAST(sum(
+         |      CAST(CAST(e.n AS DOUBLE) / (pi.p + pj.p) AS DECIMAL(18,9))
+         |    ) AS DOUBLE) AS DECIMAL(18,9)) AS DOUBLE) AS p
+         |  FROM ef e
+         |  JOIN p${k - 1} pi ON e.item = pi.item
+         |  JOIN p${k - 1} pj ON e.other = pj.item
+         |  JOIN iw ON iw.item = e.item
+         |  GROUP BY iw.item, iw.n_wins)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its,
+       |nm AS (SELECT item, CAST(sum(n) AS BIGINT) AS n_matches
+       |       FROM ef GROUP BY 1)
+       |SELECT iw.item, nm.n_matches, iw.n_wins, p$iters.p AS strength
+       |FROM iw JOIN nm USING (item) JOIN p$iters USING (item)
+       |ORDER BY item""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // Inter-annotator agreement
+  // ---------------------------------------------------------------
+
+  /** Per-source Cohen's kappa between two deterministic rule
+    * "annotators" over the documents table — the agreement statistic
+    * every labeling pipeline reports before trusting its labels
+    * (Cohen, "A coefficient of agreement for nominal scales", 1960:
+    * κ = (p_o − p_e)/(1 − p_e), chance-corrected via the annotators'
+    * marginals). The two annotators are fixed text rules (the
+    * [[Corpus.dpoPairs]] synthetic-judge precedent — deterministic
+    * stand-ins where no human labels exist): annotator A passes docs
+    * with ≥ 60 tokens, annotator B passes docs with ≥ 3 occurrences
+    * of the token "the" — correlated (both track length/stopword
+    * density) but not identical, so every confusion cell populates.
+    *
+    * Scale shape: both rules are scan-side per-row projections (zero
+    * shuffle), then ONE aggregate to the source grain — the cheapest
+    * shape in the file. κ, p_o, p_e are short IEEE chains from BIGINT
+    * cell counts, quantized through DECIMAL(18,9); degenerate sources
+    * (p_e = 1, both annotators constant and equal) yield NULL κ.
+    *
+    * Output: (source, n, n_both_pos, n_only_a, n_only_b, n_both_neg,
+    * po, pe, kappa) ordered by source. */
+  def annotatorKappa(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        (size(split(col("text"), " ")) >= 60).as("la"),
+        (size(filter(split(col("text"), " "),
+          t => t === "the")) >= 3).as("lb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("la") && col("lb"), 1L).otherwise(0L))
+          .as("n_both_pos"),
+        sum(when(col("la") && !col("lb"), 1L).otherwise(0L))
+          .as("n_only_a"),
+        sum(when(!col("la") && col("lb"), 1L).otherwise(0L))
+          .as("n_only_b"),
+        sum(when(!col("la") && !col("lb"), 1L).otherwise(0L))
+          .as("n_both_neg"))
+      .select(col("source"), col("n"), col("n_both_pos"), col("n_only_a"),
+        col("n_only_b"), col("n_both_neg"),
+        expr(KappaPo).as("po"), expr(KappaPe).as("pe"),
+        expr(KappaExpr).as("kappa"))
+      .orderBy("source")
+
+  // the κ scalar chain, shared verbatim with the oracle: every input
+  // is a BIGINT cell count, every division is written once
+  private val KappaPo =
+    """CAST(CAST(
+      |  CAST(n_both_pos + n_both_neg AS DOUBLE) / CAST(n AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val KappaPe =
+    """CAST(CAST(
+      |  (CAST(n_both_pos + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |  * (CAST(n_both_pos + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+      |  + (CAST(n_both_neg + n_only_b AS DOUBLE) / CAST(n AS DOUBLE))
+      |  * (CAST(n_both_neg + n_only_a AS DOUBLE) / CAST(n AS DOUBLE))
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val KappaExpr =
+    s"""CASE WHEN ($KappaPe) < 1.0 THEN
+       |  CAST(CAST(
+       |    (($KappaPo) - ($KappaPe)) / (1.0 - ($KappaPe))
+       |  AS DECIMAL(18,9)) AS DOUBLE)
+       |END""".stripMargin
+
+  /** DuckDB replay of [[annotatorKappa]]: identical rules (string
+    * split token count; list_filter 'the' count) and the identical
+    * quantized κ chain. */
+  def annotatorKappaSql(): String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len(string_split(text, ' ')) >= 60 AS la,
+       |    len(list_filter(string_split(text, ' '), t -> t = 'the')) >= 3
+       |      AS lb
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, count(*) AS n,
+       |    CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_both_pos,
+       |    CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_only_a,
+       |    CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_only_b,
+       |    CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_both_neg
+       |  FROM d GROUP BY 1)
+       |SELECT source, n, n_both_pos, n_only_a, n_only_b, n_both_neg,
+       |  $KappaPo AS po, $KappaPe AS pe, $KappaExpr AS kappa
+       |FROM c ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  // GRPO group-normalized advantages
+  // ---------------------------------------------------------------
+
+  /** Group-relative advantage normalization — the GRPO objective's
+    * data transform (Shao et al., "DeepSeekMath: pushing the limits
+    * of mathematical reasoning", arXiv 2402.03300 §4.1: advantage of
+    * sample i in its prompt group = (r_i − mean(r_group)) /
+    * std(r_group), replacing PPO's learned value baseline with the
+    * group statistic). Groups are users (the "prompt"), rewards are
+    * event values.
+    *
+    * Scale shape: ONE shuffle — a window over the group key carrying
+    * the count and the two exact DECIMAL sums ([[Analytics.SumValue]]
+    * lattice, order-free), then a per-row scalar chain; identical
+    * partitioning to every other per-user operator, no second pass,
+    * output linear in events. Degenerate groups (n ≤ 1 or zero
+    * variance) yield NULL advantage, the [[Analytics.valueStatsByType]]
+    * guard.
+    *
+    * Output: one row per event — (event_id, user_id, value, n_group,
+    * advantage) ordered by event_id, with advantage quantized through
+    * DECIMAL(18,9). */
+  def groupAdvantages(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("n_group", count(lit(1)).over(w))
+      .withColumn("s1",
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+      .withColumn("s2",
+        sum((col("value") * col("value")).cast("decimal(20,4)")).over(w)
+          .cast("double"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("n_group"), expr(AdvantageExpr).as("advantage"))
+      .orderBy("event_id")
+  }
+
+  // shared with the oracle verbatim: sample variance from the two
+  // sums, σ via correctly-rounded sqrt, final quantization
+  private val AdvantageExpr =
+    """CASE WHEN n_group > 1
+      |  AND s2 - (s1 * s1) / CAST(n_group AS DOUBLE) > 0.0 THEN
+      |  CAST(CAST(
+      |    (value - s1 / CAST(n_group AS DOUBLE))
+      |    / sqrt((s2 - (s1 * s1) / CAST(n_group AS DOUBLE))
+      |           / (CAST(n_group AS DOUBLE) - 1.0))
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
+
+  /** DuckDB replay of [[groupAdvantages]]: the same windowed decimal
+    * sums and the identical advantage chain. */
+  def groupAdvantagesSql(): String =
+    s"""WITH g AS (
+       |  SELECT event_id, user_id, value,
+       |    count(*) OVER w AS n_group,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+       |    CAST(sum(CAST(value * value AS DECIMAL(20,4))) OVER w AS DOUBLE)
+       |      AS s2
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id))
+       |SELECT event_id, user_id, value, n_group,
+       |  $AdvantageExpr AS advantage
+       |FROM g ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Best-of-n rejection sampling
+  // ---------------------------------------------------------------
+
+  /** Best-of-n selection per prompt group — rejection-sampling
+    * fine-tuning's data step (Yuan et al., "Scaling relationship on
+    * learning mathematical reasoning", arXiv 2308.01825; also the
+    * best-of-n baseline of Nakano et al., WebGPT, arXiv 2112.09332):
+    * keep each group's highest-reward sample, with the margin to the
+    * runner-up as the selection-confidence readout. Groups are users,
+    * rewards are event values; ties break on the smaller event_id, so
+    * selection is total and deterministic.
+    *
+    * Scale shape: ONE window shuffle on the group key (rank + lead +
+    * count in the same window frame — one exchange, one sort), then a
+    * rank-1 filter; output is one row per group. The margin is a
+    * single IEEE subtraction of two raw doubles — exact, no
+    * quantization needed.
+    *
+    * Output: (user_id, best_event_id, best_value, n_candidates,
+    * margin) ordered by user_id; single-candidate groups have NULL
+    * margin. */
+  def bestOfN(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id").asc)
+    events
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("n_candidates",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("best_event_id"),
+        col("value").as("best_value"), col("n_candidates"),
+        (col("value") - col("next_value")).as("margin"))
+      .orderBy("user_id")
+  }
+
+  /** DuckDB replay of [[bestOfN]]: same window, same tiebreak, same
+    * raw-double margin. */
+  def bestOfNSql(): String =
+    """SELECT user_id, event_id AS best_event_id, value AS best_value,
+      |  n_candidates, value - next_value AS margin
+      |FROM (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER w AS rn,
+      |    lead(value, 1) OVER w AS next_value,
+      |    count(*) OVER (PARTITION BY user_id) AS n_candidates
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |               ORDER BY value DESC, event_id ASC)) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // pass@k
+  // ---------------------------------------------------------------
+
+  /** Unbiased pass@k estimator per task — the evals-pipeline readout
+    * of Chen et al., "Evaluating large language models trained on
+    * code" (HumanEval, arXiv 2107.03374 §2.1): with n samples and c
+    * passes, pass@k = 1 − C(n−c,k)/C(n,k), computed via the stable
+    * product form 1 − Π_{i=0}^{k−1} (n−c−i)/(n−i). Tasks are users,
+    * a sample passes when its value exceeds `threshold` (the
+    * model-gate convention of `quality_score_pinned`).
+    *
+    * Scale shape: ONE aggregate to the task grain (map-side combined
+    * counts), then a per-task scalar chain — nothing downstream of
+    * the groupBy touches event volume. The k-term product is written
+    * in a FIXED left-to-right order in both engines, so the IEEE
+    * chain is deterministic; the estimate quantizes through
+    * DECIMAL(18,9). Tasks with fewer than k samples are excluded
+    * (the estimator is undefined); fewer than k failures → pass@k
+    * is exactly 1 (every size-k draw contains a pass).
+    *
+    * Output: (user_id, n, c, pass_at_k) ordered by user_id. */
+  def passAtK(events: DataFrame, k: Int = 4,
+      threshold: Double = 100.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("c"))
+      .where(col("n") >= k)
+      .select(col("user_id"), col("n"), col("c"),
+        expr(passAtKExpr(k)).as("pass_at_k"))
+      .orderBy("user_id")
+  }
+
+  // the product form, fixed order, shared verbatim with the oracle
+  private def passAtKExpr(k: Int): String = {
+    val prod = (0 until k)
+      .map(i => s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+      .mkString(" * ")
+    s"""CASE WHEN n - c < $k THEN CAST(1.0 AS DOUBLE) ELSE
+       |  CAST(CAST(1.0 - $prod AS DECIMAL(18,9)) AS DOUBLE)
+       |END""".stripMargin
+  }
+
+  /** DuckDB replay of [[passAtK]]: identical counts and the identical
+    * fixed-order product chain. */
+  def passAtKSql(k: Int = 4, threshold: Double = 100.0): String =
+    s"""WITH t AS (
+       |  SELECT user_id, count(*) AS n,
+       |    CAST(sum(CASE WHEN value > $threshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c
+       |  FROM events GROUP BY 1)
+       |SELECT user_id, n, c,
+       |  ${passAtKExpr(k)} AS pass_at_k
+       |FROM t WHERE n >= $k ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // BLEU-2 pair scoring
+  // ---------------------------------------------------------------
+
+  /** BLEU-2 between rank-paired documents — candidate-vs-reference
+    * n-gram precision scoring (Papineni et al., "BLEU: a method for
+    * automatic evaluation of machine translation", ACL 2002): clipped
+    * modified precision p_n for n = 1, 2, brevity penalty
+    * min(1, e^(1−r/c)), and the geometric mean BP·√(p₁·p₂). Pairing
+    * reuses the [[Corpus.dpoPairs]] dense-rank half-split (rank r ↔
+    * rank m+1−r over doc_id order): the lower-ranked document is the
+    * REFERENCE, the mirrored one the CANDIDATE — deterministic with
+    * no RNG, so the whole score is engine-exact.
+    *
+    * Scale shape: the rank is [[Analytics.rankByRange]] (range-
+    * partitioned, O(partitions) driver state); gram counting is a
+    * linear explode + one (doc, gram) aggregate; clipping is ONE
+    * equi-join on (pair_id, n, gram) — candidate grams against
+    * reference grams, never a cartesian — and one aggregate back to
+    * the pair grain. Lengths ride the pairing frame (no extra pass).
+    * √ is correctly rounded (exact on both engines); the single e^x
+    * in BP quantizes through DECIMAL(18,9), the `source_kl` ln
+    * precedent.
+    *
+    * Output: (pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
+    * p1, p2, bp, bleu) ordered by pair_id; pairs with zero p₁ or p₂
+    * score 0. */
+  def bleuPairs(documents: DataFrame): DataFrame = {
+    val (rk, m) = Analytics.rankByRange(
+      documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val half = m / 2
+    val withToks = rk.withColumn("toks", split(col("text"), " "))
+    val ref = withToks.where(col("__rank") <= half).select(
+      col("__rank").as("pair_id"), col("doc_id").as("ref_doc_id"),
+      col("toks"), size(col("toks")).cast("long").as("ref_len"))
+    val cand = withToks.where(col("__rank") > m - half).select(
+      (lit(m) + 1L - col("__rank")).as("pair_id"),
+      col("doc_id").as("cand_doc_id"),
+      col("toks"), size(col("toks")).cast("long").as("cand_len"))
+    def grams(side: DataFrame): DataFrame = {
+      val uni = side.select(col("pair_id"), lit(1).as("n"),
+        explode(col("toks")).as("gram"))
+      val bi = side.select(col("pair_id"), lit(2).as("n"),
+        explode(expr(
+          """zip_with(slice(toks, 1, size(toks) - 1),
+            |         slice(toks, 2, size(toks) - 1),
+            |         (x, y) -> concat(x, ' ', y))""".stripMargin))
+          .as("gram"))
+      uni.unionAll(bi)
+        .groupBy(col("pair_id"), col("n"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val cg = grams(cand)
+    val rg = grams(ref)
+      .withColumnRenamed("cnt", "cnt_ref")
+    val prec = cg.join(rg, Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("cnt"), coalesce(col("cnt_ref"), lit(0L))))
+        .as("clipped"),
+        sum(col("cnt")).as("total"))
+      .groupBy(col("pair_id"))
+      .agg(
+        sum(when(col("n") === 1, col("clipped")).otherwise(0L))
+          .as("clip1"),
+        sum(when(col("n") === 1, col("total")).otherwise(0L)).as("tot1"),
+        sum(when(col("n") === 2, col("clipped")).otherwise(0L))
+          .as("clip2"),
+        sum(when(col("n") === 2, col("total")).otherwise(0L)).as("tot2"))
+    ref.drop("toks").join(cand.drop("toks"), Seq("pair_id"))
+      .join(prec, Seq("pair_id"))
+      .select(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
+        col("ref_len"), col("cand_len"),
+        expr(BleuP("clip1", "tot1")).as("p1"),
+        expr(BleuP("clip2", "tot2")).as("p2"),
+        expr(BleuBp).as("bp"))
+      .withColumn("bleu", expr(BleuFinal))
+      .orderBy("pair_id")
+  }
+
+  // single-division precision: exact IEEE, no quantization needed
+  private def BleuP(clip: String, tot: String): String =
+    s"""CASE WHEN $tot > 0
+       |THEN CAST($clip AS DOUBLE) / CAST($tot AS DOUBLE)
+       |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+  // the one transcendental in the chain — quantized (source_kl ln
+  // precedent); cand_len > 0 always (split of a non-empty string)
+  private val BleuBp =
+    """CASE WHEN cand_len >= ref_len THEN CAST(1.0 AS DOUBLE) ELSE
+      |  CAST(CAST(exp(1.0 - CAST(ref_len AS DOUBLE)
+      |                     / CAST(cand_len AS DOUBLE))
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
+  private val BleuFinal =
+    """CASE WHEN p1 > 0.0 AND p2 > 0.0 THEN
+      |  CAST(CAST(bp * sqrt(p1 * p2) AS DECIMAL(18,9)) AS DOUBLE)
+      |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
+  /** DuckDB replay of [[bleuPairs]]: row_number pairing over doc_id
+    * order (≡ rankByRange on the same total order), idx-join bigrams,
+    * the same clipped-min join, and the identical scalar chains. */
+  def bleuPairsSql(): String =
+    s"""WITH rk AS (
+       |  SELECT doc_id, text,
+       |    row_number() OVER (ORDER BY doc_id) AS r,
+       |    count(*) OVER () AS m
+       |  FROM documents),
+       |ref AS (
+       |  SELECT r AS pair_id, doc_id AS ref_doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ref_len
+       |  FROM rk WHERE r <= m // 2),
+       |cand AS (
+       |  SELECT m + 1 - r AS pair_id, doc_id AS cand_doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS cand_len
+       |  FROM rk WHERE r > m - m // 2),
+       |rt AS (
+       |  SELECT pair_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS idx
+       |  FROM ref),
+       |ct AS (
+       |  SELECT pair_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS idx
+       |  FROM cand),
+       |rg AS (
+       |  SELECT pair_id, 1 AS n, tok AS gram, count(*) AS cnt_ref
+       |  FROM rt GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT a.pair_id, 2, a.tok || ' ' || b.tok, count(*)
+       |  FROM rt a JOIN rt b ON a.pair_id = b.pair_id
+       |    AND b.idx = a.idx + 1
+       |  GROUP BY 1, 2, 3),
+       |cg AS (
+       |  SELECT pair_id, 1 AS n, tok AS gram, count(*) AS cnt
+       |  FROM ct GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT a.pair_id, 2, a.tok || ' ' || b.tok, count(*)
+       |  FROM ct a JOIN ct b ON a.pair_id = b.pair_id
+       |    AND b.idx = a.idx + 1
+       |  GROUP BY 1, 2, 3),
+       |prec AS (
+       |  SELECT pair_id,
+       |    CAST(sum(CASE WHEN n = 1 THEN clipped ELSE 0 END) AS BIGINT)
+       |      AS clip1,
+       |    CAST(sum(CASE WHEN n = 1 THEN total ELSE 0 END) AS BIGINT)
+       |      AS tot1,
+       |    CAST(sum(CASE WHEN n = 2 THEN clipped ELSE 0 END) AS BIGINT)
+       |      AS clip2,
+       |    CAST(sum(CASE WHEN n = 2 THEN total ELSE 0 END) AS BIGINT)
+       |      AS tot2
+       |  FROM (
+       |    SELECT c.pair_id, c.n,
+       |      sum(least(c.cnt, coalesce(r.cnt_ref, 0))) AS clipped,
+       |      sum(c.cnt) AS total
+       |    FROM cg c LEFT JOIN rg r
+       |      ON c.pair_id = r.pair_id AND c.n = r.n AND c.gram = r.gram
+       |    GROUP BY 1, 2) pn
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT ref.pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
+       |    ${BleuP("clip1", "tot1")} AS p1,
+       |    ${BleuP("clip2", "tot2")} AS p2,
+       |    $BleuBp AS bp
+       |  FROM ref JOIN cand ON ref.pair_id = cand.pair_id
+       |  JOIN prec ON prec.pair_id = ref.pair_id)
+       |SELECT pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
+       |  p1, p2, bp, $BleuFinal AS bleu
+       |FROM scored ORDER BY pair_id""".stripMargin
+}

@@ -322,6 +322,61 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 0, p.take(1200))
   }
 
+  test("bt_strength: comparisons via a user-keyed equi-join; MM rounds never nest loops") {
+    val p = finalPlan(graft.operators.Preference.btStrength(
+      Tables.events(spark, d)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
+  test("annotator_kappa: scan-side rules, one partial-agg shuffle, pruned scan") {
+    val df = graft.operators.Preference.annotatorKappa(
+      Tables.documents(spark, d))
+    val p = finalPlan(df)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      p.take(1200))
+    val readSchema = "ReadSchema: [^\n]+".r
+      .findFirstIn(df.queryExecution.executedPlan.toString).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("group_advantages: exactly one hash shuffle — the group window") {
+    val p = finalPlan(graft.operators.Preference.groupAdvantages(
+      Tables.events(spark, d)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+  }
+
+  test("best_of_n: rank, lead and count share the one group-key window shuffle") {
+    val p = finalPlan(graft.operators.Preference.bestOfN(
+      Tables.events(spark, d)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      p.take(1200))
+    assert(!p.contains("SinglePartition"), p.take(1200))
+  }
+
+  test("pass_at_k: one partial-agg shuffle, scalar chain downstream") {
+    val p = finalPlan(graft.operators.Preference.passAtK(
+      Tables.events(spark, d)))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      p.take(1200))
+  }
+
+  test("bleu_pairs: clipping is a (pair, n, gram) equi-join, never all-pairs") {
+    val p = finalPlan(graft.operators.Preference.bleuPairs(
+      Tables.documents(spark, d)))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1600))
+  }
+
   test("sequence_packing never concentrates the prefix sum on a single partition") {
     val p = plan(graft.operators.Corpus.packSequences(
       Tables.documents(spark, d), budget = 128, partitions = 4))

@@ -1,0 +1,183 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Preference
+
+/** In-memory semantics of the post-training/eval batch (the DuckDB
+  * oracle is the primary gate; these pin the analytic fixed points
+  * and the edge cases the oracle data may not hit). */
+class PreferenceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("btStrength: two-arm fit hits the analytic fixed point 2w/n") {
+    // 4 users compare A vs B; A wins 3, B wins 1. For two arms the MM
+    // map is p_A = 2w_A/n after ONE round and stays there (p_A + p_B
+    // = 2 is invariant), so any iters >= 1 must return exactly
+    // (1.5, 0.5).
+    val ev = Seq(
+      (1L, "A", 10.0), (1L, "B", 5.0),  // A wins
+      (2L, "A", 10.0), (2L, "B", 5.0),  // A wins
+      (3L, "A", 10.0), (3L, "B", 5.0),  // A wins
+      (4L, "A", 5.0), (4L, "B", 10.0)   // B wins
+    ).toDF("user_id", "event_type", "value")
+    val got = Preference.btStrength(ev)
+      .as[(String, Long, Long, Double)].collect().toList
+    assert(got === List(("A", 4L, 3L, 1.5), ("B", 4L, 1L, 0.5)))
+  }
+
+  test("btStrength: ties drop from matches; winless arms are excluded") {
+    val ev = Seq(
+      (1L, "A", 10.0), (1L, "B", 10.0), // exact tie — drops
+      (2L, "A", 10.0), (2L, "B", 5.0),  // A wins
+      (3L, "A", 10.0), (3L, "C", 5.0)   // A wins; C never wins
+    ).toDF("user_id", "event_type", "value")
+    val got = Preference.btStrength(ev)
+      .select("item", "n_matches", "n_wins")
+      .as[(String, Long, Long)].collect().toList
+    // C is winless → excluded from the fit; the A–B tie contributes
+    // nothing, so A–B has 1 decisive match. But B is ALSO winless
+    // (its only comparison was the tie + the loss) → excluded too,
+    // leaving A alone with no fit edges → empty output.
+    assert(got.forall(_._1 == "A") || got.isEmpty)
+    // now give B a win so the A–B edge survives
+    val ev2 = ev.unionAll(Seq((4L, "B", 10.0), (4L, "A", 5.0))
+      .toDF("user_id", "event_type", "value"))
+    val got2 = Preference.btStrength(ev2)
+      .select("item", "n_matches", "n_wins")
+      .as[(String, Long, Long)].collect().toList
+    assert(got2 === List(("A", 2L, 2L), ("B", 2L, 1L)))
+  }
+
+  test("annotatorKappa: hand confusion table reproduces Cohen 1960") {
+    // one source, 10 docs: A = ≥60 tokens, B = ≥3 'the'.
+    // cells: both-pos 4, only-a 2, only-b 1, both-neg 3.
+    def doc(tokens: Int, thes: Int): String = {
+      val the = List.fill(thes)("the")
+      val pad = List.fill(tokens - thes)("x")
+      (the ++ pad).mkString(" ")
+    }
+    val docs = (
+      List.fill(4)(doc(60, 3)) ++ // both
+        List.fill(2)(doc(60, 2)) ++ // a only
+        List.fill(1)(doc(59, 3)) ++ // b only
+        List.fill(3)(doc(10, 0))    // neither
+      ).zipWithIndex.map { case (t, i) => (i.toLong, t, "s0") }
+      .toDF("doc_id", "text", "source")
+    val got = Preference.annotatorKappa(docs).collect()(0)
+    assert(got.getAs[Long]("n") === 10L)
+    assert(got.getAs[Long]("n_both_pos") === 4L)
+    assert(got.getAs[Long]("n_only_a") === 2L)
+    assert(got.getAs[Long]("n_only_b") === 1L)
+    assert(got.getAs[Long]("n_both_neg") === 3L)
+    val po = 0.7 // (4+3)/10
+    val pe = round9((6.0 / 10) * (5.0 / 10) + (4.0 / 10) * (5.0 / 10))
+    assert(got.getAs[Double]("po") === po)
+    assert(got.getAs[Double]("pe") === pe)
+    assert(got.getAs[Double]("kappa") === round9((po - pe) / (1 - pe)))
+  }
+
+  test("annotatorKappa: degenerate source (pe = 1) yields NULL kappa") {
+    val docs = Seq((0L, "x y z", "s0"), (1L, "a b", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = Preference.annotatorKappa(docs).collect()(0)
+    assert(got.isNullAt(got.fieldIndex("kappa")))
+  }
+
+  test("groupAdvantages: {1,2,3} normalizes to {-1,0,1}; singleton NULL") {
+    val ev = Seq(
+      (1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 10L, 3.0),
+      (4L, 20L, 5.0)
+    ).toDF("event_id", "user_id", "value")
+    val got = Preference.groupAdvantages(ev).collect()
+    val adv = got.map(r =>
+      if (r.isNullAt(r.fieldIndex("advantage"))) None
+      else Some(r.getAs[Double]("advantage"))).toList
+    assert(adv === List(Some(-1.0), Some(0.0), Some(1.0), None))
+  }
+
+  test("groupAdvantages: zero-variance group yields NULL") {
+    val ev = Seq((1L, 10L, 2.0), (2L, 10L, 2.0))
+      .toDF("event_id", "user_id", "value")
+    val got = Preference.groupAdvantages(ev).collect()
+    assert(got.forall(r => r.isNullAt(r.fieldIndex("advantage"))))
+  }
+
+  test("bestOfN: ties break on smaller event_id; margin to runner-up") {
+    val ev = Seq(
+      (5L, 10L, 9.0), (3L, 10L, 9.0), (1L, 10L, 7.5), // tie at 9.0
+      (7L, 20L, 1.0)                                   // singleton
+    ).toDF("event_id", "user_id", "value")
+    val got = Preference.bestOfN(ev).collect()
+    val u10 = got(0)
+    assert(u10.getAs[Long]("best_event_id") === 3L)
+    assert(u10.getAs[Double]("best_value") === 9.0)
+    assert(u10.getAs[Long]("n_candidates") === 3L)
+    assert(u10.getAs[Double]("margin") === 0.0) // tie: 9.0 - 9.0
+    val u20 = got(1)
+    assert(u20.getAs[Long]("best_event_id") === 7L)
+    assert(u20.isNullAt(u20.fieldIndex("margin")))
+  }
+
+  test("passAtK: product form matches hand value; <k failures → exactly 1") {
+    // n=6, c=1, k=4: 1 − (5/6)(4/5)(3/4)(2/3) = 2/3
+    val ev = (1 to 6).map(i =>
+      (i.toLong, 10L, if (i == 1) 200.0 else 1.0)) ++
+      // n=5, c=2 → n−c=3 < 4 → pass@4 = 1 exactly
+      (7 to 11).map(i => (i.toLong, 20L, if (i <= 8) 200.0 else 1.0)) ++
+      // n=3 < k → excluded
+      (12 to 14).map(i => (i.toLong, 30L, 200.0))
+    val got = Preference.passAtK(ev.toDF("event_id", "user_id", "value"))
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got === List(
+      (10L, 6L, 1L, round9(1.0 - 5.0 / 6 * (4.0 / 5) * (3.0 / 4) * (2.0 / 3))),
+      (20L, 5L, 2L, 1.0)))
+  }
+
+  test("bleuPairs: hand pair reproduces clipped precision, BP, BLEU-2") {
+    // m=2: rank1 = ref (doc 0), rank2 = cand (doc 1)
+    val docs = Seq(
+      (0L, "a b c d"), // reference
+      (1L, "a b x")    // candidate
+    ).toDF("doc_id", "text")
+    val got = Preference.bleuPairs(docs).collect()(0)
+    assert(got.getAs[Long]("ref_doc_id") === 0L)
+    assert(got.getAs[Long]("cand_doc_id") === 1L)
+    assert(got.getAs[Long]("ref_len") === 4L)
+    assert(got.getAs[Long]("cand_len") === 3L)
+    // unigrams: {a,b,x} clipped {1,1,0} → 2/3; bigrams: {a b, b x}
+    // clipped {1,0} → 1/2
+    assert(got.getAs[Double]("p1") === 2.0 / 3)
+    assert(got.getAs[Double]("p2") === 0.5)
+    val bp = round9(math.exp(1.0 - 4.0 / 3))
+    assert(got.getAs[Double]("bp") === bp)
+    assert(got.getAs[Double]("bleu") ===
+      round9(bp * math.sqrt(2.0 / 3 * 0.5)))
+  }
+
+  test("bleuPairs: clipping caps repeated candidate grams at ref count") {
+    val docs = Seq(
+      (0L, "a b c"),      // ref: one 'a'
+      (1L, "a a a a")     // cand: four 'a' → clipped unigram = 1/4
+    ).toDF("doc_id", "text")
+    val got = Preference.bleuPairs(docs).collect()(0)
+    assert(got.getAs[Double]("p1") === 0.25)
+    // cand bigrams 'a a' ×3, ref has none → p2 = 0 → bleu = 0
+    assert(got.getAs[Double]("p2") === 0.0)
+    assert(got.getAs[Double]("bleu") === 0.0)
+  }
+
+  test("bleuPairs: identical texts score BLEU 1 with BP 1") {
+    val docs = Seq((0L, "a b c d e"), (1L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val got = Preference.bleuPairs(docs).collect()(0)
+    assert(got.getAs[Double]("p1") === 1.0)
+    assert(got.getAs[Double]("p2") === 1.0)
+    assert(got.getAs[Double]("bp") === 1.0)
+    assert(got.getAs[Double]("bleu") === 1.0)
+  }
+}
