@@ -920,6 +920,55 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming best-of-n — the ingest-time face of
+    * [[graft.operators.Preference.bestOfN]]: a running per-group
+    * argmax with runner-up margin. The state is a TOP-2 under the
+    * batch face's total order (value desc, event_id asc), and top-2
+    * maintenance is a semigroup fold (merging a candidate into
+    * (best, second) keeps the two largest; order of arrival is
+    * irrelevant), so the state after ANY micro-batch slicing equals
+    * the one-shot batch window — including the margin, which is the
+    * identical single IEEE subtraction of the identical operands
+    * (asserted bit-exact in `StreamingSpec`). State is (2 doubles +
+    * 2 longs + 1 bool) PER GROUP forever — bounded by live groups,
+    * never by event volume — and emits each touched group's current
+    * selection per micro-batch (update mode). */
+  def startBestOfN(events: DataFrame, queryName: String): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[(Double, Long, Double, Boolean, Long),
+        (Long, Long, Double, Long, Option[Double])](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[(Double, Long, Double, Boolean, Long)]) =>
+          var (bestV, bestId, secondV, hasSecond, n) = state.getOption
+            .getOrElse((0.0, 0L, 0.0, false, 0L))
+          rows.foreach { case (id, _, v) =>
+            if (n == 0L) { bestV = v; bestId = id }
+            else if (v > bestV || (v == bestV && id < bestId)) {
+              secondV = bestV; hasSecond = true; bestV = v; bestId = id
+            } else {
+              if (!hasSecond || v > secondV) secondV = v
+              hasSecond = true
+            }
+            n += 1
+          }
+          state.update((bestV, bestId, secondV, hasSecond, n))
+          Iterator((user, bestId, bestV, n,
+            if (hasSecond) Some(bestV - secondV) else None))
+      }
+      .toDF("user_id", "best_event_id", "best_value", "n_candidates",
+        "margin")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming A/B arm statistics — the ingest-time face of
     * [[graft.operators.Analytics.variantLift]]: per-(experiment,
     * variant) running moments (n, Σv, Σv²) as DECIMAL sums, which are

@@ -770,6 +770,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed best-of-n ≡ batch bestOfN bit-exact under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // values with deliberate ties (i % 5) so the event_id tie-break
+    // and the margin-0 path both exercise; 3 groups of uneven size
+    val rows = (0 until 45).map { i =>
+      (i.toLong, (i % 3).toLong * 10, (i % 5).toDouble + 0.5)
+    }
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.StreamingMetrics.startBestOfN(
+      input.toDS().toDF("event_id", "user_id", "value"), "best_of_n_s")
+    implicit val bonEnc: org.apache.spark.sql.Encoder[(Long, Long,
+      Double, Long, Option[Double])] =
+      org.apache.spark.sql.Encoders.product
+    type BonRow = (Long, Long, Double, Long, Option[Double])
+    try {
+      input.addData(rows.take(7))
+      q.processAllAvailable()
+      input.addData(rows.slice(7, 8)) // single-row batch
+      q.processAllAvailable()
+      input.addData(rows.drop(8))
+      q.processAllAvailable()
+      // update-mode memory sink accumulates one row per touched key
+      // per batch; n_candidates grows with every event, so the final
+      // state per key is its max-n row
+      val streamed = spark.table("best_of_n_s").as[BonRow].collect()
+        .groupBy(_._1).map(_._2.maxBy(_._4)).toSet
+      val batch = graft.operators.Preference.bestOfN(
+        rows.toDF("event_id", "user_id", "value"))
+        .as[BonRow].collect().toSet
+      // top-2 maintenance is a semigroup fold: any slicing reproduces
+      // the batch window's selection, count, and margin bit-exactly
+      assert(streamed === batch)
+      // the state operator holds exactly |groups| rows — O(1) per key
+      val stateRows = q.lastProgress.stateOperators
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal).sum
+      assert(stateRows === 3L, s"state rows $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
