@@ -218,6 +218,10 @@ object SparkEntry {
     // one (pair, n, gram) equi-join, brevity penalty, geometric mean
     "bleu_pairs" -> ((s, d) =>
       Preference.bleuPairs(par(Tables.documents(s, d)))),
+    // reliability diagram + ECE over the pinned scorer's sigmoid
+    // confidence: scan-side scoring, one 10-bin aggregate
+    "calibration_bins" -> ((s, d) =>
+      Classifier.calibrationBins(par(Tables.documents(s, d)))),
     // Poisson bootstrap: B hash-drawn resample means in one pass —
     // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
     "value_bootstrap_ci" -> ((s, d) =>
@@ -904,6 +908,7 @@ object SparkEntry {
     "best_of_n" -> Preference.bestOfNSql(),
     "pass_at_k" -> Preference.passAtKSql(),
     "bleu_pairs" -> Preference.bleuPairsSql(),
+    "calibration_bins" -> Classifier.calibrationBinsSql(),
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),

@@ -274,6 +274,116 @@ object Classifier {
        |    THEN 1 ELSE 0 END)::BIGINT AS label
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Reliability diagram + expected calibration error over the pinned
+    * scorer — the "is the confidence honest" evals readout (DeGroot &
+    * Fienberg 1983 reliability diagrams; Guo et al., "On calibration
+    * of modern neural networks", ICML 2017 §2: ECE =
+    * Σ_b n_b/N · |acc(b) − conf(b)| over equal-width confidence
+    * bins). Confidence is the sigmoid link on the pinned margin
+    * (p = 1/(1+e^(−20·margin)), quantized DECIMAL(18,9) — the ONE
+    * transcendental, `source_kl` convention), so the whole face stays
+    * engine-replayable where a trained classifier's probabilities
+    * would not be; p ≥ ½ ≡ margin ≥ 0, the pinned face's `predicted`.
+    *
+    * Scale shape: the scoring projection is scan-side (zero shuffle,
+    * the [[withPinnedScore]] profile), then ONE aggregate to the
+    * ≤10-row bin grain; bin means ride DECIMAL sums of the quantized
+    * p (order-free), accuracy is integer counts, and the ECE window
+    * runs on the bounded bin table (a whitelisted post-aggregation
+    * SinglePartition — ≤ 10 rows at any corpus scale).
+    *
+    * Output: one row per populated bin — (bin, n, conf_mean, acc,
+    * gap) with the scalar `ece` repeated on every row (the diagram
+    * and the summary in one frame), ordered by bin. */
+  def calibrationBins(documents: DataFrame, dim: Int = 4096): DataFrame = {
+    val binned = withPinnedScore(documents.select(col("doc_id"),
+        col("text")), dim)
+      .select(col("margin"), col("label"))
+      .withColumn("p", expr(
+        """CAST(CAST(1.0 / (1.0 + exp(-20.0 * margin))
+          |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin))
+      .withColumn("bin",
+        expr("least(9, CAST(floor(p * 10.0) AS INT))"))
+    val bins = binned
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(p AS DECIMAL(18,9))")).as("s_p"),
+        sum(col("label")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        expr(CalConf).as("conf_mean"),
+        expr(CalAcc).as("acc"))
+      .withColumn("gap", expr(CalGap))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    bins
+      .withColumn("__t",
+        expr("CAST(CAST(n AS DOUBLE) * gap AS DECIMAL(18,9))"))
+      .withColumn("__st", sum(col("__t")).over(wAll))
+      .withColumn("__nt", sum(col("n")).over(wAll))
+      .withColumn("ece", expr(
+        """CAST(CAST(CAST(__st AS DOUBLE) / CAST(__nt AS DOUBLE)
+          |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin))
+      .drop("__t", "__st", "__nt")
+      .orderBy("bin")
+  }
+
+  // bin-grain scalar chains, shared verbatim with the oracle
+  private val CalConf =
+    """CAST(CAST(CAST(s_p AS DOUBLE) / CAST(n AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val CalAcc =
+    """CAST(CAST(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val CalGap =
+    "CAST(CAST(abs(acc - conf_mean) AS DECIMAL(18,9)) AS DOUBLE)"
+
+  /** DuckDB replay of [[calibrationBins]]: the pinned-score CTE chain,
+    * the identical quantized sigmoid + bin assignment, DECIMAL bin
+    * sums, and the same windowed ECE over the bounded bin table. */
+  def calibrationBinsSql(dim: Int = 4096): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $dim AS f,
+       |    length(tok) AS lt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_toks,
+       |    sum(('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 2001 - 1000)::BIGINT AS w_sum,
+       |    sum(lt)::BIGINT AS sum_len
+       |  FROM toks GROUP BY 1),
+       |scored AS (
+       |  SELECT
+       |    CAST(CAST(1.0 / (1.0 + exp(-20.0 *
+       |      (w_sum::DOUBLE / 10000.0 / n_toks::DOUBLE)))
+       |      AS DECIMAL(18,9)) AS DOUBLE) AS p,
+       |    (CASE WHEN sum_len::DOUBLE / n_toks::DOUBLE >= 4.5
+       |      THEN 1 ELSE 0 END)::BIGINT AS label
+       |  FROM sc),
+       |binned AS (
+       |  SELECT least(9, CAST(floor(p * 10.0) AS INT)) AS bin, p, label
+       |  FROM scored),
+       |bins AS (
+       |  SELECT bin, count(*)::BIGINT AS n,
+       |    sum(CAST(p AS DECIMAL(18,9))) AS s_p,
+       |    sum(label)::BIGINT AS n_pos
+       |  FROM binned GROUP BY 1),
+       |derived AS (
+       |  SELECT bin, n, $CalConf AS conf_mean, $CalAcc AS acc
+       |  FROM bins),
+       |gapped AS (
+       |  SELECT bin, n, conf_mean, acc, $CalGap AS gap FROM derived)
+       |SELECT bin, n, conf_mean, acc, gap,
+       |  CAST(CAST(
+       |    CAST(sum(CAST(CAST(n AS DOUBLE) * gap AS DECIMAL(18,9)))
+       |      OVER () AS DOUBLE)
+       |    / CAST(sum(n) OVER () AS DOUBLE)
+       |  AS DECIMAL(18,9)) AS DOUBLE) AS ece
+       |FROM gapped ORDER BY bin""".stripMargin
+
   /** Catalog face — quality-classifier distillation end to end: derive
     * the teacher label, train on the hash-split 80% and evaluate on
     * both splits. Output: (split, n_docs, n_pos, n_correct, accuracy),

@@ -46,15 +46,18 @@ object Preference {
     * excluded from the fit (their MLE diverges to 0 and would zero
     * the denominators; the standard connected-subgraph discipline).
     *
-    * Scale shape: one shuffle to the (user, type) grain with
-    * map-side-combined decimal sums, one user-keyed self equi-join
-    * whose per-user output is C(T,2) with T = |event types| (domain-
-    * bounded, like [[Metrics.variantOverlap]]), then everything
-    * downstream operates on the T²-row wins table. That table is
-    * persisted (it is ≤ T² rows; the cache is released by the
-    * ContextCleaner when the caller drops the frame — the
-    * [[Analytics.rankByRange]] note) so the `iters` MM rounds are
-    * joins over cached tiny frames, not repeated corpus scans. The
+    * Scale shape: ONE events scan into the (user, type) grain with
+    * map-side-combined decimal sums, then each user's arms collect
+    * into a T-bounded array whose C(T,2) combinations expand with
+    * array transforms (T = |event types|, domain-bounded like
+    * [[Metrics.variantOverlap]] — no self-join, no second scan), and
+    * everything downstream operates on the T²-row wins table. That
+    * table and each MM round's T-row strength frame are persisted
+    * (the next round references each twice — without the cache
+    * boundary the lazy plan tree doubles per round; caches release
+    * via the ContextCleaner when the caller drops the frame — the
+    * [[Analytics.rankByRange]] note), so the `iters` rounds are joins
+    * over cached tiny frames, not repeated corpus scans. The
     * returned frame stays LAZY — no collect anywhere. Every division
     * is quantized through DECIMAL(18,9) and every quantized-term sum
     * is a DECIMAL sum (order-free), so the unrolled oracle replays
@@ -65,16 +68,34 @@ object Preference {
     * `iters` rounds from p⁰ = 1 (the fit is scale-invariant, so the
     * start fixes the gauge). */
   def btStrength(events: DataFrame, iters: Int = 3): DataFrame = {
+    // Per-user pair enumeration WITHOUT a self-join: collect each
+    // user's (item, sum) arms into an array (T = |event types|,
+    // domain-bounded like variant_overlap) and expand the C(T,2)
+    // combinations with array transforms — ONE events scan, one
+    // user-grain shuffle, no join and no corpus-scale cache (an
+    // earlier self-join formulation either aggregated events twice or
+    // persisted the user grain; this does neither). Pairs are emitted
+    // in canonical (ia < ib) order, so collect_list's arrival-order
+    // nondeterminism cannot reach the output.
     val ut = events
       .groupBy(col("user_id"), col("event_type").as("item"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
-    val a = ut.select(col("user_id"), col("item").as("ia"), col("s").as("sa"))
-    val b = ut.select(col("user_id"), col("item").as("ib"), col("s").as("sb"))
-    val wins = a.join(b, Seq("user_id"))
-      .where(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib"))
-      .agg(sum(when(col("sa") > col("sb"), 1L).otherwise(0L)).as("w_a"),
-        sum(when(col("sb") > col("sa"), 1L).otherwise(0L)).as("w_b"))
+    val wins = ut
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("item"), col("s"))).as("arms"))
+      .select(explode(expr(
+        """flatten(transform(arms, (x, i) ->
+          |  transform(slice(arms, i + 2, size(arms)), y ->
+          |    struct(least(x.item, y.item) AS ia,
+          |           greatest(x.item, y.item) AS ib,
+          |           CASE WHEN x.item < y.item THEN x.s ELSE y.s END AS sa,
+          |           CASE WHEN x.item < y.item THEN y.s ELSE x.s END
+          |             AS sb))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
+      .agg(sum(when(col("pr.sa") > col("pr.sb"), 1L).otherwise(0L))
+        .as("w_a"),
+        sum(when(col("pr.sb") > col("pr.sa"), 1L).otherwise(0L))
+          .as("w_b"))
       .persist()
     val edges = wins.where(col("w_a") + col("w_b") > 0)
       .select(col("ia").as("item"), col("ib").as("other"),
@@ -82,14 +103,23 @@ object Preference {
       .unionAll(wins.where(col("w_a") + col("w_b") > 0)
         .select(col("ib").as("item"), col("ia").as("other"),
           (col("w_a") + col("w_b")).as("n")))
+    // each tiny frame below is persisted because the NEXT level
+    // references it at least twice (p_k feeds both the p_i and p_j
+    // sides of round k+1): without the cache boundary the lazy plan
+    // tree DOUBLES per round (2^iters subplan copies — measured 160
+    // duplicated cache scans and 8.5 s at iters=3 on a 10-row fit),
+    // with it each level is one ≤T²-row cached frame built once.
+    // Same ContextCleaner release story as the wins cache above.
     val itemW = wins.select(col("ia").as("item"), col("w_a").as("w"))
       .unionAll(wins.select(col("ib").as("item"), col("w_b").as("w")))
       .groupBy(col("item")).agg(sum(col("w")).as("n_wins"))
       .where(col("n_wins") >= 1L)
+      .persist()
     // fit edges: both endpoints must be fitted arms
     val ef = edges
       .join(itemW.select(col("item")), Seq("item"))
       .join(itemW.select(col("item").as("other")), Seq("other"))
+      .persist()
     var p = itemW.select(col("item"), lit(1.0).as("p"))
     for (_ <- 1 to iters) {
       val denom = ef
@@ -104,6 +134,7 @@ object Preference {
         .select(col("item"), expr(
           """CAST(CAST(CAST(n_wins AS DOUBLE) / CAST(denom AS DOUBLE)
             |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin).as("p"))
+        .persist()
     }
     val nMatches = ef.groupBy(col("item")).agg(sum(col("n")).as("n_matches"))
     itemW.join(nMatches, Seq("item")).join(p, Seq("item"))

@@ -115,4 +115,32 @@ class ClassifierSpec extends AnyFunSuite {
     val (_, n3, ws3, _, _, _) = got(3L)
     assert(n3 === 1L && ws3 === wsum(Seq("x")))
   }
+
+  test("calibrationBins: bins partition confidence, means stay in-bin, ECE is the weighted gap") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val rows = Classifier.calibrationBins(docs).collect()
+    assert(rows.nonEmpty)
+    val nTotal = rows.map(_.getAs[Long]("n")).sum
+    // every scored doc lands in exactly one bin
+    val scored = Classifier.withPinnedScore(
+      docs.select(col("doc_id"), col("text"))).count()
+    assert(nTotal === scored)
+    val eces = rows.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length === 1, s"ece must be one scalar, got $eces")
+    var weighted = 0.0
+    rows.foreach { r =>
+      val bin = r.getAs[Int]("bin")
+      val conf = r.getAs[Double]("conf_mean")
+      // quantization can nudge a mean at most 1e-9 past the bin edge
+      assert(conf >= bin / 10.0 - 1e-9 && conf <= (bin + 1) / 10.0 + 1e-9,
+        s"bin $bin conf $conf out of range")
+      val acc = r.getAs[Double]("acc")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(r.getAs[Double]("gap") - math.abs(acc - conf))
+        < 1e-9)
+      weighted += r.getAs[Long]("n").toDouble * r.getAs[Double]("gap")
+    }
+    assert(math.abs(eces.head - weighted / nTotal) < 1e-8,
+      s"ece ${eces.head} vs recomputed ${weighted / nTotal}")
+  }
 }

@@ -368,6 +368,14 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("calibration_bins: scan-side scoring, one bin-grain shuffle, no joins") {
+    val p = finalPlan(graft.operators.Classifier.calibrationBins(
+      Tables.documents(spark, d)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      p.take(1200))
+    assert(!p.contains("Join"), p.take(1600))
+  }
+
   test("bleu_pairs: clipping is a (pair, n, gram) equi-join, never all-pairs") {
     val p = finalPlan(graft.operators.Preference.bleuPairs(
       Tables.documents(spark, d)))
