@@ -379,6 +379,10 @@ object SparkEntry {
     // rank-space fusion of the same two rankers (RRF, c=60)
     "rrf_fusion" -> ((s, d) => Retrieval.rrfFusion(
       par(Tables.documents(s, d)), Tables.embeddings(s, d))),
+    // nDCG@k + MRR over the bm25 run against deterministic graded
+    // qrels (distinct query terms matched) — the retrieval-evals face
+    "retrieval_ndcg" -> ((s, d) =>
+      Retrieval.retrievalNdcg(par(Tables.documents(s, d)))),
     // DSIR importance weights: hashed-unigram target/raw log-ratio
     "dsir_weights" -> ((s, d) => Corpus.dsirWeights(par(Tables.documents(s, d)))),
     // group-relative quality gate: most fluent half per source by LM NLL
@@ -857,6 +861,7 @@ object SparkEntry {
     "proximity_search" -> Retrieval.proximitySearchSql(),
     "hybrid_search" -> Retrieval.hybridSearchSql(),
     "rrf_fusion" -> Retrieval.rrfFusionSql(),
+    "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),
     "dsir_weights" -> Corpus.dsirWeightsSql(),
     "quality_filter_by_source" -> Corpus.qualityFilterBySourceSql,
     "cap_per_source" -> Corpus.capPerSourceSql(),

@@ -614,4 +614,149 @@ object Retrieval {
        |  CAST(si AS DOUBLE) / 1000000000.0 AS score
        |FROM rk WHERE ql_rank <= $k ORDER BY qid, ql_rank""".stripMargin
   }
+
+  // nDCG gain term, engine-verbatim up to dialect (2^rel − 1 is
+  // integer-exact at rel ≤ |query terms|; log2 via ln/ln with the
+  // whole term quantized — the idf convention above)
+  private def dcgTermSpark(relCol: String, rankCol: String): String =
+    s"""CAST(CAST(
+       |  CAST(shiftleft(1, CAST($relCol AS INT)) - 1 AS DOUBLE)
+       |  / (ln(CAST($rankCol + 1 AS DOUBLE)) / ln(2.0))
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+
+  /** Ranking-quality metrics over the [[bm25Search]] run — the
+    * retrieval-evals readout (Järvelin & Kekäläinen, "Cumulated
+    * gain-based evaluation of IR techniques", TOIS 2002: DCG@k =
+    * Σ (2^rel − 1)/log₂(rank+1), normalized by the ideal ordering;
+    * plus binary MRR). Relevance judgments are deterministic graded
+    * qrels derivable by any engine: rel(q, d) = number of DISTINCT
+    * query terms the document contains (the ideal ranking puts
+    * all-terms documents first), with "fully relevant" (rel = |q|)
+    * as the MRR binary. This closes the eval loop on the retrieval
+    * stack the repo already ships (bm25 / proximity / hybrid / QL):
+    * the same faces a search pipeline tunes against.
+    *
+    * Scale shape: the BM25 run is [[bm25Search]] unchanged; the qrels
+    * table is one postings-keyed broadcast join + a (qid, doc)
+    * aggregate (bounded by docs matching ≥1 query term); the ideal
+    * ranking is a per-qid top-k window over the qrels (the bm25_rank
+    * machinery); everything then folds to ONE row per query. Gain
+    * terms quantize through DECIMAL(18,9) and sum as decimals
+    * (order-free); 2^rel − 1 is integer-exact.
+    *
+    * Output: (qid, n_rel, n_full, dcg, idcg, ndcg, mrr) ordered by
+    * qid — n_rel = corpus docs matching ≥1 term, n_full = docs
+    * matching all terms; mrr = 1/rank of the first fully-relevant
+    * doc in the top-k, 0.0 when none. */
+  def retrievalNdcg(documents: DataFrame,
+      queries: Seq[(String, String)] = DemoQueries,
+      k: Int = 10): DataFrame = {
+    val ranked = bm25Search(documents, queries, k)
+    val qt = queryTermsDf(documents, queries)
+    val rel = postings(documents)
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("rel"))
+    val nq = qt.groupBy(col("qid")).agg(count(lit(1)).as("n_terms"))
+    val dcg = ranked
+      .join(rel, Seq("qid", "doc_id"))
+      .groupBy(col("qid"))
+      .agg(sum(expr("CAST(" + dcgTermSpark("rel", "bm25_rank")
+        + " AS DECIMAL(18,9))")).as("dcg_d"))
+    val ideal = rel
+      .withColumn("irank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("doc_id").asc)).cast("long"))
+      .where(col("irank") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(expr("CAST(" + dcgTermSpark("rel", "irank")
+        + " AS DECIMAL(18,9))")).as("idcg_d"))
+    val relStats = rel.join(broadcast(nq), Seq("qid"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_rel"),
+        sum(when(col("rel") === col("n_terms"), 1L).otherwise(0L))
+          .as("n_full"))
+    val firstFull = ranked
+      .join(rel, Seq("qid", "doc_id"))
+      .join(broadcast(nq), Seq("qid"))
+      .where(col("rel") === col("n_terms"))
+      .groupBy(col("qid"))
+      .agg(min(col("bm25_rank")).as("first_full_rank"))
+    relStats
+      .join(dcg, Seq("qid"))
+      .join(ideal, Seq("qid"))
+      .join(firstFull, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"), col("n_full"),
+        expr("CAST(dcg_d AS DOUBLE)").as("dcg"),
+        expr("CAST(idcg_d AS DOUBLE)").as("idcg"),
+        expr(
+          """CASE WHEN CAST(idcg_d AS DOUBLE) > 0.0 THEN
+            |  CAST(CAST(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE)
+            |  AS DECIMAL(18,9)) AS DOUBLE)
+            |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin).as("ndcg"),
+        expr(
+          """CASE WHEN first_full_rank IS NOT NULL THEN
+            |  CAST(CAST(1.0 / CAST(first_full_rank AS DOUBLE)
+            |  AS DECIMAL(18,9)) AS DOUBLE)
+            |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin).as("mrr"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB replay of [[retrievalNdcg]]: the shared [[bm25Ctes]] body,
+    * the identical qrels aggregate, the identical quantized gain
+    * chain on both the run and the ideal ordering. */
+  def retrievalNdcgSql(queries: Seq[(String, String)] = DemoQueries,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+    def dcgTerm(relCol: String, rankCol: String): String =
+      s"""CAST(CAST(
+         |  CAST((1 << CAST($relCol AS INT)) - 1 AS DOUBLE)
+         |  / (ln(CAST($rankCol + 1 AS DOUBLE)) / ln(2.0))
+         |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+    s"""${bm25Ctes(queries, k1, b)},
+       |rel AS (
+       |  SELECT q.qid, t.doc_id, count(*)::BIGINT AS rel
+       |  FROM tf t JOIN q USING (term) GROUP BY 1, 2),
+       |nq AS (SELECT qid, count(*)::BIGINT AS n_terms FROM q GROUP BY 1),
+       |topk AS (SELECT qid, doc_id, bm25_rank FROM r
+       |         WHERE bm25_rank <= $k),
+       |dcg AS (
+       |  SELECT t.qid,
+       |    sum(CAST(${dcgTerm("rel.rel", "t.bm25_rank")}
+       |      AS DECIMAL(18,9))) AS dcg_d
+       |  FROM topk t JOIN rel ON t.qid = rel.qid AND t.doc_id = rel.doc_id
+       |  GROUP BY 1),
+       |irk AS (
+       |  SELECT qid, rel, row_number() OVER (PARTITION BY qid
+       |    ORDER BY rel DESC, doc_id) AS irank
+       |  FROM rel),
+       |ideal AS (
+       |  SELECT qid,
+       |    sum(CAST(${dcgTerm("rel", "irank")} AS DECIMAL(18,9)))
+       |      AS idcg_d
+       |  FROM irk WHERE irank <= $k GROUP BY 1),
+       |rs AS (
+       |  SELECT rel.qid, count(*)::BIGINT AS n_rel,
+       |    CAST(sum(CASE WHEN rel.rel = nq.n_terms THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_full
+       |  FROM rel JOIN nq USING (qid) GROUP BY 1),
+       |ff AS (
+       |  SELECT t.qid, min(t.bm25_rank) AS first_full_rank
+       |  FROM topk t JOIN rel ON t.qid = rel.qid AND t.doc_id = rel.doc_id
+       |  JOIN nq ON nq.qid = t.qid
+       |  WHERE rel.rel = nq.n_terms GROUP BY 1)
+       |SELECT rs.qid, rs.n_rel, rs.n_full,
+       |  CAST(dcg_d AS DOUBLE) AS dcg,
+       |  CAST(idcg_d AS DOUBLE) AS idcg,
+       |  CASE WHEN CAST(idcg_d AS DOUBLE) > 0.0 THEN
+       |    CAST(CAST(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE)
+       |    AS DECIMAL(18,9)) AS DOUBLE)
+       |  ELSE CAST(0.0 AS DOUBLE) END AS ndcg,
+       |  CASE WHEN first_full_rank IS NOT NULL THEN
+       |    CAST(CAST(1.0 / CAST(first_full_rank AS DOUBLE)
+       |    AS DECIMAL(18,9)) AS DOUBLE)
+       |  ELSE CAST(0.0 AS DOUBLE) END AS mrr
+       |FROM rs JOIN dcg USING (qid) JOIN ideal USING (qid)
+       |LEFT JOIN ff USING (qid)
+       |ORDER BY qid""".stripMargin
+  }
 }

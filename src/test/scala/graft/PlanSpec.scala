@@ -368,6 +368,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(1200))
   }
 
+  test("retrieval_ndcg: qrels ride broadcast term joins; no nested loop beyond bm25's 1-row stats") {
+    val p = finalPlan(graft.operators.Retrieval.retrievalNdcg(
+      Tables.documents(spark, d)))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
   test("calibration_bins: scan-side scoring, one bin-grain shuffle, no joins") {
     val p = finalPlan(graft.operators.Classifier.calibrationBins(
       Tables.documents(spark, d)))

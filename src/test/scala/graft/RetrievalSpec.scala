@@ -233,4 +233,51 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double)].collect().map(r => r._3 -> r._4).toMap
     assert(one === two)
   }
+
+  private def round9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("retrievalNdcg: ideal run scores nDCG 1 and MRR 1; qrels counts are exact") {
+    // d1 matches both terms (rel 2) and BM25 ranks it first (rarer
+    // coverage + equal lengths), d2 matches one (rel 1), d3 none
+    val d = Seq((1L, "a b c c"), (2L, "a a c c"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.retrievalNdcg(d, Seq("q1" -> "a b")).collect()(0)
+    assert(got.getAs[Long]("n_rel") === 2L)
+    assert(got.getAs[Long]("n_full") === 1L)
+    assert(got.getAs[Double]("ndcg") === 1.0)
+    assert(got.getAs[Double]("mrr") === 1.0)
+    // DCG = (2²−1)/log₂2 + (2¹−1)/log₂3 with per-term quantization
+    val expected = round9(3.0 / (math.log(2.0) / math.log(2.0))) +
+      round9(1.0 / (math.log(3.0) / math.log(2.0)))
+    assert(math.abs(got.getAs[Double]("dcg") - expected) < 1e-9)
+  }
+
+  test("retrievalNdcg: no fully-relevant doc → MRR 0; uniform grades → nDCG 1") {
+    val d = Seq((1L, "a c c"), (2L, "b c c"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.retrievalNdcg(d, Seq("q1" -> "a b")).collect()(0)
+    assert(got.getAs[Long]("n_full") === 0L)
+    assert(got.getAs[Double]("mrr") === 0.0)
+    // both retrieved docs carry rel 1, so any order is ideal
+    assert(got.getAs[Double]("ndcg") === 1.0)
+  }
+
+  test("retrievalNdcg: a full-match doc buried by length-norm drops nDCG below 1") {
+    // d1 matches both terms but is LONG (length norm + tf saturation
+    // push it under d2's short rare-term hit); ideal order puts d1
+    // first, so nDCG < 1 and the first full match sits at rank > 1
+    val filler = Seq.fill(60)("c").mkString(" ")
+    val d = Seq(
+      (1L, s"a b $filler"),
+      (2L, "a a a"),
+      (3L, "c c c c")).toDF("doc_id", "text")
+    val got = Retrieval.retrievalNdcg(d, Seq("q1" -> "a b")).collect()(0)
+    val bm = Retrieval.bm25Search(d, Seq("q1" -> "a b"))
+      .as[(String, Long, Long, Double)].collect()
+    // only meaningful if BM25 really inverted the ideal order
+    assert(bm.head._3 === 2L, bm.mkString(","))
+    assert(got.getAs[Double]("ndcg") < 1.0)
+    assert(got.getAs[Double]("mrr") === 0.5)
+  }
 }
