@@ -299,4 +299,65 @@ class PropertySpec extends AnyFunSuite {
         s"int8 cosine $cosQ drifted from float $cosF")
     }
   }
+
+  test("passAtK laws on generated (n, c): bounded in [0,1], monotone in c, exact at the edges") {
+    val caseGen = for {
+      n <- Gen.chooseNum(4, 40)
+      c <- Gen.chooseNum(0, n)
+    } yield (n, c)
+    forAllSamples(Gen.nonEmptyListOf(caseGen), n = 3) { cases =>
+      // one synthetic task per (n, c): c values above the threshold
+      val rows = cases.zipWithIndex.flatMap { case ((n, c), t) =>
+        (0 until n).map(i =>
+          ((t.toLong * 1000) + i, t.toLong,
+            if (i < c) 200.0 else 1.0))
+      }
+      val got = graft.operators.Preference
+        .passAtK(rows.toDF("event_id", "user_id", "value"))
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      cases.zipWithIndex.foreach { case ((n, c), t) =>
+        val (gn, gc, p) = got(t.toLong)
+        assert(gn === n.toLong && gc === c.toLong)
+        assert(p >= 0.0 && p <= 1.0, s"pass@4 out of bounds: $p")
+        if (c == 0) assert(p === 0.0, s"c=0 must give 0, got $p")
+        if (n - c < 4) assert(p === 1.0, s"<k failures must give 1, got $p")
+      }
+      // monotone in c at fixed n: group generated cases by n
+      cases.zipWithIndex.groupBy(_._1._1).values.foreach { grp =>
+        grp.sortBy(_._1._2).map { case ((_, _), t) => got(t.toLong)._3 }
+          .sliding(2).foreach {
+            case Seq(a, b) => assert(a <= b + 1e-12,
+              s"pass@k not monotone in c: $a > $b")
+            case _ =>
+          }
+      }
+    }
+  }
+
+  test("groupAdvantages laws: advantages sum to ~0 and have unit sample variance per group") {
+    val gen = Gen.nonEmptyListOf(for {
+      g <- Gen.chooseNum(1, 6)
+      v <- Gen.chooseNum(1, 9999)
+    } yield (g.toLong, v / 100.0))
+    forAllSamples(gen, n = 3) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }
+        .toDF("event_id", "user_id", "value")
+      val adv = graft.operators.Preference.groupAdvantages(df)
+        .where(col("advantage").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("advantage")).as("s"),
+          sum(col("advantage") * col("advantage")).as("s2"))
+        .collect()
+      adv.foreach { r =>
+        val n = r.getAs[Long]("n")
+        // quantization leaves the sum within n·1e-9 of zero
+        assert(math.abs(r.getAs[Double]("s")) < n * 1e-6)
+        // sample variance of z-scores is 1 by construction
+        assert(math.abs(r.getAs[Double]("s2") / (n - 1).max(1) - 1.0)
+          < 1e-3 || n == 1)
+      }
+    }
+  }
 }
