@@ -222,6 +222,10 @@ object SparkEntry {
     // confidence: scan-side scoring, one 10-bin aggregate
     "calibration_bins" -> ((s, d) =>
       Classifier.calibrationBins(par(Tables.documents(s, d)))),
+    // length-bias audit over the DPO pair set: one-row integer-sum
+    // rollup + point-biserial r — preference-data QA
+    "dpo_length_bias" -> ((s, d) =>
+      Preference.dpoLengthBias(par(Tables.documents(s, d)))),
     // Poisson bootstrap: B hash-drawn resample means in one pass —
     // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
     "value_bootstrap_ci" -> ((s, d) =>
@@ -914,6 +918,7 @@ object SparkEntry {
     "pass_at_k" -> Preference.passAtKSql(),
     "bleu_pairs" -> Preference.bleuPairsSql(),
     "calibration_bins" -> Classifier.calibrationBinsSql(),
+    "dpo_length_bias" -> Preference.dpoLengthBiasSql(),
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),

@@ -194,6 +194,100 @@ object Preference {
   }
 
   // ---------------------------------------------------------------
+  // Preference-data QA: length bias
+  // ---------------------------------------------------------------
+
+  /** Length-bias audit over the [[Corpus.dpoPairs]] preference set —
+    * the standard DPO-data sanity check (length is the best-known
+    * preference confound: reward models and synthetic judges
+    * systematically prefer longer answers — Singhal et al., "A long
+    * way to go: investigating length correlations in RLHF",
+    * arXiv 2310.03716 — and a length-skewed pair set trains a
+    * verbosity bias straight into the policy). Reports how often the
+    * chosen completion is longer, the mean lengths and mean delta,
+    * and the point-biserial correlation between the chosen indicator
+    * and completion length (Pearson r over the 2m stacked
+    * completions, computed from integer sums).
+    *
+    * Scale shape: the pair construction is [[Corpus.dpoPairs]]
+    * unchanged; the audit is ONE aggregate over the m-row pair table
+    * down to a single row — every sum is BIGINT-exact (Σlen² needs
+    * m·L² < 2⁶³: at L = 10⁴ tokens that is m < 9×10¹⁰ pairs), and
+    * the r chain is a fixed-order IEEE expression from those integer
+    * sums, quantized through DECIMAL(18,9), written verbatim in both
+    * engines.
+    *
+    * Output: one row — (n_pairs, n_chosen_longer, n_ties,
+    * mean_len_chosen, mean_len_rejected, mean_delta, len_corr_pb);
+    * r is NULL when either stacked variance is zero. */
+  def dpoLengthBias(documents: DataFrame): DataFrame =
+    Corpus.dpoPairs(documents)
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("n_chosen") > col("n_rejected"), 1L).otherwise(0L))
+          .as("n_chosen_longer"),
+        sum(when(col("n_chosen") === col("n_rejected"), 1L).otherwise(0L))
+          .as("n_ties"),
+        sum(col("n_chosen")).as("s_c"),
+        sum(col("n_rejected")).as("s_r"),
+        sum(col("n_chosen") * col("n_chosen")
+          + col("n_rejected") * col("n_rejected")).as("s_yy"))
+      .select(col("m").as("n_pairs"), col("n_chosen_longer"),
+        col("n_ties"),
+        expr(LbMean("s_c")).as("mean_len_chosen"),
+        expr(LbMean("s_r")).as("mean_len_rejected"),
+        expr(LbDelta).as("mean_delta"),
+        expr(LbCorr).as("len_corr_pb"))
+
+  // the stacked-completion Pearson: n = 2m rows, x = chosen indicator
+  // (Σx = Σx² = m), y = token length (Σy = s_c + s_r, Σxy = s_c) —
+  // every input BIGINT, one fixed-order IEEE chain, quantized
+  private def LbMean(s: String): String =
+    s"""CAST(CAST(CAST($s AS DOUBLE) / CAST(m AS DOUBLE)
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val LbDelta =
+    """CAST(CAST(CAST(s_c - s_r AS DOUBLE) / CAST(m AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val LbCorr =
+    """CASE WHEN m > 0
+      |  AND CAST(2 * m AS DOUBLE) * CAST(s_yy AS DOUBLE)
+      |      - CAST(s_c + s_r AS DOUBLE) * CAST(s_c + s_r AS DOUBLE)
+      |      > 0.0 THEN
+      |  CAST(CAST(
+      |    (CAST(2 * m AS DOUBLE) * CAST(s_c AS DOUBLE)
+      |     - CAST(m AS DOUBLE) * CAST(s_c + s_r AS DOUBLE))
+      |    / (sqrt(CAST(2 * m AS DOUBLE) * CAST(m AS DOUBLE)
+      |            - CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+      |       * sqrt(CAST(2 * m AS DOUBLE) * CAST(s_yy AS DOUBLE)
+      |              - CAST(s_c + s_r AS DOUBLE)
+      |                * CAST(s_c + s_r AS DOUBLE)))
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
+
+  /** DuckDB replay of [[dpoLengthBias]]: the full [[Corpus.dpoPairsSql]]
+    * body as a nested CTE, then the identical one-row audit chain. */
+  def dpoLengthBiasSql(): String =
+    s"""WITH dpo AS (
+       |${Corpus.dpoPairsSql()}
+       |),
+       |s AS (
+       |  SELECT count(*)::BIGINT AS m,
+       |    CAST(sum(CASE WHEN n_chosen > n_rejected THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_chosen_longer,
+       |    CAST(sum(CASE WHEN n_chosen = n_rejected THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_ties,
+       |    sum(n_chosen)::BIGINT AS s_c,
+       |    sum(n_rejected)::BIGINT AS s_r,
+       |    sum(n_chosen * n_chosen + n_rejected * n_rejected)::BIGINT
+       |      AS s_yy
+       |  FROM dpo)
+       |SELECT m AS n_pairs, n_chosen_longer, n_ties,
+       |  ${LbMean("s_c")} AS mean_len_chosen,
+       |  ${LbMean("s_r")} AS mean_len_rejected,
+       |  $LbDelta AS mean_delta,
+       |  $LbCorr AS len_corr_pb
+       |FROM s""".stripMargin
+
+  // ---------------------------------------------------------------
   // Inter-annotator agreement
   // ---------------------------------------------------------------
 

@@ -171,6 +171,37 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.getAs[Double]("bleu") === 0.0)
   }
 
+  test("dpoLengthBias: audit row matches an independent recompute from the pair table") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
+    val pairs = graft.operators.Corpus.dpoPairs(docs)
+      .select("n_chosen", "n_rejected")
+      .as[(Long, Long)].collect()
+    val m = pairs.length.toLong
+    assert(m > 0)
+    val sc = pairs.map(_._1).sum
+    val sr = pairs.map(_._2).sum
+    val syy = pairs.map(p => p._1 * p._1 + p._2 * p._2).sum
+    val got = graft.operators.Preference.dpoLengthBias(docs).collect()(0)
+    assert(got.getAs[Long]("n_pairs") === m)
+    assert(got.getAs[Long]("n_chosen_longer") ===
+      pairs.count(p => p._1 > p._2).toLong)
+    assert(got.getAs[Long]("n_ties") ===
+      pairs.count(p => p._1 == p._2).toLong)
+    assert(got.getAs[Double]("mean_len_chosen") ===
+      round9(sc.toDouble / m))
+    assert(got.getAs[Double]("mean_delta") ===
+      round9((sc - sr).toDouble / m))
+    val num = 2.0 * m * sc - m.toDouble * (sc + sr)
+    val den = math.sqrt(2.0 * m * m - m.toDouble * m) *
+      math.sqrt(2.0 * m * syy - (sc + sr).toDouble * (sc + sr))
+    assert(got.getAs[Double]("len_corr_pb") === round9(num / den))
+    // the dpo pairing sorts by quality rank, not length, but chosen
+    // completions come from the high-quality half — the audit must at
+    // least land in [-1, 1]
+    val r = got.getAs[Double]("len_corr_pb")
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
   test("bleuPairs: identical texts score BLEU 1 with BP 1") {
     val docs = Seq((0L, "a b c d e"), (1L, "a b c d e"))
       .toDF("doc_id", "text")
