@@ -226,6 +226,10 @@ object SparkEntry {
     // rollup + point-biserial r — preference-data QA
     "dpo_length_bias" -> ((s, d) =>
       Preference.dpoLengthBias(par(Tables.documents(s, d)))),
+    // Chao1 + Good-Turing vocabulary-richness rollup: one word-count
+    // shuffle to a single row — the crawl-diversity diagnostic
+    "vocab_richness" -> ((s, d) =>
+      TextAnalysis.vocabRichness(par(Tables.documents(s, d)))),
     // Poisson bootstrap: B hash-drawn resample means in one pass —
     // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
     "value_bootstrap_ci" -> ((s, d) =>
@@ -387,6 +391,10 @@ object SparkEntry {
     // qrels (distinct query terms matched) — the retrieval-evals face
     "retrieval_ndcg" -> ((s, d) =>
       Retrieval.retrievalNdcg(par(Tables.documents(s, d)))),
+    // MMR diversification re-rank: greedy λ·rel − (1−λ)·max-sim over
+    // the bounded bm25 shortlist, k unrolled rounds
+    "mmr_rerank" -> ((s, d) => Retrieval.mmrRerank(
+      par(Tables.documents(s, d)), Tables.embeddings(s, d))),
     // DSIR importance weights: hashed-unigram target/raw log-ratio
     "dsir_weights" -> ((s, d) => Corpus.dsirWeights(par(Tables.documents(s, d)))),
     // group-relative quality gate: most fluent half per source by LM NLL
@@ -866,6 +874,7 @@ object SparkEntry {
     "hybrid_search" -> Retrieval.hybridSearchSql(),
     "rrf_fusion" -> Retrieval.rrfFusionSql(),
     "retrieval_ndcg" -> Retrieval.retrievalNdcgSql(),
+    "mmr_rerank" -> Retrieval.mmrRerankSql(),
     "dsir_weights" -> Corpus.dsirWeightsSql(),
     "quality_filter_by_source" -> Corpus.qualityFilterBySourceSql,
     "cap_per_source" -> Corpus.capPerSourceSql(),
@@ -919,6 +928,7 @@ object SparkEntry {
     "bleu_pairs" -> Preference.bleuPairsSql(),
     "calibration_bins" -> Classifier.calibrationBinsSql(),
     "dpo_length_bias" -> Preference.dpoLengthBiasSql(),
+    "vocab_richness" -> TextAnalysis.vocabRichnessSql(),
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),

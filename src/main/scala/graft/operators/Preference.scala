@@ -532,7 +532,7 @@ object Preference {
   }
 
   // the product form, fixed order, shared verbatim with the oracle
-  private def passAtKExpr(k: Int): String = {
+  private[graft] def passAtKExpr(k: Int): String = {
     val prod = (0 until k)
       .map(i => s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
       .mkString(" * ")

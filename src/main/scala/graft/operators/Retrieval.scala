@@ -615,6 +615,154 @@ object Retrieval {
        |FROM rk WHERE ql_rank <= $k ORDER BY qid, ql_rank""".stripMargin
   }
 
+  /** Maximal-marginal-relevance diversification re-rank over the
+    * [[bm25Search]] candidates (Carbonell & Goldstein, SIGIR 1998:
+    * greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — the
+    * classic redundancy killer between first-stage retrieval and an
+    * LLM context window, where near-duplicate passages waste tokens).
+    * λ = 0.7; rel = the BM25 score, sim = embedding cosine
+    * (the [[hybridSearch]] dot-fold convention, quantized
+    * DECIMAL(20,10)); the first pick is pure relevance. Deterministic
+    * throughout — argmax ties break on doc_id, every mmr score
+    * quantizes through DECIMAL(18,9) — so the full greedy trajectory
+    * replays as `k` unrolled CTEs in the oracle.
+    *
+    * Scale shape: the candidate set is kCand per query (bounded by
+    * construction), so everything after the BM25 run — the kCand²-
+    * per-query pairwise sims, the k greedy rounds — is bounded work
+    * independent of corpus size; candidates and each round's picked
+    * set are persisted (each is referenced by every later round — the
+    * [[graft.operators.Preference.btStrength]] plan-doubling lesson).
+    * Candidates without an embedding row drop before the re-rank
+    * (the hybridSearch join convention).
+    *
+    * Output: (qid, mmr_rank 1..k, doc_id, bm25_score, max_sim,
+    * mmr_score) ordered by (qid, mmr_rank); max_sim is NULL on the
+    * first pick. */
+  def mmrRerank(documents: DataFrame, embeddings: DataFrame,
+      queries: Seq[(String, String)] = DemoQueries, kCand: Int = 20,
+      k: Int = 5): DataFrame = {
+    val emb = embeddings.select(col("vec_id").as("doc_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val cands = bm25Search(documents, queries, kCand)
+      .join(emb, Seq("doc_id"))
+      .select(col("qid"), col("doc_id"), col("score"), col("e"))
+      .persist()
+    val dot = (u: String, v: String) =>
+      s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val sims = cands
+      .select(col("qid"), col("doc_id").as("da"), col("e").as("ea"))
+      .join(cands.select(col("qid"), col("doc_id").as("db"),
+        col("e").as("eb")), Seq("qid"))
+      .where(col("da") =!= col("db"))
+      .select(col("qid"), col("da"), col("db"),
+        expr(s"""CAST(CAST(${dot("ea", "eb")} /
+           |  (sqrt(${dot("ea", "ea")}) * sqrt(${dot("eb", "eb")}))
+           | AS DECIMAL(20,10)) AS DOUBLE)""".stripMargin).as("cos"))
+      .persist()
+    val w1 = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    // each round's picked set is LAZILY localCheckpoint'ed, not
+    // persisted: round t's pick references round t−1's set twice and
+    // unions onto it, and under persist the nested cached-union
+    // lineage made the DRIVER's planning cost double per round
+    // (measured 0.95/1.44/2.45/7.94 s for rounds 2–5); the checkpoint
+    // truncates the plan at a ≤k·|queries|-row RDD per round while
+    // staying lazy at construction (the rankByRange trade — blocks
+    // release via the ContextCleaner, recompute-on-executor-loss
+    // does not apply to a bounded driver-adjacent frame)
+    var all = cands
+      .withColumn("rn", row_number().over(w1)).where(col("rn") === 1)
+      .select(col("qid"), col("doc_id"), lit(1L).as("mmr_rank"),
+        col("score").as("bm25_score"),
+        lit(null).cast("double").as("max_sim"),
+        expr("CAST(CAST(0.7 * score AS DECIMAL(18,9)) AS DOUBLE)")
+          .as("mmr_score"))
+      .localCheckpoint(false)
+    for (t <- 2 to k) {
+      val pickedIds = all.select(col("qid"), col("doc_id"))
+      val pick = cands
+        .join(pickedIds, Seq("qid", "doc_id"), "left_anti")
+        .select(col("qid"), col("doc_id"), col("score"))
+        .join(sims.select(col("qid"), col("da").as("doc_id"),
+          col("db").as("other"), col("cos")), Seq("qid", "doc_id"))
+        .join(pickedIds.select(col("qid"), col("doc_id").as("other")),
+          Seq("qid", "other"))
+        .groupBy(col("qid"), col("doc_id"), col("score"))
+        .agg(max(col("cos")).as("max_sim"))
+        .withColumn("mmr_score", expr(
+          "CAST(CAST(0.7 * score - 0.3 * max_sim AS DECIMAL(18,9)) AS DOUBLE)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("mmr_score").desc, col("doc_id").asc)))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("doc_id"), lit(t.toLong).as("mmr_rank"),
+          col("score").as("bm25_score"), col("max_sim"),
+          col("mmr_score"))
+      all = all.unionAll(pick).localCheckpoint(false)
+    }
+    all.orderBy("qid", "mmr_rank")
+  }
+
+  /** DuckDB replay of [[mmrRerank]]: the shared [[bm25Ctes]] body, the
+    * hybridSearch dot fold, and the greedy trajectory unrolled as one
+    * CTE pair (pick, picked-set) per round. */
+  def mmrRerankSql(queries: Seq[(String, String)] = DemoQueries,
+      kCand: Int = 20, k: Int = 5, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    def dot(u: String, v: String) =
+      s"""list_reduce(list_transform(range(1, len($u) + 1),
+         |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""s$t AS (
+         |  SELECT qid, doc_id, CAST($t AS BIGINT) AS mmr_rank,
+         |    score AS bm25_score, max_sim, mmr_score
+         |  FROM (
+         |    SELECT m.*, row_number() OVER (PARTITION BY qid
+         |      ORDER BY mmr_score DESC, doc_id) AS rn
+         |    FROM (
+         |      SELECT c.qid, c.doc_id, c.score,
+         |        max(s.cos) AS max_sim,
+         |        CAST(CAST(0.7 * c.score - 0.3 * max(s.cos)
+         |          AS DECIMAL(18,9)) AS DOUBLE) AS mmr_score
+         |      FROM c
+         |      JOIN sims s ON s.qid = c.qid AND s.da = c.doc_id
+         |      JOIN p${t - 1} p ON p.qid = s.qid AND p.doc_id = s.db
+         |      WHERE NOT EXISTS (SELECT 1 FROM p${t - 1} x
+         |        WHERE x.qid = c.qid AND x.doc_id = c.doc_id)
+         |      GROUP BY c.qid, c.doc_id, c.score) m) mm
+         |  WHERE rn = 1),
+         |p$t AS (SELECT qid, doc_id FROM p${t - 1}
+         |        UNION ALL SELECT qid, doc_id FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(t => s"SELECT * FROM s$t")
+      .mkString("\n  UNION ALL ")
+    s"""${bm25Ctes(queries, k1, b)},
+       |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings),
+       |c AS (SELECT r.qid, r.doc_id, r.score, e.e
+       |  FROM r JOIN e USING (doc_id) WHERE r.bm25_rank <= $kCand),
+       |sims AS (
+       |  SELECT a.qid, a.doc_id AS da, b.doc_id AS db,
+       |    CAST(CAST(${dot("a.e", "b.e")} /
+       |      (sqrt(${dot("a.e", "a.e")}) * sqrt(${dot("b.e", "b.e")}))
+       |     AS DECIMAL(20,10)) AS DOUBLE) AS cos
+       |  FROM c a JOIN c b ON a.qid = b.qid AND a.doc_id <> b.doc_id),
+       |s1 AS (
+       |  SELECT qid, doc_id, CAST(1 AS BIGINT) AS mmr_rank,
+       |    score AS bm25_score, CAST(NULL AS DOUBLE) AS max_sim,
+       |    CAST(CAST(0.7 * score AS DECIMAL(18,9)) AS DOUBLE)
+       |      AS mmr_score
+       |  FROM (SELECT c.*, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score DESC, doc_id) AS rn FROM c) cc
+       |  WHERE rn = 1),
+       |p1 AS (SELECT qid, doc_id FROM s1),
+       |$steps
+       |SELECT * FROM (
+       |  $unionAll) u
+       |ORDER BY qid, mmr_rank""".stripMargin
+  }
+
   // nDCG gain term, engine-verbatim up to dialect (2^rel − 1 is
   // integer-exact at rel ≤ |query terms|; log2 via ln/ln with the
   // whole term quantized — the idf convention above)

@@ -1957,6 +1957,70 @@ object TextAnalysis {
        |    AS DECIMAL(20,10)) AS DOUBLE) AS intercept
        |FROM m""".stripMargin
 
+  /** Vocabulary-richness estimators over the corpus term counts — the
+    * lexical-diversity diagnostics a corpus report carries next to
+    * [[zipfFit]]: hapax/dis counts, the Chao1 lower bound on TRUE
+    * vocabulary size (Chao 1984, bias-corrected form
+    * V + V₁(V₁−1)/(2(V₂+1)) — defined even at V₂ = 0), the
+    * Good–Turing unseen-probability mass p₀ = V₁/N (Gale & Sampson,
+    * "Good-Turing frequency estimation without tears", 1995), and the
+    * type–token ratio. A rising p₀ across ingestion says the crawl is
+    * still discovering vocabulary; a collapsing TTR says it's looping
+    * on boilerplate.
+    *
+    * Scale shape: ONE count shuffle on word (map-side combined), then
+    * a single vocab-sized rollup to one row — no windows, no joins.
+    * Every statistic is an integer until one fixed-order IEEE chain,
+    * quantized DECIMAL(18,9).
+    *
+    * Output: one row — (n_tokens, vocab, v1, v2, chao1, p0_unseen,
+    * ttr). */
+  def vocabRichness(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .agg(sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("freq") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("freq") === 2L, 1L).otherwise(0L)).as("v2"))
+      .select(col("n_tokens"), col("vocab"), col("v1"), col("v2"),
+        expr(VocabChao1).as("chao1"),
+        expr(VocabP0).as("p0_unseen"),
+        expr(VocabTtr).as("ttr"))
+
+  // one-row scalar chains shared verbatim with the oracle
+  private val VocabChao1 =
+    """CAST(CAST(
+      |  CAST(vocab AS DOUBLE)
+      |  + CAST(v1 AS DOUBLE) * (CAST(v1 AS DOUBLE) - 1.0)
+      |    / (2.0 * (CAST(v2 AS DOUBLE) + 1.0))
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val VocabP0 =
+    """CAST(CAST(CAST(v1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val VocabTtr =
+    """CAST(CAST(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+
+  /** DuckDB replay of [[vocabRichness]]: identical count rollup and
+    * scalar chains. */
+  def vocabRichnessSql(): String =
+    s"""WITH wc AS (
+       |  SELECT word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word),
+       |m AS (
+       |  SELECT sum(freq)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       |    CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v1,
+       |    CAST(sum(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v2
+       |  FROM wc)
+       |SELECT n_tokens, vocab, v1, v2,
+       |  $VocabChao1 AS chao1, $VocabP0 AS p0_unseen, $VocabTtr AS ttr
+       |FROM m""".stripMargin
+
   /** KenLM-style held-out perplexity filter with a stupid-backoff
     * trigram model (Brants et al., EMNLP 2007 — the web-scale LM whose
     * whole point is that unnormalized count-ratio "scores" with a

@@ -969,6 +969,28 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming pass@k — the ingest-time face of
+    * [[graft.operators.Preference.passAtK]]: per-task running
+    * (n, c) counts are ALGEBRAIC (order- and slicing-independent),
+    * and the estimator is the SAME fixed-order product chain as the
+    * batch face (`Preference.passAtKExpr`), so the streamed readout
+    * after any micro-batch cut is bit-identical to the batch query
+    * over the same events (asserted in `StreamingSpec`). State is two
+    * longs per live task; complete-mode output is task-grain. */
+  def startPassAtK(events: DataFrame, queryName: String, k: Int = 4,
+      threshold: Double = 100.0): StreamingQuery =
+    events
+      .select(col("user_id"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("c"))
+      .where(col("n") >= k)
+      .select(col("user_id"), col("n"), col("c"),
+        expr(graft.operators.Preference.passAtKExpr(k)).as("pass_at_k"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+
   /** Streaming A/B arm statistics — the ingest-time face of
     * [[graft.operators.Analytics.variantLift]]: per-(experiment,
     * variant) running moments (n, Σv, Σv²) as DECIMAL sums, which are

@@ -53,7 +53,7 @@ class ContractSpec extends AnyFunSuite {
       // scan — the same free nested loop as tfidf_top_terms
       "bm25_search",
       // embed bm25_search (same 1-row collection-stats broadcast)
-      "hybrid_search", "rrf_fusion", "retrieval_ndcg",
+      "hybrid_search", "rrf_fusion", "retrieval_ndcg", "mmr_rerank",
       // 1-row target/raw-totals broadcast into the token stream
       "dsir_weights",
       // embeds lm_bigram_score (its 1-row vocab-size broadcast)

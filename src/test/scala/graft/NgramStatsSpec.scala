@@ -66,4 +66,22 @@ class NgramStatsSpec extends AnyFunSuite {
     assert(codegen === interpreted)
     assert(codegen === Seq((1L, 4L, 2L), (2L, 3L, 3L)))
   }
+
+  test("vocabRichness: closed-form Chao1 / Good-Turing / TTR on a hand corpus") {
+    import spark.implicits._
+    // counts: a:2, b:1, c:1 → N=4, V=3, V1=2, V2=1
+    val docs = Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.vocabRichness(docs).collect()(0)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("vocab") === 3L)
+    assert(r.getAs[Long]("v1") === 2L)
+    assert(r.getAs[Long]("v2") === 1L)
+    assert(r.getAs[Double]("chao1") === 3.5) // 3 + 2·1/(2·(1+1))
+    assert(r.getAs[Double]("p0_unseen") === 0.5)
+    assert(r.getAs[Double]("ttr") === 0.75)
+    // V2 = 0 stays defined (bias-corrected form)
+    val docs2 = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val r2 = graft.operators.TextAnalysis.vocabRichness(docs2).collect()(0)
+    assert(r2.getAs[Double]("chao1") === 6.0) // 3 + 3·2/2
+  }
 }

@@ -375,6 +375,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(1600))
   }
 
+  test("mmr_rerank: pairwise sims stay a qid equi-join over the bounded shortlist") {
+    val p = finalPlan(graft.operators.Retrieval.mmrRerank(
+      Tables.documents(spark, d), Tables.embeddings(spark, d)))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("vocab_richness: one word-count shuffle to a single-row rollup") {
+    val p = finalPlan(graft.operators.TextAnalysis.vocabRichness(
+      Tables.documents(spark, d)))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
   test("calibration_bins: scan-side scoring, one bin-grain shuffle, no joins") {
     val p = finalPlan(graft.operators.Classifier.calibrationBins(
       Tables.documents(spark, d)))

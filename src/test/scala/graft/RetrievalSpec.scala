@@ -263,6 +263,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.getAs[Double]("ndcg") === 1.0)
   }
 
+  test("mmrRerank: a near-duplicate of the first pick defers to a diverse doc") {
+    // three candidates matching 'a': d1 best bm25; d2 embedding ≈ d1
+    // (near-duplicate); d3 bm25-weaker than d2 but orthogonal. Pure
+    // relevance would pick d1, d2, d3; MMR must swap d3 ahead of d2.
+    val docs = Seq(
+      (1L, "a a a a"), // strongest
+      (2L, "a a a x"), // slightly weaker, same direction as d1
+      (3L, "a a y y") // weaker still, orthogonal embedding
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.14f, 0.0f, 0.0f)), // cos ≈ 0.99 with d1
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)) // cos 0 with both
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(docs, emb, Seq("q1" -> "a"), kCand = 3,
+      k = 3).select("mmr_rank", "doc_id", "max_sim")
+      .as[(Long, Long, Option[Double])].collect().toList
+    assert(got.map(_._2) === List(1L, 3L, 2L),
+      s"expected diversity order 1,3,2 got $got")
+    // first pick has no similarity context; later picks carry it
+    assert(got.head._3.isEmpty && got.tail.forall(_._3.isDefined))
+  }
+
+  test("mmrRerank: identical embeddings degrade to pure bm25 order") {
+    val docs = Seq((1L, "a a a"), (2L, "a a x"), (3L, "a y y"))
+      .toDF("doc_id", "text")
+    val emb = (1L to 3L).map(i => (i, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.mmrRerank(docs, emb, Seq("q1" -> "a"), kCand = 3,
+      k = 3).select("mmr_rank", "doc_id")
+      .as[(Long, Long)].collect().toList
+    // equal penalty on every candidate — relevance decides, bm25 order
+    val bm = Retrieval.bm25Search(docs, Seq("q1" -> "a"), k = 3)
+      .select("bm25_rank", "doc_id").as[(Long, Long)].collect().toList
+    assert(got === bm)
+  }
+
   test("retrievalNdcg: a full-match doc buried by length-norm drops nDCG below 1") {
     // d1 matches both terms but is LONG (length norm + tf saturation
     // push it under d2's short rare-term hit); ideal order puts d1

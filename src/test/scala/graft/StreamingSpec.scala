@@ -811,6 +811,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed pass@k ≡ batch passAtK bit-exact under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // 5 tasks × 9 samples with varying pass rates (value > 100)
+    val rows = (0 until 45).map { i =>
+      (i.toLong, (i % 5).toLong, if (i % 7 < (i % 5)) 200.0 else 1.0)
+    }
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = graft.streaming.StreamingMetrics.startPassAtK(
+      input.toDS().toDF("event_id", "user_id", "value"), "pass_at_k_s")
+    try {
+      input.addData(rows.take(13))
+      q.processAllAvailable()
+      input.addData(rows.slice(13, 14))
+      q.processAllAvailable()
+      input.addData(rows.drop(14))
+      q.processAllAvailable()
+      val streamed = spark.table("pass_at_k_s")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Preference.passAtK(
+        rows.toDF("event_id", "user_id", "value"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // counts are algebraic and the estimator chain is the SAME code
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
