@@ -230,6 +230,18 @@ object SparkEntry {
     // shuffle to a single row — the crawl-diversity diagnostic
     "vocab_richness" -> ((s, d) =>
       TextAnalysis.vocabRichness(par(Tables.documents(s, d)))),
+    // A/B conversion proportions + 2x2 chi-square vs the control arm —
+    // the proportion-testing sibling of variant_lift
+    "variant_conversion" -> ((s, d) =>
+      Analytics.variantConversion(Tables.events(s, d))),
+    // Wald SPRT over the per-minute conversion series: cumulative LLR
+    // + decision bounds, calendar-bounded windows
+    "sprt_conversion" -> ((s, d) =>
+      Analytics.sprtConversion(Tables.events(s, d))),
+    // DoReMi-style domain reweighting: per-source excess unigram NLL
+    // -> multiplicative-weights softmax over the source-bounded table
+    "doremi_weights" -> ((s, d) =>
+      Corpus.doremiWeights(par(Tables.documents(s, d)))),
     // Poisson bootstrap: B hash-drawn resample means in one pass —
     // the distributed-uncertainty classic (explode ×B, one B-row shuffle)
     "value_bootstrap_ci" -> ((s, d) =>
@@ -929,6 +941,9 @@ object SparkEntry {
     "calibration_bins" -> Classifier.calibrationBinsSql(),
     "dpo_length_bias" -> Preference.dpoLengthBiasSql(),
     "vocab_richness" -> TextAnalysis.vocabRichnessSql(),
+    "variant_conversion" -> Analytics.variantConversionSql(),
+    "sprt_conversion" -> Analytics.sprtConversionSql(),
+    "doremi_weights" -> Corpus.doremiWeightsSql(),
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),
     "nsp_pairs" -> Corpus.nspPairsSql(),

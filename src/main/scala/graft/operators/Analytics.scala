@@ -1447,6 +1447,193 @@ object Analytics {
       .orderBy("experiment_id", "variant")
   }
 
+  /** A/B conversion-rate readout: per (experiment, variant) conversion
+    * counts plus the 2×2 Pearson chi-square versus the experiment's
+    * control arm — the PROPORTION-testing sibling of [[variantLift]]'s
+    * mean/Welch-t readout (every dashboard reports both; Pearson 1900,
+    * the 2×2 form χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d))). A
+    * "conversion" is value > `threshold` (the model-gate convention
+    * shared with pass@k). Control = the alphabetically-first variant
+    * per experiment, folded in by the [[liftFromArms]] window pattern.
+    *
+    * Scale shape: one shuffle to the (experiment, variant) grain with
+    * integer counts, then a per-experiment window over the BOUNDED arm
+    * table — one scan of events, lazy throughout. The χ² chain is a
+    * fixed-order IEEE expression from BIGINT cells, quantized
+    * DECIMAL(18,9); NULL for the control row itself and for
+    * degenerate margins (a zero row/column total).
+    *
+    * Output: (experiment_id, variant, n, conv, rate, control_variant,
+    * rate_ctl, chi2) ordered by (experiment_id, variant). */
+  def variantConversion(events: DataFrame,
+      threshold: Double = 100.0): DataFrame = {
+    val arms = events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))
+    val wCtl = Window.partitionBy(col("experiment_id"))
+      .orderBy(col("variant"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    arms
+      .withColumn("control_variant", first(col("variant")).over(wCtl))
+      .withColumn("n_ctl", first(col("n")).over(wCtl))
+      .withColumn("conv_ctl", first(col("conv")).over(wCtl))
+      .select(col("experiment_id"), col("variant"), col("n"), col("conv"),
+        expr(ConvRate("conv", "n")).as("rate"),
+        col("control_variant"),
+        expr(ConvRate("conv_ctl", "n_ctl")).as("rate_ctl"),
+        expr(ConvChi2).as("chi2"))
+      .orderBy("experiment_id", "variant")
+  }
+
+  // conversion-rate scalar chains, shared verbatim with the oracle:
+  // a = conv, b = n−conv, c = conv_ctl, d = n_ctl−conv_ctl
+  private def ConvRate(c: String, n: String): String =
+    s"""CAST(CAST(CAST($c AS DOUBLE) / CAST($n AS DOUBLE)
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val ConvChi2 =
+    """CASE WHEN variant <> control_variant
+      |  AND conv + conv_ctl > 0
+      |  AND (n - conv) + (n_ctl - conv_ctl) > 0 THEN
+      |  CAST(CAST(
+      |    CAST(n + n_ctl AS DOUBLE)
+      |    * (CAST(conv AS DOUBLE) * CAST(n_ctl - conv_ctl AS DOUBLE)
+      |       - CAST(n - conv AS DOUBLE) * CAST(conv_ctl AS DOUBLE))
+      |    * (CAST(conv AS DOUBLE) * CAST(n_ctl - conv_ctl AS DOUBLE)
+      |       - CAST(n - conv AS DOUBLE) * CAST(conv_ctl AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(n_ctl AS DOUBLE)
+      |       * CAST(conv + conv_ctl AS DOUBLE)
+      |       * CAST((n - conv) + (n_ctl - conv_ctl) AS DOUBLE))
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
+
+  /** DuckDB replay of [[variantConversion]]: identical counts, window
+    * control fold, and χ² chain. */
+  def variantConversionSql(threshold: Double = 100.0): String =
+    s"""WITH arms AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    event_type AS variant, count(*)::BIGINT AS n,
+       |    CAST(sum(CASE WHEN value > $threshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |f AS (
+       |  SELECT experiment_id, variant, n, conv,
+       |    first_value(variant) OVER w AS control_variant,
+       |    first_value(n) OVER w AS n_ctl,
+       |    first_value(conv) OVER w AS conv_ctl
+       |  FROM arms
+       |  WINDOW w AS (PARTITION BY experiment_id ORDER BY variant
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+       |SELECT experiment_id, variant, n, conv,
+       |  ${ConvRate("conv", "n")} AS rate,
+       |  control_variant,
+       |  ${ConvRate("conv_ctl", "n_ctl")} AS rate_ctl,
+       |  $ConvChi2 AS chi2
+       |FROM f ORDER BY experiment_id, variant""".stripMargin
+
+  /** Wald SPRT sequential monitor over the per-minute conversion
+    * series — the always-valid sequential test the CUSUM family's
+    * level-shift detectors pair with (Wald, "Sequential tests of
+    * statistical hypotheses", 1945): the cumulative log-likelihood
+    * ratio for H₁: rate = p1 against H₀: rate = p0, with the classic
+    * decision bounds ln((1−β)/α) and ln(β/(1−α)). Conversions are
+    * value > `threshold` (the [[variantConversion]] signal); LLR_t =
+    * c_t·ln(p1/p0) + (n_t−c_t)·ln((1−p1)/(1−p0)) over cumulative
+    * counts.
+    *
+    * Scale shape: one shuffle to the minute grain (calendar-bounded),
+    * then running-sum windows over the minute SERIES — the
+    * [[visitsCusum]] budget. The two ln factors are computed ONCE as
+    * quantized DECIMAL(18,9) scalars inside the expression (engines
+    * agree on the quantized constant), and the LLR is two
+    * integer×constant products and one subtraction, quantized — so
+    * the whole trajectory is hash-exact. The streaming face
+    * ([[graft.streaming.StreamingMetrics.startSprtConversion]]) folds
+    * the identical chain over running totals.
+    *
+    * Output per minute: (minute_key, n, conv, n_cum, conv_cum, llr,
+    * decision ∈ {accept_h1, accept_h0, continue}). */
+  def sprtConversion(events: DataFrame, threshold: Double = 100.0,
+      p0: Double = 0.10, p1: Double = 0.15,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    val perMin = events
+      .groupBy(date_format(date_trunc("minute", col("ts")),
+        "yyyy_MM_dd'T'HH_mm").as("minute_key"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))
+    val wRun = Window.orderBy(col("minute_key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin
+      .withColumn("n_cum", sum(col("n")).over(wRun))
+      .withColumn("conv_cum", sum(col("conv")).over(wRun))
+      .withColumn("llr", expr(sprtLlrExpr(p0, p1)))
+      .select(col("minute_key"), col("n"), col("conv"),
+        col("n_cum"), col("conv_cum"), col("llr"),
+        expr(sprtDecisionExpr(alpha, beta)).as("decision"))
+      .orderBy("minute_key")
+  }
+
+  // the LLR and decision chains, shared verbatim with the oracle and
+  // the streaming face; the ln factors quantize to engine-agreeing
+  // constants before the integer products
+  // every literal ratio divides as DOUBLE: decimal-literal division
+  // rounds to engine-specific quotient scales (Spark and DuckDB
+  // disagree), while double division of the same two doubles is
+  // IEEE-identical everywhere
+  private[graft] def sprtLlrExpr(p0: Double, p1: Double): String =
+    s"""CAST(CAST(
+       |  CAST(conv_cum AS DOUBLE)
+       |    * CAST(CAST(ln(CAST($p1 AS DOUBLE) / CAST($p0 AS DOUBLE))
+       |        AS DECIMAL(18,9)) AS DOUBLE)
+       |  + CAST(n_cum - conv_cum AS DOUBLE)
+       |    * CAST(CAST(ln(CAST(1.0 - $p1 AS DOUBLE)
+       |        / CAST(1.0 - $p0 AS DOUBLE)) AS DECIMAL(18,9))
+       |        AS DOUBLE)
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private[graft] def sprtDecisionExpr(alpha: Double,
+      beta: Double): String =
+    s"""CASE
+       |  WHEN llr >= CAST(CAST(ln(CAST(1.0 - $beta AS DOUBLE)
+       |    / CAST($alpha AS DOUBLE))
+       |    AS DECIMAL(18,9)) AS DOUBLE) THEN 'accept_h1'
+       |  WHEN llr <= CAST(CAST(ln(CAST($beta AS DOUBLE)
+       |    / CAST(1.0 - $alpha AS DOUBLE))
+       |    AS DECIMAL(18,9)) AS DOUBLE) THEN 'accept_h0'
+       |  ELSE 'continue'
+       |END""".stripMargin
+
+  /** DuckDB replay of [[sprtConversion]]: identical minute rollup,
+    * running sums, and quantized LLR/decision chains. */
+  def sprtConversionSql(threshold: Double = 100.0, p0: Double = 0.10,
+      p1: Double = 0.15, alpha: Double = 0.05,
+      beta: Double = 0.05): String =
+    s"""WITH pm AS (
+       |  SELECT strftime(date_trunc('minute', ts), '%Y_%m_%dT%H_%M')
+       |      AS minute_key,
+       |    count(*)::BIGINT AS n,
+       |    CAST(sum(CASE WHEN value > $threshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events GROUP BY 1),
+       |cum AS (
+       |  SELECT minute_key, n, conv,
+       |    sum(n) OVER w AS n_cum, sum(conv) OVER w AS conv_cum
+       |  FROM pm
+       |  WINDOW w AS (ORDER BY minute_key
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |sc AS (
+       |  SELECT minute_key, n, conv, n_cum::BIGINT AS n_cum,
+       |    conv_cum::BIGINT AS conv_cum,
+       |    ${sprtLlrExpr(p0, p1)} AS llr
+       |  FROM cum)
+       |SELECT minute_key, n, conv, n_cum, conv_cum, llr,
+       |  ${sprtDecisionExpr(alpha, beta)} AS decision
+       |FROM sc ORDER BY minute_key""".stripMargin
+
   /** Poisson bootstrap over the value stream: B resample means from
     * hash-drawn Poisson(1) multiplicities — the one-pass bootstrap a
     * distributed engine can actually run (exact multinomial resampling

@@ -730,6 +730,117 @@ object Corpus {
       |  CAST(sum(t) AS DOUBLE) AS kl_nats
       |FROM term GROUP BY source ORDER BY source""".stripMargin
 
+  /** DoReMi-style domain reweighting from per-source excess loss
+    * (Xie et al., "DoReMi: optimizing data mixtures speeds up
+    * language model pretraining", arXiv 2305.10429 — multiplicative-
+    * weights update w_s ∝ exp(η·excess_s), where excess is the
+    * domain's loss above the best-performing domain): the mixture-
+    * weight PRODUCER that [[mixtureSample]]/[[tokenBudgetMix]]
+    * consume. The proxy/reference loss pair is deterministic in-
+    * engine arithmetic (no trained model, the pinned-weights
+    * discipline): per-source mean token NLL under the CORPUS unigram
+    * LM, so a source whose unigram mix diverges from the corpus
+    * (harder for the shared model) draws more weight — the DoReMi
+    * direction, with the corpus LM standing in for the reference
+    * model.
+    *
+    * Scale shape: the (source, word) count table is the ONE corpus
+    * shuffle ([[sourceKlDivergence]]'s plan — vocab-bounded
+    * localCheckpoint, 1-row token-total broadcast); NLL terms
+    * quantize per (source, word) and sum as decimals; the excess /
+    * softmax tail is two windows over the SOURCE-bounded table
+    * (≤ dozens of rows at any corpus scale — the whitelisted post-
+    * aggregation SinglePartition). η = 1; the single exp per source
+    * quantizes (the `source_kl` ln convention).
+    *
+    * Output: (source, n_tokens, nll, excess, weight) ordered by
+    * source; weights sum to 1 up to the DECIMAL(18,9) quanta. */
+  def doremiWeights(documents: DataFrame): DataFrame = {
+    val csw = documents
+      .where(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint()
+    val cw = csw.groupBy(col("w")).agg(sum("c_sw").as("c_w"))
+    val n = cw.agg(sum("c_w").as("n_tok"))
+    val nllBySource = csw
+      .join(cw, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("c_sw"),
+        expr(DoremiTerm).as("t"))
+      .groupBy(col("source"))
+      .agg(sum(col("c_sw")).as("n_tokens"),
+        expr("CAST(sum(t) AS DOUBLE)").as("nll_sum"))
+      .select(col("source"), col("n_tokens"), expr(DoremiNll).as("nll"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    nllBySource
+      .withColumn("__min", min(col("nll")).over(wAll))
+      .withColumn("excess", expr(DoremiExcess("__min")))
+      .withColumn("__e", expr(DoremiExp))
+      .withColumn("__se",
+        sum(expr("CAST(__e AS DECIMAL(18,9))")).over(wAll))
+      .select(col("source"), col("n_tokens"), col("nll"), col("excess"),
+        expr(DoremiWeight).as("weight"))
+      .orderBy("source")
+  }
+
+  // the NLL term per (source, word): c_sw · −ln(c_w/n_tok), with the
+  // ln quantized and the product re-quantized through the explicit
+  // round-half-up lattice (the sourceKlDivergence floor trick) so the
+  // decimal sum is order-free and engine-exact
+  private val DoremiTerm =
+    """CAST(floor(
+      |  CAST(CAST(-ln(CAST(c_w AS DOUBLE) / CAST(n_tok AS DOUBLE))
+      |    AS DECIMAL(18,9)) AS DOUBLE)
+      |  * CAST(c_sw AS DOUBLE)
+      |  * 1e9 + 0.5) / 1e9 AS DECIMAL(28,9))""".stripMargin
+  private val DoremiNll =
+    """CAST(CAST(nll_sum / CAST(n_tokens AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private def DoremiExcess(minCol: String): String =
+    s"""CAST(CAST(nll - $minCol AS DECIMAL(18,9)) AS DOUBLE)"""
+  private val DoremiExp =
+    "CAST(CAST(exp(excess) AS DECIMAL(18,9)) AS DOUBLE)"
+  private val DoremiWeight =
+    """CAST(CAST(__e / CAST(__se AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+
+  /** DuckDB replay of [[doremiWeights]]: the sourceKl count CTEs, the
+    * identical quantized NLL terms, and the same windowed excess /
+    * softmax tail. */
+  def doremiWeightsSql(): String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |csw AS (
+       |  SELECT source, w, count(*) AS c_sw FROM tok
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |cw AS (SELECT w, sum(c_sw)::BIGINT AS c_w FROM csw GROUP BY 1),
+       |n AS (SELECT sum(c_w)::BIGINT AS n_tok FROM cw),
+       |term AS (
+       |  SELECT source, c_sw, $DoremiTerm AS t
+       |  FROM csw JOIN cw USING (w) CROSS JOIN n),
+       |s AS (
+       |  SELECT source, sum(c_sw)::BIGINT AS n_tokens,
+       |    CAST(sum(t) AS DOUBLE) AS nll_sum
+       |  FROM term GROUP BY 1),
+       |nl AS (SELECT source, n_tokens, $DoremiNll AS nll FROM s),
+       |ex AS (
+       |  SELECT source, n_tokens, nll,
+       |    ${DoremiExcess("min(nll) OVER ()")} AS excess
+       |  FROM nl),
+       |ee AS (SELECT ex.*, $DoremiExp AS __e FROM ex),
+       |se AS (
+       |  SELECT ee.*, sum(CAST(__e AS DECIMAL(18,9))) OVER () AS __se
+       |  FROM ee)
+       |SELECT source, n_tokens, nll, excess, $DoremiWeight AS weight
+       |FROM se ORDER BY source""".stripMargin
+
   /** Ingestion-window distribution DRIFT — [[sourceKlDivergence]]'s
     * diagnostic run over TIME instead of provenance: split the corpus
     * into `buckets` equal ingestion windows (exact NTILE over doc_id

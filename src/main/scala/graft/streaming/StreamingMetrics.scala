@@ -991,6 +991,32 @@ object StreamingMetrics {
       .format("memory").queryName(queryName)
       .start()
 
+  /** Streaming Wald SPRT monitor — the ingest-time face of
+    * [[graft.operators.Analytics.sprtConversion]]'s FINAL row: the
+    * running (n, c) conversion totals are algebraic, and the LLR and
+    * decision are the SAME quantized chains as the batch face
+    * (`Analytics.sprtLlrExpr`/`sprtDecisionExpr`), so the streamed
+    * verdict after any micro-batch slicing is bit-identical to the
+    * batch trajectory's last row over the same events (asserted in
+    * `StreamingSpec`). Two longs of state total — the sequential test
+    * a production gate actually polls. */
+  def startSprtConversion(events: DataFrame, queryName: String,
+      threshold: Double = 100.0, p0: Double = 0.10, p1: Double = 0.15,
+      alpha: Double = 0.05, beta: Double = 0.05): StreamingQuery =
+    events
+      .select(col("value"))
+      .agg(count(lit(1)).as("n_cum"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L))
+          .as("conv_cum"))
+      .withColumn("llr",
+        expr(graft.operators.Analytics.sprtLlrExpr(p0, p1)))
+      .select(col("n_cum"), col("conv_cum"), col("llr"),
+        expr(graft.operators.Analytics.sprtDecisionExpr(alpha, beta))
+          .as("decision"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+
   /** Streaming A/B arm statistics — the ingest-time face of
     * [[graft.operators.Analytics.variantLift]]: per-(experiment,
     * variant) running moments (n, Σv, Σv²) as DECIMAL sums, which are

@@ -1165,4 +1165,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(b.getAs[Double]("t_welch") - tExp) < 1e-9)
     assert(c.isNullAt(c.fieldIndex("t_welch")), "singleton arm -> NULL t")
   }
+
+  test("variantConversion: 2x2 chi-square matches the hand value; control row NULL") {
+    // control a: 1/4 convert; treatment b: 3/4 convert
+    val rows = (Seq(
+      (1L, "a", 200.0), (2L, "a", 1.0), (3L, "a", 1.0), (4L, "a", 1.0),
+      (5L, "b", 200.0), (6L, "b", 200.0), (7L, "b", 200.0), (8L, "b", 1.0)
+    )).map { case (id, v, value) => (id, v, value, """{"k":"e1"}""") }
+      .toDF("event_id", "event_type", "value", "props")
+    val got = Analytics.variantConversion(rows).orderBy("variant").collect()
+    val a = got(0); val b = got(1)
+    assert(a.isNullAt(a.fieldIndex("chi2")), "control row has no chi2")
+    assert(a.getAs[Double]("rate") === 0.25)
+    assert(b.getAs[Double]("rate") === 0.75)
+    // a=3,b=1,c=1,d=3: chi2 = 8*(9-1)^2/(4*4*4*4) = 2.0
+    assert(b.getAs[Double]("chi2") === 2.0)
+  }
+
+  test("sprtConversion: LLR recurrence matches a driver fold; bounds decide") {
+    val rows = (0 until 120).map { i =>
+      (i.toLong, f"2026-01-01 00:${i / 60}%02d:${i % 60}%02d",
+        if (i % 3 == 0) 200.0 else 1.0) // 1/3 conversion — drifts to h1
+    }.toDF("event_id", "s", "value")
+      .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "value")
+    val got = Analytics.sprtConversion(rows).collect()
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l1 = round9(math.log(0.15 / 0.10))
+    val l2 = round9(math.log(0.85 / 0.90))
+    got.foreach { r =>
+      val n = r.getAs[Long]("n_cum"); val c = r.getAs[Long]("conv_cum")
+      assert(r.getAs[Double]("llr") === round9(c * l1 + (n - c) * l2))
+    }
+    // a 1/3 conversion rate (above p1 = 0.15) must eventually accept h1
+    assert(got.last.getAs[String]("decision") === "accept_h1")
+    // monotone data: once the LLR crosses, it stays crossed at the end
+    assert(got.last.getAs[Double]("llr") >= math.log(0.95 / 0.05) - 1e-9)
+  }
 }

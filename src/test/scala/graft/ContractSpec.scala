@@ -64,6 +64,9 @@ class ContractSpec extends AnyFunSuite {
       // 1-row corpus-token-total broadcast into the vocab-bounded
       // (source, word) count table — the same pattern
       "source_kl",
+      // identical 1-row token-total broadcast (the source_kl count
+      // CTEs feed the excess-loss softmax)
+      "doremi_weights",
       // the identical plan with ingestion-window buckets for sources
       "corpus_drift",
       // (nsp_pairs left this list: its negative-draw modulus is now a

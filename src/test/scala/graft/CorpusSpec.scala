@@ -753,4 +753,25 @@ class CorpusSpec extends AnyFunSuite {
       assert(sparseDepths(d * 180009L + 7L) === depth)
     }
   }
+
+  test("doremiWeights: weights form a distribution and rank by excess NLL") {
+    import spark.implicits._
+    // s_common draws only the corpus-dominant token (low NLL);
+    // s_rare's tokens are corpus-rare (high NLL, more weight)
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "x x x x", "s_common")) ++
+        Seq((9L, "y z", "s_rare"))
+      ).toDF("doc_id", "text", "source")
+    val got = graft.operators.Corpus.doremiWeights(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("nll"), r.getAs[Double]("excess"),
+          r.getAs[Double]("weight"))).toMap
+    val (nllC, exC, wC) = got("s_common")
+    val (nllR, exR, wR) = got("s_rare")
+    assert(nllR > nllC, "rare-token source must carry higher NLL")
+    assert(exC === 0.0, "best source has zero excess")
+    assert(exR > 0.0 && wR > wC, "excess loss must draw more weight")
+    assert(math.abs(wC + wR - 1.0) < 1e-6, s"weights sum to 1: $wC + $wR")
+    assert(wC > 0.0 && wR > 0.0)
+  }
 }

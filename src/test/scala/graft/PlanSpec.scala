@@ -388,6 +388,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1200))
   }
 
+  test("variant_conversion: arm-grain + window-regroup shuffles only, no joins") {
+    val p = finalPlan(graft.operators.Analytics.variantConversion(
+      Tables.events(spark, d)))
+    // exactly two: events → (experiment, variant) arm aggregate, then
+    // the re-cluster to (experiment) for the control-fold window —
+    // both over arm-table-sized data after the first partial agg
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 2,
+      p.take(1200))
+    assert(!p.contains("Join"), p.take(1200))
+  }
+
+  test("sprt_conversion: minute rollup partially aggregates before the series windows") {
+    val p = finalPlan(graft.operators.Analytics.sprtConversion(
+      Tables.events(spark, d)))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+  }
+
+  test("doremi_weights: the token-total broadcast is the only nested loop") {
+    val p = finalPlan(graft.operators.Corpus.doremiWeights(
+      Tables.documents(spark, d)))
+    assert(!p.contains("CartesianProduct"), p.take(1600))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      p.take(1600))
+  }
+
   test("calibration_bins: scan-side scoring, one bin-grain shuffle, no joins") {
     val p = finalPlan(graft.operators.Classifier.calibrationBins(
       Tables.documents(spark, d)))

@@ -839,6 +839,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed SPRT verdict ≡ batch sprt_conversion final row under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val rows = (0 until 90).map { i =>
+      (i.toLong, f"2026-01-01 00:0${i / 60}:${i % 60}%02d",
+        if (i % 4 == 0) 200.0 else 1.0)
+    }
+    def toEv(rs: Seq[(Long, String, Double)]) =
+      rs.toDF("event_id", "s", "value")
+        .selectExpr("event_id", "CAST(s AS TIMESTAMP) AS ts", "value")
+    val input = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.StreamingMetrics.startSprtConversion(
+      input.toDS().toDF("event_id", "s", "value"), "sprt_s")
+    try {
+      input.addData(rows.take(17))
+      q.processAllAvailable()
+      input.addData(rows.drop(17))
+      q.processAllAvailable()
+      val st = spark.table("sprt_s")
+        .as[(Long, Long, Double, String)].collect()
+      assert(st.length === 1)
+      val batchLast = graft.operators.Analytics.sprtConversion(toEv(rows))
+        .orderBy(org.apache.spark.sql.functions.col("minute_key").desc)
+        .limit(1)
+        .selectExpr("n_cum", "conv_cum", "llr", "decision")
+        .as[(Long, Long, Double, String)].collect()(0)
+      // running counts are algebraic; llr/decision are the SAME chains
+      assert(st(0) === batchLast)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
