@@ -1367,6 +1367,20 @@ object Analytics {
        |  greatest(cusum_pos, cusum_neg) > 2 * $alarmMult * total AS alarm
        |FROM c ORDER BY minute_key""".stripMargin
 
+  // the A/B arm projection and the min-variant control-pick window,
+  // shared by BOTH readouts (variantLift's mean/Welch-t face and
+  // variantConversion's proportion/chi-square face) so the experiment
+  // extraction and the control-arm rule can never drift between them
+  private[graft] def armEvents(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+  private[graft] val ArmControlWindow =
+    Window.partitionBy(col("experiment_id"))
+      .orderBy(col("variant"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
   /** A/B experiment readout: per (experiment, variant) value moments
     * plus lift and Welch's t versus the experiment's control variant —
     * the statistical-analysis layer the reference's dashboard stops
@@ -1392,10 +1406,7 @@ object Analytics {
     * degenerate-group guards (NULL when either arm has n ≤ 1 or the
     * variance argument cancels to ≤ 0). */
   def variantLift(events: DataFrame): DataFrame =
-    liftFromArms(events
-      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
-        col("event_type").as("variant"), col("value"))
-      .where(col("experiment_id").isNotNull)
+    liftFromArms(armEvents(events)
       .groupBy(col("experiment_id"), col("variant"))
       .agg(count(lit(1)).as("n"),
         expr(s"$SumValue").as("s1"),
@@ -1423,14 +1434,14 @@ object Analytics {
           |  greatest(CAST(0 AS DOUBLE),
           |    s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
           |END""".stripMargin))
-    val wCtl = Window.partitionBy(col("experiment_id"))
-      .orderBy(col("variant"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     arms
-      .withColumn("control_variant", first(col("variant")).over(wCtl))
-      .withColumn("n_ctl", first(col("n")).over(wCtl))
-      .withColumn("mean_ctl", first(col("mean_value")).over(wCtl))
-      .withColumn("var_ctl", first(col("var_value")).over(wCtl))
+      .withColumn("control_variant",
+        first(col("variant")).over(ArmControlWindow))
+      .withColumn("n_ctl", first(col("n")).over(ArmControlWindow))
+      .withColumn("mean_ctl",
+        first(col("mean_value")).over(ArmControlWindow))
+      .withColumn("var_ctl",
+        first(col("var_value")).over(ArmControlWindow))
       .select(col("experiment_id"), col("variant"), col("n"),
         col("mean_value"), col("control_variant"), col("mean_ctl"),
         expr("mean_value - mean_ctl").as("lift"),
@@ -1467,20 +1478,15 @@ object Analytics {
     * rate_ctl, chi2) ordered by (experiment_id, variant). */
   def variantConversion(events: DataFrame,
       threshold: Double = 100.0): DataFrame = {
-    val arms = events
-      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
-        col("event_type").as("variant"), col("value"))
-      .where(col("experiment_id").isNotNull)
+    val arms = armEvents(events)
       .groupBy(col("experiment_id"), col("variant"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))
-    val wCtl = Window.partitionBy(col("experiment_id"))
-      .orderBy(col("variant"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     arms
-      .withColumn("control_variant", first(col("variant")).over(wCtl))
-      .withColumn("n_ctl", first(col("n")).over(wCtl))
-      .withColumn("conv_ctl", first(col("conv")).over(wCtl))
+      .withColumn("control_variant",
+        first(col("variant")).over(ArmControlWindow))
+      .withColumn("n_ctl", first(col("n")).over(ArmControlWindow))
+      .withColumn("conv_ctl", first(col("conv")).over(ArmControlWindow))
       .select(col("experiment_id"), col("variant"), col("n"), col("conv"),
         expr(ConvRate("conv", "n")).as("rate"),
         col("control_variant"),

@@ -68,6 +68,7 @@ object Preference {
     * `iters` rounds from p⁰ = 1 (the fit is scale-invariant, so the
     * start fixes the gauge). */
   def btStrength(events: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     // Per-user pair enumeration WITHOUT a self-join: collect each
     // user's (item, sum) arms into an array (T = |event types|,
     // domain-bounded like variant_overlap) and expand the C(T,2)
@@ -77,7 +78,12 @@ object Preference {
     // persisted the user grain; this does neither). Pairs are emitted
     // in canonical (ia < ib) order, so collect_list's arrival-order
     // nondeterminism cannot reach the output.
+    // NULL judges drop explicitly: the Spark groupBy would otherwise
+    // enumerate comparisons inside one all-NULL-uid group while the
+    // oracle's equi self-join drops NULL keys — the one place the
+    // array formulation and a join disagree on NULL semantics
     val ut = events
+      .where(col("user_id").isNotNull)
       .groupBy(col("user_id"), col("event_type").as("item"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
     val wins = ut
@@ -147,11 +153,12 @@ object Preference {
     * totals, the same strict-inequality wins, and `iters` unrolled MM
     * CTEs with the identical DECIMAL(18,9) quantization points. */
   def btStrengthSql(iters: Int = 3): String = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val base =
       """WITH ut AS (
         |  SELECT user_id, event_type AS item,
         |    sum(CAST(value AS DECIMAL(18,2))) AS s
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
         |cmp AS (
         |  SELECT a.item AS ia, b.item AS ib,
         |    CAST(sum(CASE WHEN a.s > b.s THEN 1 ELSE 0 END) AS BIGINT) AS w_a,

@@ -44,6 +44,19 @@ object Retrieval {
     "q_stream" -> "stream window batch",
     "q_store" -> "column row group value")
 
+  // The engine-parity-critical vector dot folds, defined ONCE: both
+  // encode the identical left-to-right summation order (Spark: an
+  // `aggregate` fold from 0.0; DuckDB: `list_reduce` over the index
+  // range — no init, but 0.0 + x == x exactly so the partial sums
+  // coincide), which is what makes the cosine chains hash-exact. All
+  // call sites (hybrid/RRF/MMR, both engines) delegate here so the
+  // order convention can never drift between copies.
+  private def dotSpark(u: String, v: String): String =
+    s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def dotDuck(u: String, v: String): String =
+    s"""list_reduce(list_transform(range(1, len($u) + 1),
+       |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+
   private def queryTermsDf(documents: DataFrame,
       queries: Seq[(String, String)]): DataFrame = {
     val spark = documents.sparkSession
@@ -185,8 +198,7 @@ object Retrieval {
           |  aggregate(slice(pe, 2, size(pe) - 1), pe[0].e,
           |    (acc, x) -> zip_with(acc, x.e, (a, b) -> a + b)),
           |  s -> s / CAST(size(pe) AS DOUBLE))""".stripMargin).as("q"))
-    val dot = (u: String, v: String) =>
-      s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val dot = dotSpark _
     withEmb
       .join(broadcast(qvec), Seq("qid"))
       .select(col("qid"), col("doc_id"), col("score").as("bm25_score"),
@@ -228,8 +240,7 @@ object Retrieval {
           |  aggregate(slice(pe, 2, size(pe) - 1), pe[0].e,
           |    (acc, x) -> zip_with(acc, x.e, (a, b) -> a + b)),
           |  s -> s / CAST(size(pe) AS DOUBLE))""".stripMargin).as("q"))
-    val dot = (u: String, v: String) =>
-      s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val dot = dotSpark _
     withEmb
       .join(broadcast(qvec), Seq("qid"))
       .select(col("qid"), col("doc_id"), col("bm25_rank").cast("long").as("bm25_rank"),
@@ -303,9 +314,7 @@ object Retrieval {
   def hybridSearchSql(queries: Seq[(String, String)] = DemoQueries,
       kCand: Int = 50, nPrf: Int = 5, k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): String = {
-    def dot(u: String, v: String) =
-      s"""list_reduce(list_transform(range(1, len($u) + 1),
-         |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+    def dot(u: String, v: String) = dotDuck(u, v)
     s"""${bm25Ctes(queries, k1, b)},
        |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),
@@ -341,9 +350,7 @@ object Retrieval {
   def rrfFusionSql(queries: Seq[(String, String)] = DemoQueries,
       kCand: Int = 50, nPrf: Int = 5, k: Int = 10, c: Int = 60,
       k1: Double = 1.2, b: Double = 0.75): String = {
-    def dot(u: String, v: String) =
-      s"""list_reduce(list_transform(range(1, len($u) + 1),
-         |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+    def dot(u: String, v: String) = dotDuck(u, v)
     s"""${bm25Ctes(queries, k1, b)},
        |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e
        |  FROM embeddings),
@@ -648,8 +655,7 @@ object Retrieval {
       .join(emb, Seq("doc_id"))
       .select(col("qid"), col("doc_id"), col("score"), col("e"))
       .persist()
-    val dot = (u: String, v: String) =>
-      s"aggregate(zip_with($u, $v, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val dot = dotSpark _
     val sims = cands
       .select(col("qid"), col("doc_id").as("da"), col("e").as("ea"))
       .join(cands.select(col("qid"), col("doc_id").as("db"),
@@ -710,9 +716,7 @@ object Retrieval {
   def mmrRerankSql(queries: Seq[(String, String)] = DemoQueries,
       kCand: Int = 20, k: Int = 5, k1: Double = 1.2,
       b: Double = 0.75): String = {
-    def dot(u: String, v: String) =
-      s"""list_reduce(list_transform(range(1, len($u) + 1),
-         |      i -> $u[i] * $v[i]), (a, x) -> a + x)""".stripMargin
+    def dot(u: String, v: String) = dotDuck(u, v)
     val steps = (2 to k).map { t =>
       s"""s$t AS (
          |  SELECT qid, doc_id, CAST($t AS BIGINT) AS mmr_rank,

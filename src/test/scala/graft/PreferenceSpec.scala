@@ -30,6 +30,19 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got === List(("A", 4L, 3L, 1.5), ("B", 4L, 1L, 0.5)))
   }
 
+  test("btStrength: NULL judges drop (the oracle's equi-join semantics)") {
+    val ev = Seq(
+      (Some(1L), "A", 10.0), (Some(1L), "B", 5.0), // A beats B
+      (Some(2L), "B", 10.0), (Some(2L), "A", 5.0), // B beats A
+      (None, "A", 99.0), (None, "B", 1.0) // NULL judge — must not count
+    ).toDF("user_id", "event_type", "value")
+    val got = Preference.btStrength(ev)
+      .select("item", "n_matches", "n_wins")
+      .as[(String, Long, Long)].collect().toList
+    assert(got === List(("A", 2L, 1L), ("B", 2L, 1L)))
+    intercept[IllegalArgumentException](Preference.btStrength(ev, 0))
+  }
+
   test("btStrength: ties drop from matches; winless arms are excluded") {
     val ev = Seq(
       (1L, "A", 10.0), (1L, "B", 10.0), // exact tie — drops
