@@ -1017,6 +1017,54 @@ object StreamingMetrics {
       .format("memory").queryName(queryName)
       .start()
 
+  /** KEYED streaming SPRT — one independent Wald monitor per
+    * (experiment, variant) arm, the multi-tenant production shape of
+    * [[startSprtConversion]] (which runs one global monitor; the
+    * [[startKeyedCusum]] relationship). State is TWO LONGS per arm
+    * (n, conversions) folded in `flatMapGroupsWithState`; the LLR and
+    * decision are computed DOWNSTREAM of the state fold by the SAME
+    * shared SQL chains as the batch face
+    * (`Analytics.sprtLlrExpr`/`sprtDecisionExpr` over the emitted
+    * running totals), so each arm's verdict after any micro-batch
+    * slicing is bit-identical to the batch chain over that arm's
+    * events (asserted in `StreamingSpec`). Emits each touched arm's
+    * current (n_cum, conv_cum, llr, decision) per micro-batch. */
+  def startKeyedSprt(events: DataFrame, queryName: String,
+      threshold: Double = 100.0, p0: Double = 0.10, p1: Double = 0.15,
+      alpha: Double = 0.05, beta: Double = 0.05): StreamingQuery = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .as[(String, String, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Long, Long),
+        (String, String, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Double)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r =>
+            n += 1; if (r._3 > threshold) c += 1
+          }
+          state.update((n, c))
+          Iterator((key._1, key._2, n, c))
+      }
+      .toDF("experiment_id", "variant", "n_cum", "conv_cum")
+      .select(col("experiment_id"), col("variant"), col("n_cum"),
+        col("conv_cum"),
+        expr(graft.operators.Analytics.sprtLlrExpr(p0, p1)).as("llr"))
+      .select(col("experiment_id"), col("variant"), col("n_cum"),
+        col("conv_cum"), col("llr"),
+        expr(graft.operators.Analytics.sprtDecisionExpr(alpha, beta))
+          .as("decision"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Streaming A/B arm statistics — the ingest-time face of
     * [[graft.operators.Analytics.variantLift]]: per-(experiment,
     * variant) running moments (n, Σv, Σv²) as DECIMAL sums, which are

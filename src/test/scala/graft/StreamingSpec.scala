@@ -870,6 +870,68 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("keyed streaming SPRT: per-arm verdicts ≡ the batch chain; state = |arms|") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // arm (e1, a): 1/2 convert (drifts to h1); (e1, b): never converts
+    // (h0 needs ~52 samples: 52·ln(0.85/0.9) < ln(0.05/0.95)); (e2, a):
+    // ~1/8 conversion sits between p0 = 0.10 and p1 = 0.15, so its LLR
+    // drifts near zero — 'continue'
+    val rows = (0 until 240).map { i =>
+      val (e, v) = if (i % 4 == 3) ("e2", "a")
+        else ("e1", if (i % 2 == 0) "a" else "b")
+      val value =
+        if ((e == "e1" && v == "a" && i % 4 == 0) ||
+          (e == "e2" && i % 32 == 3)) 200.0
+        else 1.0
+      (i.toLong, v, value, s"""{"k":"$e"}""")
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.StreamingMetrics.startKeyedSprt(
+      input.toDS().toDF("event_id", "event_type", "value", "props"),
+      "sprt_keyed")
+    try {
+      input.addData(rows.take(77))
+      q.processAllAvailable()
+      input.addData(rows.drop(77))
+      q.processAllAvailable()
+      implicit val kEnc: org.apache.spark.sql.Encoder[(String, String,
+        Long, Long, Double, String)] =
+        org.apache.spark.sql.Encoders.product
+      type KRow = (String, String, Long, Long, Double, String)
+      // last emission per arm = its max-n row
+      val streamed = spark.table("sprt_keyed").as[KRow].collect()
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSet
+      // batch comparator: per-arm counts through the SAME chains
+      val batch = rows.toDF("event_id", "event_type", "value", "props")
+        .selectExpr("get_json_object(props, '$.k') AS experiment_id",
+          "event_type AS variant", "value")
+        .groupBy("experiment_id", "variant")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_cum"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.col("value") > 100.0, 1L)
+              .otherwise(0L)).as("conv_cum"))
+        .selectExpr("experiment_id", "variant", "n_cum", "conv_cum",
+          graft.operators.Analytics.sprtLlrExpr(0.10, 0.15) + " AS llr")
+        .selectExpr("experiment_id", "variant", "n_cum", "conv_cum",
+          "llr",
+          graft.operators.Analytics.sprtDecisionExpr(0.05, 0.05)
+            + " AS decision")
+        .as[KRow].collect().toSet
+      assert(streamed === batch)
+      // per-arm independence: the three arms reach distinct verdicts
+      val verdicts = streamed.map(r => (r._1, r._2) -> r._6).toMap
+      assert(verdicts(("e1", "a")) === "accept_h1")
+      assert(verdicts(("e1", "b")) === "accept_h0")
+      val stateRows = q.lastProgress.stateOperators
+        .filter(_.operatorName.contains("flatMapGroupsWithState"))
+        .map(_.numRowsTotal).sum
+      assert(stateRows === 3L, s"state rows $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest replayed in order ≡ batch corpus_pipeline counts") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
