@@ -151,24 +151,30 @@ object TextAnalysis {
     * complement of [[zipfFit]]'s rank-frequency view).
     *
     * Scale shape: the one corpus-sized pass is the word count (bounded
-    * output ≈ vocabulary size); the rank and the per-K rollup run on
-    * vocab rows only (the [[zipfFit]] convention — a vocab-bounded
-    * window is fine where a corpus-bounded one would not be), plus a
-    * 1-row corpus-token-total broadcast. Coverage fractions are single
-    * IEEE divisions of exact integers on the 1e-9 floor lattice.
+    * output ≈ vocabulary size). The frequency rank is
+    * [[Analytics.rankByRange]] on (−cnt, w) — at 100 TB of web text
+    * the type table (typos, URLs, numerals) is 1e8–1e9 rows, so an
+    * unpartitioned `row_number().over(Window.orderBy(...))` would
+    * funnel the whole vocabulary through ONE task; the range rank is
+    * rank-identical by construction (the sort is total), keeping the
+    * oracle hash-exact. The rank's checkpoint doubles as the single
+    * materialization: `total_tokens` sums the CHECKPOINTED vocab frame
+    * rather than re-running the corpus explode+count. Coverage
+    * fractions are single IEEE divisions of exact integers on the
+    * 1e-9 floor lattice.
     *
     * Output per K: (vocab_size, n_types, covered_tokens, total_tokens,
     * coverage, oov_rate), `n_types = min(K, |vocab|)`. */
   def vocabCoverage(documents: DataFrame,
       sizes: Seq[Int] = Seq(64, 256, 1024, 4096)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = documents
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
-    val ranked = counts.withColumn("rank",
-      row_number().over(Window.orderBy(desc("cnt"), asc("w"))).cast("long"))
+    val (rankedR, _) = Analytics.rankByRange(
+      counts.withColumn("__negcnt", -col("cnt")), Seq("__negcnt", "w"))
+    val ranked = rankedR.withColumnRenamed("__rank", "rank").drop("__negcnt")
+    val total = ranked.agg(sum(col("cnt")).as("total_tokens"))
     val ks = sizes.map(k => s"$k").mkString(",")
     ranked
       .select(col("cnt"), col("rank"),
@@ -1545,7 +1551,6 @@ object TextAnalysis {
     * `AnalyticsSpec`. Output: `(word, pr_rank, pr)` by descending
     * centrality, pr = pr_i/10^15 (one exact IEEE division). */
   def wordPagerank(documents: DataFrame, iters: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val edges = documents
       .select(split(col("text"), " ").as("t"))
       .where(size(col("t")) >= 2)
@@ -1554,10 +1559,15 @@ object TextAnalysis {
           "i -> struct(t[i] AS src, t[i + 1] AS dst))")).as("g"))
       .groupBy(col("g.src").as("src"), col("g.dst").as("dst"))
       .agg(count(lit(1)).as("w"))
-    Analytics.pagerankExact(edges, iters)
-      .withColumn("pr_rank", row_number().over(
-        Window.orderBy(col("pr_i").desc, col("node"))).cast("long"))
-      .select(col("node").as("word"), col("pr_rank"),
+    // the final centrality rank runs over the FULL node table (the
+    // corpus vocabulary — 1e8+ types at web scale), so it must not be
+    // an unpartitioned window funnel: rankByRange on (−pr_i, node) is
+    // rank-identical (total sort) and range-parallel.
+    val (ranked, _) = Analytics.rankByRange(
+      Analytics.pagerankExact(edges, iters)
+        .withColumn("__negpr", -col("pr_i")), Seq("__negpr", "node"))
+    ranked
+      .select(col("node").as("word"), col("__rank").as("pr_rank"),
         (col("pr_i").cast("double") / lit(Analytics.PrScale.toDouble))
           .as("pr"))
       .orderBy("pr_rank")
@@ -1624,20 +1634,26 @@ object TextAnalysis {
     * so the slope/intercept hash-match across engines despite libm
     * `ln`. Output one row `(n_points, slope, intercept)`.
     *
-    * Scale: one count shuffle on word; the top-N rank is a global
-    * window over |vocab| counted rows (vocab ≪ corpus; for a
-    * 100 TB corpus vocab is millions — still one executor's work). */
+    * Scale: one count shuffle on word; the top-N selection is a
+    * TakeOrdered (per-partition heap + driver merge of `topN` rows —
+    * never a global sort and never a single-partition window over the
+    * full vocab, which is 1e8+ types at web scale), and ranks 1..topN
+    * come from [[Analytics.rankByRange]] over the topN-row result
+    * (rank-identical to the old full-vocab `row_number` ∘ filter:
+    * top-N of a total order, then rank within it). */
   def zipfFit(documents: DataFrame, topN: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val ranked = documents
+    val top = documents
       .select(explode(split(col("text"), " ")).as("word"))
       .where(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("word"))))
-      .where(col("rank") <= topN)
+      .withColumn("__negf", -col("freq"))
+      .orderBy(col("__negf"), col("word")).limit(topN)
+    val (rankedR, _) = Analytics.rankByRange(top, Seq("__negf", "word"),
+      partitions = 4)
+    val ranked = rankedR
       .select(
-        expr("CAST(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)")
+        expr(
+          "CAST(CAST(ln(CAST(__rank AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)")
           .as("x"),
         expr("CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(18,9)) AS DOUBLE)")
           .as("y"))
@@ -1862,7 +1878,6 @@ object TextAnalysis {
     * `depth·width` cells; probes broadcast. */
   def cmsWordFreq(documents: DataFrame, depth: Int = 4, width: Int = 512,
       k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.Registry.ensure(documents.sparkSession)
     val words = documents
       .select(explode(split(col("text"), " ")).as("word"))
@@ -1876,10 +1891,12 @@ object TextAnalysis {
       .select(col("d"), pmod(col("a") + (col("d") + 1) * col("b"),
         lit(width.toLong)).as("cell"))
       .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+    // top-k probes as a TakeOrdered (heap per partition + k-row driver
+    // merge) — selecting the SAME rows as a rank-≤-k filter over the
+    // total (freq desc, word) order, without the single-partition
+    // window funnel the old row_number rank forced on the full vocab
     val probes = words.groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("freq").desc, col("word"))))
-      .where(col("rk") <= k)
+      .orderBy(col("freq").desc, col("word")).limit(k)
       .select(col("word"), col("freq"),
         expr("poly_hash62(word) & 2147483647").as("a"),
         expr("poly_hash62(word) >> 31").as("b"))

@@ -493,4 +493,49 @@ class PlanSpec extends AnyFunSuite {
         "no runtime bloom filter in plan: " + p.take(1500))
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  // Catalog queries ALLOWED to carry an unpartitioned WindowExec: every
+  // entry's window input is bounded by construction (a calendar-grain
+  // minute series, a ≤arms×experiments readout table, a ≤10-row bin
+  // table, a k-row shortlist, …) — never corpus- or vocab-sized. The
+  // lint below keeps the class that motivated it fixed: the four
+  // vocab-sized ranks (vocab_coverage, word_pagerank, zipf_fit,
+  // cms_word_freq) were rewritten onto rankByRange/TakeOrdered and must
+  // not regress, and any NEW query that funnels an unbounded table
+  // through a single-partition window fails this test until it is
+  // either re-planned or justified here.
+  private val boundedWindowAllowlist: Set[String] = Set(
+    "calibration_bins",     // ≤10-row confidence-bin table (ECE rollup)
+    "doremi_weights",       // per-source NLL table (sources, not corpus)
+    "lang_temperature_mix", // per-language share table
+    "revenue_mom_change",   // calendar months (≤ 12·years rows)
+    "split_leakage",        // split-pair cells (k_splits² rows)
+    "sprt_conversion",      // per-minute series (calendar-bounded)
+    "visits_cusum",         // per-minute series (calendar-bounded)
+    "visits_zscore",        // per-minute series (calendar-bounded)
+    "weighted_sample"       // k-row post-limit rank
+  )
+
+  test("no catalog query funnels an unbounded table through an unpartitioned window") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val offenders = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, d)
+      val ws = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          w.windowExpression.mkString(",").take(120)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          s"WindowGroupLimit(${w.rankLikeFunction})".take(120)
+      }
+      if (ws.nonEmpty) offenders += name -> ws.mkString("; ")
+    }
+    val unexpected = offenders.keySet -- boundedWindowAllowlist
+    val stale = boundedWindowAllowlist -- offenders.keySet
+    assert(unexpected.isEmpty,
+      "catalog queries with a NEW unpartitioned WindowExec (re-plan via " +
+        "rankByRange/TakeOrdered or justify in the allowlist):\n" +
+        unexpected.toSeq.sorted.map(n => s"  $n: ${offenders(n)}").mkString("\n"))
+    assert(stale.isEmpty,
+      s"allowlist entries with no unpartitioned window left (remove them): $stale")
+  }
 }
