@@ -84,5 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "bloom_probe",
       "bloom_probe(bloom, key) - membership probe against a bloom_agg blob")(
       BloomFunctions.probeBuilder)
+    fn(ext, "lcs_len",
+      "lcs_len(a, b) - longest-common-subsequence length of two token arrays")(
+      LcsFunctions.lcsBuilder)
   }
 }

@@ -238,6 +238,22 @@ object SparkEntry {
     // + decision bounds, calendar-bounded windows
     "sprt_conversion" -> ((s, d) =>
       Analytics.sprtConversion(Tables.events(s, d))),
+    // Benjamini–Hochberg FDR across the whole experiment battery
+    // (Welch-t + chi-square rows, erfc p-values, step-up q-values)
+    "fdr_experiments" -> ((s, d) =>
+      Analytics.fdrExperiments(Tables.events(s, d))),
+    // Krippendorff's alpha over the m-rater fabricated vote table —
+    // the multi-rater generalization of annotator_kappa
+    "krippendorff_alpha" -> ((s, d) =>
+      Preference.krippendorffAlpha(par(Tables.documents(s, d)))),
+    // temperature-scaled calibration: 8-point grid NLL + ECE in one
+    // fused pass over the pinned scorer, argmin flagged
+    "temperature_fit" -> ((s, d) =>
+      Classifier.temperatureFit(par(Tables.documents(s, d)))),
+    // prefix ROUGE-L over the bleu_pairs pairing: codegen'd LCS DP
+    // per pair, P/R/F chains
+    "rouge_pairs" -> ((s, d) =>
+      Preference.rougePairs(par(Tables.documents(s, d)))),
     // DoReMi-style domain reweighting: per-source excess unigram NLL
     // -> multiplicative-weights softmax over the source-bounded table
     "doremi_weights" -> ((s, d) =>
@@ -943,6 +959,10 @@ object SparkEntry {
     "vocab_richness" -> TextAnalysis.vocabRichnessSql(),
     "variant_conversion" -> Analytics.variantConversionSql(),
     "sprt_conversion" -> Analytics.sprtConversionSql(),
+    "fdr_experiments" -> Analytics.fdrExperimentsSql(),
+    "krippendorff_alpha" -> Preference.krippendorffAlphaSql(),
+    "temperature_fit" -> Classifier.temperatureFitSql(),
+    "rouge_pairs" -> Preference.rougePairsSql(),
     "doremi_weights" -> Corpus.doremiWeightsSql(),
     "contrastive_views" -> Corpus.contrastiveViewsSql(),
     "lexicon_tags" -> TextAnalysis.lexiconTagsSql(),

@@ -52,5 +52,6 @@ object Registry {
       ZValue.register(spark)
       CharNgrams.register(spark)
       BloomFunctions.register(spark)
+      LcsFunctions.register(spark)
     }
 }

@@ -1445,18 +1445,24 @@ object Analytics {
       .select(col("experiment_id"), col("variant"), col("n"),
         col("mean_value"), col("control_variant"), col("mean_ctl"),
         expr("mean_value - mean_ctl").as("lift"),
-        expr(
-          """CASE WHEN variant <> control_variant AND n > 1 AND n_ctl > 1
-            |  AND var_value / CAST(n AS DOUBLE)
-            |    + var_ctl / CAST(n_ctl AS DOUBLE) > 0 THEN
-            |  CAST(CAST(
-            |    (mean_value - mean_ctl)
-            |    / sqrt(var_value / CAST(n AS DOUBLE)
-            |           + var_ctl / CAST(n_ctl AS DOUBLE))
-            |  AS DECIMAL(18,9)) AS DOUBLE)
-            |END""".stripMargin).as("t_welch"))
+        expr(WelchTChain).as("t_welch"))
       .orderBy("experiment_id", "variant")
   }
+
+  // the Welch-t scalar chain over the window-folded arm columns,
+  // shared verbatim by variantLift, fdrExperiments and the streaming
+  // face (variantLiftSql writes the same arithmetic with m./ctl.
+  // prefixes over its join formulation — values identical)
+  private[graft] val WelchTChain =
+    """CASE WHEN variant <> control_variant AND n > 1 AND n_ctl > 1
+      |  AND var_value / CAST(n AS DOUBLE)
+      |    + var_ctl / CAST(n_ctl AS DOUBLE) > 0 THEN
+      |  CAST(CAST(
+      |    (mean_value - mean_ctl)
+      |    / sqrt(var_value / CAST(n AS DOUBLE)
+      |           + var_ctl / CAST(n_ctl AS DOUBLE))
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
 
   /** A/B conversion-rate readout: per (experiment, variant) conversion
     * counts plus the 2×2 Pearson chi-square versus the experiment's
@@ -1916,4 +1922,210 @@ object Analytics {
        |  END AS t_welch
        |FROM m JOIN ctl ON m.experiment_id = ctl.experiment_id
        |ORDER BY m.experiment_id, m.variant""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Benjamini–Hochberg FDR over the experiment battery
+  // ---------------------------------------------------------------
+
+  /** erfc(z) for z ≥ 0 as a shared Spark/DuckDB scalar chain —
+    * Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7, far inside a
+    * p-value readout's tolerance): erfc(z) = (a₁t + … + a₅t⁵)·e^(−z²)
+    * with t = 1/(1+pz). The ONE transcendental, exp(−z²), quantizes
+    * through DECIMAL(18,9) (the `source_kl` convention — engines
+    * agree on the quantized value); every other step is IEEE +,·,/
+    * on identical operands, bit-equal across engines by correct
+    * rounding. Constants carry the e0 suffix so both parsers read
+    * them as DOUBLE literals. Needed because DuckDB ships no erf/erfc
+    * (verified 1.x: `erf` does not resolve). */
+  private[graft] def erfcChain(z: String): String = {
+    val t = s"(1.0e0 / (1.0e0 + 0.3275911e0 * ($z)))"
+    val e = s"(floor(exp(-(($z) * ($z))) * 1e9 + 0.5e0) / 1e9)"
+    s"""((((1.061405429e0 * $t - 1.453152027e0) * $t + 1.421413741e0) * $t
+       |  - 0.284496736e0) * $t + 0.254829592e0) * $t * $e""".stripMargin
+  }
+
+  // battery scalar chains, shared verbatim with the oracle: z is the
+  // half-normal deviate of each test's stat (|t|/√2 for the Welch
+  // readout under its large-sample normal reading; √(χ²/2) = √χ²/√2
+  // for the 1-df chi-square, via P(χ²₁ > x) = erfc(√(x/2))); the
+  // two-sided normal p IS erfc(z). 1/√2 is written as its nearest
+  // double literal so both engines multiply by the identical constant.
+  private val FdrZ =
+    """CASE WHEN test = 'welch_z'
+      |  THEN abs(stat) * 0.7071067811865476e0
+      |  ELSE sqrt(stat) * 0.7071067811865476e0 END""".stripMargin
+  // floor-lattice quantization (the vocabCoverage convention), NOT a
+  // DECIMAL cast: q_raw = quantized-p · m/rank lands EXACTLY on
+  // half-quantum points by construction, where Spark's HALF_UP
+  // double→DECIMAL cast and DuckDB's disagree — floor(x·1e9 + 0.5) of
+  // bit-identical doubles is identical by IEEE exactness (verified:
+  // the DECIMAL form mismatched 8/299 rows at the 1e-9 digit)
+  private def fdrP: String =
+    s"(floor((${erfcChain("z")}) * 1e9 + 0.5e0) / 1e9)"
+  private val FdrQ =
+    "(floor(least(CAST(1.0 AS DOUBLE), q_run) * 1e9 + 0.5e0) / 1e9)"
+
+  /** Benjamini–Hochberg FDR control across the WHOLE experiment
+    * battery — the correction layer over [[variantLift]]'s Welch-t and
+    * [[variantConversion]]'s chi-square readouts (Benjamini &
+    * Hochberg, JRSS-B 1995: rank the m p-values ascending, reject all
+    * hypotheses with p_(i) ≤ (i/m)α — equivalently q_(i) =
+    * min_{j≥i} p_(j)·m/j ≤ α). A user running 100 experiments × 3
+    * arms otherwise reads 300 uncorrected readouts and false-discovers
+    * at the battery scale; this face turns them into one
+    * FDR-controlled decision set. The reference's dashboard stops at
+    * per-arm uniques (`TimeseriesMetricsController.java:109-136`) —
+    * this is the statistical layer above it.
+    *
+    * Both test families enter one battery: each treated arm
+    * contributes its Welch-t row (two-sided normal p — the
+    * large-sample reading; erfc chain above) and its 2×2 chi-square
+    * row (1-df p). Degenerate arms (NULL stat — n ≤ 1, zero margins)
+    * are not tests and drop. BH's step-up min runs as a reverse
+    * running-min window; all BH windows are unpartitioned but run on
+    * the BOUNDED battery table (2 rows per treated arm — arms ×
+    * experiments, hundreds at any corpus scale; PlanSpec allowlist).
+    *
+    * Scale shape: ONE events scan into the (experiment, variant) arm
+    * grain carrying n, the two decimal moment sums and the conversion
+    * count (the [[variantLift]]/[[variantConversion]] grains fused —
+    * one shuffle where running both faces would take two); everything
+    * downstream is the bounded battery.
+    *
+    * Output: (test, experiment_id, variant, stat, p_value, m, rank,
+    * q_value, reject) ordered by rank (= ascending p with a total
+    * tiebreak). */
+  def fdrExperiments(events: DataFrame, alpha: Double = 0.05,
+      threshold: Double = 100.0): DataFrame = {
+    val arms = armEvents(events)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"$SumValue").as("s1"),
+        expr(s"$SumValueSq").as("s2"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))
+      .withColumn("mean_value", expr("s1 / CAST(n AS DOUBLE)"))
+      .withColumn("var_value", expr(
+        """CASE WHEN n > 1 THEN
+          |  greatest(CAST(0 AS DOUBLE),
+          |    s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+          |END""".stripMargin))
+      .withColumn("control_variant",
+        first(col("variant")).over(ArmControlWindow))
+      .withColumn("n_ctl", first(col("n")).over(ArmControlWindow))
+      .withColumn("mean_ctl", first(col("mean_value")).over(ArmControlWindow))
+      .withColumn("var_ctl", first(col("var_value")).over(ArmControlWindow))
+      .withColumn("conv_ctl", first(col("conv")).over(ArmControlWindow))
+    val treated = arms
+      .where(col("variant") =!= col("control_variant"))
+      .withColumn("t_welch", expr(WelchTChain))
+      .withColumn("chi2", expr(ConvChi2))
+    val battery = treated
+      .select(col("experiment_id"), col("variant"),
+        explode(expr(
+          """array(named_struct('test', 'welch_z', 'stat', t_welch),
+            |      named_struct('test', 'chi2', 'stat', chi2))"""
+            .stripMargin)).as("r"))
+      .select(col("experiment_id"), col("variant"),
+        col("r.test").as("test"), col("r.stat").as("stat"))
+      .where(col("stat").isNotNull)
+      .withColumn("z", expr(FdrZ))
+      .withColumn("p_value", expr(fdrP))
+    bhAdjust(battery, alpha)
+  }
+
+  /** The BH step-up tail over an arbitrary battery frame carrying
+    * `(test, experiment_id, variant, stat, p_value)` — split out so
+    * fixtures feed hand p-value tables (AnalyticsSpec checks the
+    * adjusted q-values against the hand-computed step-up). */
+  private[graft] def bhAdjust(battery: DataFrame,
+      alpha: Double): DataFrame = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("p_value"), col("test"),
+      col("experiment_id"), col("variant"))
+    val wRev = Window.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    battery
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("q_raw",
+        expr("p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE)"))
+      .withColumn("q_run", min(col("q_raw")).over(wRev))
+      .withColumn("q_value", expr(FdrQ))
+      .withColumn("reject", col("q_value") <= lit(alpha))
+      .select(col("test"), col("experiment_id"), col("variant"),
+        col("stat"), col("p_value"), col("m"), col("rank"),
+        col("q_value"), col("reject"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of [[fdrExperiments]]: the fused arm aggregate,
+    * the window control fold, the shared Welch/χ² chains, the erfc
+    * p chain, and BH as the same rank + reverse running-min. */
+  def fdrExperimentsSql(alpha: Double = 0.05,
+      threshold: Double = 100.0): String =
+    s"""WITH arms AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    event_type AS variant, count(*)::BIGINT AS n,
+       |    $SumValue AS s1,
+       |    $SumValueSq AS s2,
+       |    CAST(sum(CASE WHEN value > $threshold THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2),
+       |mv AS (
+       |  SELECT *, s1 / CAST(n AS DOUBLE) AS mean_value,
+       |    CASE WHEN n > 1 THEN
+       |      greatest(CAST(0 AS DOUBLE),
+       |        s2 - (s1 * s1) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)
+       |    END AS var_value
+       |  FROM arms),
+       |f AS (
+       |  SELECT experiment_id, variant, n, conv, mean_value, var_value,
+       |    first_value(variant) OVER w AS control_variant,
+       |    first_value(n) OVER w AS n_ctl,
+       |    first_value(mean_value) OVER w AS mean_ctl,
+       |    first_value(var_value) OVER w AS var_ctl,
+       |    first_value(conv) OVER w AS conv_ctl
+       |  FROM mv
+       |  WINDOW w AS (PARTITION BY experiment_id ORDER BY variant
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+       |tt AS (
+       |  SELECT experiment_id, variant,
+       |    $WelchTChain AS t_welch,
+       |    $ConvChi2 AS chi2
+       |  FROM f WHERE variant <> control_variant),
+       |batt AS (
+       |  SELECT experiment_id, variant, 'welch_z' AS test,
+       |    t_welch AS stat
+       |  FROM tt WHERE t_welch IS NOT NULL
+       |  UNION ALL
+       |  SELECT experiment_id, variant, 'chi2', chi2
+       |  FROM tt WHERE chi2 IS NOT NULL),
+       |bz AS (
+       |  SELECT *, $FdrZ AS z FROM batt),
+       |bp AS (
+       |  SELECT experiment_id, variant, test, stat, $fdrP AS p_value
+       |  FROM bz),
+       |br AS (
+       |  SELECT *, count(*) OVER () AS m,
+       |    row_number() OVER (ORDER BY p_value, test, experiment_id,
+       |      variant) AS rank
+       |  FROM bp),
+       |bq AS (
+       |  SELECT *,
+       |    p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE) AS q_raw
+       |  FROM br),
+       |bm AS (
+       |  SELECT *, min(q_raw) OVER (ORDER BY rank DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_run
+       |  FROM bq),
+       |qq AS (
+       |  SELECT test, experiment_id, variant, stat, p_value,
+       |    m::BIGINT AS m, rank::BIGINT AS rank, $FdrQ AS q_value
+       |  FROM bm)
+       |SELECT test, experiment_id, variant, stat, p_value, m, rank,
+       |  q_value, q_value <= $alpha AS reject
+       |FROM qq ORDER BY rank""".stripMargin
 }

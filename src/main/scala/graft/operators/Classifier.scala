@@ -384,6 +384,148 @@ object Classifier {
        |  AS DECIMAL(18,9)) AS DOUBLE) AS ece
        |FROM gapped ORDER BY bin""".stripMargin
 
+  // temperature grid: binary-exact double literals (0.25 … 4.0), so
+  // margin/t_scale is one IEEE division of identical operands on both
+  // engines; shared verbatim with the oracle
+  private val TempGrid =
+    "array(0.25e0, 0.5e0, 0.75e0, 1.0e0, 1.5e0, 2.0e0, 3.0e0, 4.0e0)"
+  // the scaled sigmoid (ONE transcendental, quantized), then clamped
+  // to the open-interval lattice so the NLL's ln never sees 0 or 1 —
+  // a saturated margin would otherwise quantize p to an exact endpoint
+  private val TempP =
+    """least(greatest(
+      |  CAST(CAST(1.0e0 / (1.0e0 + exp(-20.0e0 * margin / t_scale))
+      |  AS DECIMAL(18,9)) AS DOUBLE),
+      |  0.000000001e0), 0.999999999e0)""".stripMargin
+  private val TempNllTerm =
+    """CAST(CAST(CASE WHEN label = 1 THEN -ln(p)
+      |  ELSE -ln(1.0e0 - p) END
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private def tempMean(sumCol: String, nCol: String): String =
+    s"""CAST(CAST(CAST($sumCol AS DOUBLE) / CAST($nCol AS DOUBLE)
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+
+  /** Temperature-scaled calibration fit over the pinned scorer — the
+    * standard one-parameter post-hoc calibration (Guo et al., ICML
+    * 2017 §4.2: scale the logit by 1/T, pick T minimizing NLL; the
+    * model's ranking — and therefore accuracy — is unchanged, only
+    * confidence moves). The logit is [[calibrationBins]]' pinned
+    * 20·margin, so the whole face replays in SQL: for every T on a
+    * fixed 8-point grid this computes the corpus NLL and the ECE in
+    * ONE pass, and flags the NLL-argmin row.
+    *
+    * Grid instead of Newton, deliberately: each Newton step is a
+    * corpus aggregate with a data-dependent iteration count (the
+    * §7.9 constant-plan-size rule pays per-step lineage for
+    * convergence nobody reads off a monitoring face), while the grid
+    * is one fused scan — the documents explode ×8 INSIDE the scan
+    * projection (zero extra shuffles; the one exchange carries the
+    * ≤ 8·10-row (T, bin) partial aggregates). NLL terms and bin
+    * confidences ride quantized DECIMAL sums (order-free); the final
+    * divisions quantize through DECIMAL(18,9).
+    *
+    * Output: one row per grid T — (t_scale, n_docs, nll, ece,
+    * is_best), ordered by t_scale; `is_best` marks the minimal-NLL
+    * row (smallest T on ties). The NLL-vs-T monotone fixture and the
+    * best-T floors live in `ClassifierSpec`. */
+  def temperatureFit(documents: DataFrame, dim: Int = 4096): DataFrame = {
+    val scored = withPinnedScore(documents.select(col("doc_id"),
+        col("text")), dim)
+      .select(col("margin"), col("label"))
+      .select(col("margin"), col("label"),
+        explode(expr(TempGrid)).as("t_scale"))
+      .withColumn("p", expr(TempP))
+      .withColumn("nll_term", expr(TempNllTerm))
+      .withColumn("bin", expr("least(9, CAST(floor(p * 10.0e0) AS INT))"))
+    val bins = scored
+      .groupBy(col("t_scale"), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(p AS DECIMAL(18,9))")).as("s_p"),
+        sum(col("label")).as("n_pos"),
+        sum(expr("CAST(nll_term AS DECIMAL(18,9))")).as("s_nll"))
+      .select(col("t_scale"), col("bin"), col("n"), col("s_nll"),
+        expr(CalConf).as("conf_mean"), expr(CalAcc).as("acc"))
+      .withColumn("gap", expr(CalGap))
+    val perT = bins
+      .groupBy(col("t_scale"))
+      .agg(sum(col("n")).as("n_docs"),
+        sum(expr("CAST(CAST(CAST(n AS DOUBLE) * gap AS DECIMAL(18,9))" +
+          " AS DECIMAL(18,9))")).as("s_gap"),
+        sum(col("s_nll")).as("nll_sum"))
+      .select(col("t_scale"), col("n_docs"),
+        expr(tempMean("nll_sum", "n_docs")).as("nll"),
+        expr(tempMean("s_gap", "n_docs")).as("ece"))
+    // best-T pick over the 8-row grid (bounded unpartitioned window —
+    // PlanSpec allowlist)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .orderBy(col("nll"), col("t_scale"))
+    perT
+      .withColumn("is_best", row_number().over(wBest) === 1)
+      .select(col("t_scale"), col("n_docs"), col("nll"), col("ece"),
+        col("is_best"))
+      .orderBy("t_scale")
+  }
+
+  /** DuckDB replay of [[temperatureFit]]: the pinned-score CTEs, the
+    * identical grid cross join, quantized sigmoid/NLL chains, DECIMAL
+    * bin sums and the same argmin flag. */
+  def temperatureFitSql(dim: Int = 4096): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $dim AS f,
+       |    length(tok) AS lt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0),
+       |sc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_toks,
+       |    sum(('0x' || substr(md5('w:' || CAST(f AS VARCHAR)), 1, 15))
+       |        ::BIGINT % 2001 - 1000)::BIGINT AS w_sum,
+       |    sum(lt)::BIGINT AS sum_len
+       |  FROM toks GROUP BY 1),
+       |marg AS (
+       |  SELECT w_sum::DOUBLE / 10000.0 / n_toks::DOUBLE AS margin,
+       |    (CASE WHEN sum_len::DOUBLE / n_toks::DOUBLE >= 4.5
+       |      THEN 1 ELSE 0 END)::BIGINT AS label
+       |  FROM sc),
+       |g AS (
+       |  SELECT margin, label, t.t_scale
+       |  FROM marg, (SELECT unnest([0.25e0, 0.5e0, 0.75e0, 1.0e0,
+       |    1.5e0, 2.0e0, 3.0e0, 4.0e0]) AS t_scale) t),
+       |pp AS (
+       |  SELECT t_scale, label, $TempP AS p FROM (
+       |    SELECT t_scale, label, margin FROM g) gg),
+       |terms AS (
+       |  SELECT t_scale, p, label, $TempNllTerm AS nll_term,
+       |    least(9, CAST(floor(p * 10.0e0) AS INT)) AS bin
+       |  FROM pp),
+       |bins AS (
+       |  SELECT t_scale, bin, count(*)::BIGINT AS n,
+       |    sum(CAST(p AS DECIMAL(18,9))) AS s_p,
+       |    sum(label)::BIGINT AS n_pos,
+       |    sum(CAST(nll_term AS DECIMAL(18,9))) AS s_nll
+       |  FROM terms GROUP BY 1, 2),
+       |derived AS (
+       |  SELECT t_scale, bin, n, s_nll, $CalConf AS conf_mean,
+       |    $CalAcc AS acc
+       |  FROM bins),
+       |gapped AS (
+       |  SELECT *, $CalGap AS gap FROM derived),
+       |pert AS (
+       |  SELECT t_scale, sum(n)::BIGINT AS n_docs,
+       |    sum(CAST(CAST(CAST(n AS DOUBLE) * gap AS DECIMAL(18,9))
+       |      AS DECIMAL(18,9))) AS s_gap,
+       |    sum(s_nll) AS nll_sum
+       |  FROM gapped GROUP BY 1),
+       |fin AS (
+       |  SELECT t_scale, n_docs,
+       |    ${tempMean("nll_sum", "n_docs")} AS nll,
+       |    ${tempMean("s_gap", "n_docs")} AS ece
+       |  FROM pert)
+       |SELECT t_scale, n_docs, nll, ece,
+       |  row_number() OVER (ORDER BY nll, t_scale) = 1 AS is_best
+       |FROM fin ORDER BY t_scale""".stripMargin
+
   /** Catalog face — quality-classifier distillation end to end: derive
     * the teacher label, train on the hash-split 80% and evaluate on
     * both splits. Output: (split, n_docs, n_pos, n_correct, accuracy),

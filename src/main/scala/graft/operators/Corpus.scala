@@ -2271,9 +2271,16 @@ object Corpus {
     * margin, agreement and P_o are scalar integer arithmetic plus one
     * IEEE division each — hash-exact. Ties break toward the smaller
     * class id (deterministic, engine-agnostic). */
-  def labelMajority(docs: DataFrame, annotators: Int = 5): DataFrame = {
-    val m = annotators
-    val votes = docs
+  /** The deterministic m-rater vote table [[labelMajority]] and
+    * [[Preference.krippendorffAlpha]] share: per (doc, annotator) a
+    * 3-way label fabricated from engine-portable md5 prefixes — a
+    * hash-derived "truth" per doc that each annotator reports
+    * faithfully except when their per-(doc, annotator) noise draw
+    * (1-in-4) flips it to a neighboring label. Replayed verbatim in
+    * both operators' oracles. Output: (doc_id, annotator, label). */
+  private[operators] def fabricatedVotes(docs: DataFrame,
+      m: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         explode(array((0 until m).map(lit): _*)).as("annotator"))
       .withColumn("truth", expr(
@@ -2285,6 +2292,28 @@ object Corpus {
       .withColumn("label", expr(
         "CASE WHEN noise % 4 = 0 THEN (truth + 1 + noise % 2) % 3 " +
           "ELSE truth END"))
+      .select(col("doc_id"), col("annotator"), col("label"))
+
+  /** The shared DuckDB replay of [[fabricatedVotes]] as a CTE body
+    * (callers embed it under their own WITH): same md5-prefix truth,
+    * noise draw, and flip rule. */
+  private[operators] def fabricatedVotesCtes(m: Int): String =
+    s"""votes0 AS (
+       |  SELECT doc_id, t.annotator,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 3
+       |      AS truth,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
+       |      t.annotator::VARCHAR), 1, 15))::BIGINT AS noise
+       |  FROM documents, (SELECT unnest(range($m)) AS annotator) t),
+       |votes AS (
+       |  SELECT doc_id, annotator,
+       |    CASE WHEN noise % 4 = 0 THEN (truth + 1 + noise % 2) % 3
+       |         ELSE truth END AS label
+       |  FROM votes0)""".stripMargin
+
+  def labelMajority(docs: DataFrame, annotators: Int = 5): DataFrame = {
+    val m = annotators
+    val votes = fabricatedVotes(docs, m)
     votes.groupBy(col("doc_id"))
       .agg(sum(when(col("label") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("label") === 1, 1L).otherwise(0L)).as("n1"),
@@ -2305,24 +2334,13 @@ object Corpus {
     * integer consensus arithmetic. */
   def labelMajoritySql(annotators: Int = 5): String = {
     val m = annotators
-    s"""WITH votes AS (
-       |  SELECT doc_id, t.annotator,
-       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 3
-       |      AS truth,
-       |    ('0x' || substr(md5(doc_id::VARCHAR || ':' ||
-       |      t.annotator::VARCHAR), 1, 15))::BIGINT AS noise
-       |  FROM documents, (SELECT unnest(range($m)) AS annotator) t),
-       |lab AS (
-       |  SELECT doc_id,
-       |    CASE WHEN noise % 4 = 0 THEN (truth + 1 + noise % 2) % 3
-       |         ELSE truth END AS label
-       |  FROM votes),
+    s"""WITH ${fabricatedVotesCtes(m)},
        |c AS (
        |  SELECT doc_id,
        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
        |    sum(CASE WHEN label = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
-       |  FROM lab GROUP BY 1)
+       |  FROM votes GROUP BY 1)
        |SELECT doc_id, n0, n1, n2,
        |  (CASE WHEN n0 >= n1 AND n0 >= n2 THEN 0
        |        WHEN n1 >= n2 THEN 1 ELSE 2 END)::BIGINT AS majority_label,

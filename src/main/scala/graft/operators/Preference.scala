@@ -726,4 +726,255 @@ object Preference {
        |SELECT pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
        |  p1, p2, bp, $BleuFinal AS bleu
        |FROM scored ORDER BY pair_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ROUGE-L pair scoring
+  // ---------------------------------------------------------------
+
+  /** ROUGE-L between rank-paired documents — the LCS-based recall/
+    * precision/F pair metric standing next to [[bleuPairs]]'s n-gram
+    * precision (Lin, ACL 2004 Workshop §3.1: P = LCS/|cand|,
+    * R = LCS/|ref|, F = 2PR/(P+R)). Pairing is the identical
+    * [[Corpus.dpoPairs]] dense-rank half-split ([[bleuPairs]]'s —
+    * rank r ↔ rank m+1−r over doc_id order), so the two metrics
+    * score the same pairs.
+    *
+    * Both sides are truncated to their first `maxToks` tokens — the
+    * face's contract is PREFIX ROUGE-L. This keeps the per-pair DP
+    * bounded at maxToks² scan-side work on any corpus (the LCS DP is
+    * quadratic; an unbounded document pair would make per-row cost
+    * data-dependent), and bounds the oracle's RECURSIVE-CTE replay,
+    * which carries the DP row as a LIST and pays an extra maxToks
+    * factor for its prefix-max ([[rougePairsSql]]).
+    *
+    * Scale shape: one [[Analytics.rankByRange]] pairing (range-
+    * partitioned rank), ONE pair_id equi-join, then a scan-side
+    * codegen'd [[graft.functions.LcsLen]] call per pair — no shuffle
+    * beyond the join, output linear in pairs. P and R are single IEEE
+    * divisions of exact integers (the [[BleuP]] discipline — no
+    * quantization needed); F quantizes through DECIMAL(18,9) (one
+    * compound chain, engines agree on every IEEE step).
+    *
+    * Output: (pair_id, ref_doc_id, cand_doc_id, ref_len_t,
+    * cand_len_t, lcs, rouge_p, rouge_r, rouge_f) ordered by pair_id;
+    * pairs with an empty LCS score 0. */
+  def rougePairs(documents: DataFrame, maxToks: Int = 24): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
+    val (rk, m) = Analytics.rankByRange(
+      documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val half = m / 2
+    val withToks = rk.withColumn("toks",
+      expr(s"slice(split(text, ' '), 1, $maxToks)"))
+    val ref = withToks.where(col("__rank") <= half).select(
+      col("__rank").as("pair_id"), col("doc_id").as("ref_doc_id"),
+      col("toks").as("rt"), size(col("toks")).cast("long").as("ref_len_t"))
+    val cand = withToks.where(col("__rank") > m - half).select(
+      (lit(m) + 1L - col("__rank")).as("pair_id"),
+      col("doc_id").as("cand_doc_id"),
+      col("toks").as("ct"), size(col("toks")).cast("long").as("cand_len_t"))
+    ref.join(cand, Seq("pair_id"))
+      .withColumn("lcs", expr("lcs_len(rt, ct)"))
+      .withColumn("rouge_p", expr(RougeP))
+      .withColumn("rouge_r", expr(RougeR))
+      .withColumn("rouge_f", expr(RougeF))
+      .select(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
+        col("ref_len_t"), col("cand_len_t"), col("lcs"),
+        col("rouge_p"), col("rouge_r"), col("rouge_f"))
+      .orderBy("pair_id")
+  }
+
+  // single-division precision/recall: exact IEEE, no quantization
+  // (the BleuP discipline); lengths are ≥ 1 (split of any string
+  // yields at least one token)
+  private val RougeP =
+    "CAST(lcs AS DOUBLE) / CAST(cand_len_t AS DOUBLE)"
+  private val RougeR =
+    "CAST(lcs AS DOUBLE) / CAST(ref_len_t AS DOUBLE)"
+  private val RougeF =
+    """CASE WHEN lcs > 0 THEN
+      |  CAST(CAST(2.0e0 * rouge_p * rouge_r / (rouge_p + rouge_r)
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
+  /** DuckDB replay of [[rougePairs]]: the same row_number pairing as
+    * [[bleuPairsSql]], then the LCS DP as a RECURSIVE CTE (the
+    * `unigramSegmentPinnedSql` sliding-state precedent, with the DP
+    * ROW as a LIST instead of a fixed-width window): iteration i
+    * folds candidate token i into the row via
+    * `t[j] = max(row[j], row[j-1] + eq(ct[i], rt[j]))`, then restores
+    * the in-row dependency `dp[i][j] ≥ dp[i][j-1]` as a prefix max —
+    * `max(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]+eq)` unrolls along j
+    * to exactly `max over j' ≤ j of t[j']`. All-integer state, so the
+    * DP compares are exact in both engines. */
+  def rougePairsSql(maxToks: Int = 24): String =
+    s"""WITH RECURSIVE rk AS (
+       |  SELECT doc_id, text,
+       |    row_number() OVER (ORDER BY doc_id) AS r,
+       |    count(*) OVER () AS m
+       |  FROM documents),
+       |ref AS (
+       |  SELECT r AS pair_id, doc_id AS ref_doc_id,
+       |    list_slice(string_split(text, ' '), 1, $maxToks) AS rt
+       |  FROM rk WHERE r <= m // 2),
+       |cand AS (
+       |  SELECT m + 1 - r AS pair_id, doc_id AS cand_doc_id,
+       |    list_slice(string_split(text, ' '), 1, $maxToks) AS ct
+       |  FROM rk WHERE r > m - m // 2),
+       |pr AS (
+       |  SELECT ref.pair_id, ref_doc_id, cand_doc_id, rt, ct,
+       |    CAST(len(rt) AS BIGINT) AS ref_len_t,
+       |    CAST(len(ct) AS BIGINT) AS cand_len_t
+       |  FROM ref JOIN cand ON ref.pair_id = cand.pair_id),
+       |dp AS (
+       |  SELECT pair_id, 0 AS i,
+       |    list_transform(range(1, ref_len_t + 1), j -> 0::BIGINT) AS dprow
+       |  FROM pr
+       |  UNION ALL
+       |  SELECT pair_id, i + 1,
+       |    list_transform(range(1, rl + 1),
+       |      j -> list_max(list_slice(t, 1, j))) AS dprow
+       |  FROM (
+       |    SELECT dp.pair_id, dp.i, pr.ref_len_t AS rl,
+       |      list_transform(range(1, pr.ref_len_t + 1),
+       |        j -> greatest(dp.dprow[j],
+       |          (CASE WHEN j >= 2 THEN dp.dprow[j - 1] ELSE 0::BIGINT END)
+       |          + (CASE WHEN pr.ct[dp.i + 1] = pr.rt[j]
+       |             THEN 1::BIGINT ELSE 0::BIGINT END))) AS t
+       |    FROM dp JOIN pr ON dp.pair_id = pr.pair_id
+       |    WHERE dp.i < pr.cand_len_t) s),
+       |scored AS (
+       |  SELECT pr.pair_id, ref_doc_id, cand_doc_id, ref_len_t,
+       |    cand_len_t, d.dprow[ref_len_t] AS lcs
+       |  FROM pr JOIN dp d
+       |    ON pr.pair_id = d.pair_id AND d.i = pr.cand_len_t),
+       |withpr AS (
+       |  SELECT *, $RougeP AS rouge_p, $RougeR AS rouge_r FROM scored)
+       |SELECT pair_id, ref_doc_id, cand_doc_id, ref_len_t, cand_len_t,
+       |  lcs, rouge_p, rouge_r, $RougeF AS rouge_f
+       |FROM withpr ORDER BY pair_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Krippendorff's alpha (nominal) — m-rater agreement
+  // ---------------------------------------------------------------
+
+  /** Krippendorff's alpha over the [[Corpus.labelMajority]] m-rater
+    * vote table — the agreement coefficient that GENERALIZES
+    * [[annotatorKappa]]'s two-rater Cohen's κ to any number of raters
+    * (and, unlike κ, to missing ratings): α = 1 − D_o/D_e over the
+    * coincidence matrix (Krippendorff, "Content analysis" 2004 §11;
+    * nominal metric — disagreement is 0/1). Votes are the
+    * deterministic hash-fabricated table [[Corpus.fabricatedVotes]]
+    * shared with `label_majority`, so the whole face replays in SQL.
+    *
+    * Arithmetic: with n_uc = count of label c in unit u and
+    * m_u = Σ_c n_uc, each unit contributes m_u² − Σ_c n_uc² ordered
+    * disagreeing pairs weighted 1/(m_u − 1); D_o is their mean over
+    * the n = Σ m_u pairable values, and D_e = (n² − Σ_c n_c²) /
+    * (n(n−1)) from the pooled label totals. Everything is integer
+    * until the per-unit 1/(m_u−1) division (quantized DECIMAL(18,9),
+    * exact when m_u is constant) and three final IEEE divisions.
+    * BIGINT bound: n² needs n < 3.0e9 ratings — narrow the audited
+    * slice beyond that (the [[Analytics.visitsCusum]] overflow
+    * convention; DuckDB would silently widen to HUGEINT and break the
+    * twin contract, so the bound is the contract).
+    *
+    * Scale shape: one shuffle to the (unit, label) grain, then a
+    * unit-grain and a label-grain aggregate — both bounded by the
+    * corpus and label domain; the final frame is ONE row. Units with
+    * fewer than 2 ratings are unpairable and drop (the canonical
+    * rule; no-op under the fabricated all-m table).
+    *
+    * Output: (n_units, n_values, n_labels, d_obs, d_exp, alpha);
+    * alpha is NULL when D_e = 0 (a single-label corpus has no chance
+    * disagreement to normalize by). */
+  def krippendorffAlpha(documents: DataFrame,
+      annotators: Int = 5): DataFrame =
+    krippendorffFromVotes(
+      Corpus.fabricatedVotes(documents, annotators))
+
+  /** The coefficient over an ARBITRARY votes frame
+    * `(doc_id, annotator, label)` — split out so fixtures can feed
+    * hand tables (perfect agreement, chance, the κ reconciliation). */
+  private[graft] def krippendorffFromVotes(votes: DataFrame): DataFrame = {
+    val nuc = votes
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n_uc"))
+    val units = nuc
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_uc")).as("m_u"),
+        sum(col("n_uc") * col("n_uc")).as("ss_u"))
+      .where(col("m_u") >= 2)
+    val unitStats = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("m_u")).as("n_values"),
+      sum(expr(KaUnitTerm)).as("sum_terms"))
+    val nc = nuc
+      .join(units.select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(sum(col("n_uc")).as("n_c"))
+    val lab = nc.agg(count(lit(1)).as("n_labels"),
+      sum(col("n_c") * col("n_c")).as("ss_c"))
+    unitStats.crossJoin(lab)
+      .withColumn("d_obs", expr(KaDObs))
+      .withColumn("d_exp", expr(KaDExp))
+      .withColumn("alpha", expr(KaAlpha))
+      .select(col("n_units"), col("n_values"), col("n_labels"),
+        col("d_obs"), col("d_exp"), col("alpha"))
+  }
+
+  // the α scalar chains, shared verbatim with the oracle: per-unit
+  // disagreement share quantized into an order-free DECIMAL sum, then
+  // three IEEE divisions of exact integers
+  private val KaUnitTerm =
+    """CAST(CAST(
+      |  CAST(m_u * m_u - ss_u AS DOUBLE) / CAST(m_u - 1 AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DECIMAL(18,9))""".stripMargin
+  private val KaDObs =
+    """CAST(CAST(
+      |  CAST(sum_terms AS DOUBLE) / CAST(n_values AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val KaDExp =
+    """CAST(CAST(
+      |  CAST(n_values * n_values - ss_c AS DOUBLE)
+      |  / CAST(n_values * (n_values - 1) AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val KaAlpha =
+    """CASE WHEN d_exp > 0 THEN
+      |  CAST(CAST(1.0e0 - d_obs / d_exp AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
+
+  /** DuckDB replay of [[krippendorffAlpha]]: the shared fabricated-
+    * votes CTE, the identical integer coincidence rollups and the
+    * identical quantized chains. */
+  def krippendorffAlphaSql(annotators: Int = 5): String =
+    s"""WITH ${Corpus.fabricatedVotesCtes(annotators)},
+       |nuc AS (
+       |  SELECT doc_id, label, count(*)::BIGINT AS n_uc
+       |  FROM votes GROUP BY 1, 2),
+       |units AS (
+       |  SELECT doc_id, sum(n_uc)::BIGINT AS m_u,
+       |    sum(n_uc * n_uc)::BIGINT AS ss_u
+       |  FROM nuc GROUP BY 1
+       |  HAVING sum(n_uc) >= 2),
+       |us AS (
+       |  SELECT count(*)::BIGINT AS n_units,
+       |    sum(m_u)::BIGINT AS n_values,
+       |    sum($KaUnitTerm) AS sum_terms
+       |  FROM units),
+       |nc AS (
+       |  SELECT label, sum(n_uc)::BIGINT AS n_c
+       |  FROM nuc JOIN units USING (doc_id)
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT count(*)::BIGINT AS n_labels,
+       |    sum(n_c * n_c)::BIGINT AS ss_c
+       |  FROM nc),
+       |j AS (SELECT * FROM us CROSS JOIN lab),
+       |d AS (
+       |  SELECT n_units, n_values, n_labels,
+       |    $KaDObs AS d_obs, $KaDExp AS d_exp
+       |  FROM j)
+       |SELECT n_units, n_values, n_labels, d_obs, d_exp,
+       |  $KaAlpha AS alpha
+       |FROM d""".stripMargin
 }

@@ -1202,4 +1202,56 @@ class AnalyticsSpec extends AnyFunSuite {
     // monotone data: once the LLR crosses, it stays crossed at the end
     assert(got.last.getAs[Double]("llr") >= math.log(0.95 / 0.05) - 1e-9)
   }
+
+  test("bhAdjust: q-values match the hand-computed BH step-up") {
+    // classic BH fixture: p = (.01,.02,.03,.04,.20), m = 5 →
+    // q_raw_i = p_i·5/i = (.05,.05,.05,.05,.20); the reverse running
+    // min leaves them unchanged, so at α = .05 the first four reject
+    val batt = Seq(
+      ("t", "e1", "a", 1.0, 0.01), ("t", "e1", "b", 1.0, 0.02),
+      ("t", "e2", "a", 1.0, 0.03), ("t", "e2", "b", 1.0, 0.04),
+      ("t", "e3", "a", 1.0, 0.20))
+      .toDF("test", "experiment_id", "variant", "stat", "p_value")
+    val got = Analytics.bhAdjust(batt, 0.05)
+      .select("rank", "q_value", "reject")
+      .as[(Long, Double, Boolean)].collect().toList
+    assert(got === List((1L, 0.05, true), (2L, 0.05, true),
+      (3L, 0.05, true), (4L, 0.05, true), (5L, 0.2, false)))
+  }
+
+  test("bhAdjust: the step-up min carries a later small p backwards") {
+    // p = (.010,.011,.012): q_raw = (.030,.0165,.012) → reverse min
+    // makes every q .012 — the defining non-monotone-raw case
+    val batt = Seq(
+      ("t", "e1", "a", 1.0, 0.010), ("t", "e1", "b", 1.0, 0.011),
+      ("t", "e2", "a", 1.0, 0.012))
+      .toDF("test", "experiment_id", "variant", "stat", "p_value")
+    val got = Analytics.bhAdjust(batt, 0.05)
+      .select("q_value").as[Double].collect().toList
+    assert(got === List(0.012, 0.012, 0.012))
+  }
+
+  test("erfc chain: two-sided normal p at z-scores matches published values to 1e-6") {
+    // erfc(|z|/√2) = two-sided normal p: z=1 → .31731051, z=1.96 →
+    // .04999579, z=0 → 1 (A&S 7.1.26 max abs error 1.5e-7)
+    val df = Seq(1.0, 1.96, 0.0).toDF("t")
+      .withColumn("z", expr("abs(t) * 0.7071067811865476e0"))
+      .withColumn("p", expr(Analytics.erfcChain("z")))
+    val got = df.select("p").as[Double].collect()
+    assert(math.abs(got(0) - 0.3173105) < 1e-6, got(0).toString)
+    assert(math.abs(got(1) - 0.0499958) < 1e-6, got(1).toString)
+    assert(math.abs(got(2) - 1.0) < 1e-6, got(2).toString)
+  }
+
+  test("fdrExperiments: battery rows are treated arms only, ranks total-ordered") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val got = Analytics.fdrExperiments(ev).collect()
+    assert(got.nonEmpty)
+    // ranks are 1..m with no gaps; q is non-decreasing in rank
+    val ranks = got.map(_.getAs[Long]("rank")).toList
+    assert(ranks === (1L to ranks.length.toLong).toList)
+    val qs = got.map(_.getAs[Double]("q_value")).toList
+    assert(qs === qs.sorted, "BH q-values must be monotone in rank")
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
 }

@@ -116,6 +116,46 @@ class ClassifierSpec extends AnyFunSuite {
     assert(n3 === 1L && ws3 === wsum(Seq("x")))
   }
 
+  test("temperatureFit: full grid, unique argmin, NLL at T* never above T=1") {
+    val docs = syntheticDocs.select(col("doc_id"), col("text"))
+    val got = Classifier.temperatureFit(docs).collect()
+    assert(got.length === 8)
+    assert(got.map(_.getAs[Double]("t_scale")).toList ===
+      List(0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0))
+    val best = got.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length === 1, "argmin flag must be unique")
+    val nllBest = best.head.getAs[Double]("nll")
+    val nllT1 = got.find(_.getAs[Double]("t_scale") == 1.0).get
+      .getAs[Double]("nll")
+    assert(nllBest <= nllT1,
+      s"grid argmin ($nllBest) must not exceed the T=1 NLL ($nllT1)")
+    // every row is a real readout: finite NLL, ECE in [0,1], same count
+    got.foreach { r =>
+      assert(!r.getAs[Double]("nll").isNaN && r.getAs[Double]("nll") >= 0)
+      val e = r.getAs[Double]("ece")
+      assert(e >= 0.0 && e <= 1.0)
+      assert(r.getAs[Long]("n_docs") === got.head.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("temperatureFit: NLL is exactly the mean quantized bernoulli NLL at each T (driver recompute at T=2)") {
+    val docs = syntheticDocs.select(col("doc_id"), col("text")).limit(50)
+    val scored = Classifier.withPinnedScore(docs)
+      .select("margin", "label").collect()
+    def q9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val terms = scored.map { r =>
+      val m = r.getAs[Double]("margin"); val y = r.getAs[Long]("label")
+      val p0 = q9(1.0 / (1.0 + math.exp(-20.0 * m / 2.0)))
+      val p = math.min(math.max(p0, 1e-9), 0.999999999)
+      q9(if (y == 1L) -math.log(p) else -math.log(1.0 - p))
+    }
+    val expected = q9(terms.map(BigDecimal(_)).sum.toDouble / terms.length)
+    val got = Classifier.temperatureFit(docs).collect()
+      .find(_.getAs[Double]("t_scale") == 2.0).get.getAs[Double]("nll")
+    assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
+  }
+
   test("calibrationBins: bins partition confidence, means stay in-bin, ECE is the weighted gap") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.Sf0001)
     val rows = Classifier.calibrationBins(docs).collect()

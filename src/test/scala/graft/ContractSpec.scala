@@ -93,7 +93,11 @@ class ContractSpec extends AnyFunSuite {
       "ql_dirichlet_search",
       // 1-row source-count broadcast into the vocab-bounded
       // (source, term) score table — the tfidf_top_terms pattern
-      "lexicon_tags")
+      "lexicon_tags",
+      // cross of TWO 1-row aggregates (unit-coincidence totals ×
+      // label totals) into the single output row — the
+      // key_skew_profile shape
+      "krippendorff_alpha")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

@@ -507,6 +507,8 @@ class PlanSpec extends AnyFunSuite {
   private val boundedWindowAllowlist: Set[String] = Set(
     "calibration_bins",     // ≤10-row confidence-bin table (ECE rollup)
     "doremi_weights",       // per-source NLL table (sources, not corpus)
+    "fdr_experiments",      // battery table (2 rows per treated arm)
+    "temperature_fit",      // 8-row grid argmin pick
     "lang_temperature_mix", // per-language share table
     "revenue_mom_change",   // calendar months (≤ 12·years rows)
     "split_leakage",        // split-pair cells (k_splits² rows)

@@ -224,4 +224,110 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.getAs[Double]("bp") === 1.0)
     assert(got.getAs[Double]("bleu") === 1.0)
   }
+
+  test("krippendorffAlpha: perfect agreement scores exactly 1") {
+    // 3 units × 3 raters, unanimous per unit, labels differ across
+    // units (so D_e > 0): D_o = 0 → α = 1
+    val lab = Map("u1" -> 0L, "u2" -> 1L, "u3" -> 2L)
+    val votes = for (u <- Seq("u1", "u2", "u3"); r <- 0 to 2)
+      yield (u, r, lab(u))
+    val got = Preference.krippendorffFromVotes(
+      votes.toDF("doc_id", "annotator", "label")).collect().head
+    assert(got.getAs[Long]("n_units") === 3L)
+    assert(got.getAs[Long]("n_values") === 9L)
+    assert(got.getAs[Double]("d_obs") === 0.0)
+    assert(got.getAs[Double]("alpha") === 1.0)
+  }
+
+  test("krippendorffAlpha: hand table matches the coincidence-matrix value") {
+    // 4 units × 2 raters: u1(0,0) u2(0,0) u3(0,1) u4(1,1).
+    // D_o = (2/1)/8 = .25; n_c = (5,3) → D_e = (64−34)/(8·7) = 30/56;
+    // α = 1 − .25/D_e = 8/15 (on the operator's 1e-9 lattice)
+    val votes = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L), ("u2", 0, 0L), ("u2", 1, 0L),
+      ("u3", 0, 0L), ("u3", 1, 1L), ("u4", 0, 1L), ("u4", 1, 1L))
+      .toDF("doc_id", "annotator", "label")
+    val got = Preference.krippendorffFromVotes(votes).collect().head
+    assert(got.getAs[Double]("d_obs") === 0.25)
+    val deQ = round9(30.0 / 56.0)
+    assert(got.getAs[Double]("d_exp") === deQ)
+    assert(got.getAs[Double]("alpha") === round9(1.0 - 0.25 / deQ))
+  }
+
+  test("krippendorffAlpha: 2-rater case reconciles with Scott's π (= κ at symmetric marginals): α = 1 − (1−π)(n−1)/n") {
+    // u1(0,0) u2(0,0) u3(0,1) u4(1,0) u5(1,1): both raters' marginals
+    // are (3,2) so Cohen's κ = Scott's π = 1/6; n = 10 values →
+    // α = 1 − (5/6)(9/10) = 1/4. Direct: D_o = 4/10, D_e = 48/90.
+    val votes = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L), ("u2", 0, 0L), ("u2", 1, 0L),
+      ("u3", 0, 0L), ("u3", 1, 1L), ("u4", 0, 1L), ("u4", 1, 0L),
+      ("u5", 0, 1L), ("u5", 1, 1L))
+      .toDF("doc_id", "annotator", "label")
+    val got = Preference.krippendorffFromVotes(votes).collect().head
+    assert(got.getAs[Double]("d_obs") === 0.4)
+    assert(got.getAs[Double]("d_exp") === round9(48.0 / 90.0))
+    val pi = 1.0 / 6.0
+    val expected = round9(1.0 - 0.4 / round9(48.0 / 90.0))
+    assert(got.getAs[Double]("alpha") === expected)
+    // and the analytic identity holds on the same lattice
+    assert(math.abs(expected - (1.0 - (1.0 - pi) * 9.0 / 10.0)) < 1e-8)
+  }
+
+  test("krippendorffAlpha: single-rating units are unpairable and drop; single-label corpus yields NULL α") {
+    val votes = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L),
+      ("u2", 0, 0L) // one rating — must not count
+    ).toDF("doc_id", "annotator", "label")
+    val got = Preference.krippendorffFromVotes(votes).collect().head
+    assert(got.getAs[Long]("n_units") === 1L)
+    assert(got.getAs[Long]("n_values") === 2L)
+    assert(got.getAs[Double]("d_obs") === 0.0)
+    // one label in the pairable pool → D_e = 0 → α undefined
+    assert(got.isNullAt(got.fieldIndex("alpha")))
+  }
+
+  test("lcs_len: identity, disjoint, subsequence, and the prefix-max case") {
+    graft.functions.Registry.ensure(spark)
+    val got = spark.range(1).selectExpr(
+      "lcs_len(array('a','b','c'), array('a','b','c')) AS ident",
+      "lcs_len(array('a','b'), array('x','y')) AS disjoint",
+      "lcs_len(array('a','b','c','d'), array('x','a','q','c','d')) AS subseq",
+      // LCS needs dp[i][j-1]: a naive diag-only recurrence returns 1
+      "lcs_len(array('a','b'), array('a','x','b')) AS gap",
+      "lcs_len(CAST(array() AS array<string>), array('a')) AS empty")
+      .collect().head
+    assert(got.getAs[Long]("ident") === 3L)
+    assert(got.getAs[Long]("disjoint") === 0L)
+    assert(got.getAs[Long]("subseq") === 3L)
+    assert(got.getAs[Long]("gap") === 2L)
+    assert(got.getAs[Long]("empty") === 0L)
+  }
+
+  test("rougePairs: hand pair reproduces LCS precision/recall/F; identical texts score 1") {
+    // 4 docs → pairs (d1,d4), (d2,d3) under the rank half-split.
+    // d1="a b c d" vs d4="a x c": LCS = {a,c} = 2 → P = 2/3,
+    // R = 2/4, F = 2PR/(P+R). d2 ≡ d3 → F = 1.
+    val docs = Seq(
+      ("d1", "a b c d"), ("d2", "p q r"), ("d3", "p q r"),
+      ("d4", "a x c")).toDF("doc_id", "text")
+    val got = Preference.rougePairs(docs).collect()
+    assert(got.length === 2)
+    val p1 = got.find(_.getAs[String]("ref_doc_id") == "d1").get
+    assert(p1.getAs[String]("cand_doc_id") === "d4")
+    assert(p1.getAs[Long]("lcs") === 2L)
+    assert(p1.getAs[Double]("rouge_p") === 2.0 / 3.0)
+    assert(p1.getAs[Double]("rouge_r") === 0.5)
+    val f = 2.0 * (2.0 / 3.0) * 0.5 / (2.0 / 3.0 + 0.5)
+    assert(p1.getAs[Double]("rouge_f") === round9(f))
+    val p2 = got.find(_.getAs[String]("ref_doc_id") == "d2").get
+    assert(p2.getAs[Long]("lcs") === 3L)
+    assert(p2.getAs[Double]("rouge_f") === 1.0)
+  }
+
+  test("rougePairs: disjoint pair scores 0 with F defined (not NULL)") {
+    val docs = Seq(("d1", "a b"), ("d2", "x y")).toDF("doc_id", "text")
+    val got = Preference.rougePairs(docs).collect().head
+    assert(got.getAs[Long]("lcs") === 0L)
+    assert(got.getAs[Double]("rouge_f") === 0.0)
+  }
 }
