@@ -574,6 +574,14 @@ object SparkEntry {
     "knn_mrl" -> ((s, d) => Similarity.knnMrl(par(Tables.embeddings(s, d)))),
     "knn_mrl_recall" -> ((s, d) =>
       Similarity.knnMrlRecall(par(Tables.embeddings(s, d)))),
+    // NN-descent all-nodes k-NN graph (local joins on shared
+    // neighbors, fixed rounds) + its measured recall face — rows-only
+    // by the trained-twin convention (FP state accumulates across
+    // rounds); floors in ContractSpec
+    "knn_graph_nnd" -> ((s, d) =>
+      Similarity.nnDescentGraph(par(Tables.embeddings(s, d)))),
+    "knn_graph_nnd_recall" -> ((s, d) =>
+      Similarity.nnDescentRecall(par(Tables.embeddings(s, d)))),
     "embedding_near_dup" -> ((s, d) => Similarity.embeddingNearDup(par(Tables.embeddings(s, d)))),
     // SemDeDup: connected components over embedding-cosine near-dup
     // pairs, keep-smallest-id (exact pair stage -> exact oracle)

@@ -2086,4 +2086,121 @@ object Similarity {
        |  $cols
        |FROM emb ORDER BY vec_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // NN-descent k-NN graph
+  // ---------------------------------------------------------------
+
+  /** Approximate k-NN GRAPH over the whole collection by NN-descent
+    * (Dong, Charikar & Li, "Efficient k-nearest neighbor graph
+    * construction for generic similarity measures", WWW 2011) — the
+    * one ANN index family the IVF/PQ/LSH/PCA/MRL faces don't cover:
+    * those answer external queries against an index; this builds the
+    * all-nodes neighbor graph that clustering, semantic dedup and
+    * graph-based ANN (HNSW-style) start from. The principle: a
+    * neighbor of a neighbor is likely a neighbor — start from a
+    * deterministic pseudo-random graph, then each round proposes every
+    * pair of nodes that share a current neighbor ("local join"),
+    * scores the proposals, and keeps each node's top-k.
+    *
+    * Deterministic by construction (hash init, fixed-fold vec_dot,
+    * (cos desc, idx) total tie-break) but data-dependent FP state
+    * accumulates across rounds, so the face is rows-only by the
+    * trained-twin convention; its measured quality face is
+    * [[nnDescentRecall]] (floored in ContractSpec like the other
+    * trained indexes).
+    *
+    * Scale shape: ids densify ONCE through [[Analytics.rankByRange]]
+    * (range exchange, never a single-partition window); each round is
+    * the symmetrized-edge self-equi-join on the shared-neighbor key
+    * (Σ_u deg(u)² = n·(2k)² candidate rows — linear in n at fixed k,
+    * never all-pairs), two idx-keyed joins against the persisted
+    * (idx, embedding, norm) frame, and a PARTITIONED per-node top-k
+    * window. Each round's edge frame persists (the §7.9 iterative-op
+    * rule: round r+1 reads round r twice — as both join sides of the
+    * local join); `rounds` is FIXED (constant plan size), and NND's
+    * own convergence result says 2–3 rounds capture most of the
+    * recall at this k.
+    *
+    * Output: (node_id, neighbor_id, rank) for every node, ordered by
+    * (node_id, rank) — the [[knnBruteForce]] shape over all nodes. */
+  def nnDescentGraph(embeddings: DataFrame, k: Int = 10,
+      rounds: Int = 2): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k,rounds >= 1; got $k,$rounds")
+    graft.functions.Registry.ensure(embeddings.sparkSession)
+    val (ranked, n) = Analytics.rankByRange(
+      embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val nodes = ranked
+      .select((col("__rank") - 1L).as("idx"), col("vec_id"),
+        col("embedding"),
+        expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
+      .persist()
+    // deterministic pseudo-random init: k hash offsets in [1, n−1]
+    // per node (never 0 — no self loops); duplicate offsets collapse
+    // in the pair-grain dedupe below
+    val init = nodes.select(col("idx"),
+        explode(expr(
+          s"""transform(sequence(1, $k), j ->
+             |  pmod(xxhash64(concat(CAST(idx AS STRING), ':',
+             |    CAST(j AS STRING))), ${math.max(n - 1, 1)}) + 1L)"""
+            .stripMargin)).as("off"))
+      .select(col("idx").as("a"), pmod(col("idx") + col("off"),
+        lit(n)).as("b"))
+    var edges = nndTopK(nndScore(init, nodes), k).persist()
+    for (_ <- 1 to rounds) {
+      val sym = edges.select(col("a"), col("b"))
+        .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      // local join: nodes sharing a current neighbor, each unordered
+      // pair proposed once then mirrored
+      val cand = sym.as("x").join(sym.as("y"),
+          col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+        .select(col("x.b").as("a"), col("y.b").as("b"))
+      val prop = cand.unionAll(cand.select(col("b").as("a"),
+        col("a").as("b")))
+      val merged = nndScore(prop, nodes)
+        .unionAll(edges.select(col("a"), col("b"), col("cos_sim")))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("cos_sim")).as("cos_sim"))
+      edges = nndTopK(merged, k).persist()
+    }
+    edges
+      .join(nodes.select(col("idx").as("a"), col("vec_id").as("node_id")),
+        Seq("a"))
+      .join(nodes.select(col("idx").as("b"),
+        col("vec_id").as("neighbor_id")), Seq("b"))
+      .select(col("node_id"), col("neighbor_id"), col("rank"))
+      .orderBy("node_id", "rank")
+  }
+
+  // score (a, b) idx pairs: two idx-keyed joins against the persisted
+  // node frame, one codegen'd vec_dot per pair
+  private def nndScore(pairs: DataFrame, nodes: DataFrame): DataFrame =
+    pairs
+      .join(nodes.select(col("idx").as("a"), col("embedding").as("ea"),
+        col("norm").as("na")), Seq("a"))
+      .join(nodes.select(col("idx").as("b"), col("embedding").as("eb"),
+        col("norm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        (expr("vec_dot(ea, eb)") / (col("na") * col("nb"))).as("cos_sim"))
+
+  // per-node top-k with the (cos desc, idx) total tie-break —
+  // PARTITIONED window (one hash shuffle on the node key)
+  private def nndTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+      .orderBy(col("cos_sim").desc, col("b"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Recall@k of the NN-descent graph against the exact brute-force
+    * baseline on the [[knnBruteForce]] query sample — the graph's
+    * measured-quality face (one row; ContractSpec floors it). */
+  def nnDescentRecall(embeddings: DataFrame, k: Int = 10,
+      rounds: Int = 2, queryMod: Int = 100): DataFrame = {
+    val graph = nnDescentGraph(embeddings, k, rounds)
+      .where(pmod(col("node_id"), lit(queryMod)) === 0)
+      .select(col("node_id").as("query_id"), col("neighbor_id"))
+    annRecall(knnBruteForce(embeddings, k, queryMod), graph,
+      s"nnd_k${k}_r$rounds")
+  }
 }

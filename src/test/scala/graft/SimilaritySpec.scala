@@ -385,4 +385,34 @@ class SimilaritySpec extends AnyFunSuite {
       .where(col("kernel") =!= col("fold"))
     assert(both.count() === 0)
   }
+
+  test("nnDescentGraph: full cover, no self edges, exactly k ranked neighbors, deterministic") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val k = 10
+    val g = Similarity.nnDescentGraph(emb, k = k).collect()
+    val n = emb.count()
+    // every node has exactly k neighbors ranked 1..k (candidates
+    // always exceed k after one local join on this collection)
+    val byNode = g.groupBy(_.getAs[Long]("node_id"))
+    assert(byNode.size.toLong === n, "graph must cover every node")
+    byNode.foreach { case (node, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toList ===
+        (1L to k).toList, s"node $node ranks")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != node),
+        s"self edge at $node")
+    }
+    // hash init + total tie-breaks → bit-stable across runs
+    val g2 = Similarity.nnDescentGraph(emb, k = k).collect()
+    assert(g.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      g2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
+  test("nnDescentGraph: a second round never lowers recall (descent, not drift)") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val r1 = Similarity.nnDescentRecall(emb, rounds = 1).collect()(0)
+      .getAs[Double]("recall_at_k")
+    val r2 = Similarity.nnDescentRecall(emb, rounds = 2).collect()(0)
+      .getAs[Double]("recall_at_k")
+    assert(r2 >= r1 - 1e-9, s"round 2 recall $r2 below round 1 $r1")
+  }
 }
