@@ -246,6 +246,10 @@ object SparkEntry {
     // the multi-rater generalization of annotator_kappa
     "krippendorff_alpha" -> ((s, d) =>
       Preference.krippendorffAlpha(par(Tables.documents(s, d)))),
+    // Fleiss' kappa over the same vote table — the fixed-panel
+    // multi-rater coefficient (2-rater case = Scott's pi)
+    "fleiss_kappa" -> ((s, d) =>
+      Preference.fleissKappa(par(Tables.documents(s, d)))),
     // temperature-scaled calibration: 8-point grid NLL + ECE in one
     // fused pass over the pinned scorer, argmin flagged
     "temperature_fit" -> ((s, d) =>
@@ -969,6 +973,7 @@ object SparkEntry {
     "sprt_conversion" -> Analytics.sprtConversionSql(),
     "fdr_experiments" -> Analytics.fdrExperimentsSql(),
     "krippendorff_alpha" -> Preference.krippendorffAlphaSql(),
+    "fleiss_kappa" -> Preference.fleissKappaSql(),
     "temperature_fit" -> Classifier.temperatureFitSql(),
     "rouge_pairs" -> Preference.rougePairsSql(),
     "doremi_weights" -> Corpus.doremiWeightsSql(),

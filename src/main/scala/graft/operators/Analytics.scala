@@ -1996,13 +1996,27 @@ object Analytics {
     * q_value, reject) ordered by rank (= ascending p with a total
     * tiebreak). */
   def fdrExperiments(events: DataFrame, alpha: Double = 0.05,
-      threshold: Double = 100.0): DataFrame = {
-    val arms = armEvents(events)
+      threshold: Double = 100.0): DataFrame =
+    fdrFromArms(armEvents(events)
       .groupBy(col("experiment_id"), col("variant"))
       .agg(count(lit(1)).as("n"),
         expr(s"$SumValue").as("s1"),
         expr(s"$SumValueSq").as("s2"),
-        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv")),
+      alpha)
+
+  /** The derivation TAIL of [[fdrExperiments]] — from a bounded arm
+    * table `(experiment_id, variant, n, s1, s2, conv)` to the
+    * BH-adjusted battery. Split out (the [[liftFromArms]] pattern) so
+    * the streaming face
+    * ([[graft.streaming.StreamingMetrics.startFdrExperiments]])
+    * replays the IDENTICAL chain over its running arm state: the arm
+    * sums are algebraic, so the streamed battery after any micro-batch
+    * slicing is bit-equal to the batch face over the same events
+    * (asserted in `StreamingSpec`). */
+  private[graft] def fdrFromArms(armsIn: DataFrame,
+      alpha: Double): DataFrame = {
+    val arms = armsIn
       .withColumn("mean_value", expr("s1 / CAST(n AS DOUBLE)"))
       .withColumn("var_value", expr(
         """CASE WHEN n > 1 THEN

@@ -943,6 +943,103 @@ object Preference {
       |  CAST(CAST(1.0e0 - d_obs / d_exp AS DECIMAL(18,9)) AS DOUBLE)
       |END""".stripMargin
 
+  /** Fleiss' kappa over the same m-rater vote table — the FIXED-PANEL
+    * multi-rater agreement coefficient (Fleiss, "Measuring nominal
+    * scale agreement among many raters", Psych. Bull. 1971): requires
+    * every unit rated by exactly m raters (units that aren't drop —
+    * a no-op under the fabricated table), where [[krippendorffAlpha]]
+    * handles ragged panels. κ = (P̄_o − P̄_e)/(1 − P̄_e) with
+    * P̄_o = Σ_u Σ_c n_uc(n_uc−1) / (N·m·(m−1)) and
+    * P̄_e = Σ_c n_c² / (N·m)². Two-rater case = Scott's π (asserted
+    * against the α fixture in PreferenceSpec). All-integer until three
+    * final divisions on the 1e-9 lattice; same n < 3e9 BIGINT bound
+    * note as α. Scale shape: identical to α — one (unit, label)
+    * shuffle, bounded rollups, one output row.
+    *
+    * Output: (n_units, n_raters, n_labels, p_o, p_e, kappa); kappa
+    * NULL when P̄_e = 1 (single-label corpus). */
+  def fleissKappa(documents: DataFrame, annotators: Int = 5): DataFrame =
+    fleissFromVotes(Corpus.fabricatedVotes(documents, annotators),
+      annotators)
+
+  /** The coefficient over an arbitrary votes frame (fixture entry
+    * point, the [[krippendorffFromVotes]] pattern). */
+  private[graft] def fleissFromVotes(votes: DataFrame,
+      m: Int): DataFrame = {
+    val nuc = votes
+      .groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("n_uc"))
+    val units = nuc
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_uc")).as("m_u"),
+        sum(col("n_uc") * (col("n_uc") - 1)).as("so_u"))
+      .where(col("m_u") === m)
+    val us = units.agg(count(lit(1)).as("n_units"),
+      sum(col("so_u")).as("so"))
+    val nc = nuc
+      .join(units.select(col("doc_id")), Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(sum(col("n_uc")).as("n_c"))
+    val lab = nc.agg(count(lit(1)).as("n_labels"),
+      sum(col("n_c") * col("n_c")).as("ss_c"))
+    us.crossJoin(lab)
+      .withColumn("n_raters", lit(m.toLong))
+      .withColumn("p_o", expr(FleissPo(m)))
+      .withColumn("p_e", expr(FleissPe(m)))
+      .withColumn("kappa", expr(FleissK))
+      .select(col("n_units"), col("n_raters"), col("n_labels"),
+        col("p_o"), col("p_e"), col("kappa"))
+  }
+
+  // Fleiss scalar chains, shared verbatim with the oracle
+  private def FleissPo(m: Int): String =
+    s"""CAST(CAST(
+       |  CAST(so AS DOUBLE) / CAST(n_units * $m * ${m - 1} AS DOUBLE)
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private def FleissPe(m: Int): String =
+    s"""CAST(CAST(
+       |  CAST(ss_c AS DOUBLE)
+       |  / CAST((n_units * $m) * (n_units * $m) AS DOUBLE)
+       |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+  private val FleissK =
+    """CASE WHEN p_e < 1.0e0 THEN
+      |  CAST(CAST((p_o - p_e) / (1.0e0 - p_e)
+      |  AS DECIMAL(18,9)) AS DOUBLE)
+      |END""".stripMargin
+
+  /** DuckDB replay of [[fleissKappa]]: shared votes CTE, identical
+    * integer rollups and quantized chains. */
+  def fleissKappaSql(annotators: Int = 5): String = {
+    val m = annotators
+    s"""WITH ${Corpus.fabricatedVotesCtes(m)},
+       |nuc AS (
+       |  SELECT doc_id, label, count(*)::BIGINT AS n_uc
+       |  FROM votes GROUP BY 1, 2),
+       |units AS (
+       |  SELECT doc_id, sum(n_uc)::BIGINT AS m_u,
+       |    sum(n_uc * (n_uc - 1))::BIGINT AS so_u
+       |  FROM nuc GROUP BY 1
+       |  HAVING sum(n_uc) = $m),
+       |us AS (
+       |  SELECT count(*)::BIGINT AS n_units, sum(so_u)::BIGINT AS so
+       |  FROM units),
+       |nc AS (
+       |  SELECT label, sum(n_uc)::BIGINT AS n_c
+       |  FROM nuc JOIN units USING (doc_id)
+       |  GROUP BY 1),
+       |lab AS (
+       |  SELECT count(*)::BIGINT AS n_labels,
+       |    sum(n_c * n_c)::BIGINT AS ss_c
+       |  FROM nc),
+       |j AS (SELECT * FROM us CROSS JOIN lab),
+       |d AS (
+       |  SELECT n_units, CAST($m AS BIGINT) AS n_raters, n_labels,
+       |    ${FleissPo(m)} AS p_o, ${FleissPe(m)} AS p_e
+       |  FROM j)
+       |SELECT n_units, n_raters, n_labels, p_o, p_e, $FleissK AS kappa
+       |FROM d""".stripMargin
+  }
+
   /** DuckDB replay of [[krippendorffAlpha]]: the shared fabricated-
     * votes CTE, the identical integer coincidence rollups and the
     * identical quantized chains. */

@@ -1127,6 +1127,42 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming Benjamini–Hochberg FDR over the live experiment
+    * battery — [[startVariantLiftT]]'s correction layer: the same
+    * running per-arm state EXTENDED with the conversion count (all
+    * four sums algebraic — count, two DECIMAL moments, an integer
+    * conversion tally — so the arm state after any micro-batch cut is
+    * bit-identical to the batch aggregate), then per micro-batch the
+    * IDENTICAL battery derivation as the batch face
+    * (`Analytics.fdrFromArms`: shared Welch/χ²/erfc chains, BH rank +
+    * reverse running-min), published to a session temp view. The
+    * streamed q-values and reject set after ANY slicing are bit-equal
+    * to `Analytics.fdrExperiments` over the same events (asserted in
+    * `StreamingSpec`). Per-batch tail cost: the bounded battery
+    * (2 rows per treated arm), never a second event scan. */
+  def startFdrExperiments(events: DataFrame, queryName: String,
+      alpha: Double = 0.05, threshold: Double = 100.0): StreamingQuery = {
+    val session = events.sparkSession
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        expr(graft.operators.Analytics.SumValue).as("s1"),
+        expr(graft.operators.Analytics.SumValueSq).as("s2"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (arms: DataFrame, _: Long) =>
+        val out = graft.operators.Analytics.fdrFromArms(arms, alpha)
+        val rows = out.collect()
+        session
+          .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .createOrReplaceTempView(queryName)
+      }
+      .start()
+  }
+
   def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._

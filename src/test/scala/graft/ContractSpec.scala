@@ -100,7 +100,9 @@ class ContractSpec extends AnyFunSuite {
       // cross of TWO 1-row aggregates (unit-coincidence totals ×
       // label totals) into the single output row — the
       // key_skew_profile shape
-      "krippendorff_alpha")
+      "krippendorff_alpha",
+      // same two-1-row-aggregates cross as krippendorff_alpha
+      "fleiss_kappa")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {

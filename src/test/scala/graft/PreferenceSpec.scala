@@ -286,6 +286,47 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("alpha")))
   }
 
+  test("fleissKappa: perfect agreement = 1; hand table hits the exact rational 0.25") {
+    // perfect: 2 units × 3 raters unanimous, labels differ across units
+    val perfect = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L), ("u1", 2, 0L),
+      ("u2", 0, 1L), ("u2", 1, 1L), ("u2", 2, 1L))
+      .toDF("doc_id", "annotator", "label")
+    val p = Preference.fleissFromVotes(perfect, 3).collect().head
+    assert(p.getAs[Double]("p_o") === 1.0)
+    assert(p.getAs[Double]("kappa") === 1.0)
+    // hand: u1 (0,0,1), u2 (1,1,1) → P_o = 8/12 = 2/3,
+    // n_c = (2,4), P_e = 20/36 = 5/9, κ = (1/9)/(4/9) = 1/4
+    val votes = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L), ("u1", 2, 1L),
+      ("u2", 0, 1L), ("u2", 1, 1L), ("u2", 2, 1L))
+      .toDF("doc_id", "annotator", "label")
+    val got = Preference.fleissFromVotes(votes, 3).collect().head
+    val po = round9(2.0 / 3.0)
+    val pe = round9(20.0 / 36.0)
+    assert(got.getAs[Double]("p_o") === po)
+    assert(got.getAs[Double]("p_e") === pe)
+    assert(got.getAs[Double]("kappa") === round9((po - pe) / (1.0 - pe)))
+  }
+
+  test("fleissKappa: 2-rater case IS Scott's π on the α reconciliation table; ragged units drop") {
+    // same table as the krippendorff reconciliation fixture — π = 1/6
+    val votes = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L), ("u2", 0, 0L), ("u2", 1, 0L),
+      ("u3", 0, 0L), ("u3", 1, 1L), ("u4", 0, 1L), ("u4", 1, 0L),
+      ("u5", 0, 1L), ("u5", 1, 1L),
+      ("u6", 0, 2L) // one rating — not a full panel, must drop
+    ).toDF("doc_id", "annotator", "label")
+    val got = Preference.fleissFromVotes(votes, 2).collect().head
+    assert(got.getAs[Long]("n_units") === 5L)
+    assert(got.getAs[Long]("n_labels") === 2L, "dropped unit's label leaked")
+    val po = round9(3.0 / 5.0)
+    val pe = round9(52.0 / 100.0)
+    val kappa = got.getAs[Double]("kappa")
+    assert(kappa === round9((po - pe) / (1.0 - pe)))
+    assert(math.abs(kappa - 1.0 / 6.0) < 1e-8, "Scott's π mismatch")
+  }
+
   test("lcs_len: identity, disjoint, subsequence, and the prefix-max case") {
     graft.functions.Registry.ensure(spark)
     val got = spark.range(1).selectExpr(

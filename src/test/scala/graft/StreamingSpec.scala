@@ -770,6 +770,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed BH-FDR battery ≡ batch fdrExperiments bit-exact under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // values straddling the conversion gate (value > 100) so both the
+    // Welch and the chi-square rows carry real signal per arm
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3),
+        (i % 11).toDouble * 20.0 + 0.25, s"""{"k":"e${i % 2}"}""")
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.StreamingMetrics.startFdrExperiments(
+      input.toDS().toDF("event_id", "event_type", "value", "props"),
+      "fdr_stream")
+    implicit val fdrEnc: org.apache.spark.sql.Encoder[(String, String,
+      String, Double, Double, Long, Long, Double, Boolean)] =
+      org.apache.spark.sql.Encoders.product
+    type FdrRow = (String, String, String, Double, Double, Long, Long,
+      Double, Boolean)
+    def batchOver(rs: Seq[(Long, String, Double, String)]): Set[FdrRow] =
+      graft.operators.Analytics.fdrExperiments(
+        rs.toDF("event_id", "event_type", "value", "props"))
+        .as[FdrRow].collect().toSet
+    try {
+      input.addData(rows.take(13))
+      q.processAllAvailable()
+      // after EVERY cut the published battery equals the batch face
+      assert(spark.table("fdr_stream").as[FdrRow].collect().toSet
+        === batchOver(rows.take(13)))
+      input.addData(rows.slice(13, 14)) // single-row batch
+      q.processAllAvailable()
+      input.addData(rows.drop(14))
+      q.processAllAvailable()
+      val streamed = spark.table("fdr_stream").as[FdrRow].collect().toSet
+      val batch = batchOver(rows)
+      // arm sums are algebraic and the tail is the SAME code
+      // (Analytics.fdrFromArms): bit-exact under any slicing
+      assert(streamed === batch)
+      // both test families present, ranks are a total order
+      assert(streamed.map(_._1) === Set("welch_z", "chi2"))
+      assert(streamed.map(_._7).toList.sorted ===
+        (1L to streamed.size.toLong).toList)
+    } finally q.stop()
+  }
+
   test("streamed best-of-n ≡ batch bestOfN bit-exact under uneven slicing") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
