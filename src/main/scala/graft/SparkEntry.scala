@@ -242,6 +242,10 @@ object SparkEntry {
     // (Welch-t + chi-square rows, erfc p-values, step-up q-values)
     "fdr_experiments" -> ((s, d) =>
       Analytics.fdrExperiments(Tables.events(s, d))),
+    // Holm–Bonferroni step-down over the SAME battery — the FWER
+    // sibling of fdr_experiments
+    "holm_experiments" -> ((s, d) =>
+      Analytics.holmExperiments(Tables.events(s, d))),
     // Krippendorff's alpha over the m-rater fabricated vote table —
     // the multi-rater generalization of annotator_kappa
     "krippendorff_alpha" -> ((s, d) =>
@@ -258,6 +262,14 @@ object SparkEntry {
     // per pair, P/R/F chains
     "rouge_pairs" -> ((s, d) =>
       Preference.rougePairs(par(Tables.documents(s, d)))),
+    // ROUGE-1/2 recall/precision/F over the same pairing — shares
+    // bleu's clipped-count machinery
+    "rouge_n_pairs" -> ((s, d) =>
+      Preference.rougeNPairs(par(Tables.documents(s, d)))),
+    // distinct-n generation-diversity ratios for n=1..3: one gram
+    // explode, one (n, gram) count shuffle, 3-row rollup
+    "distinct_ngrams" -> ((s, d) =>
+      TextAnalysis.distinctNgrams(par(Tables.documents(s, d)))),
     // DoReMi-style domain reweighting: per-source excess unigram NLL
     // -> multiplicative-weights softmax over the source-bounded table
     "doremi_weights" -> ((s, d) =>
@@ -972,6 +984,9 @@ object SparkEntry {
     "variant_conversion" -> Analytics.variantConversionSql(),
     "sprt_conversion" -> Analytics.sprtConversionSql(),
     "fdr_experiments" -> Analytics.fdrExperimentsSql(),
+    "holm_experiments" -> Analytics.holmExperimentsSql(),
+    "rouge_n_pairs" -> Preference.rougeNPairsSql(),
+    "distinct_ngrams" -> TextAnalysis.distinctNgramsSql(),
     "krippendorff_alpha" -> Preference.krippendorffAlphaSql(),
     "fleiss_kappa" -> Preference.fleissKappaSql(),
     "temperature_fit" -> Classifier.temperatureFitSql(),

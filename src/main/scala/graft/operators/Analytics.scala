@@ -2015,7 +2015,15 @@ object Analytics {
     * slicing is bit-equal to the batch face over the same events
     * (asserted in `StreamingSpec`). */
   private[graft] def fdrFromArms(armsIn: DataFrame,
-      alpha: Double): DataFrame = {
+      alpha: Double): DataFrame =
+    bhAdjust(experimentBattery(armsIn), alpha)
+
+  /** The shared battery CONSTRUCTION — from the fused arm table to
+    * one (test, experiment_id, variant, stat, p_value) row per valid
+    * readout. Split out so both correction procedures ([[bhAdjust]]
+    * step-up FDR and [[holmAdjust]] step-down FWER) consume the
+    * identical battery. */
+  private[graft] def experimentBattery(armsIn: DataFrame): DataFrame = {
     val arms = armsIn
       .withColumn("mean_value", expr("s1 / CAST(n AS DOUBLE)"))
       .withColumn("var_value", expr(
@@ -2044,7 +2052,8 @@ object Analytics {
       .where(col("stat").isNotNull)
       .withColumn("z", expr(FdrZ))
       .withColumn("p_value", expr(fdrP))
-    bhAdjust(battery, alpha)
+    battery.select(col("test"), col("experiment_id"), col("variant"),
+      col("stat"), col("p_value"))
   }
 
   /** The BH step-up tail over an arbitrary battery frame carrying
@@ -2073,12 +2082,65 @@ object Analytics {
       .orderBy("rank")
   }
 
-  /** DuckDB replay of [[fdrExperiments]]: the fused arm aggregate,
-    * the window control fold, the shared Welch/χ² chains, the erfc
-    * p chain, and BH as the same rank + reverse running-min. */
-  def fdrExperimentsSql(alpha: Double = 0.05,
-      threshold: Double = 100.0): String =
-    s"""WITH arms AS (
+  /** Holm–Bonferroni step-down over the SAME battery — the
+    * family-wise-error sibling of [[fdrExperiments]]'s FDR (Holm,
+    * Scand. J. Stat. 1979: rank the m p-values ascending, adjusted
+    * p_(i) = max_{j≤i} min(1, (m−j+1)·p_(j)), reject while adjusted
+    * p ≤ α). Uniformly more powerful than plain Bonferroni with the
+    * same FWER guarantee — the correction a team reads when ANY false
+    * positive is costly, where BH bounds only the false-discovery
+    * RATE. Identical scale shape: the battery is arm-bounded, the
+    * step-down is a rank + forward running-max window.
+    *
+    * Output: (test, experiment_id, variant, stat, p_value, m, rank,
+    * p_adj, reject) ordered by rank. */
+  def holmExperiments(events: DataFrame, alpha: Double = 0.05,
+      threshold: Double = 100.0): DataFrame =
+    holmAdjust(experimentBattery(armEvents(events)
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        expr(s"$SumValue").as("s1"),
+        expr(s"$SumValueSq").as("s2"),
+        sum(when(col("value") > threshold, 1L).otherwise(0L)).as("conv"))),
+      alpha)
+
+  /** The Holm step-down tail over an arbitrary battery frame (the
+    * [[bhAdjust]] fixture pattern). */
+  private[graft] def holmAdjust(battery: DataFrame,
+      alpha: Double): DataFrame = {
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("p_value"), col("test"),
+      col("experiment_id"), col("variant"))
+    val wFwd = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    battery
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("p_raw", expr(HolmRaw))
+      .withColumn("p_run", max(col("p_raw")).over(wFwd))
+      .withColumn("p_adj", expr(HolmAdj))
+      .withColumn("reject", col("p_adj") <= lit(alpha))
+      .select(col("test"), col("experiment_id"), col("variant"),
+        col("stat"), col("p_value"), col("m"), col("rank"),
+        col("p_adj"), col("reject"))
+      .orderBy("rank")
+  }
+
+  // Holm scalar chains, shared verbatim with the oracle: the
+  // (m−i+1)·p product is IEEE on the lattice p, the monotone fold is
+  // an integer-window max, the clamp+quantize is the FdrQ discipline
+  private val HolmRaw =
+    """least(CAST(1.0 AS DOUBLE),
+      |  p_value * CAST(m - rank + 1 AS DOUBLE))""".stripMargin
+  private val HolmAdj =
+    "(floor(p_run * 1e9 + 0.5e0) / 1e9)"
+
+  // the shared battery CTE chain (through `bp`: one row per valid
+  // (test, arm) readout with its lattice p) — both correction oracles
+  // append their own tails so the battery text can never drift
+  private def batterySqlCtes(threshold: Double): String =
+    s"""arms AS (
        |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
        |    event_type AS variant, count(*)::BIGINT AS n,
        |    $SumValue AS s1,
@@ -2126,7 +2188,13 @@ object Analytics {
        |  SELECT *, count(*) OVER () AS m,
        |    row_number() OVER (ORDER BY p_value, test, experiment_id,
        |      variant) AS rank
-       |  FROM bp),
+       |  FROM bp)""".stripMargin
+
+  /** DuckDB replay of [[fdrExperiments]]: the shared battery CTEs,
+    * then BH as the same rank + reverse running-min. */
+  def fdrExperimentsSql(alpha: Double = 0.05,
+      threshold: Double = 100.0): String =
+    s"""WITH ${batterySqlCtes(threshold)},
        |bq AS (
        |  SELECT *,
        |    p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE) AS q_raw
@@ -2142,4 +2210,23 @@ object Analytics {
        |SELECT test, experiment_id, variant, stat, p_value, m, rank,
        |  q_value, q_value <= $alpha AS reject
        |FROM qq ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of [[holmExperiments]]: the shared battery CTEs,
+    * then the step-down as the same rank + forward running-max. */
+  def holmExperimentsSql(alpha: Double = 0.05,
+      threshold: Double = 100.0): String =
+    s"""WITH ${batterySqlCtes(threshold)},
+       |hr AS (
+       |  SELECT *, $HolmRaw AS p_raw FROM br),
+       |hm AS (
+       |  SELECT *, max(p_raw) OVER (ORDER BY rank
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_run
+       |  FROM hr),
+       |hq AS (
+       |  SELECT test, experiment_id, variant, stat, p_value,
+       |    m::BIGINT AS m, rank::BIGINT AS rank, $HolmAdj AS p_adj
+       |  FROM hm)
+       |SELECT test, experiment_id, variant, stat, p_value, m, rank,
+       |  p_adj, p_adj <= $alpha AS reject
+       |FROM hq ORDER BY rank""".stripMargin
 }

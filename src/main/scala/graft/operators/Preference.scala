@@ -588,6 +588,24 @@ object Preference {
     * p1, p2, bp, bleu) ordered by pair_id; pairs with zero p₁ or p₂
     * score 0. */
   def bleuPairs(documents: DataFrame): DataFrame = {
+    val (ref, cand) = rankedPairs(documents)
+    ref.drop("toks").join(cand.drop("toks"), Seq("pair_id"))
+      .join(pairClipPivot(ref, cand), Seq("pair_id"))
+      .select(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
+        col("ref_len"), col("cand_len"),
+        expr(BleuP("clip1", "tot1")).as("p1"),
+        expr(BleuP("clip2", "tot2")).as("p2"),
+        expr(BleuBp).as("bp"))
+      .withColumn("bleu", expr(BleuFinal))
+      .orderBy("pair_id")
+  }
+
+  /** The [[Corpus.dpoPairs]] dense-rank half-split pairing shared by
+    * every pair-scoring face ([[bleuPairs]], [[rougeNPairs]]; the
+    * prefix face [[rougePairs]] re-slices its own): rank r ↔ rank
+    * m+1−r over doc_id order, lower rank = REFERENCE. Returns the
+    * (ref, cand) frames with `toks` and the side length. */
+  private def rankedPairs(documents: DataFrame): (DataFrame, DataFrame) = {
     val (rk, m) = Analytics.rankByRange(
       documents.select(col("doc_id"), col("text")), Seq("doc_id"))
     val half = m / 2
@@ -599,23 +617,34 @@ object Preference {
       (lit(m) + 1L - col("__rank")).as("pair_id"),
       col("doc_id").as("cand_doc_id"),
       col("toks"), size(col("toks")).cast("long").as("cand_len"))
-    def grams(side: DataFrame): DataFrame = {
-      val uni = side.select(col("pair_id"), lit(1).as("n"),
-        explode(col("toks")).as("gram"))
-      val bi = side.select(col("pair_id"), lit(2).as("n"),
-        explode(expr(
-          """zip_with(slice(toks, 1, size(toks) - 1),
-            |         slice(toks, 2, size(toks) - 1),
-            |         (x, y) -> concat(x, ' ', y))""".stripMargin))
-          .as("gram"))
-      uni.unionAll(bi)
-        .groupBy(col("pair_id"), col("n"), col("gram"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-    val cg = grams(cand)
-    val rg = grams(ref)
-      .withColumnRenamed("cnt", "cnt_ref")
-    val prec = cg.join(rg, Seq("pair_id", "n", "gram"), "left")
+    (ref, cand)
+  }
+
+  // (pair, n, gram) counts of a pairing side, n = 1, 2
+  private def pairGrams(side: DataFrame): DataFrame = {
+    val uni = side.select(col("pair_id"), lit(1).as("n"),
+      explode(col("toks")).as("gram"))
+    val bi = side.select(col("pair_id"), lit(2).as("n"),
+      explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin))
+        .as("gram"))
+    uni.unionAll(bi)
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-pair clipped/total n-gram counts (n = 1, 2) — the shared
+    * numerator machinery of [[bleuPairs]] (clipped precision) and
+    * [[rougeNPairs]] (the same clipped overlap read as recall): ONE
+    * (pair, n, gram) equi-join of candidate grams against reference
+    * grams, never a cartesian. Output: (pair_id, clip1, tot1, clip2,
+    * tot2) with totals counted over the CANDIDATE side. */
+  private def pairClipPivot(ref: DataFrame, cand: DataFrame): DataFrame =
+    pairGrams(cand)
+      .join(pairGrams(ref).withColumnRenamed("cnt", "cnt_ref"),
+        Seq("pair_id", "n", "gram"), "left")
       .groupBy(col("pair_id"), col("n"))
       .agg(sum(least(col("cnt"), coalesce(col("cnt_ref"), lit(0L))))
         .as("clipped"),
@@ -628,16 +657,6 @@ object Preference {
         sum(when(col("n") === 2, col("clipped")).otherwise(0L))
           .as("clip2"),
         sum(when(col("n") === 2, col("total")).otherwise(0L)).as("tot2"))
-    ref.drop("toks").join(cand.drop("toks"), Seq("pair_id"))
-      .join(prec, Seq("pair_id"))
-      .select(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
-        col("ref_len"), col("cand_len"),
-        expr(BleuP("clip1", "tot1")).as("p1"),
-        expr(BleuP("clip2", "tot2")).as("p2"),
-        expr(BleuBp).as("bp"))
-      .withColumn("bleu", expr(BleuFinal))
-      .orderBy("pair_id")
-  }
 
   // single-division precision: exact IEEE, no quantization needed
   private def BleuP(clip: String, tot: String): String =
@@ -657,11 +676,11 @@ object Preference {
       |  CAST(CAST(bp * sqrt(p1 * p2) AS DECIMAL(18,9)) AS DOUBLE)
       |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
 
-  /** DuckDB replay of [[bleuPairs]]: row_number pairing over doc_id
-    * order (≡ rankByRange on the same total order), idx-join bigrams,
-    * the same clipped-min join, and the identical scalar chains. */
-  def bleuPairsSql(): String =
-    s"""WITH rk AS (
+  // the shared pairing + clipped-count CTE chain (through `prec`),
+  // consumed by both bleuPairsSql and rougeNPairsSql so the pairing
+  // and the clip join can never drift between the two oracles
+  private val PairClipCtes: String =
+    s"""rk AS (
        |  SELECT doc_id, text,
        |    row_number() OVER (ORDER BY doc_id) AS r,
        |    count(*) OVER () AS m
@@ -715,7 +734,13 @@ object Preference {
        |    FROM cg c LEFT JOIN rg r
        |      ON c.pair_id = r.pair_id AND c.n = r.n AND c.gram = r.gram
        |    GROUP BY 1, 2) pn
-       |  GROUP BY 1),
+       |  GROUP BY 1)""".stripMargin
+
+  /** DuckDB replay of [[bleuPairs]]: row_number pairing over doc_id
+    * order (≡ rankByRange on the same total order), idx-join bigrams,
+    * the same clipped-min join, and the identical scalar chains. */
+  def bleuPairsSql(): String =
+    s"""WITH $PairClipCtes,
        |scored AS (
        |  SELECT ref.pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
        |    ${BleuP("clip1", "tot1")} AS p1,
@@ -725,6 +750,68 @@ object Preference {
        |  JOIN prec ON prec.pair_id = ref.pair_id)
        |SELECT pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
        |  p1, p2, bp, $BleuFinal AS bleu
+       |FROM scored ORDER BY pair_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // ROUGE-N pair scoring
+  // ---------------------------------------------------------------
+
+  /** ROUGE-N (n = 1, 2) between the same rank-paired documents — the
+    * RECALL-oriented n-gram pair metric completing the family next to
+    * [[bleuPairs]] (clipped precision + BP) and [[rougePairs]]
+    * (LCS-based prefix F): ROUGE-N recall = Σ_g min(c_cand, c_ref) /
+    * |ref n-grams| (Lin, ACL 2004 Workshop §2), precision the same
+    * numerator over the candidate total, F1 their harmonic mean. The
+    * clipped numerators and candidate totals are [[pairClipPivot]] —
+    * the IDENTICAL machinery as BLEU, so the two metrics can never
+    * disagree on matching; reference totals come from the pairing
+    * frame's lengths (|ref| unigrams, |ref|−1 bigrams — no second
+    * gram pass).
+    *
+    * Scale shape: the bleu budget exactly — rankByRange pairing, one
+    * (pair, n, gram) equi-join, output linear in pairs. P/R are
+    * single IEEE divisions; F quantizes DECIMAL(18,9).
+    *
+    * Output: (pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
+    * r1, p1, f1, r2, p2, f2) ordered by pair_id. */
+  def rougeNPairs(documents: DataFrame): DataFrame = {
+    val (ref, cand) = rankedPairs(documents)
+    ref.drop("toks").join(cand.drop("toks"), Seq("pair_id"))
+      .join(pairClipPivot(ref, cand), Seq("pair_id"))
+      .withColumn("r1", expr(BleuP("clip1", "ref_len")))
+      .withColumn("p1", expr(BleuP("clip1", "tot1")))
+      .withColumn("r2", expr(BleuP("clip2", "greatest(ref_len - 1, 0)")))
+      .withColumn("p2", expr(BleuP("clip2", "tot2")))
+      .select(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
+        col("ref_len"), col("cand_len"),
+        col("r1"), col("p1"), expr(RougeNF("r1", "p1")).as("f1"),
+        col("r2"), col("p2"), expr(RougeNF("r2", "p2")).as("f2"))
+      .orderBy("pair_id")
+  }
+
+  // harmonic F over the two single-division components; 0 when either
+  // side is 0 (no matched grams)
+  private def RougeNF(r: String, p: String): String =
+    s"""CASE WHEN $r > 0.0e0 AND $p > 0.0e0 THEN
+       |  CAST(CAST(2.0e0 * $p * $r / ($p + $r)
+       |  AS DECIMAL(18,9)) AS DOUBLE)
+       |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
+  /** DuckDB replay of [[rougeNPairs]]: the shared pairing/clip CTEs
+    * and the identical P/R/F chains. */
+  def rougeNPairsSql(): String =
+    s"""WITH $PairClipCtes,
+       |scored AS (
+       |  SELECT ref.pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
+       |    ${BleuP("clip1", "ref_len")} AS r1,
+       |    ${BleuP("clip1", "tot1")} AS p1,
+       |    ${BleuP("clip2", "greatest(ref_len - 1, 0)")} AS r2,
+       |    ${BleuP("clip2", "tot2")} AS p2
+       |  FROM ref JOIN cand ON ref.pair_id = cand.pair_id
+       |  JOIN prec ON prec.pair_id = ref.pair_id)
+       |SELECT pair_id, ref_doc_id, cand_doc_id, ref_len, cand_len,
+       |  r1, p1, ${RougeNF("r1", "p1")} AS f1,
+       |  r2, p2, ${RougeNF("r2", "p2")} AS f2
        |FROM scored ORDER BY pair_id""".stripMargin
 
   // ---------------------------------------------------------------

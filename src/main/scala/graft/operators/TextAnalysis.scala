@@ -2038,6 +2038,71 @@ object TextAnalysis {
        |  $VocabChao1 AS chao1, $VocabP0 AS p0_unseen, $VocabTtr AS ttr
        |FROM m""".stripMargin
 
+  /** distinct-n generation-diversity rollup (Li et al., "A
+    * diversity-promoting objective function for neural conversation
+    * models", NAACL 2016 §4.2: distinct n-grams / total n-grams) over
+    * the corpus for n = 1, 2, 3 — the standard degenerate-repetition
+    * readout on sampled/generated text (mode collapse drives the
+    * ratios toward 0), the corpus-level companion of
+    * [[gopherRepetition]]'s per-document filters and
+    * [[vocabRichness]]'s unigram estimators.
+    *
+    * Scale shape: ONE scan exploding all three gram orders from the
+    * same token array (scan-side transform, no self-join), one
+    * (n, gram) count shuffle (map-side combined, output bounded by
+    * the gram vocabulary), then a 3-row rollup. Ratios are single
+    * IEEE divisions of exact integers.
+    *
+    * Output: (n, total_ngrams, distinct_ngrams, distinct_ratio) for
+    * each n with at least one gram, ordered by n. */
+  def distinctNgrams(documents: DataFrame, maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val grams = documents
+      .select(expr("filter(split(text, ' '), t -> t <> '')").as("t"))
+      .select(explode(expr(
+        // the IF guards short docs: Spark's sequence(1, 0) DESCENDS
+        // ([1, 0]), it does not produce an empty range
+        s"""flatten(transform(sequence(1, $maxN), n ->
+           |  IF(size(t) >= n,
+           |    transform(sequence(1, size(t) - n + 1), i ->
+           |      struct(n AS n,
+           |        array_join(slice(t, i, n), ' ') AS gram)),
+           |    array())))""".stripMargin)).as("g"))
+      .select(col("g.n").cast("long").as("n"), col("g.gram").as("gram"))
+    grams
+      .groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("n"))
+      .agg(sum(col("cnt")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("distinct_ratio", expr(
+        """CAST(distinct_ngrams AS DOUBLE)
+          |/ CAST(total_ngrams AS DOUBLE)""".stripMargin))
+      .orderBy("n")
+  }
+
+  /** DuckDB replay of [[distinctNgrams]]: same gram construction via
+    * per-n subscripts, same two-level rollup, same single division. */
+  def distinctNgramsSql(maxN: Int = 3): String =
+    s"""WITH toks AS (
+       |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS t
+       |  FROM documents),
+       |grams AS (
+       |  SELECT n.n,
+       |    unnest(list_transform(range(1, len(t) - n.n + 2),
+       |      i -> array_to_string(list_slice(t, i, i + n.n - 1), ' ')))
+       |      AS gram
+       |  FROM toks, (SELECT unnest(range(1, ${maxN + 1})) AS n) n
+       |  WHERE len(t) >= n.n),
+       |gc AS (
+       |  SELECT n, gram, count(*)::BIGINT AS cnt
+       |  FROM grams GROUP BY 1, 2)
+       |SELECT n::BIGINT AS n, sum(cnt)::BIGINT AS total_ngrams,
+       |  count(*)::BIGINT AS distinct_ngrams,
+       |  CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+       |    AS distinct_ratio
+       |FROM gc GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** KenLM-style held-out perplexity filter with a stupid-backoff
     * trigram model (Brants et al., EMNLP 2007 — the web-scale LM whose
     * whole point is that unnormalized count-ratio "scores" with a

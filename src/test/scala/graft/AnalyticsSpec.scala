@@ -1231,6 +1231,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === List(0.012, 0.012, 0.012))
   }
 
+  test("holmAdjust: adjusted p matches the hand step-down; monotone fold carries forward") {
+    // p = (.010, .004, .019), m = 3. Sorted: .004, .010, .019 →
+    // raw (m−i+1)·p = (.012, .020, .019); forward max = (.012, .020,
+    // .020) — rank 3's raw .019 < rank 2's .020, the defining
+    // step-down monotonicity case. At α = .05 all reject; at α = .015
+    // only rank 1.
+    val batt = Seq(
+      ("t", "e1", "a", 1.0, 0.010), ("t", "e1", "b", 1.0, 0.004),
+      ("t", "e2", "a", 1.0, 0.019))
+      .toDF("test", "experiment_id", "variant", "stat", "p_value")
+    val got = Analytics.holmAdjust(batt, 0.015)
+      .select("rank", "p_value", "p_adj", "reject")
+      .as[(Long, Double, Double, Boolean)].collect().toList
+    assert(got === List((1L, 0.004, 0.012, true), (2L, 0.010, 0.02, false),
+      (3L, 0.019, 0.02, false)))
+  }
+
+  test("holmAdjust is uniformly less rejective than bhAdjust on the same battery (FWER ⊆ FDR)") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val bh = Analytics.fdrExperiments(ev).collect()
+      .filter(_.getAs[Boolean]("reject"))
+      .map(r => (r.getAs[String]("test"), r.getAs[String]("experiment_id"),
+        r.getAs[String]("variant"))).toSet
+    val holm = Analytics.holmExperiments(ev).collect()
+      .filter(_.getAs[Boolean]("reject"))
+      .map(r => (r.getAs[String]("test"), r.getAs[String]("experiment_id"),
+        r.getAs[String]("variant"))).toSet
+    assert(holm.subsetOf(bh),
+      s"Holm rejected ${holm -- bh} that BH did not — impossible")
+  }
+
   test("erfc chain: two-sided normal p at z-scores matches published values to 1e-6") {
     // erfc(|z|/√2) = two-sided normal p: z=1 → .31731051, z=1.96 →
     // .04999579, z=0 → 1 (A&S 7.1.26 max abs error 1.5e-7)

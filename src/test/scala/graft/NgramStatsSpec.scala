@@ -84,4 +84,24 @@ class NgramStatsSpec extends AnyFunSuite {
     val r2 = graft.operators.TextAnalysis.vocabRichness(docs2).collect()(0)
     assert(r2.getAs[Double]("chao1") === 6.0) // 3 + 3·2/2
   }
+
+  test("distinctNgrams: hand corpus reproduces every (total, distinct, ratio) row") {
+    import spark.implicits._
+    // "a a b" + "a b": unigrams 5 total {a,b}; bigrams "a a","a b","a b"
+    // → 3 total 2 distinct; trigrams only "a a b" → 1/1
+    val docs = Seq((1L, "a a b"), (2L, "a b")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.distinctNgrams(docs)
+      .as[(Long, Long, Long, Double)].collect().toList
+    assert(got === List(
+      (1L, 5L, 2L, 0.4), (2L, 3L, 2L, 2.0 / 3.0), (3L, 1L, 1L, 1.0)))
+  }
+
+  test("distinctNgrams: docs shorter than n contribute nothing at that n; empty tokens drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, " ")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.distinctNgrams(docs)
+      .as[(Long, Long, Long, Double)].collect().toList
+    // only the unigram row exists: one doc, one token
+    assert(got === List((1L, 1L, 1L, 1.0)))
+  }
 }

@@ -365,6 +365,35 @@ class PreferenceSpec extends AnyFunSuite {
     assert(p2.getAs[Double]("rouge_f") === 1.0)
   }
 
+  test("rougeNPairs: hand pair reproduces clipped recall/precision/F; identical texts score 1") {
+    // pairs (d1,d4), (d2,d3). d1="a b c d" vs d4="a x c": unigram
+    // overlap {a,c} → r1=2/4, p1=2/3; no bigram overlap → f2=0.
+    // d2 ≡ d3 → all 1.
+    val docs = Seq(
+      ("d1", "a b c d"), ("d2", "p q r"), ("d3", "p q r"),
+      ("d4", "a x c")).toDF("doc_id", "text")
+    val got = Preference.rougeNPairs(docs).collect()
+    val p1 = got.find(_.getAs[String]("ref_doc_id") == "d1").get
+    assert(p1.getAs[Double]("r1") === 0.5)
+    assert(p1.getAs[Double]("p1") === 2.0 / 3.0)
+    assert(p1.getAs[Double]("f1") ===
+      round9(2.0 * (2.0 / 3.0) * 0.5 / (2.0 / 3.0 + 0.5)))
+    assert(p1.getAs[Double]("r2") === 0.0)
+    assert(p1.getAs[Double]("f2") === 0.0)
+    val p2 = got.find(_.getAs[String]("ref_doc_id") == "d2").get
+    Seq("r1", "p1", "f1", "r2", "p2", "f2").foreach(c =>
+      assert(p2.getAs[Double](c) === 1.0, c))
+  }
+
+  test("rougeNPairs: repeated candidate grams clip at the reference count (the BLEU clip, read as recall)") {
+    // ref "a b", cand "a a a": unigram matches clip at ref's one 'a'
+    // → r1 = 1/2, p1 = 1/3
+    val docs = Seq(("d1", "a b"), ("d2", "a a a")).toDF("doc_id", "text")
+    val got = Preference.rougeNPairs(docs).collect().head
+    assert(got.getAs[Double]("r1") === 0.5)
+    assert(got.getAs[Double]("p1") === 1.0 / 3.0)
+  }
+
   test("rougePairs: disjoint pair scores 0 with F defined (not NULL)") {
     val docs = Seq(("d1", "a b"), ("d2", "x y")).toDF("doc_id", "text")
     val got = Preference.rougePairs(docs).collect().head
