@@ -254,6 +254,10 @@ object SparkEntry {
     // multi-rater coefficient (2-rater case = Scott's pi)
     "fleiss_kappa" -> ((s, d) =>
       Preference.fleissKappa(par(Tables.documents(s, d)))),
+    // interval-metric Krippendorff: (c-k)^2 disagreement over the
+    // same votes — per-unit moment identity, integer-exact
+    "krippendorff_alpha_interval" -> ((s, d) =>
+      Preference.krippendorffAlphaInterval(par(Tables.documents(s, d)))),
     // temperature-scaled calibration: 8-point grid NLL + ECE in one
     // fused pass over the pinned scorer, argmin flagged
     "temperature_fit" -> ((s, d) =>
@@ -989,6 +993,8 @@ object SparkEntry {
     "distinct_ngrams" -> TextAnalysis.distinctNgramsSql(),
     "krippendorff_alpha" -> Preference.krippendorffAlphaSql(),
     "fleiss_kappa" -> Preference.fleissKappaSql(),
+    "krippendorff_alpha_interval" ->
+      Preference.krippendorffAlphaIntervalSql(),
     "temperature_fit" -> Classifier.temperatureFitSql(),
     "rouge_pairs" -> Preference.rougePairsSql(),
     "doremi_weights" -> Corpus.doremiWeightsSql(),

@@ -1030,6 +1030,84 @@ object Preference {
       |  CAST(CAST(1.0e0 - d_obs / d_exp AS DECIMAL(18,9)) AS DOUBLE)
       |END""".stripMargin
 
+  /** Krippendorff's alpha with the INTERVAL metric over the same vote
+    * table — δ(c, k) = (c − k)² instead of nominal 0/1, the variant
+    * for ordered numeric labels (quality scores, Likert ratings)
+    * where disagreeing by 2 should cost more than disagreeing by 1
+    * (Krippendorff 2004 §11.4). The coincidence sums collapse to
+    * per-unit MOMENTS: Σ_{i≠j} (x_i − x_j)² = 2(m_u·Σx² − (Σx)²), so
+    * the whole face is integer arithmetic until the per-unit
+    * 1/(m_u − 1) share and three lattice divisions — and for BINARY
+    * label domains interval α ≡ nominal α exactly (asserted in
+    * PreferenceSpec). Same scale shape and n < 3e9 BIGINT bound as
+    * the nominal face.
+    *
+    * Output: (n_units, n_values, d_obs, d_exp, alpha); alpha NULL
+    * when D_e = 0 (all pooled values equal). */
+  def krippendorffAlphaInterval(documents: DataFrame,
+      annotators: Int = 5): DataFrame =
+    krippendorffIntervalFromVotes(
+      Corpus.fabricatedVotes(documents, annotators))
+
+  /** Interval-metric core over an arbitrary votes frame. */
+  private[graft] def krippendorffIntervalFromVotes(
+      votes: DataFrame): DataFrame = {
+    val units = votes
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("m_u"),
+        sum(col("label")).as("s1_u"),
+        sum(col("label") * col("label")).as("s2_u"))
+      .where(col("m_u") >= 2)
+    val us = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("m_u")).as("n_values"),
+      sum(col("s1_u")).as("s1"),
+      sum(col("s2_u")).as("s2"),
+      sum(expr(KaIntUnitTerm)).as("sum_terms"))
+    us
+      .withColumn("d_obs", expr(KaDObs))
+      .withColumn("d_exp", expr(KaIntDExp))
+      .withColumn("alpha", expr(KaAlpha))
+      .select(col("n_units"), col("n_values"),
+        col("d_obs"), col("d_exp"), col("alpha"))
+  }
+
+  // interval chains: the per-unit ordered-pair squared-difference sum
+  // 2(m·Σx² − (Σx)²) shares [[KaDObs]]/[[KaAlpha]] downstream; D_e is
+  // the pooled version of the same identity
+  private val KaIntUnitTerm =
+    """CAST(CAST(
+      |  CAST(2 * (m_u * s2_u - s1_u * s1_u) AS DOUBLE)
+      |  / CAST(m_u - 1 AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DECIMAL(18,9))""".stripMargin
+  private val KaIntDExp =
+    """CAST(CAST(
+      |  CAST(2 * (n_values * s2 - s1 * s1) AS DOUBLE)
+      |  / CAST(n_values * (n_values - 1) AS DOUBLE)
+      |AS DECIMAL(18,9)) AS DOUBLE)""".stripMargin
+
+  /** DuckDB replay of [[krippendorffAlphaInterval]]. */
+  def krippendorffAlphaIntervalSql(annotators: Int = 5): String =
+    s"""WITH ${Corpus.fabricatedVotesCtes(annotators)},
+       |units AS (
+       |  SELECT doc_id, count(*)::BIGINT AS m_u,
+       |    sum(label)::BIGINT AS s1_u,
+       |    sum(label * label)::BIGINT AS s2_u
+       |  FROM votes GROUP BY 1
+       |  HAVING count(*) >= 2),
+       |us AS (
+       |  SELECT count(*)::BIGINT AS n_units,
+       |    sum(m_u)::BIGINT AS n_values,
+       |    sum(s1_u)::BIGINT AS s1, sum(s2_u)::BIGINT AS s2,
+       |    sum($KaIntUnitTerm) AS sum_terms
+       |  FROM units),
+       |d AS (
+       |  SELECT n_units, n_values,
+       |    $KaDObs AS d_obs, $KaIntDExp AS d_exp
+       |  FROM us)
+       |SELECT n_units, n_values, d_obs, d_exp, $KaAlpha AS alpha
+       |FROM d""".stripMargin
+
   /** Fleiss' kappa over the same m-rater vote table — the FIXED-PANEL
     * multi-rater agreement coefficient (Fleiss, "Measuring nominal
     * scale agreement among many raters", Psych. Bull. 1971): requires

@@ -286,6 +286,33 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("alpha")))
   }
 
+  test("krippendorffAlphaInterval: binary domain ≡ nominal α; squared distance weights the 3-label case") {
+    // binary labels: (c−k)² ∈ {0,1} = the nominal δ — the two faces
+    // must agree EXACTLY on any binary vote table
+    val binary = Seq(
+      ("u1", 0, 0L), ("u1", 1, 0L), ("u2", 0, 0L), ("u2", 1, 0L),
+      ("u3", 0, 0L), ("u3", 1, 1L), ("u4", 0, 1L), ("u4", 1, 0L),
+      ("u5", 0, 1L), ("u5", 1, 1L))
+      .toDF("doc_id", "annotator", "label")
+    val nom = Preference.krippendorffFromVotes(binary).collect().head
+    val inv = Preference.krippendorffIntervalFromVotes(binary)
+      .collect().head
+    assert(inv.getAs[Double]("d_obs") === nom.getAs[Double]("d_obs"))
+    assert(inv.getAs[Double]("d_exp") === nom.getAs[Double]("d_exp"))
+    assert(inv.getAs[Double]("alpha") === nom.getAs[Double]("alpha"))
+    // 3-label: disagreeing by 2 costs 4× disagreeing by 1.
+    // u1(0,2): d = 2(2·4 − 4) = 8; u2(0,1): d = 2(2·1 − 1) = 2.
+    // n = 4, S1 = 3, S2 = 5 → D_e = 2(4·5 − 9)/(4·3) = 22/12.
+    val tri = Seq(
+      ("u1", 0, 0L), ("u1", 1, 2L), ("u2", 0, 0L), ("u2", 1, 1L))
+      .toDF("doc_id", "annotator", "label")
+    val got = Preference.krippendorffIntervalFromVotes(tri).collect().head
+    assert(got.getAs[Double]("d_obs") === round9((8.0 + 2.0) / 4.0))
+    assert(got.getAs[Double]("d_exp") === round9(22.0 / 12.0))
+    assert(got.getAs[Double]("alpha") ===
+      round9(1.0 - round9(10.0 / 4.0) / round9(22.0 / 12.0)))
+  }
+
   test("fleissKappa: perfect agreement = 1; hand table hits the exact rational 0.25") {
     // perfect: 2 units × 3 raters unanimous, labels differ across units
     val perfect = Seq(
