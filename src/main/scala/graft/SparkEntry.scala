@@ -270,6 +270,10 @@ object SparkEntry {
     // bleu's clipped-count machinery
     "rouge_n_pairs" -> ((s, d) =>
       Preference.rougeNPairs(par(Tables.documents(s, d)))),
+    // chrF: character n-gram F2 (orders 1..6, effective-order rule)
+    // over the same pairing — the tokenization-free pair metric
+    "chrf_pairs" -> ((s, d) =>
+      Preference.chrfPairs(par(Tables.documents(s, d)))),
     // distinct-n generation-diversity ratios for n=1..3: one gram
     // explode, one (n, gram) count shuffle, 3-row rollup
     "distinct_ngrams" -> ((s, d) =>
@@ -990,6 +994,7 @@ object SparkEntry {
     "fdr_experiments" -> Analytics.fdrExperimentsSql(),
     "holm_experiments" -> Analytics.holmExperimentsSql(),
     "rouge_n_pairs" -> Preference.rougeNPairsSql(),
+    "chrf_pairs" -> Preference.chrfPairsSql(),
     "distinct_ngrams" -> TextAnalysis.distinctNgramsSql(),
     "krippendorff_alpha" -> Preference.krippendorffAlphaSql(),
     "fleiss_kappa" -> Preference.fleissKappaSql(),

@@ -941,6 +941,185 @@ object Preference {
        |FROM withpr ORDER BY pair_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // chrF pair scoring
+  // ---------------------------------------------------------------
+
+  /** chrF between the same rank-paired documents — the
+    * CHARACTER-n-gram F-score (Popović, "chrF: character n-gram
+    * F-score for automatic MT evaluation", WMT 2015): for each order
+    * n = 1..`maxN`, clipped character-n-gram precision and recall;
+    * chrF = (1+β²)·P̄·R̄ / (β²·P̄ + R̄) over the order-macro-averages
+    * with β = 2 (recall-weighted). Tokenization-free, so it credits
+    * morphological near-matches BLEU/ROUGE miss — the third leg of
+    * the pair-metric family ([[bleuPairs]] word precision,
+    * [[rougeNPairs]]/[[rougePairs]] word recall/LCS).
+    *
+    * Order semantics (deterministic contract, the sacrebleu
+    * effective-order rule): an order where NEITHER side has any
+    * n-gram is skipped; an order where only one side has grams
+    * counts with P_n = R_n = 0. Identical texts therefore score
+    * exactly 1 at any length. Both sides truncate to their first
+    * `maxChars` characters (prefix chrF — the [[rougePairs]]
+    * bounded-per-pair contract, keeping scan-side work and the
+    * oracle's gram explode bounded at 100 TB).
+    *
+    * Scale shape: one rankByRange pairing, ONE (pair, n, gram)
+    * equi-join of the two sides' character-gram counts (never a
+    * cartesian), and a 6-row-per-pair order spine built from lengths
+    * alone (no second gram pass). Per-order P/R are single IEEE
+    * divisions quantized onto the 1e-9 floor lattice before the
+    * order-mean DECIMAL sums; the final harmonic chain quantizes the
+    * same way.
+    *
+    * Output: (pair_id, ref_doc_id, cand_doc_id, ref_chars,
+    * cand_chars, n_orders, prec_avg, rec_avg, chrf) by pair_id. */
+  def chrfPairs(documents: DataFrame, maxN: Int = 6,
+      maxChars: Int = 1000): DataFrame = {
+    val (rk, m) = Analytics.rankByRange(
+      documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val half = m / 2
+    val wc = rk.withColumn("chars",
+      expr(s"substring(text, 1, $maxChars)"))
+    val ref = wc.where(col("__rank") <= half).select(
+      col("__rank").as("pair_id"), col("doc_id").as("ref_doc_id"),
+      col("chars"), length(col("chars")).cast("long").as("ref_chars"))
+    val cand = wc.where(col("__rank") > m - half).select(
+      (lit(m) + 1L - col("__rank")).as("pair_id"),
+      col("doc_id").as("cand_doc_id"),
+      col("chars"), length(col("chars")).cast("long").as("cand_chars"))
+    def grams(side: DataFrame): DataFrame = side
+      .select(col("pair_id"), explode(expr(
+        s"""flatten(transform(sequence(1, $maxN), n ->
+           |  IF(length(chars) >= n,
+           |    transform(sequence(1, length(chars) - n + 1), i ->
+           |      struct(n AS n, substring(chars, i, n) AS gram)),
+           |    array())))""".stripMargin)).as("g"))
+      .select(col("pair_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("pair_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val overlap = grams(cand)
+      .join(grams(ref).withColumnRenamed("cnt", "cnt_ref"),
+        Seq("pair_id", "n", "gram"), "left")
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("cnt"), coalesce(col("cnt_ref"), lit(0L))))
+        .as("clip"))
+    // the order spine: every (pair, n) cell with totals derived from
+    // lengths — orders the gram join never produced stay present
+    val spine = ref.drop("chars").join(cand.drop("chars"), Seq("pair_id"))
+      .select(col("*"), explode(expr(
+        s"sequence(1, $maxN)")).as("n"))
+      .withColumn("tot_ref", expr("greatest(ref_chars - n + 1, 0L)"))
+      .withColumn("tot_cand", expr("greatest(cand_chars - n + 1, 0L)"))
+    val perOrder = spine
+      .join(overlap, Seq("pair_id", "n"), "left")
+      .withColumn("clip", coalesce(col("clip"), lit(0L)))
+      .where(col("tot_ref") + col("tot_cand") > 0)
+      .withColumn("p_n", expr(ChrfDiv("clip", "tot_cand")))
+      .withColumn("r_n", expr(ChrfDiv("clip", "tot_ref")))
+    perOrder
+      .groupBy(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
+        col("ref_chars"), col("cand_chars"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(p_n AS DECIMAL(18,9))")).as("sp"),
+        sum(expr("CAST(r_n AS DECIMAL(18,9))")).as("sr"))
+      .withColumn("prec_avg", expr(ChrfMean("sp")))
+      .withColumn("rec_avg", expr(ChrfMean("sr")))
+      .withColumn("chrf", expr(ChrfF))
+      .select(col("pair_id"), col("ref_doc_id"), col("cand_doc_id"),
+        col("ref_chars"), col("cand_chars"), col("n_orders"),
+        col("prec_avg"), col("rec_avg"), col("chrf"))
+      .orderBy("pair_id")
+  }
+
+  // chrF scalar chains, shared verbatim with the oracle: lattice
+  // per-order divisions, DECIMAL order means, β² = 4 exact
+  private def ChrfDiv(num: String, den: String): String =
+    s"""CASE WHEN $den > 0 THEN
+       |  (floor(CAST($num AS DOUBLE) / CAST($den AS DOUBLE)
+       |    * 1e9 + 0.5e0) / 1e9)
+       |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+  private def ChrfMean(s: String): String =
+    s"""(floor(CAST($s AS DOUBLE) / CAST(n_orders AS DOUBLE)
+       |  * 1e9 + 0.5e0) / 1e9)""".stripMargin
+  private val ChrfF =
+    """CASE WHEN 4.0e0 * prec_avg + rec_avg > 0 THEN
+      |  (floor(5.0e0 * prec_avg * rec_avg
+      |    / (4.0e0 * prec_avg + rec_avg) * 1e9 + 0.5e0) / 1e9)
+      |ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
+  /** DuckDB replay of [[chrfPairs]]: row_number pairing, per-order
+    * substr gram explodes, the same clip join, length-derived order
+    * spine, and the identical lattice chains. */
+  def chrfPairsSql(maxN: Int = 6, maxChars: Int = 1000): String =
+    s"""WITH rk AS (
+       |  SELECT doc_id, substr(text, 1, $maxChars) AS chars,
+       |    row_number() OVER (ORDER BY doc_id) AS r,
+       |    count(*) OVER () AS m
+       |  FROM documents),
+       |ref AS (
+       |  SELECT r AS pair_id, doc_id AS ref_doc_id, chars,
+       |    CAST(length(chars) AS BIGINT) AS ref_chars
+       |  FROM rk WHERE r <= m // 2),
+       |cand AS (
+       |  SELECT m + 1 - r AS pair_id, doc_id AS cand_doc_id, chars,
+       |    CAST(length(chars) AS BIGINT) AS cand_chars
+       |  FROM rk WHERE r > m - m // 2),
+       |rg AS (
+       |  SELECT pair_id, n.n,
+       |    unnest(list_transform(range(1, length(chars) - n.n + 2),
+       |      i -> substr(chars, CAST(i AS INT), n.n))) AS gram
+       |  FROM ref, (SELECT unnest(range(1, ${maxN + 1})) AS n) n
+       |  WHERE length(chars) >= n.n),
+       |cg AS (
+       |  SELECT pair_id, n.n,
+       |    unnest(list_transform(range(1, length(chars) - n.n + 2),
+       |      i -> substr(chars, CAST(i AS INT), n.n))) AS gram
+       |  FROM cand, (SELECT unnest(range(1, ${maxN + 1})) AS n) n
+       |  WHERE length(chars) >= n.n),
+       |rgc AS (
+       |  SELECT pair_id, n, gram, count(*)::BIGINT AS cnt_ref
+       |  FROM rg GROUP BY 1, 2, 3),
+       |cgc AS (
+       |  SELECT pair_id, n, gram, count(*)::BIGINT AS cnt
+       |  FROM cg GROUP BY 1, 2, 3),
+       |ov AS (
+       |  SELECT c.pair_id, c.n,
+       |    CAST(sum(least(c.cnt, coalesce(r.cnt_ref, 0))) AS BIGINT)
+       |      AS clip
+       |  FROM cgc c LEFT JOIN rgc r
+       |    ON c.pair_id = r.pair_id AND c.n = r.n AND c.gram = r.gram
+       |  GROUP BY 1, 2),
+       |spine AS (
+       |  SELECT ref.pair_id, ref_doc_id, cand_doc_id, ref_chars,
+       |    cand_chars, n.n,
+       |    greatest(ref_chars - n.n + 1, 0) AS tot_ref,
+       |    greatest(cand_chars - n.n + 1, 0) AS tot_cand
+       |  FROM ref JOIN cand ON ref.pair_id = cand.pair_id,
+       |    (SELECT unnest(range(1, ${maxN + 1})) AS n) n),
+       |po AS (
+       |  SELECT s.*, coalesce(ov.clip, 0) AS clip,
+       |    ${ChrfDiv("coalesce(ov.clip, 0)", "tot_cand")} AS p_n,
+       |    ${ChrfDiv("coalesce(ov.clip, 0)", "tot_ref")} AS r_n
+       |  FROM spine s LEFT JOIN ov
+       |    ON s.pair_id = ov.pair_id AND s.n = ov.n
+       |  WHERE tot_ref + tot_cand > 0),
+       |agg AS (
+       |  SELECT pair_id, ref_doc_id, cand_doc_id, ref_chars,
+       |    cand_chars, count(*)::BIGINT AS n_orders,
+       |    sum(CAST(p_n AS DECIMAL(18,9))) AS sp,
+       |    sum(CAST(r_n AS DECIMAL(18,9))) AS sr
+       |  FROM po GROUP BY 1, 2, 3, 4, 5),
+       |av AS (
+       |  SELECT pair_id, ref_doc_id, cand_doc_id, ref_chars,
+       |    cand_chars, n_orders,
+       |    ${ChrfMean("sp")} AS prec_avg,
+       |    ${ChrfMean("sr")} AS rec_avg
+       |  FROM agg)
+       |SELECT pair_id, ref_doc_id, cand_doc_id, ref_chars, cand_chars,
+       |  n_orders, prec_avg, rec_avg, $ChrfF AS chrf
+       |FROM av ORDER BY pair_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Krippendorff's alpha (nominal) — m-rater agreement
   // ---------------------------------------------------------------
 

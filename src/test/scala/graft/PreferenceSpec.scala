@@ -286,6 +286,40 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.isNullAt(got.fieldIndex("alpha")))
   }
 
+  test("chrfPairs: identical texts score exactly 1 at any length (effective-order rule); hand pair matches the lattice chain") {
+    // pair (d1,d4): "abc" vs "abd" — order 1: grams {a,b,c} vs
+    // {a,b,d}, clip 2, totals 3/3 → P=R=2/3; order 2: {ab,bc} vs
+    // {ab,bd}, clip 1 → 1/2; order 3: no overlap → 0; orders 4..6
+    // skipped (neither side has grams). pair (d2,d3): identical "xy"
+    // → orders 1,2 count at P=R=1, orders 3+ skipped → chrf = 1.
+    val docs = Seq(
+      ("d1", "abc"), ("d2", "xy"), ("d3", "xy"), ("d4", "abd"))
+      .toDF("doc_id", "text")
+    val got = Preference.chrfPairs(docs).collect()
+    val ident = got.find(_.getAs[String]("ref_doc_id") == "d2").get
+    assert(ident.getAs[Long]("n_orders") === 2L)
+    assert(ident.getAs[Double]("prec_avg") === 1.0)
+    assert(ident.getAs[Double]("chrf") === 1.0)
+    val p1 = got.find(_.getAs[String]("ref_doc_id") == "d1").get
+    assert(p1.getAs[Long]("n_orders") === 3L)
+    def fl(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val pavg = fl((fl(2.0 / 3.0) + fl(0.5) + 0.0) / 3.0)
+    assert(p1.getAs[Double]("prec_avg") === pavg)
+    assert(p1.getAs[Double]("rec_avg") === pavg)
+    assert(p1.getAs[Double]("chrf") ===
+      fl(5.0 * pavg * pavg / (4.0 * pavg + pavg)))
+  }
+
+  test("chrfPairs: one-sided grams count as zero-score orders, not skips") {
+    // ref "abcd" vs cand "xy": order 3 has ref grams but no cand
+    // grams → counted with P=R=0; orders 1..4 count (ref has grams),
+    // orders 5,6 skipped
+    val docs = Seq(("d1", "abcd"), ("d2", "xy")).toDF("doc_id", "text")
+    val got = Preference.chrfPairs(docs).collect().head
+    assert(got.getAs[Long]("n_orders") === 4L)
+    assert(got.getAs[Double]("chrf") === 0.0)
+  }
+
   test("krippendorffAlphaInterval: binary domain ≡ nominal α; squared distance weights the 3-label case") {
     // binary labels: (c−k)² ∈ {0,1} = the nominal δ — the two faces
     // must agree EXACTLY on any binary vote table
