@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen stays intact because the generated code is a
   * single static call (the [[MinHashSig]] discipline).
   *
-  * Both inputs null-safe; a null or empty array scores 0. Null
+  * Null handling is the BinaryExpression default (null-intolerant):
+  * a NULL input array yields NULL, not 0 — callers with nullable
+  * text must coalesce upstream. An EMPTY array scores 0. Null
   * ELEMENTS never match (split() arrays carry none; defensive only).
   */
 case class LcsLen(left: Expression, right: Expression)
