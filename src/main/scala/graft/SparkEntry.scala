@@ -200,6 +200,11 @@ object SparkEntry {
     // Bradley–Terry strength fit from per-user pairwise value
     // comparisons — MM iterations over the T²-bounded wins table
     "bt_strength" -> ((s, d) => Preference.btStrength(Tables.events(s, d))),
+    // pairwise win-rate per (experiment, variant pair) with a 95%
+    // Poisson-bootstrap CI — the uncertainty readout next to BT's
+    // ranking; order-statistic bounds, integer-exact indices
+    "winrate_bootstrap_ci" -> ((s, d) =>
+      Preference.winrateBootstrapCi(Tables.events(s, d))),
     // Cohen's kappa between two deterministic rule annotators, per
     // source — scan-side rules, one aggregate, quantized κ chain
     "annotator_kappa" -> ((s, d) =>
@@ -246,6 +251,10 @@ object SparkEntry {
     // sibling of fdr_experiments
     "holm_experiments" -> ((s, d) =>
       Analytics.holmExperiments(Tables.events(s, d))),
+    // Mann–Whitney U rank-sum battery — the nonparametric sibling
+    // for heavy-tailed value metrics, through the same BH tail
+    "mwu_experiments" -> ((s, d) =>
+      Analytics.mwuExperiments(Tables.events(s, d))),
     // Krippendorff's alpha over the m-rater fabricated vote table —
     // the multi-rater generalization of annotator_kappa
     "krippendorff_alpha" -> ((s, d) =>
@@ -981,6 +990,7 @@ object SparkEntry {
     "sft_examples" -> Corpus.sftExamplesSql(),
     "dpo_pairs" -> Corpus.dpoPairsSql(),
     "bt_strength" -> Preference.btStrengthSql(),
+    "winrate_bootstrap_ci" -> Preference.winrateBootstrapCiSql(),
     "annotator_kappa" -> Preference.annotatorKappaSql(),
     "group_advantages" -> Preference.groupAdvantagesSql(),
     "best_of_n" -> Preference.bestOfNSql(),
@@ -993,6 +1003,7 @@ object SparkEntry {
     "sprt_conversion" -> Analytics.sprtConversionSql(),
     "fdr_experiments" -> Analytics.fdrExperimentsSql(),
     "holm_experiments" -> Analytics.holmExperimentsSql(),
+    "mwu_experiments" -> Analytics.mwuExperimentsSql(),
     "rouge_n_pairs" -> Preference.rougeNPairsSql(),
     "chrf_pairs" -> Preference.chrfPairsSql(),
     "distinct_ngrams" -> TextAnalysis.distinctNgramsSql(),

@@ -1666,16 +1666,7 @@ object Analytics {
     * DISTRIBUTION, from which any CI quantile follows; the full-data
     * mean rides along for centering. */
   def valueBootstrapCi(events: DataFrame, replicates: Int = 32): DataFrame = {
-    // Poisson(1) inverse CDF at cumulative breakpoints e^-1 * Σ 1/k!
-    // (k = 0..5; P(X > 5) ≈ 6e-4 truncated to 5 — documented bias far
-    // below bootstrap noise). Literals are shared verbatim by both
-    // engines, so every comparison is exact.
-    val mult = """CASE WHEN u < 0.36787944117144233 THEN 0
-                 |  WHEN u < 0.7357588823428847 THEN 1
-                 |  WHEN u < 0.9196986029286058 THEN 2
-                 |  WHEN u < 0.9810118431238462 THEN 3
-                 |  WHEN u < 0.9963401531726563 THEN 4
-                 |  ELSE 5 END""".stripMargin
+    val mult = PoissonMult
     events
       .select(col("event_id"), col("value"))
       .where(col("value").isNotNull)
@@ -1695,6 +1686,21 @@ object Analytics {
           .as("mean_value"))
       .orderBy("replicate")
   }
+
+  /** Poisson(1) inverse CDF over a dyadic uniform column `u`, at
+    * cumulative breakpoints e⁻¹·Σ 1/k! (k = 0..5; P(X > 5) ≈ 6e-4
+    * truncated to 5 — documented bias far below bootstrap noise).
+    * Literals are shared verbatim by both engines, so every
+    * comparison is exact. Shared by [[valueBootstrapCi]] and the
+    * win-rate bootstrap
+    * ([[graft.operators.Preference.winrateBootstrapCi]]). */
+  private[graft] val PoissonMult =
+    """CASE WHEN u < 0.36787944117144233 THEN 0
+      |  WHEN u < 0.7357588823428847 THEN 1
+      |  WHEN u < 0.9196986029286058 THEN 2
+      |  WHEN u < 0.9810118431238462 THEN 3
+      |  WHEN u < 0.9963401531726563 THEN 4
+      |  ELSE 5 END""".stripMargin
 
   /** Oracle for [[valueBootstrapCi]]: the same dyadic uniforms, CDF
     * breakpoints, and decimal sums. */
@@ -2190,12 +2196,12 @@ object Analytics {
        |      variant) AS rank
        |  FROM bp)""".stripMargin
 
-  /** DuckDB replay of [[fdrExperiments]]: the shared battery CTEs,
-    * then BH as the same rank + reverse running-min. */
-  def fdrExperimentsSql(alpha: Double = 0.05,
-      threshold: Double = 100.0): String =
-    s"""WITH ${batterySqlCtes(threshold)},
-       |bq AS (
+  // the BH step-up SQL tail over a CTE named `br` carrying
+  // (test, experiment_id, variant, stat, p_value, m, rank) — shared
+  // by fdrExperimentsSql and mwuExperimentsSql so the correction text
+  // can never drift between batteries
+  private def bhTailSql(alpha: Double): String =
+    s"""bq AS (
        |  SELECT *,
        |    p_value * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE) AS q_raw
        |  FROM br),
@@ -2210,6 +2216,13 @@ object Analytics {
        |SELECT test, experiment_id, variant, stat, p_value, m, rank,
        |  q_value, q_value <= $alpha AS reject
        |FROM qq ORDER BY rank""".stripMargin
+
+  /** DuckDB replay of [[fdrExperiments]]: the shared battery CTEs,
+    * then BH as the same rank + reverse running-min. */
+  def fdrExperimentsSql(alpha: Double = 0.05,
+      threshold: Double = 100.0): String =
+    s"""WITH ${batterySqlCtes(threshold)},
+       |${bhTailSql(alpha)}""".stripMargin
 
   /** DuckDB replay of [[holmExperiments]]: the shared battery CTEs,
     * then the step-down as the same rank + forward running-max. */
@@ -2229,4 +2242,220 @@ object Analytics {
        |SELECT test, experiment_id, variant, stat, p_value, m, rank,
        |  p_adj, p_adj <= $alpha AS reject
        |FROM hq ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Mann–Whitney U (rank-sum) over the experiment battery
+  // ---------------------------------------------------------------
+
+  // exact x³ − x on the DECIMAL lattice: counts are cast to
+  // DECIMAL(12,0) so the triple product lands at DECIMAL(38,0) in
+  // Spark (12+12+1, then 25+12+1) and DECIMAL(36,0) in DuckDB —
+  // exact in both for any tie group up to 10¹² rows (a bound no real
+  // per-(experiment, value) cell approaches)
+  private def cubeMinus(x: String): String =
+    s"""(CAST($x AS DECIMAL(12,0)) * CAST($x AS DECIMAL(12,0))
+       |  * CAST($x AS DECIMAL(12,0)) - CAST($x AS DECIMAL(12,0)))"""
+      .stripMargin
+
+  // the tie-corrected normal-approximation variance of U — shared
+  // verbatim with the oracle; operands (n_t, n_c BIGINT; tie DOUBLE
+  // from exact decimals) are identical across engines, so every IEEE
+  // step is bit-equal
+  private val MwuSig2 =
+    """(CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 12.0e0)
+      |* ((CAST(n_t + n_c AS DOUBLE) + 1.0e0)
+      |   - tie / (CAST(n_t + n_c AS DOUBLE)
+      |            * (CAST(n_t + n_c AS DOUBLE) - 1.0e0)))""".stripMargin
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) over the experiment battery —
+    * the NONPARAMETRIC sibling of [[fdrExperiments]]'s Welch-t/χ²
+    * readouts (Mann & Whitney, Ann. Math. Stat. 1947). Welch assumes
+    * the arm means are normal enough for the t to mean something;
+    * heavy-tailed value metrics (revenue is the canonical case) break
+    * that, and the rank test is what an analyst reaches for. Each
+    * treated arm is tested against its experiment's control arm
+    * (alphabetically-first variant, the [[variantLift]] convention);
+    * the m p-values then ride the SAME [[bhAdjust]] step-up tail, so
+    * the output is schema-identical to `fdr_experiments`.
+    *
+    * U is computed WITHOUT materializing per-row ranks — the
+    * mid-rank formulation over the (experiment, value) tie-group
+    * grain:
+    *
+    *   U_t = Σ_v cnt_t(v) · (C_<(v) + cnt_c(v)/2)
+    *
+    * where C_<(v) is the running control count strictly below v.
+    * 2·U stays on the DECIMAL(18,0)-product lattice (exact integers;
+    * one 38,0 sum), and the tie correction Σ(t³−t) over the COMBINED
+    * two-sample tie groups splits into a per-arm part (values the arm
+    * touches) plus a per-experiment control constant — so every
+    * treated arm prices its ties without rescanning control.
+    *
+    * Significance is the continuity-corrected large-sample normal
+    * reading (the scipy `mannwhitneyu(use_continuity=True)`
+    * convention): z = (|U − n_t·n_c/2| − ½)⁺ / σ_tie, two-sided p =
+    * erfc(z/√2) on the [[erfcChain]] lattice. Arms whose combined
+    * sample is all ties (σ² = 0) are not tests and drop, like the
+    * degenerate Welch arms.
+    *
+    * Scale shape: ONE events scan to the (experiment, value, variant)
+    * tie-group grain (map-side combined; the grain is bounded by the
+    * experiment × 2-decimal-value domain, not by rows), a bounded
+    * per-experiment control pick, a cumulative-count window
+    * PARTITIONED by experiment over the (experiment, value) grain
+    * (never a global sort — the per-experiment rank the r15 verdict
+    * asked for), one (experiment, value) equi-join, then everything
+    * downstream is the arm-bounded battery. No allowlist entry needed
+    * beyond [[bhAdjust]]'s own (the battery windows are arm-bounded).
+    *
+    * Output: (test='mwu_u', experiment_id, variant, stat=U, p_value,
+    * m, rank, q_value, reject) ordered by rank. */
+  def mwuExperiments(events: DataFrame,
+      alpha: Double = 0.05): DataFrame =
+    bhAdjust(mwuBattery(events), alpha)
+
+  /** The MWU battery CONSTRUCTION — one (test, experiment_id,
+    * variant, stat, p_value) row per treated arm with a non-degenerate
+    * rank readout. Split out (the [[experimentBattery]] pattern) so
+    * fixtures can assert U / p against hand-computed tables and so
+    * [[holmAdjust]] could consume the identical battery. */
+  private[graft] def mwuBattery(events: DataFrame): DataFrame = {
+    val grain = armEvents(events)
+      .groupBy(col("experiment_id"), col("value"), col("variant"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctl = grain
+      .groupBy(col("experiment_id"))
+      .agg(min(col("variant")).as("control_variant"))
+    // (experiment, value) grain carrying the control count at that
+    // value (0 where control never hit it) — the frame the running
+    // strictly-below control count walks over
+    val merged = grain
+      .join(broadcast(ctl), Seq("experiment_id"))
+      .groupBy(col("experiment_id"), col("value"))
+      .agg(sum(when(col("variant") === col("control_variant"),
+        col("cnt")).otherwise(0L)).as("cnt_c"))
+    val wCum = Window.partitionBy(col("experiment_id"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = merged
+      .withColumn("cum_excl",
+        coalesce(sum(col("cnt_c")).over(wCum), lit(0L)))
+    // per-experiment control constants: arm size and the control-only
+    // tie-correction term Σ(cnt_c³ − cnt_c) (zero for cnt_c ≤ 1)
+    val ctlConst = merged
+      .groupBy(col("experiment_id"))
+      .agg(sum(col("cnt_c")).as("n_c"),
+        expr(s"CAST(sum(${cubeMinus("cnt_c")}) AS DOUBLE)").as("tie_c"))
+    val treated = grain
+      .join(broadcast(ctl), Seq("experiment_id"))
+      .where(col("variant") =!= col("control_variant"))
+      .join(cum.select(col("experiment_id"), col("value"),
+        col("cnt_c"), col("cum_excl")), Seq("experiment_id", "value"))
+    // per treated arm: n_t, 2U (exact DECIMAL), and the arm part of
+    // the combined tie sum — Σ over touched values of
+    // ((cnt_c+cnt_t)³ − (cnt_c+cnt_t)) − (cnt_c³ − cnt_c); adding the
+    // per-experiment control constant completes Σ(t³−t) over the
+    // combined sample because untouched values contribute exactly
+    // their control-only term
+    val arms = treated
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(sum(col("cnt")).as("n_t"),
+        expr(
+          """CAST(sum(CAST(cnt AS DECIMAL(18,0))
+            |  * CAST(2 * cum_excl + cnt_c AS DECIMAL(18,0)))
+            |AS DOUBLE)""".stripMargin).as("two_u"),
+        expr(s"""CAST(sum(${cubeMinus("(cnt_c + cnt)")}
+                |  - ${cubeMinus("cnt_c")}) AS DOUBLE)""".stripMargin)
+          .as("tie_t"))
+      .join(ctlConst, Seq("experiment_id"))
+      .withColumn("tie", col("tie_t") + col("tie_c"))
+      .withColumn("sig2", expr(MwuSig2))
+      .withColumn("stat", expr(
+        """CASE WHEN n_t >= 1 AND n_c >= 1 AND sig2 > 0.0e0
+          |THEN two_u / 2.0e0 END""".stripMargin))
+      .where(col("stat").isNotNull)
+    arms
+      .withColumn("z", expr(
+        """greatest(0.0e0,
+          |  abs(stat - CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE) / 2.0e0)
+          |  - 0.5e0) / sqrt(sig2) * 0.7071067811865476e0""".stripMargin))
+      .withColumn("p_value", expr(fdrP))
+      .select(lit("mwu_u").as("test"), col("experiment_id"),
+        col("variant"), col("stat"), col("p_value"))
+  }
+
+  /** DuckDB replay of [[mwuExperiments]]: the same tie-group grain,
+    * running control count, decimal 2U/tie sums, continuity-corrected
+    * z, erfc-lattice p, and the shared BH tail. */
+  def mwuExperimentsSql(alpha: Double = 0.05): String =
+    s"""WITH g AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    event_type AS variant, value, count(*)::BIGINT AS cnt
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |ctl AS (
+       |  SELECT experiment_id, min(variant) AS control_variant
+       |  FROM g GROUP BY 1),
+       |mg AS (
+       |  SELECT g.experiment_id, g.value,
+       |    CAST(sum(CASE WHEN g.variant = ctl.control_variant
+       |      THEN g.cnt ELSE 0 END) AS BIGINT) AS cnt_c
+       |  FROM g JOIN ctl ON g.experiment_id = ctl.experiment_id
+       |  GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT *, COALESCE(sum(cnt_c) OVER (
+       |    PARTITION BY experiment_id ORDER BY value
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_excl
+       |  FROM mg),
+       |cc AS (
+       |  SELECT experiment_id, CAST(sum(cnt_c) AS BIGINT) AS n_c,
+       |    CAST(sum(${cubeMinus("cnt_c")}) AS DOUBLE) AS tie_c
+       |  FROM mg GROUP BY 1),
+       |tr AS (
+       |  SELECT g.experiment_id, g.variant, g.cnt, cw.cnt_c,
+       |    cw.cum_excl
+       |  FROM g
+       |  JOIN ctl ON g.experiment_id = ctl.experiment_id
+       |  JOIN cw ON g.experiment_id = cw.experiment_id
+       |    AND g.value = cw.value
+       |  WHERE g.variant <> ctl.control_variant),
+       |am AS (
+       |  SELECT experiment_id, variant,
+       |    CAST(sum(cnt) AS BIGINT) AS n_t,
+       |    CAST(sum(CAST(cnt AS DECIMAL(18,0))
+       |      * CAST(2 * cum_excl + cnt_c AS DECIMAL(18,0)))
+       |    AS DOUBLE) AS two_u,
+       |    CAST(sum(${cubeMinus("(cnt_c + cnt)")}
+       |      - ${cubeMinus("cnt_c")}) AS DOUBLE) AS tie_t
+       |  FROM tr GROUP BY 1, 2),
+       |st AS (
+       |  SELECT am.experiment_id, am.variant, am.n_t, cc.n_c,
+       |    am.two_u, am.tie_t + cc.tie_c AS tie
+       |  FROM am JOIN cc ON am.experiment_id = cc.experiment_id),
+       |sg AS (
+       |  SELECT *, $MwuSig2 AS sig2 FROM st),
+       |vu AS (
+       |  SELECT *,
+       |    CASE WHEN n_t >= 1 AND n_c >= 1 AND sig2 > 0.0e0
+       |    THEN two_u / 2.0e0 END AS stat
+       |  FROM sg),
+       |bz AS (
+       |  SELECT experiment_id, variant, stat, sig2, n_t, n_c,
+       |    greatest(0.0e0,
+       |      abs(stat - CAST(n_t AS DOUBLE) * CAST(n_c AS DOUBLE)
+       |        / 2.0e0)
+       |      - 0.5e0) / sqrt(sig2) * 0.7071067811865476e0 AS z
+       |  FROM vu WHERE stat IS NOT NULL),
+       |bp AS (
+       |  SELECT 'mwu_u' AS test, experiment_id, variant, stat,
+       |    $fdrP AS p_value
+       |  FROM bz),
+       |br AS (
+       |  SELECT *, count(*) OVER () AS m,
+       |    row_number() OVER (ORDER BY p_value, test, experiment_id,
+       |      variant) AS rank
+       |  FROM bp),
+       |${bhTailSql(alpha)}""".stripMargin
 }

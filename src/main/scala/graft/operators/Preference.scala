@@ -89,14 +89,7 @@ object Preference {
     val wins = ut
       .groupBy(col("user_id"))
       .agg(collect_list(struct(col("item"), col("s"))).as("arms"))
-      .select(explode(expr(
-        """flatten(transform(arms, (x, i) ->
-          |  transform(slice(arms, i + 2, size(arms)), y ->
-          |    struct(least(x.item, y.item) AS ia,
-          |           greatest(x.item, y.item) AS ib,
-          |           CASE WHEN x.item < y.item THEN x.s ELSE y.s END AS sa,
-          |           CASE WHEN x.item < y.item THEN y.s ELSE x.s END
-          |             AS sb))))""".stripMargin)).as("pr"))
+      .select(explode(expr(PairExpand)).as("pr"))
       .groupBy(col("pr.ia").as("ia"), col("pr.ib").as("ib"))
       .agg(sum(when(col("pr.sa") > col("pr.sb"), 1L).otherwise(0L))
         .as("w_a"),
@@ -149,6 +142,21 @@ object Preference {
       .orderBy("item")
   }
 
+  // canonical C(T,2) expansion of a collected `arms` array of
+  // (item, s) structs — every unordered pair once, (ia < ib) order,
+  // sides carried so a comparison's winner is one strict-inequality
+  // read. Shared by [[btStrength]] and [[winrateBootstrapCi]] so the
+  // per-judge comparison rule can never drift between the fit and
+  // the win-rate readout.
+  private val PairExpand =
+    """flatten(transform(arms, (x, i) ->
+      |  transform(slice(arms, i + 2, size(arms)), y ->
+      |    struct(least(x.item, y.item) AS ia,
+      |           greatest(x.item, y.item) AS ib,
+      |           CASE WHEN x.item < y.item THEN x.s ELSE y.s END AS sa,
+      |           CASE WHEN x.item < y.item THEN y.s ELSE x.s END
+      |             AS sb))))""".stripMargin
+
   /** DuckDB replay of [[btStrength]]: the same per-user decimal
     * totals, the same strict-inequality wins, and `iters` unrolled MM
     * CTEs with the identical DECIMAL(18,9) quantization points. */
@@ -199,6 +207,179 @@ object Preference {
        |FROM iw JOIN nm USING (item) JOIN p$iters USING (item)
        |ORDER BY item""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  // Pairwise win-rate with Poisson-bootstrap CI
+  // ---------------------------------------------------------------
+
+  /** Pairwise win-rate per (experiment, variant pair) with a 95 %
+    * Poisson-bootstrap confidence interval — the uncertainty readout
+    * [[btStrength]] and best-of-n omit (they RANK arms; this says how
+    * sure the ranking is at the pair grain, the number an arena-style
+    * leaderboard publishes next to every head-to-head).
+    *
+    * Comparison rule: [[btStrength]]'s, verbatim — each user judges
+    * every variant pair they emitted within an experiment, the larger
+    * exact DECIMAL(18,2) value total wins, ties drop (shared
+    * [[PairExpand]] fragment, so the fit and this readout can never
+    * disagree on who won a comparison). The bootstrap is
+    * [[Analytics.valueBootstrapCi]]'s machinery at the comparison
+    * grain: each (comparison, replicate) draws a Poisson(1)
+    * multiplicity from a dyadic md5 uniform seeded by the full
+    * comparison key, replicate win-rates are single IEEE divisions of
+    * exact integer sums, and the 2.5 %/97.5 % bounds are ORDER
+    * STATISTICS picked by integer-exact indices (k_lo = ⌈B_eff/40⌉,
+    * k_hi = B_eff − ⌊B_eff/40⌋ — never ⌈0.025·B⌉ on doubles, whose
+    * representation error flips the index at B = 200). `significant`
+    * = the CI excludes ½, the bootstrap analogue of a two-sided test
+    * at α = 0.05 and directionally consistent with [[btStrength]]'s
+    * ranking (PreferenceSpec pins both).
+    *
+    * Scale shape: one events scan to the (experiment, user, variant)
+    * grain, the array expansion per (experiment, user) — judge-
+    * bounded, no self-join — then the ×B explode is scan-side with
+    * map-side combine onto the (experiment, pair, replicate) grain
+    * (≤ experiments·T²·B rows through the shuffle, never
+    * comparison-sized), and the order-statistic window is PARTITIONED
+    * by pair (≤ B rows per partition). Replicates with an empty
+    * resample (all multiplicities 0) drop; B_eff counts the rest.
+    *
+    * Output: (experiment_id, item_a, item_b, n_comparisons, wins_a,
+    * win_rate, ci_lo, ci_hi, significant) ordered by the three keys. */
+  def winrateBootstrapCi(events: DataFrame,
+      replicates: Int = 200): DataFrame = {
+    require(replicates >= 40,
+      s"need >= 40 replicates for 2.5% order statistics, got $replicates")
+    val ut = events
+      .where(col("user_id").isNotNull)
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("user_id"), col("event_type").as("item"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("user_id"), col("item"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    val comps = ut
+      .groupBy(col("experiment_id"), col("user_id"))
+      .agg(collect_list(struct(col("item"), col("s"))).as("arms"))
+      .select(col("experiment_id"), col("user_id"),
+        explode(expr(PairExpand)).as("pr"))
+      .select(col("experiment_id"), col("user_id"),
+        col("pr.ia").as("item_a"), col("pr.ib").as("item_b"),
+        when(col("pr.sa") > col("pr.sb"), 1L).otherwise(0L).as("win_a"),
+        when(col("pr.sb") > col("pr.sa"), 1L).otherwise(0L).as("win_b"))
+      .where(col("win_a") + col("win_b") > 0)
+    val point = comps
+      .groupBy(col("experiment_id"), col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_comparisons"), sum(col("win_a")).as("wins_a"))
+      .withColumn("win_rate", expr(
+        "CAST(wins_a AS DOUBLE) / CAST(n_comparisons AS DOUBLE)"))
+    val reps = comps
+      .select(col("experiment_id"), col("user_id"), col("item_a"),
+        col("item_b"), col("win_a"),
+        explode(expr(s"sequence(0, ${replicates - 1})")).as("replicate"))
+      .withColumn("u", expr(
+        "(CAST(conv(substring(md5(experiment_id || ':' || " +
+          "CAST(user_id AS STRING) || ':' || item_a || ':' || item_b " +
+          "|| ':' || CAST(replicate AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE)"))
+      .withColumn("m", expr(Analytics.PoissonMult))
+      .groupBy(col("experiment_id"), col("item_a"), col("item_b"),
+        col("replicate"))
+      .agg(sum(col("m")).cast("long").as("m_tot"),
+        sum(col("m") * col("win_a")).cast("long").as("m_win"))
+      .where(col("m_tot") > 0)
+      .withColumn("wr", expr(
+        "CAST(m_win AS DOUBLE) / CAST(m_tot AS DOUBLE)"))
+    val wPair = Window.partitionBy(col("experiment_id"), col("item_a"),
+      col("item_b"))
+    val ranked = reps
+      .withColumn("rk",
+        row_number().over(wPair.orderBy(col("wr"), col("replicate")))
+          .cast("long"))
+      .withColumn("b_eff", count(lit(1)).over(wPair))
+    val ci = ranked
+      .groupBy(col("experiment_id"), col("item_a"), col("item_b"))
+      .agg(
+        max(when(expr(
+          "rk = CAST(floor((b_eff + 39) / 40.0e0) AS BIGINT)"),
+          col("wr"))).as("ci_lo"),
+        max(when(expr(
+          "rk = b_eff - CAST(floor(b_eff / 40.0e0) AS BIGINT)"),
+          col("wr"))).as("ci_hi"))
+    point.join(ci, Seq("experiment_id", "item_a", "item_b"))
+      .withColumn("significant",
+        col("ci_lo") > lit(0.5) || col("ci_hi") < lit(0.5))
+      .select(col("experiment_id"), col("item_a"), col("item_b"),
+        col("n_comparisons"), col("wins_a"), col("win_rate"),
+        col("ci_lo"), col("ci_hi"), col("significant"))
+      .orderBy("experiment_id", "item_a", "item_b")
+  }
+
+  /** DuckDB replay of [[winrateBootstrapCi]]: the same decimal arm
+    * totals (equi self-join formulation of the array expansion, the
+    * [[btStrengthSql]] precedent), the same dyadic uniforms, CDF
+    * breakpoints, and integer-exact order-statistic picks. */
+  def winrateBootstrapCiSql(replicates: Int = 200): String =
+    s"""WITH ut AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    user_id, event_type AS item,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS s
+       |  FROM events
+       |  WHERE user_id IS NOT NULL
+       |    AND json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |dc AS (
+       |  SELECT a.experiment_id, a.user_id,
+       |    a.item AS item_a, b.item AS item_b,
+       |    CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS win_a
+       |  FROM ut a JOIN ut b ON a.experiment_id = b.experiment_id
+       |    AND a.user_id = b.user_id AND a.item < b.item
+       |  WHERE a.s <> b.s),
+       |pt AS (
+       |  SELECT experiment_id, item_a, item_b,
+       |    count(*)::BIGINT AS n_comparisons,
+       |    CAST(sum(win_a) AS BIGINT) AS wins_a
+       |  FROM dc GROUP BY 1, 2, 3),
+       |x AS (
+       |  SELECT dc.*, t.replicate,
+       |    (('0x' || substr(md5(experiment_id || ':' ||
+       |        user_id::VARCHAR || ':' || item_a || ':' || item_b ||
+       |        ':' || replicate::VARCHAR), 1, 8))::BIGINT + 1)
+       |      / CAST(4294967296 AS DOUBLE) AS u
+       |  FROM dc, (SELECT unnest(range($replicates)) AS replicate) t),
+       |ml AS (
+       |  SELECT experiment_id, item_a, item_b, replicate, win_a,
+       |    ${Analytics.PoissonMult} AS m
+       |  FROM x),
+       |rg AS (
+       |  SELECT experiment_id, item_a, item_b, replicate,
+       |    sum(m)::BIGINT AS m_tot,
+       |    CAST(sum(m * win_a) AS BIGINT) AS m_win
+       |  FROM ml GROUP BY 1, 2, 3, 4),
+       |rv AS (
+       |  SELECT *, CAST(m_win AS DOUBLE) / CAST(m_tot AS DOUBLE) AS wr
+       |  FROM rg WHERE m_tot > 0),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY experiment_id, item_a, item_b
+       |      ORDER BY wr, replicate) AS rk,
+       |    count(*) OVER (
+       |      PARTITION BY experiment_id, item_a, item_b) AS b_eff
+       |  FROM rv),
+       |ci AS (
+       |  SELECT experiment_id, item_a, item_b,
+       |    max(CASE WHEN rk = CAST(floor((b_eff + 39) / 40.0e0)
+       |      AS BIGINT) THEN wr END) AS ci_lo,
+       |    max(CASE WHEN rk = b_eff - CAST(floor(b_eff / 40.0e0)
+       |      AS BIGINT) THEN wr END) AS ci_hi
+       |  FROM rk GROUP BY 1, 2, 3)
+       |SELECT pt.experiment_id, pt.item_a, pt.item_b, pt.n_comparisons,
+       |  pt.wins_a,
+       |  CAST(pt.wins_a AS DOUBLE) / CAST(pt.n_comparisons AS DOUBLE)
+       |    AS win_rate,
+       |  ci.ci_lo, ci.ci_hi,
+       |  (ci.ci_lo > 0.5e0 OR ci.ci_hi < 0.5e0) AS significant
+       |FROM pt JOIN ci USING (experiment_id, item_a, item_b)
+       |ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------
   // Preference-data QA: length bias

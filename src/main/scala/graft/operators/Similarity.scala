@@ -2136,8 +2136,11 @@ object Similarity {
         expr("sqrt(vec_dot(embedding, embedding))").as("norm"))
       .persist()
     // deterministic pseudo-random init: k hash offsets in [1, n−1]
-    // per node (never 0 — no self loops); duplicate offsets collapse
-    // in the pair-grain dedupe below
+    // per node (never 0, so no self loops once n ≥ 2; the a ≠ b
+    // filter below covers the n == 1 degenerate, where off is forced
+    // to 1 and wraps back onto idx). Colliding offsets are collapsed
+    // at the pair grain HERE — before scoring — so round-0 never
+    // spends two top-k slots on the same neighbor
     val init = nodes.select(col("idx"),
         explode(expr(
           s"""transform(sequence(1, $k), j ->
@@ -2146,8 +2149,24 @@ object Similarity {
             .stripMargin)).as("off"))
       .select(col("idx").as("a"), pmod(col("idx") + col("off"),
         lit(n)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    // Superseded round frames are dropped eagerly, but ONLY for MID
+    // rounds: round r < rounds materializes (count()) — which also
+    // fills its predecessor's cache through lineage — and then
+    // unpersists the predecessor (the §7.9 persist rule's complement:
+    // without the count the unpersist would force recomputation, and
+    // without the unpersist every generation stays pinned for the
+    // session — the r15 audit nit). The FINAL round stays LAZY: an
+    // eager barrier there serializes the last (heaviest) round away
+    // from the caller's action — measured +6 s on the recall face,
+    // whose brute-force baseline otherwise computes in PARALLEL with
+    // the final round inside one job DAG. Exit state: nodes + the
+    // last two generations cached (bounded, ContextCleaner-released
+    // when the caller drops the frame — the btStrength convention);
+    // every earlier generation is gone.
     var edges = nndTopK(nndScore(init, nodes), k).persist()
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val sym = edges.select(col("a"), col("b"))
         .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       // local join: nodes sharing a current neighbor, each unordered
@@ -2161,8 +2180,21 @@ object Similarity {
         .unionAll(edges.select(col("a"), col("b"), col("cos_sim")))
         .groupBy(col("a"), col("b"))
         .agg(max(col("cos_sim")).as("cos_sim"))
-      edges = nndTopK(merged, k).persist()
+      val next = nndTopK(merged, k).persist()
+      if (r < rounds) {
+        next.count()
+        edges.unpersist()
+      }
+      edges = next
     }
+    // the returned frame stays LAZY over the final round's cache and
+    // the node frame, so a caller's filter (nnDescentRecall keeps 1%
+    // of nodes) pushes INTO these joins — an eager checkpoint here
+    // measured 2.4× on the recall face by materializing all n·k rows
+    // first. The two live caches (n·k edges + n nodes, both bounded)
+    // release via the ContextCleaner when the caller drops the frame
+    // (the btStrength convention); only SUPERSEDED round frames are
+    // unpersisted above.
     edges
       .join(nodes.select(col("idx").as("a"), col("vec_id").as("node_id")),
         Seq("a"))

@@ -1285,4 +1285,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(qs === qs.sorted, "BH q-values must be monotone in rank")
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("mwuBattery: hand-computed U with ties, tie-corrected sigma, exact lattice p; all-tied arms drop") {
+    // e1: control a = [1,2,2,3], treated b = [2,3,3,5] → U = 13
+    // (R wilcox.test W: x=2 scores 1 win + two ½-ties = 2; each x=3
+    // scores 3 + ½ = 3.5; x=5 scores 4). Combined tie groups: value 2
+    // ×3 and value 3 ×3 → Σ(t³−t) = 48. σ² = (16/12)·(9 − 48/56) =
+    // 10.857142857142858. e2 is one value everywhere → σ² = 0, not a
+    // test, drops like a degenerate Welch arm.
+    val rows = (Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 3.0),
+      (5L, "b", 2.0), (6L, "b", 3.0), (7L, "b", 3.0), (8L, "b", 5.0))
+      .map { case (id, v, x) => (id, v, x, """{"k":"e1"}""") } ++
+      Seq((9L, "a", 7.0), (10L, "a", 7.0), (11L, "b", 7.0),
+        (12L, "b", 7.0))
+        .map { case (id, v, x) => (id, v, x, """{"k":"e2"}""") })
+      .toDF("event_id", "event_type", "value", "props")
+    val got = Analytics.mwuBattery(rows).collect()
+    assert(got.length === 1, "the all-tied e2 arm must drop")
+    val r = got(0)
+    assert(r.getAs[String]("test") === "mwu_u")
+    assert(r.getAs[String]("experiment_id") === "e1")
+    assert(r.getAs[String]("variant") === "b")
+    assert(r.getAs[Double]("stat") === 13.0)
+    // replay the exact shared scalar chain (same literals, same
+    // operation order, same 1e-9 lattice quantizations) — equality
+    // is EXACT, not approximate
+    val sig2 = (4.0 * 4.0 / 12.0) * ((8.0 + 1.0) - 48.0 / (8.0 * 7.0))
+    assert(math.abs(sig2 - 76.0 / 7.0) < 1e-12)
+    val z = ((13.0 - 8.0) - 0.5) / math.sqrt(sig2) * 0.7071067811865476
+    val t = 1.0 / (1.0 + 0.3275911 * z)
+    val e = math.floor(math.exp(-(z * z)) * 1e9 + 0.5) / 1e9
+    val erfc = ((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+      * t - 0.284496736) * t + 0.254829592) * t * e
+    val pExp = math.floor(erfc * 1e9 + 0.5) / 1e9
+    assert(r.getAs[Double]("p_value") === pExp)
+  }
+
+  test("mwuExperiments: fdr_experiments shape — same schema, mwu rows only, total ranks, Welch-arm containment") {
+    val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
+    val mwu = Analytics.mwuExperiments(ev)
+    val fdr = Analytics.fdrExperiments(ev)
+    assert(mwu.schema === fdr.schema,
+      "the MWU battery must ride the identical BH tail schema")
+    val got = mwu.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[String]("test") == "mwu_u"))
+    val ranks = got.map(_.getAs[Long]("rank")).toList
+    assert(ranks === (1L to ranks.length.toLong).toList)
+    val qs = got.map(_.getAs[Double]("q_value")).toList
+    assert(qs === qs.sorted && qs.forall(q => q >= 0.0 && q <= 1.0))
+    // arm-set containment under the shared control-pick convention:
+    // MWU only needs a non-degenerate rank spread, so it tests every
+    // arm Welch can (n=1 arms that Welch must drop still rank) —
+    // welch ⊆ mwu ⊆ the treated-arm universe
+    val welchArms = fdr.collect()
+      .filter(_.getAs[String]("test") == "welch_z")
+      .map(r => (r.getAs[String]("experiment_id"),
+        r.getAs[String]("variant"))).toSet
+    val mwuArms = got.map(r => (r.getAs[String]("experiment_id"),
+      r.getAs[String]("variant"))).toSet
+    assert(welchArms.subsetOf(mwuArms),
+      s"arms Welch tests but MWU dropped: ${welchArms -- mwuArms}")
+    val treatedUniverse = Analytics.variantLift(ev).collect()
+      .filter(r => r.getAs[String]("variant") !=
+        r.getAs[String]("control_variant"))
+      .map(r => (r.getAs[String]("experiment_id"),
+        r.getAs[String]("variant"))).toSet
+    assert(mwuArms.subsetOf(treatedUniverse),
+      s"MWU rows outside the treated-arm universe: " +
+        s"${mwuArms -- treatedUniverse}")
+  }
 }

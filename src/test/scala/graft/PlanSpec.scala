@@ -509,6 +509,7 @@ class PlanSpec extends AnyFunSuite {
     "doremi_weights",       // per-source NLL table (sources, not corpus)
     "fdr_experiments",      // battery table (2 rows per treated arm)
     "holm_experiments",     // same bounded battery, step-down windows
+    "mwu_experiments",      // same bounded battery, BH tail windows
     "temperature_fit",      // 8-row grid argmin pick
     "lang_temperature_mix", // per-language share table
     "revenue_mom_change",   // calendar months (≤ 12·years rows)

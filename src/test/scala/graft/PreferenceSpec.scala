@@ -461,4 +461,63 @@ class PreferenceSpec extends AnyFunSuite {
     assert(got.getAs[Long]("lcs") === 0L)
     assert(got.getAs[Double]("rouge_f") === 0.0)
   }
+
+  test("winrateBootstrapCi: all-wins pair collapses the CI at 1; a 50/50 pair straddles ½ and is not significant") {
+    // e1: 12 judges all prefer A — every non-empty resample's
+    // win-rate is exactly 1, so the CI is [1,1] REGARDLESS of the
+    // hash draws. e2: a 6/6 split — point estimate ½ and the
+    // bootstrap scatters around it, so the CI must contain ½.
+    val rows =
+      (1 to 12).flatMap(u => Seq(
+        (u.toLong, "A", 10.0, """{"k":"e1"}"""),
+        (u.toLong, "B", 5.0, """{"k":"e1"}"""))) ++
+      (1 to 12).flatMap { u =>
+        val (a, b) = if (u % 2 == 0) (10.0, 5.0) else (5.0, 10.0)
+        Seq((u.toLong, "A", a, """{"k":"e2"}"""),
+          (u.toLong, "B", b, """{"k":"e2"}"""))
+      }
+    val got = Preference.winrateBootstrapCi(
+      rows.toDF("user_id", "event_type", "value", "props")).collect()
+    assert(got.length === 2)
+    val e1 = got(0); val e2 = got(1)
+    assert(e1.getAs[String]("experiment_id") === "e1")
+    assert(e1.getAs[Long]("n_comparisons") === 12L)
+    assert(e1.getAs[Long]("wins_a") === 12L)
+    assert(e1.getAs[Double]("win_rate") === 1.0)
+    assert(e1.getAs[Double]("ci_lo") === 1.0)
+    assert(e1.getAs[Double]("ci_hi") === 1.0)
+    assert(e1.getAs[Boolean]("significant"))
+    assert(e2.getAs[Double]("win_rate") === 0.5)
+    assert(e2.getAs[Double]("ci_lo") <= 0.5)
+    assert(e2.getAs[Double]("ci_hi") >= 0.5)
+    assert(!e2.getAs[Boolean]("significant"))
+  }
+
+  test("winrateBootstrapCi: significant directions agree with btStrength's ranking on the same judgments") {
+    // A ≻ B ≻ C with one fully-reversed judge: 8/9 win rates every
+    // pair — significant, and BT (same comparison rule, single
+    // experiment so identical comparisons) must order the arms the
+    // same way every significant pair points.
+    val rows = (1 to 9).flatMap { u =>
+      val (a, b, c) = if (u == 9) (10.0, 20.0, 30.0)
+        else (30.0, 20.0, 10.0)
+      Seq((u.toLong, "A", a), (u.toLong, "B", b), (u.toLong, "C", c))
+    }.map { case (u, t, v) => (u, t, v, """{"k":"e1"}""") }
+    val df = rows.toDF("user_id", "event_type", "value", "props")
+    val wr = Preference.winrateBootstrapCi(df).collect()
+    assert(wr.length === 3)
+    val strength = Preference.btStrength(df).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Double]("strength"))
+      .toMap
+    wr.filter(_.getAs[Boolean]("significant")).foreach { r =>
+      val dir = r.getAs[Double]("win_rate") > 0.5
+      val btDir = strength(r.getAs[String]("item_a")) >
+        strength(r.getAs[String]("item_b"))
+      assert(dir === btDir,
+        s"${r.getAs[String]("item_a")} vs ${r.getAs[String]("item_b")}: " +
+          s"win-rate says $dir, BT says $btDir")
+    }
+    assert(wr.count(_.getAs[Boolean]("significant")) >= 1,
+      "an 8/9 sweep should clear the 95% CI somewhere")
+  }
 }
