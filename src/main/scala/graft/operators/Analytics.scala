@@ -2314,15 +2314,43 @@ object Analytics {
       alpha: Double = 0.05): DataFrame =
     bhAdjust(mwuBattery(events), alpha)
 
+  /** [[mwuExperiments]] from a pre-aggregated tie-group grain — the
+    * [[fdrFromArms]] analogue the streaming face replays per
+    * micro-batch. */
+  private[graft] def mwuFromGrain(grain: DataFrame,
+      alpha: Double): DataFrame =
+    bhAdjust(mwuBatteryFromGrain(grain), alpha)
+
   /** The MWU battery CONSTRUCTION — one (test, experiment_id,
     * variant, stat, p_value) row per treated arm with a non-degenerate
     * rank readout. Split out (the [[experimentBattery]] pattern) so
     * fixtures can assert U / p against hand-computed tables and so
     * [[holmAdjust]] could consume the identical battery. */
-  private[graft] def mwuBattery(events: DataFrame): DataFrame = {
-    val grain = armEvents(events)
+  private[graft] def mwuBattery(events: DataFrame): DataFrame =
+    // ONE events scan: the tie-group grain feeds four downstream
+    // consumers (control pick, merged value grain, control constants,
+    // treated rows) — without the cache boundary each re-derives it
+    // from the corpus scan (measured: 6 parquet scans in the
+    // un-cached plan). The grain is DOMAIN-bounded (experiments ×
+    // 2-decimal values × variants), so the cache is small at any
+    // corpus size; ContextCleaner releases it when the caller drops
+    // the frame (the btStrength convention).
+    mwuBatteryFromGrain(armEvents(events)
       .groupBy(col("experiment_id"), col("value"), col("variant"))
       .agg(count(lit(1)).as("cnt"))
+      .persist())
+
+  /** The derivation TAIL of [[mwuExperiments]]'s battery — from the
+    * bounded tie-group grain `(experiment_id, value, variant, cnt)`
+    * to the (test, experiment_id, variant, stat, p_value) rows. Split
+    * out (the [[fdrFromArms]] pattern) so the streaming face
+    * ([[graft.streaming.StreamingMetrics.startMwuExperiments]])
+    * replays the IDENTICAL chain over its running grain state: the
+    * counts are algebraic, so the streamed battery after any
+    * micro-batch slicing is bit-equal to the batch face over the
+    * same events. The streaming caller passes its own (unpersisted,
+    * state-snapshot-backed) grain; only the batch face caches. */
+  private[graft] def mwuBatteryFromGrain(grain: DataFrame): DataFrame = {
     val ctl = grain
       .groupBy(col("experiment_id"))
       .agg(min(col("variant")).as("control_variant"))

@@ -267,6 +267,11 @@ object Preference {
         when(col("pr.sa") > col("pr.sb"), 1L).otherwise(0L).as("win_a"),
         when(col("pr.sb") > col("pr.sa"), 1L).otherwise(0L).as("win_b"))
       .where(col("win_a") + col("win_b") > 0)
+      // judge-bounded frame read twice (point estimate + the ×B
+      // bootstrap) — the cache boundary keeps it ONE events scan and
+      // one array expansion (the btStrength convention; released by
+      // the ContextCleaner when the caller drops the frame)
+      .persist()
     val point = comps
       .groupBy(col("experiment_id"), col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_comparisons"), sum(col("win_a")).as("wins_a"))

@@ -2122,11 +2122,28 @@ object Similarity {
     * own convergence result says 2–3 rounds capture most of the
     * recall at this k.
     *
+    * `rho` < 1 enables Dong et al.'s §3.2 SAMPLED local join —
+    * keep ⌈ρ·2k⌉ adjacency entries per shared neighbor (fresh
+    * deterministic draw each round), shrinking candidate volume by
+    * ρ². **Measured negative result at THIS configuration** (k = 10,
+    * rounds = 2, SCALE.md §7.11): recall@10 falls 0.90 → 0.26 at
+    * ρ = 0.5 (0.32 even with a third round), because at fixed small
+    * rounds the descent's reach grows like (ρ·2k)^r — the paper's
+    * "minor loss" holds only for until-convergence runs where extra
+    * rounds repay the thinning, by which point ρ²·rounds ≥ the full
+    * join's work here. The flag stays for the regime it serves
+    * (large k, many rounds); the catalog face runs ρ = 1. The
+    * lossless alternative (skip old×old pairs — provably never
+    * re-enter a tightening top-k) prunes nothing at rounds = 2
+    * either: round-0 → 1 churn is near-total and only 30 % of edges
+    * are still new by round 2 (measured, §7.11).
+    *
     * Output: (node_id, neighbor_id, rank) for every node, ordered by
     * (node_id, rank) — the [[knnBruteForce]] shape over all nodes. */
   def nnDescentGraph(embeddings: DataFrame, k: Int = 10,
-      rounds: Int = 2): DataFrame = {
+      rounds: Int = 2, rho: Double = 1.0): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k,rounds >= 1; got $k,$rounds")
+    require(rho > 0.0 && rho <= 1.0, s"need 0 < rho <= 1; got $rho")
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val (ranked, n) = Analytics.rankByRange(
       embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -2167,8 +2184,27 @@ object Similarity {
     // every earlier generation is gone.
     var edges = nndTopK(nndScore(init, nodes), k).persist()
     for (r <- 1 to rounds) {
-      val sym = edges.select(col("a"), col("b"))
+      val symAll = edges.select(col("a"), col("b"))
         .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      // ρ-sampling (Dong et al. §3.2): keep ⌈ρ·2k⌉ adjacency entries
+      // PER SHARED-NEIGHBOR before the self-join, so the candidate
+      // volume shrinks ρ² while every node stays represented each
+      // round (a global hash-thinning variant measured recall 0.20
+      // vs 0.76 at the fixture — nodes that lose their whole list
+      // for a round propose nothing and never recover at fixed
+      // rounds). The round index seeds the per-node draw so each
+      // round samples a different subset; the window is PARTITIONED
+      // (one hash shuffle on the shared-neighbor key, same exchange
+      // the local join needs anyway).
+      val sym = if (rho >= 1.0) symAll
+        else {
+          val wS = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("a"))
+            .orderBy(expr(s"xxhash64(a, b, ${r}L)"), col("b"))
+          symAll.withColumn("__rs", row_number().over(wS))
+            .where(col("__rs") <= math.ceil(rho * 2 * k).toLong)
+            .drop("__rs")
+        }
       // local join: nodes sharing a current neighbor, each unordered
       // pair proposed once then mirrored
       val cand = sym.as("x").join(sym.as("y"),
@@ -2228,11 +2264,13 @@ object Similarity {
     * baseline on the [[knnBruteForce]] query sample — the graph's
     * measured-quality face (one row; ContractSpec floors it). */
   def nnDescentRecall(embeddings: DataFrame, k: Int = 10,
-      rounds: Int = 2, queryMod: Int = 100): DataFrame = {
-    val graph = nnDescentGraph(embeddings, k, rounds)
+      rounds: Int = 2, queryMod: Int = 100,
+      rho: Double = 1.0): DataFrame = {
+    val graph = nnDescentGraph(embeddings, k, rounds, rho)
       .where(pmod(col("node_id"), lit(queryMod)) === 0)
       .select(col("node_id").as("query_id"), col("neighbor_id"))
+    val tag = if (rho >= 1.0) "" else s"_p${math.round(rho * 100)}"
     annRecall(knnBruteForce(embeddings, k, queryMod), graph,
-      s"nnd_k${k}_r$rounds")
+      s"nnd_k${k}_r$rounds$tag")
   }
 }

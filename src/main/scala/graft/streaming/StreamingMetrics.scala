@@ -1163,6 +1163,38 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming Mann–Whitney U battery — the nonparametric sibling of
+    * [[startFdrExperiments]]: the running state is the tie-group
+    * grain (one COUNT per (experiment, variant, value) — algebraic,
+    * so the grain after any micro-batch cut is bit-identical to the
+    * batch aggregate; bounded by the experiment × 2-decimal-value ×
+    * variant DOMAIN, the same boundedness argument as the batch
+    * face's cached grain), then per micro-batch the IDENTICAL
+    * derivation tail as the batch face (`Analytics.mwuFromGrain`:
+    * running control count, decimal 2U/tie sums, continuity-corrected
+    * z, erfc-lattice p, BH step-up). Streamed q-values and reject set
+    * after ANY slicing are bit-equal to `Analytics.mwuExperiments`
+    * over the same events (asserted in `StreamingSpec`). */
+  def startMwuExperiments(events: DataFrame, queryName: String,
+      alpha: Double = 0.05): StreamingQuery = {
+    val session = events.sparkSession
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull)
+      .groupBy(col("experiment_id"), col("value"), col("variant"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (grain: DataFrame, _: Long) =>
+        val out = graft.operators.Analytics.mwuFromGrain(grain, alpha)
+        val rows = out.collect()
+        session
+          .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .createOrReplaceTempView(queryName)
+      }
+      .start()
+  }
+
   def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -814,6 +814,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed Mann–Whitney battery ≡ batch mwuExperiments bit-exact under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // repeated values inside and across arms so the tie-correction
+    // path carries real weight through every cut
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3),
+        (i % 7).toDouble * 10.0 + 0.5, s"""{"k":"e${i % 2}"}""")
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.StreamingMetrics.startMwuExperiments(
+      input.toDS().toDF("event_id", "event_type", "value", "props"),
+      "mwu_stream")
+    implicit val mwuEnc: org.apache.spark.sql.Encoder[(String, String,
+      String, Double, Double, Long, Long, Double, Boolean)] =
+      org.apache.spark.sql.Encoders.product
+    type MwuRow = (String, String, String, Double, Double, Long, Long,
+      Double, Boolean)
+    def batchOver(rs: Seq[(Long, String, Double, String)]): Set[MwuRow] =
+      graft.operators.Analytics.mwuExperiments(
+        rs.toDF("event_id", "event_type", "value", "props"))
+        .as[MwuRow].collect().toSet
+    try {
+      input.addData(rows.take(13))
+      q.processAllAvailable()
+      // after EVERY cut the published battery equals the batch face
+      assert(spark.table("mwu_stream").as[MwuRow].collect().toSet
+        === batchOver(rows.take(13)))
+      input.addData(rows.slice(13, 14)) // single-row batch
+      q.processAllAvailable()
+      input.addData(rows.drop(14))
+      q.processAllAvailable()
+      val streamed = spark.table("mwu_stream").as[MwuRow].collect().toSet
+      val batch = batchOver(rows)
+      // the tie-group counts are algebraic and the tail is the SAME
+      // code (Analytics.mwuFromGrain): bit-exact under any slicing
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.forall(_._1 == "mwu_u"))
+      assert(streamed.map(_._7).toList.sorted ===
+        (1L to streamed.size.toLong).toList)
+    } finally q.stop()
+  }
+
   test("streamed best-of-n ≡ batch bestOfN bit-exact under uneven slicing") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
