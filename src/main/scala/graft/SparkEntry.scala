@@ -255,6 +255,15 @@ object SparkEntry {
     // for heavy-tailed value metrics, through the same BH tail
     "mwu_experiments" -> ((s, d) =>
       Analytics.mwuExperiments(Tables.events(s, d))),
+    // Kruskal–Wallis k-sample rank test per experiment — "do ANY
+    // arms differ"; Wilson–Hilferty chi-square tail on the erfc
+    // lattice, variant-ordered arm fold (no unordered double sums)
+    "kruskal_experiments" -> ((s, d) =>
+      Analytics.kruskalExperiments(Tables.events(s, d))),
+    // CUPED variance-reduced arm means (Deng et al. WSDM'13):
+    // pre-period covariate, pooled theta, adjusted means + r²
+    "cuped_lift" -> ((s, d) =>
+      Analytics.cupedLift(Tables.events(s, d))),
     // Krippendorff's alpha over the m-rater fabricated vote table —
     // the multi-rater generalization of annotator_kappa
     "krippendorff_alpha" -> ((s, d) =>
@@ -1004,6 +1013,8 @@ object SparkEntry {
     "fdr_experiments" -> Analytics.fdrExperimentsSql(),
     "holm_experiments" -> Analytics.holmExperimentsSql(),
     "mwu_experiments" -> Analytics.mwuExperimentsSql(),
+    "kruskal_experiments" -> Analytics.kruskalExperimentsSql(),
+    "cuped_lift" -> Analytics.cupedLiftSql(),
     "rouge_n_pairs" -> Preference.rougeNPairsSql(),
     "chrf_pairs" -> Preference.chrfPairsSql(),
     "distinct_ngrams" -> TextAnalysis.distinctNgramsSql(),

@@ -2412,6 +2412,383 @@ object Analytics {
         col("variant"), col("stat"), col("p_value"))
   }
 
+  // ---------------------------------------------------------------
+  // CUPED variance-reduced experiment readout
+  // ---------------------------------------------------------------
+
+  /** CUPED-adjusted per-arm means (Deng, Xu, Kohavi & Walker,
+    * "Improving the sensitivity of online controlled experiments by
+    * utilizing pre-experiment data", WSDM 2013) — the industry-
+    * standard variance-reduction layer over [[variantLift]]'s raw
+    * means: Ŷ = Ȳ_arm − θ·(X̄_arm − X̄), with X a pre-experiment
+    * covariate and θ = cov(X,Y)/var(X) pooled per experiment. The
+    * same lift estimate, tighter — var shrinks by the squared X,Y
+    * correlation (reported as `var_reduction`).
+    *
+    * Period construction (deterministic, oracle-shared): each
+    * experiment's time range splits at its midpoint (integer
+    * microseconds — `unix_micros` ≡ DuckDB `epoch_us`); the PRE
+    * period is the covariate window, the POST period carries the
+    * measured metric. Unit = (user, variant): Y is the user's
+    * post-period mean value on that variant's events, X the user's
+    * pre-period mean over ALL their events in the experiment —
+    * pre-assignment behavior is variant-independent, which is
+    * exactly what makes X a valid CUPED covariate. Units missing
+    * either period drop; experiments with degenerate pooled
+    * var(X) or var(Y) (θ undefined / reduction meaningless) drop.
+    *
+    * Exactness: per-unit means quantize onto the 1e-6 floor lattice
+    * as BIGINTs; every pooled/arm moment (Σx, Σy, Σxy, Σx², Σy²) is
+    * then an exact DECIMAL sum of integer products — order-free —
+    * and θ, the adjusted means and r² are fixed IEEE chains over
+    * exact operands, floor-quantized at 1e-9 on output.
+    *
+    * Scale shape: one bounds pass (experiment-grain min/max,
+    * broadcast back), then ONE events scan to the (experiment, user,
+    * variant, period) grain with decimal sums; everything downstream
+    * is unit- then arm-bounded. No corpus-sized cache, no
+    * unpartitioned window.
+    *
+    * Output: (experiment_id, variant, n_units, mean_y, mean_y_cuped,
+    * theta, var_reduction) ordered by (experiment_id, variant). */
+  def cupedLift(events: DataFrame): DataFrame = {
+    val base = events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("user_id"), col("event_type").as("variant"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+      .where(col("experiment_id").isNotNull && col("user_id").isNotNull)
+    val bounds = base.groupBy(col("experiment_id"))
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .select(col("experiment_id"),
+        expr("lo + (hi - lo) div 2").as("mid"))
+    // ONE scan to the (experiment, user, variant, period) grain; the
+    // value sum stays RAW DECIMAL here (a double→DECIMAL re-cast at
+    // the next rollup would hit the §8 portability hazard)
+    val g1 = base.join(broadcast(bounds), Seq("experiment_id"))
+      .groupBy(col("experiment_id"), col("user_id"), col("variant"),
+        (col("us") <= col("mid")).as("pre"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s"))
+    // covariate: the user's pre-period mean over ALL variants,
+    // quantized to the 1e-6 integer lattice
+    val xs = g1.where(col("pre"))
+      .groupBy(col("experiment_id"), col("user_id"))
+      .agg(sum(col("n")).as("xn"), sum(col("s")).as("xsum"))
+      .select(col("experiment_id"), col("user_id"),
+        expr("CAST(floor(CAST(xsum AS DOUBLE) / CAST(xn AS DOUBLE) " +
+          "* 1e6 + 0.5e0) AS BIGINT)").as("xq"))
+    // metric: the (user, variant) post-period mean, same lattice
+    val ys = g1.where(!col("pre"))
+      .select(col("experiment_id"), col("user_id"), col("variant"),
+        expr("CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) " +
+          "* 1e6 + 0.5e0) AS BIGINT)").as("yq"))
+    val units = ys.join(xs, Seq("experiment_id", "user_id"))
+    // pooled per-experiment moments — exact decimal sums of lattice
+    // integers (xq·yq products land at DECIMAL(37,0))
+    val pooled = units.groupBy(col("experiment_id"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(xq AS DECIMAL(18,0))) AS DOUBLE)").as("sx"),
+        expr("CAST(sum(CAST(yq AS DECIMAL(18,0))) AS DOUBLE)").as("sy"),
+        expr("""CAST(sum(CAST(xq AS DECIMAL(18,0))
+                |  * CAST(yq AS DECIMAL(18,0))) AS DOUBLE)"""
+          .stripMargin).as("sxy"),
+        expr("""CAST(sum(CAST(xq AS DECIMAL(18,0))
+                |  * CAST(xq AS DECIMAL(18,0))) AS DOUBLE)"""
+          .stripMargin).as("sxx"),
+        expr("""CAST(sum(CAST(yq AS DECIMAL(18,0))
+                |  * CAST(yq AS DECIMAL(18,0))) AS DOUBLE)"""
+          .stripMargin).as("syy"))
+      .withColumn("theta", expr(CupedTheta))
+      .withColumn("var_reduction", expr(CupedR2))
+      .where(col("theta").isNotNull && col("var_reduction").isNotNull)
+    val arm = units.groupBy(col("experiment_id"), col("variant"))
+      .agg(count(lit(1)).as("n_units"),
+        expr("CAST(sum(CAST(xq AS DECIMAL(18,0))) AS DOUBLE)").as("sxa"),
+        expr("CAST(sum(CAST(yq AS DECIMAL(18,0))) AS DOUBLE)").as("sya"))
+    arm.join(pooled, Seq("experiment_id"))
+      .select(col("experiment_id"), col("variant"), col("n_units"),
+        expr(lattice9(CupedMeanY)).as("mean_y"),
+        expr(lattice9(CupedAdj)).as("mean_y_cuped"),
+        expr(lattice9("theta")).as("theta"),
+        expr(lattice9("var_reduction")).as("var_reduction"))
+      .orderBy("experiment_id", "variant")
+  }
+
+  // CUPED scalar chains, shared verbatim with the oracle; operands
+  // are exact-decimal casts, so every IEEE step is bit-equal. The
+  // 1e-6 lattice scale cancels in theta and r² (both are ratios of
+  // second moments) and divides out of the mean chains.
+  private val CupedTheta =
+    """CASE WHEN n >= 2
+      |  AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0e0 THEN
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |  / (CAST(n AS DOUBLE) * sxx - sx * sx)
+      |END""".stripMargin
+  private val CupedR2 =
+    """CASE WHEN n >= 2
+      |  AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0e0
+      |  AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0e0 THEN
+      |  ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |   / (CAST(n AS DOUBLE) * sxx - sx * sx))
+      |  * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |     / (CAST(n AS DOUBLE) * syy - sy * sy))
+      |END""".stripMargin
+  private val CupedMeanY =
+    "sya / CAST(n_units AS DOUBLE) / 1e6"
+  private val CupedAdj =
+    """sya / CAST(n_units AS DOUBLE) / 1e6
+      |- theta * (sxa / CAST(n_units AS DOUBLE) / 1e6
+      |           - sx / CAST(n AS DOUBLE) / 1e6)""".stripMargin
+  private def lattice9(v: String): String =
+    s"(floor(($v) * 1e9 + 0.5e0) / 1e9)"
+
+  /** DuckDB replay of [[cupedLift]]: same midpoint split
+    * (`epoch_us` ≡ `unix_micros`), lattice quantizations, decimal
+    * moment sums and IEEE chains. */
+  def cupedLiftSql(): String =
+    s"""WITH base AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    user_id, event_type AS variant, value, epoch_us(ts) AS us
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |    AND user_id IS NOT NULL),
+       |bounds AS (
+       |  SELECT experiment_id, min(us) + (max(us) - min(us)) // 2
+       |      AS mid
+       |  FROM base GROUP BY 1),
+       |g1 AS (
+       |  SELECT b.experiment_id, b.user_id, b.variant,
+       |    b.us <= bo.mid AS pre, count(*)::BIGINT AS n,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS s
+       |  FROM base b JOIN bounds bo
+       |    ON b.experiment_id = bo.experiment_id
+       |  GROUP BY 1, 2, 3, 4),
+       |xs AS (
+       |  SELECT experiment_id, user_id,
+       |    CAST(floor(
+       |      CAST(sum(s) AS DOUBLE)
+       |      / CAST(sum(n) AS DOUBLE) * 1e6 + 0.5e0) AS BIGINT) AS xq
+       |  FROM g1 WHERE pre GROUP BY 1, 2),
+       |ys AS (
+       |  SELECT experiment_id, user_id, variant,
+       |    CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e6
+       |      + 0.5e0) AS BIGINT) AS yq
+       |  FROM g1 WHERE NOT pre),
+       |units AS (
+       |  SELECT ys.experiment_id, ys.user_id, ys.variant, ys.yq, xs.xq
+       |  FROM ys JOIN xs ON ys.experiment_id = xs.experiment_id
+       |    AND ys.user_id = xs.user_id),
+       |pooled AS (
+       |  SELECT experiment_id, count(*)::BIGINT AS n,
+       |    CAST(sum(CAST(xq AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(yq AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(xq AS DECIMAL(18,0))
+       |      * CAST(yq AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(xq AS DECIMAL(18,0))
+       |      * CAST(xq AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(yq AS DECIMAL(18,0))
+       |      * CAST(yq AS DECIMAL(18,0))) AS DOUBLE) AS syy
+       |  FROM units GROUP BY 1),
+       |pt AS (
+       |  SELECT *, $CupedTheta AS theta, $CupedR2 AS var_reduction
+       |  FROM pooled),
+       |pv AS (
+       |  SELECT * FROM pt
+       |  WHERE theta IS NOT NULL AND var_reduction IS NOT NULL),
+       |arm AS (
+       |  SELECT experiment_id, variant, count(*)::BIGINT AS n_units,
+       |    CAST(sum(CAST(xq AS DECIMAL(18,0))) AS DOUBLE) AS sxa,
+       |    CAST(sum(CAST(yq AS DECIMAL(18,0))) AS DOUBLE) AS sya
+       |  FROM units GROUP BY 1, 2)
+       |SELECT arm.experiment_id, arm.variant, arm.n_units,
+       |  ${lattice9(CupedMeanY)} AS mean_y,
+       |  ${lattice9(CupedAdj)} AS mean_y_cuped,
+       |  ${lattice9("theta")} AS theta,
+       |  ${lattice9("var_reduction")} AS var_reduction
+       |FROM arm JOIN pv ON arm.experiment_id = pv.experiment_id
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Kruskal–Wallis k-sample rank test per experiment
+  // ---------------------------------------------------------------
+
+  // the tie-corrected H and Wilson–Hilferty scalar chains, shared
+  // verbatim with the oracle. d2 = (2R_i − n_i(N+1))² / (4 n_i) =
+  // n_i·(r̄_i − r̄)² — the CENTERED per-arm term (exact integer
+  // numerator; no catastrophic Σ R²/n − 3(N+1) cancellation).
+  private val KwD2 =
+    """(two_r - CAST(n_i AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+      |* (two_r - CAST(n_i AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+      |/ (4.0e0 * CAST(n_i AS DOUBLE))""".stripMargin
+  private val KwH =
+    """12.0e0 * ssd
+      |/ (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0e0))"""
+      .stripMargin
+  private val KwCorr =
+    """1.0e0 - tie_sum
+      |/ (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+      |   * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE))"""
+      .stripMargin
+
+  /** Kruskal–Wallis rank test across ALL arms of each experiment —
+    * the k-sample completion of [[mwuExperiments]]'s two-sample
+    * readout (Kruskal & Wallis, JASA 1952): one H per experiment
+    * answering "do ANY of the arms differ", where MWU answers
+    * per-arm-vs-control. Mid-ranks from the same tie-group grain
+    * (2R_i exact on the DECIMAL(18,0)-product lattice), the standard
+    * tie correction H' = H / (1 − Σ(t³−t)/(N³−N)), and the
+    * χ²_{k−1} tail through the Wilson–Hilferty cube-root normal
+    * approximation (A&S 26.4.14: z = ((H'/ν)^⅓ − (1 − 2/9ν)) /
+    * √(2/9ν), one-sided survival via the shared [[erfcChain]];
+    * cbrt is the one non-portable transcendental and rides the 1e-9
+    * floor lattice like exp). Per-experiment arm terms fold in a
+    * FIXED variant-sorted order (array fold; IEEE `0.0 + x` is
+    * exact, so the Spark fold and DuckDB's `list_reduce` produce the
+    * identical sum) — never an order-nondeterministic double SUM.
+    *
+    * Scale shape: the [[mwuExperiments]] story — one events scan to
+    * the domain-bounded tie-group grain (cached; it feeds three
+    * consumers), a per-experiment PARTITIONED cumulative window, one
+    * (experiment, value) equi-join, then arm- and experiment-bounded
+    * tails. Degenerate experiments drop: k < 2 arms, or all values
+    * tied (the correction denominator hits 0).
+    *
+    * Output: (experiment_id, k_arms, n_total, h_stat, df, p_value)
+    * ordered by experiment_id; h_stat is the tie-corrected H'. */
+  def kruskalExperiments(events: DataFrame): DataFrame = {
+    val grain = armEvents(events)
+      .groupBy(col("experiment_id"), col("value"), col("variant"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val vg = grain
+      .groupBy(col("experiment_id"), col("value"))
+      .agg(sum(col("cnt")).as("cnt_all"))
+    val wCum = Window.partitionBy(col("experiment_id"))
+      .orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = vg.withColumn("cum_excl",
+      coalesce(sum(col("cnt_all")).over(wCum), lit(0L)))
+    val ec = vg.groupBy(col("experiment_id"))
+      .agg(sum(col("cnt_all")).as("n_total"),
+        expr(s"CAST(sum(${cubeMinus("cnt_all")}) AS DOUBLE)")
+          .as("tie_sum"))
+    // per-arm mid-rank sums: 2R_i = Σ_v cnt_i(v)·(2·C_<(v) +
+    // cnt_all(v) + 1) — exact decimal, one (experiment, value) join
+    val arms = grain
+      .join(cum.select(col("experiment_id"), col("value"),
+        col("cnt_all"), col("cum_excl")), Seq("experiment_id", "value"))
+      .groupBy(col("experiment_id"), col("variant"))
+      .agg(sum(col("cnt")).as("n_i"),
+        expr(
+          """CAST(sum(CAST(cnt AS DECIMAL(18,0))
+            |  * CAST(2 * cum_excl + cnt_all + 1 AS DECIMAL(18,0)))
+            |AS DOUBLE)""".stripMargin).as("two_r"))
+    val byExp = arms.join(ec, Seq("experiment_id"))
+      .withColumn("d2", expr(KwD2))
+      .groupBy(col("experiment_id"))
+      .agg(first(col("n_total")).as("n_total"),
+        first(col("tie_sum")).as("tie_sum"),
+        count(lit(1)).as("k_arms"),
+        sort_array(collect_list(struct(col("variant"), col("d2"))))
+          .as("arr"))
+      .withColumn("ssd", expr(
+        "aggregate(arr, CAST(0 AS DOUBLE), (acc, x) -> acc + x.d2)"))
+      .withColumn("corr", expr(KwCorr))
+      .withColumn("h_stat", expr(
+        s"""CASE WHEN k_arms >= 2 AND corr > 0.0e0
+           |THEN ($KwH) / corr END""".stripMargin))
+      .where(col("h_stat").isNotNull)
+    byExp
+      .withColumn("df", (col("k_arms") - 1L).cast("long"))
+      .withColumn("cb", expr(
+        """(floor(cbrt(h_stat / CAST(df AS DOUBLE)) * 1e9 + 0.5e0)
+          |/ 1e9)""".stripMargin))
+      .withColumn("z", expr(
+        """(cb - (1.0e0 - 2.0e0 / (9.0e0 * CAST(df AS DOUBLE))))
+          |/ sqrt(2.0e0 / (9.0e0 * CAST(df AS DOUBLE)))""".stripMargin))
+      .withColumn("az", expr("abs(z) * 0.7071067811865476e0"))
+      .withColumn("p_value", expr(
+        s"""(floor((CASE WHEN z >= 0.0e0
+           |  THEN (${erfcChain("az")}) / 2.0e0
+           |  ELSE 1.0e0 - (${erfcChain("az")}) / 2.0e0 END) * 1e9
+           |  + 0.5e0) / 1e9)""".stripMargin))
+      .select(col("experiment_id"), col("k_arms"), col("n_total"),
+        col("h_stat"), col("df"), col("p_value"))
+      .orderBy("experiment_id")
+  }
+
+  /** DuckDB replay of [[kruskalExperiments]]: same grain, cumulative
+    * total count, decimal 2R sums, variant-ordered `list_reduce` fold
+    * (left fold ≡ Spark's `aggregate` from 0.0 — IEEE-identical), WH
+    * cube-root lattice and erfc chain. */
+  def kruskalExperimentsSql(): String =
+    s"""WITH g AS (
+       |  SELECT json_extract_string(props, '$$.k') AS experiment_id,
+       |    event_type AS variant, value, count(*)::BIGINT AS cnt
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  GROUP BY 1, 2, 3),
+       |vg AS (
+       |  SELECT experiment_id, value,
+       |    CAST(sum(cnt) AS BIGINT) AS cnt_all
+       |  FROM g GROUP BY 1, 2),
+       |cw AS (
+       |  SELECT *, COALESCE(sum(cnt_all) OVER (
+       |    PARTITION BY experiment_id ORDER BY value
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cum_excl
+       |  FROM vg),
+       |ec AS (
+       |  SELECT experiment_id, CAST(sum(cnt_all) AS BIGINT) AS n_total,
+       |    CAST(sum(${cubeMinus("cnt_all")}) AS DOUBLE) AS tie_sum
+       |  FROM vg GROUP BY 1),
+       |am AS (
+       |  SELECT g.experiment_id, g.variant,
+       |    CAST(sum(g.cnt) AS BIGINT) AS n_i,
+       |    CAST(sum(CAST(g.cnt AS DECIMAL(18,0))
+       |      * CAST(2 * cw.cum_excl + cw.cnt_all + 1 AS DECIMAL(18,0)))
+       |    AS DOUBLE) AS two_r
+       |  FROM g JOIN cw ON g.experiment_id = cw.experiment_id
+       |    AND g.value = cw.value
+       |  GROUP BY 1, 2),
+       |d2t AS (
+       |  SELECT am.experiment_id, am.variant, ec.n_total, ec.tie_sum,
+       |    $KwD2 AS d2
+       |  FROM am JOIN ec ON am.experiment_id = ec.experiment_id),
+       |fe AS (
+       |  SELECT experiment_id, any_value(n_total) AS n_total,
+       |    any_value(tie_sum) AS tie_sum,
+       |    count(*)::BIGINT AS k_arms,
+       |    list_reduce(list(CAST(d2 AS DOUBLE) ORDER BY variant),
+       |      (a, b) -> a + b) AS ssd
+       |  FROM d2t GROUP BY 1),
+       |hh AS (
+       |  SELECT *, $KwCorr AS corr FROM fe),
+       |hv AS (
+       |  SELECT experiment_id, k_arms, n_total,
+       |    CASE WHEN k_arms >= 2 AND corr > 0.0e0
+       |    THEN ($KwH) / corr END AS h_stat
+       |  FROM hh),
+       |wz AS (
+       |  SELECT experiment_id, k_arms, n_total, h_stat,
+       |    (k_arms - 1)::BIGINT AS df,
+       |    (floor(cbrt(h_stat / CAST(k_arms - 1 AS DOUBLE)) * 1e9
+       |      + 0.5e0) / 1e9) AS cb
+       |  FROM hv WHERE h_stat IS NOT NULL),
+       |zz AS (
+       |  SELECT *,
+       |    (cb - (1.0e0 - 2.0e0 / (9.0e0 * CAST(df AS DOUBLE))))
+       |    / sqrt(2.0e0 / (9.0e0 * CAST(df AS DOUBLE))) AS z
+       |  FROM wz),
+       |za AS (
+       |  SELECT *, abs(z) * 0.7071067811865476e0 AS az FROM zz)
+       |SELECT experiment_id, k_arms, n_total, h_stat, df,
+       |  (floor((CASE WHEN z >= 0.0e0
+       |    THEN (${erfcChain("az")}) / 2.0e0
+       |    ELSE 1.0e0 - (${erfcChain("az")}) / 2.0e0 END) * 1e9
+       |    + 0.5e0) / 1e9) AS p_value
+       |FROM za ORDER BY experiment_id""".stripMargin
+
   /** DuckDB replay of [[mwuExperiments]]: the same tie-group grain,
     * running control count, decimal 2U/tie sums, continuity-corrected
     * z, erfc-lattice p, and the shared BH tail. */

@@ -1322,6 +1322,100 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("p_value") === pExp)
   }
 
+  test("cupedLift: hand-computed theta and adjusted means de-confound an unbalanced design") {
+    // 4 users, baselines 10/20/30/40; pre-period event = baseline,
+    // post-period arm a = baseline, arm b = baseline + 10 — but user
+    // 4 (highest baseline) never reaches arm b, so the RAW lift reads
+    // 30 − 25 = 5 against a true per-user effect of 10. Hand moments
+    // over the 7 (user, variant) units: θ = 4600/5200, r² = (4600/
+    // 5200)², pooled X̄ = 160/7; cuped_a = 25 − θ(25 − 160/7),
+    // cuped_b = 30 − θ(20 − 160/7) → adjusted lift ≈ 9.42.
+    val rows = Seq(
+      (1L, 1L, "a", 10.0, 0L), (2L, 1L, "a", 10.0, 60L),
+      (3L, 1L, "b", 20.0, 61L),
+      (4L, 2L, "a", 20.0, 1L), (5L, 2L, "a", 20.0, 62L),
+      (6L, 2L, "b", 30.0, 63L),
+      (7L, 3L, "a", 30.0, 2L), (8L, 3L, "a", 30.0, 64L),
+      (9L, 3L, "b", 40.0, 65L),
+      (10L, 4L, "a", 40.0, 3L), (11L, 4L, "a", 40.0, 66L))
+      .map { case (id, u, v, x, us) =>
+        (id, u, v, x, """{"k":"e1"}""", us) }
+      .toDF("event_id", "user_id", "event_type", "value", "props", "us")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val got = Analytics.cupedLift(rows).collect()
+    assert(got.length === 2)
+    val a = got(0); val b = got(1)
+    assert(a.getAs[String]("variant") === "a")
+    assert(a.getAs[Long]("n_units") === 4L)
+    assert(b.getAs[Long]("n_units") === 3L)
+    val theta = 4600.0 / 5200.0
+    val xbar = 160.0 / 7.0
+    assert(math.abs(a.getAs[Double]("theta") - theta) < 1e-6)
+    assert(math.abs(a.getAs[Double]("var_reduction") - theta * theta)
+      < 1e-6)
+    assert(a.getAs[Double]("mean_y") === 25.0)
+    assert(b.getAs[Double]("mean_y") === 30.0)
+    assert(math.abs(a.getAs[Double]("mean_y_cuped")
+      - (25.0 - theta * (25.0 - xbar))) < 1e-6)
+    assert(math.abs(b.getAs[Double]("mean_y_cuped")
+      - (30.0 - theta * (20.0 - xbar))) < 1e-6)
+    // the adjustment recovers most of the true +10 effect from the
+    // confounded raw +5
+    val lift = b.getAs[Double]("mean_y_cuped") -
+      a.getAs[Double]("mean_y_cuped")
+    assert(lift > 9.0 && lift < 10.0, s"adjusted lift $lift")
+  }
+
+  test("kruskalExperiments: hand-computed tie-corrected H and WH lattice p; degenerate experiments drop") {
+    // e1: a = [1,2,2,3], b = [2,3,3,5], c = [1,1,4] → mid-ranks 2/5/8
+    // per tie group, rank sums R = (20, 32, 14), ssd = 4+16+16/3,
+    // H = ssd/11 = 2.30303…, ties Σ(t³−t) = 3·24 = 72 →
+    // H' = H/(1−72/1320) = 2.4358974… (R kruskal.test value).
+    // e2 is all one value (correction denominator 0) and e3 a single
+    // arm — both are not tests and drop.
+    val rows = (Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 3.0),
+      (5L, "b", 2.0), (6L, "b", 3.0), (7L, "b", 3.0), (8L, "b", 5.0),
+      (9L, "c", 1.0), (10L, "c", 1.0), (11L, "c", 4.0))
+      .map { case (id, v, x) => (id, v, x, """{"k":"e1"}""") } ++
+      Seq((12L, "a", 7.0), (13L, "b", 7.0))
+        .map { case (id, v, x) => (id, v, x, """{"k":"e2"}""") } ++
+      Seq((14L, "a", 1.0), (15L, "a", 2.0))
+        .map { case (id, v, x) => (id, v, x, """{"k":"e3"}""") })
+      .toDF("event_id", "event_type", "value", "props")
+    val got = Analytics.kruskalExperiments(rows).collect()
+    assert(got.length === 1, "e2 (all tied) and e3 (one arm) must drop")
+    val r = got(0)
+    assert(r.getAs[String]("experiment_id") === "e1")
+    assert(r.getAs[Long]("k_arms") === 3L)
+    assert(r.getAs[Long]("n_total") === 11L)
+    assert(r.getAs[Long]("df") === 2L)
+    // replay the exact shared chain (variant-ordered fold, identical
+    // literals and lattice quantizations) — equality is EXACT
+    val d2a = (40.0 - 4.0 * 12.0) * (40.0 - 4.0 * 12.0) / (4.0 * 4.0)
+    val d2b = (64.0 - 4.0 * 12.0) * (64.0 - 4.0 * 12.0) / (4.0 * 4.0)
+    val d2c = (28.0 - 3.0 * 12.0) * (28.0 - 3.0 * 12.0) / (4.0 * 3.0)
+    val ssd = ((0.0 + d2a) + d2b) + d2c
+    val h0 = 12.0 * ssd / (11.0 * (11.0 + 1.0))
+    val corr = 1.0 - 72.0 / (11.0 * 11.0 * 11.0 - 11.0)
+    val h = h0 / corr
+    assert(r.getAs[Double]("h_stat") === h)
+    assert(math.abs(h - 2.4358974358974357) < 1e-12)
+    val cb = math.floor(math.cbrt(h / 2.0) * 1e9 + 0.5) / 1e9
+    val z = (cb - (1.0 - 2.0 / (9.0 * 2.0))) / math.sqrt(2.0 / (9.0 * 2.0))
+    val az = math.abs(z) * 0.7071067811865476
+    val t = 1.0 / (1.0 + 0.3275911 * az)
+    val e = math.floor(math.exp(-(az * az)) * 1e9 + 0.5) / 1e9
+    val erfc = ((((1.061405429 * t - 1.453152027) * t + 1.421413741)
+      * t - 0.284496736) * t + 0.254829592) * t * e
+    val pExp = math.floor(
+      (if (z >= 0) erfc / 2.0 else 1.0 - erfc / 2.0) * 1e9 + 0.5) / 1e9
+    assert(r.getAs[Double]("p_value") === pExp)
+    // χ²₂ survival has the closed form e^{−H/2}: the WH approximation
+    // must land within its documented accuracy of it
+    assert(math.abs(pExp - math.exp(-h / 2.0)) < 5e-3)
+  }
+
   test("mwuExperiments: fdr_experiments shape — same schema, mwu rows only, total ranks, Welch-arm containment") {
     val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
     val mwu = Analytics.mwuExperiments(ev)
