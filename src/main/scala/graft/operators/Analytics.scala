@@ -2251,11 +2251,29 @@ object Analytics {
   // DECIMAL(12,0) so the triple product lands at DECIMAL(38,0) in
   // Spark (12+12+1, then 25+12+1) and DECIMAL(36,0) in DuckDB —
   // exact in both for any tie group up to 10¹² rows (a bound no real
-  // per-(experiment, value) cell approaches)
+  // per-(experiment, value) cell approaches; 12 is also the widest
+  // operand whose cube stays decimal-exact in DuckDB, where multiply
+  // precision is p1+p2 capped at 38). Past the bound both engines
+  // fail LOUD — DuckDB at this cast, Spark via [[guard12]] below.
   private def cubeMinus(x: String): String =
     s"""(CAST($x AS DECIMAL(12,0)) * CAST($x AS DECIMAL(12,0))
        |  * CAST($x AS DECIMAL(12,0)) - CAST($x AS DECIMAL(12,0)))"""
       .stripMargin
+
+  // the loud Spark-side edge of the 10¹² exactness bound: DuckDB's
+  // CAST errors when a tie cell exceeds DECIMAL(12,0), but Spark's
+  // non-ANSI cast NULLs instead — which would propagate tie → sig2 →
+  // stat NULL and silently DROP the arm from the battery. Guarding
+  // the operand restores the documented failure mode (abort, not
+  // silent row loss) on the Spark side; the oracle SQL stays
+  // unguarded because DuckDB is already loud. In-range cells take
+  // the ELSE branch untouched, so results are bit-identical.
+  private def guard12(x: String): String =
+    s"""CASE WHEN $x > 999999999999 THEN
+       |  CAST(raise_error(CONCAT('graft: tie-group cell ',
+       |    CAST($x AS STRING),
+       |    ' exceeds the 10^12 exactness bound')) AS BIGINT)
+       |ELSE $x END""".stripMargin
 
   // the tie-corrected normal-approximation variance of U — shared
   // verbatim with the oracle; operands (n_t, n_c BIGINT; tie DOUBLE
@@ -2336,6 +2354,13 @@ object Analytics {
     // corpus size; ContextCleaner releases it when the caller drops
     // the frame (the btStrength convention).
     mwuBatteryFromGrain(armEvents(events)
+      // NULL values are not rankable observations: without this
+      // filter control rows with NULL value would count into n_c/tie
+      // while the (experiment, value) equi-join silently dropped
+      // NULL treated rows from U — and the cumulative window would
+      // diverge cross-engine (Spark sorts NULLS FIRST, DuckDB NULLS
+      // LAST). The valueBootstrapCi convention.
+      .where(col("value").isNotNull)
       .groupBy(col("experiment_id"), col("value"), col("variant"))
       .agg(count(lit(1)).as("cnt"))
       .persist())
@@ -2373,7 +2398,8 @@ object Analytics {
     val ctlConst = merged
       .groupBy(col("experiment_id"))
       .agg(sum(col("cnt_c")).as("n_c"),
-        expr(s"CAST(sum(${cubeMinus("cnt_c")}) AS DOUBLE)").as("tie_c"))
+        expr(s"CAST(sum(${cubeMinus(guard12("cnt_c"))}) AS DOUBLE)")
+          .as("tie_c"))
     val treated = grain
       .join(broadcast(ctl), Seq("experiment_id"))
       .where(col("variant") =!= col("control_variant"))
@@ -2392,8 +2418,9 @@ object Analytics {
           """CAST(sum(CAST(cnt AS DECIMAL(18,0))
             |  * CAST(2 * cum_excl + cnt_c AS DECIMAL(18,0)))
             |AS DOUBLE)""".stripMargin).as("two_u"),
-        expr(s"""CAST(sum(${cubeMinus("(cnt_c + cnt)")}
-                |  - ${cubeMinus("cnt_c")}) AS DOUBLE)""".stripMargin)
+        expr(s"""CAST(sum(${cubeMinus(guard12("(cnt_c + cnt)"))}
+                |  - ${cubeMinus(guard12("cnt_c"))}) AS DOUBLE)"""
+            .stripMargin)
           .as("tie_t"))
       .join(ctlConst, Seq("experiment_id"))
       .withColumn("tie", col("tie_t") + col("tie_c"))
@@ -2452,11 +2479,7 @@ object Analytics {
     * Output: (experiment_id, variant, n_units, mean_y, mean_y_cuped,
     * theta, var_reduction) ordered by (experiment_id, variant). */
   def cupedLift(events: DataFrame): DataFrame = {
-    val base = events
-      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
-        col("user_id"), col("event_type").as("variant"), col("value"),
-        expr("unix_micros(ts)").as("us"))
-      .where(col("experiment_id").isNotNull && col("user_id").isNotNull)
+    val base = cupedBase(events)
     val bounds = base.groupBy(col("experiment_id"))
       .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
       .select(col("experiment_id"),
@@ -2464,11 +2487,35 @@ object Analytics {
     // ONE scan to the (experiment, user, variant, period) grain; the
     // value sum stays RAW DECIMAL here (a double→DECIMAL re-cast at
     // the next rollup would hit the §8 portability hazard)
-    val g1 = base.join(broadcast(bounds), Seq("experiment_id"))
+    cupedFromG1(base.join(broadcast(bounds), Seq("experiment_id"))
       .groupBy(col("experiment_id"), col("user_id"), col("variant"),
         (col("us") <= col("mid")).as("pre"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).as("s"))
+        sum(col("value").cast("decimal(18,2)")).as("s")))
+  }
+
+  // the event projection [[cupedLift]] and its streaming face share:
+  // value IS NOT NULL keeps n and the moment sums over the SAME rows
+  // (count(lit(1)) would count NULL-value rows the decimal sum skips,
+  // silently skewing the per-unit means and θ)
+  private[graft] def cupedBase(events: DataFrame): DataFrame =
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("user_id"), col("event_type").as("variant"), col("value"),
+        expr("unix_micros(ts)").as("us"))
+      .where(col("experiment_id").isNotNull && col("user_id").isNotNull
+        && col("value").isNotNull)
+
+  /** The derivation TAIL of [[cupedLift]] — from the per-unit period
+    * grain `(experiment_id, user_id, variant, pre, n, s)` to the
+    * adjusted-mean readout. Split out (the [[mwuFromGrain]] pattern)
+    * so the streaming face
+    * ([[graft.streaming.StreamingMetrics.startCupedLift]]) replays
+    * the IDENTICAL chain over its running per-unit moments: n and the
+    * raw-DECIMAL s are algebraic, so the streamed readout after any
+    * micro-batch slicing is bit-equal to a batch run at the same
+    * period split. */
+  private[graft] def cupedFromG1(g1: DataFrame): DataFrame = {
     // covariate: the user's pre-period mean over ALL variants,
     // quantized to the 1e-6 integer lattice
     val xs = g1.where(col("pre"))
@@ -2551,7 +2598,7 @@ object Analytics {
        |    user_id, event_type AS variant, value, epoch_us(ts) AS us
        |  FROM events
        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
-       |    AND user_id IS NOT NULL),
+       |    AND user_id IS NOT NULL AND value IS NOT NULL),
        |bounds AS (
        |  SELECT experiment_id, min(us) + (max(us) - min(us)) // 2
        |      AS mid
@@ -2655,11 +2702,27 @@ object Analytics {
     *
     * Output: (experiment_id, k_arms, n_total, h_stat, df, p_value)
     * ordered by experiment_id; h_stat is the tie-corrected H'. */
-  def kruskalExperiments(events: DataFrame): DataFrame = {
-    val grain = armEvents(events)
+  def kruskalExperiments(events: DataFrame): DataFrame =
+    // ONE events scan to the cached domain-bounded tie-group grain
+    // (the [[mwuBattery]] convention — it feeds three consumers);
+    // NULL values drop for the same cross-engine-rank reason.
+    kruskalFromGrain(armEvents(events)
+      .where(col("value").isNotNull)
       .groupBy(col("experiment_id"), col("value"), col("variant"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
+      .persist())
+
+  /** The derivation TAIL of [[kruskalExperiments]] — from the bounded
+    * tie-group grain `(experiment_id, value, variant, cnt)` to the
+    * per-experiment H′ readout. Split out (the [[mwuFromGrain]]
+    * pattern) so the streaming face
+    * ([[graft.streaming.StreamingMetrics.startKruskalExperiments]])
+    * replays the IDENTICAL chain over its running grain state: the
+    * counts are algebraic, so the streamed readout after any
+    * micro-batch slicing is bit-equal to the batch face over the same
+    * events. The streaming caller passes its own (unpersisted,
+    * state-snapshot-backed) grain; only the batch face caches. */
+  private[graft] def kruskalFromGrain(grain: DataFrame): DataFrame = {
     val vg = grain
       .groupBy(col("experiment_id"), col("value"))
       .agg(sum(col("cnt")).as("cnt_all"))
@@ -2670,7 +2733,7 @@ object Analytics {
       coalesce(sum(col("cnt_all")).over(wCum), lit(0L)))
     val ec = vg.groupBy(col("experiment_id"))
       .agg(sum(col("cnt_all")).as("n_total"),
-        expr(s"CAST(sum(${cubeMinus("cnt_all")}) AS DOUBLE)")
+        expr(s"CAST(sum(${cubeMinus(guard12("cnt_all"))}) AS DOUBLE)")
           .as("tie_sum"))
     // per-arm mid-rank sums: 2R_i = Σ_v cnt_i(v)·(2·C_<(v) +
     // cnt_all(v) + 1) — exact decimal, one (experiment, value) join
@@ -2727,6 +2790,7 @@ object Analytics {
        |    event_type AS variant, value, count(*)::BIGINT AS cnt
        |  FROM events
        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |    AND value IS NOT NULL
        |  GROUP BY 1, 2, 3),
        |vg AS (
        |  SELECT experiment_id, value,
@@ -2798,6 +2862,7 @@ object Analytics {
        |    event_type AS variant, value, count(*)::BIGINT AS cnt
        |  FROM events
        |  WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |    AND value IS NOT NULL
        |  GROUP BY 1, 2, 3),
        |ctl AS (
        |  SELECT experiment_id, min(variant) AS control_variant

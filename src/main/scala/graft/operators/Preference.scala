@@ -242,7 +242,9 @@ object Preference {
     * (≤ experiments·T²·B rows through the shuffle, never
     * comparison-sized), and the order-statistic window is PARTITIONED
     * by pair (≤ B rows per partition). Replicates with an empty
-    * resample (all multiplicities 0) drop; B_eff counts the rest.
+    * resample (all multiplicities 0) drop; B_eff counts the rest. A
+    * pair with NO surviving replicate still surfaces (left join from
+    * the point estimate) with NULL ci bounds and significant=false.
     *
     * Output: (experiment_id, item_a, item_b, n_comparisons, wins_a,
     * win_rate, ci_lo, ci_hi, significant) ordered by the three keys. */
@@ -310,9 +312,14 @@ object Preference {
         max(when(expr(
           "rk = b_eff - CAST(floor(b_eff / 40.0e0) AS BIGINT)"),
           col("wr"))).as("ci_hi"))
-    point.join(ci, Seq("experiment_id", "item_a", "item_b"))
+    // LEFT join: a pair whose every replicate resamples empty
+    // (all Poisson multiplicities 0 — probability (e^-n)^B, but a
+    // silent drop if it ever fired) still surfaces, with NULL CI
+    // bounds and significant = false
+    point.join(ci, Seq("experiment_id", "item_a", "item_b"), "left")
       .withColumn("significant",
-        col("ci_lo") > lit(0.5) || col("ci_hi") < lit(0.5))
+        coalesce(col("ci_lo") > lit(0.5) || col("ci_hi") < lit(0.5),
+          lit(false)))
       .select(col("experiment_id"), col("item_a"), col("item_b"),
         col("n_comparisons"), col("wins_a"), col("win_rate"),
         col("ci_lo"), col("ci_hi"), col("significant"))
@@ -382,8 +389,9 @@ object Preference {
        |  CAST(pt.wins_a AS DOUBLE) / CAST(pt.n_comparisons AS DOUBLE)
        |    AS win_rate,
        |  ci.ci_lo, ci.ci_hi,
-       |  (ci.ci_lo > 0.5e0 OR ci.ci_hi < 0.5e0) AS significant
-       |FROM pt JOIN ci USING (experiment_id, item_a, item_b)
+       |  COALESCE(ci.ci_lo > 0.5e0 OR ci.ci_hi < 0.5e0, false)
+       |    AS significant
+       |FROM pt LEFT JOIN ci USING (experiment_id, item_a, item_b)
        |ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------

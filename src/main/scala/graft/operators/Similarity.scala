@@ -2138,12 +2138,26 @@ object Similarity {
     * either: round-0 → 1 churn is near-total and only 30 % of edges
     * are still new by round 2 (measured, §7.11).
     *
+    * `churnExit` > 0 enables the paper's §2.3 termination criterion:
+    * stop when the fraction of edges that changed this round falls
+    * below ε — the measured-and-safe lever the rejected ρ-sampling
+    * wasn't, because it only skips rounds AFTER the graph stopped
+    * moving (recall is already banked) instead of thinning the reach
+    * of every round. Matters at rounds > 2, where deep descent
+    * otherwise pays full-join rounds that re-propose a settled
+    * graph; at the default rounds = 2 the exit can fire at most once
+    * and the catalog face keeps ε = 0 (fixed rounds, band-stable).
+    * Measured rounds-to-converge at sf0.01/sf0.1: SCALE.md §7.12.
+    *
     * Output: (node_id, neighbor_id, rank) for every node, ordered by
     * (node_id, rank) — the [[knnBruteForce]] shape over all nodes. */
   def nnDescentGraph(embeddings: DataFrame, k: Int = 10,
-      rounds: Int = 2, rho: Double = 1.0): DataFrame = {
+      rounds: Int = 2, rho: Double = 1.0,
+      churnExit: Double = 0.0): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k,rounds >= 1; got $k,$rounds")
     require(rho > 0.0 && rho <= 1.0, s"need 0 < rho <= 1; got $rho")
+    require(churnExit >= 0.0 && churnExit < 1.0,
+      s"need 0 <= churnExit < 1; got $churnExit")
     graft.functions.Registry.ensure(embeddings.sparkSession)
     val (ranked, n) = Analytics.rankByRange(
       embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
@@ -2183,7 +2197,9 @@ object Similarity {
     // when the caller drops the frame — the btStrength convention);
     // every earlier generation is gone.
     var edges = nndTopK(nndScore(init, nodes), k).persist()
-    for (r <- 1 to rounds) {
+    var r = 1
+    var converged = false
+    while (r <= rounds && !converged) {
       val symAll = edges.select(col("a"), col("b"))
         .unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       // ρ-sampling (Dong et al. §3.2): keep ⌈ρ·2k⌉ adjacency entries
@@ -2216,12 +2232,42 @@ object Similarity {
         .unionAll(edges.select(col("a"), col("b"), col("cos_sim")))
         .groupBy(col("a"), col("b"))
         .agg(max(col("cos_sim")).as("cos_sim"))
-      val next = nndTopK(merged, k).persist()
+      // Mid-round generations beyond the first TRUNCATE lineage
+      // (eager localCheckpoint): each round's logical plan otherwise
+      // nests ~4 copies of its predecessor's (the sym self-join plus
+      // two unions), so a deep descent's PLAN grows 4^r even while
+      // the persist/unpersist discipline bounds its DATA — measured
+      // at rounds = 6 the analysis-time blowup hit Spark's 2 GiB
+      // plan-string cap before any executor did real work. Round 1
+      // keeps the r16 persist+count path byte-identical (the
+      // rounds = 2 catalog face's pinned band); a superseded
+      // checkpointed generation is released by the ContextCleaner
+      // when `edges` rebinds (unpersist() below is the explicit
+      // release for the persisted round-1 frame).
+      val next =
+        if (r < rounds && r >= 2) nndTopK(merged, k).localCheckpoint(true)
+        else nndTopK(merged, k).persist()
       if (r < rounds) {
-        next.count()
+        val total = next.count()
+        // churn exit (Dong et al. §2.3's termination criterion, made
+        // optional): when the fraction of edges NEW this round drops
+        // below ε, further rounds re-propose what the top-k already
+        // holds — stop descending. The measurement rides the
+        // materialization barrier mid-rounds already pay (one extra
+        // left_anti count against the still-cached predecessor); the
+        // FINAL round stays lazy and unmeasured, preserving the
+        // recall-twin parallelism trade. ε = 0 (default) disables —
+        // fixed rounds, byte-identical plan to the pre-flag face.
+        if (churnExit > 0.0 && total > 0L) {
+          val fresh = next.select(col("a"), col("b"))
+            .join(edges.select(col("a"), col("b")), Seq("a", "b"),
+              "left_anti").count()
+          converged = fresh.toDouble / total.toDouble < churnExit
+        }
         edges.unpersist()
       }
       edges = next
+      r += 1
     }
     // the returned frame stays LAZY over the final round's cache and
     // the node frame, so a caller's filter (nnDescentRecall keeps 1%
@@ -2231,6 +2277,7 @@ object Similarity {
     // release via the ContextCleaner when the caller drops the frame
     // (the btStrength convention); only SUPERSEDED round frames are
     // unpersisted above.
+    lastDescentRounds.set(r - 1)
     edges
       .join(nodes.select(col("idx").as("a"), col("vec_id").as("node_id")),
         Seq("a"))
@@ -2239,6 +2286,13 @@ object Similarity {
       .select(col("node_id"), col("neighbor_id"), col("rank"))
       .orderBy("node_id", "rank")
   }
+
+  // rounds the last nnDescentGraph call actually DESCENDED (the
+  // churn exit can stop before `rounds`) — a measurement/diagnostic
+  // readout for ContractSpec and the SCALE.md convergence table,
+  // never consulted by any operator
+  private[graft] val lastDescentRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   // score (a, b) idx pairs: two idx-keyed joins against the persisted
   // node frame, one codegen'd vec_dot per pair
@@ -2265,8 +2319,8 @@ object Similarity {
     * measured-quality face (one row; ContractSpec floors it). */
   def nnDescentRecall(embeddings: DataFrame, k: Int = 10,
       rounds: Int = 2, queryMod: Int = 100,
-      rho: Double = 1.0): DataFrame = {
-    val graph = nnDescentGraph(embeddings, k, rounds, rho)
+      rho: Double = 1.0, churnExit: Double = 0.0): DataFrame = {
+    val graph = nnDescentGraph(embeddings, k, rounds, rho, churnExit)
       .where(pmod(col("node_id"), lit(queryMod)) === 0)
       .select(col("node_id").as("query_id"), col("neighbor_id"))
     val tag = if (rho >= 1.0) "" else s"_p${math.round(rho * 100)}"

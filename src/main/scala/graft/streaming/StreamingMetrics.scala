@@ -1181,12 +1181,86 @@ object StreamingMetrics {
     events
       .select(get_json_object(col("props"), "$.k").as("experiment_id"),
         col("event_type").as("variant"), col("value"))
-      .where(col("experiment_id").isNotNull)
+      // NULL values drop BEFORE the running grain, mirroring the
+      // batch face — rank tests have no NULL observation semantics
+      .where(col("experiment_id").isNotNull && col("value").isNotNull)
       .groupBy(col("experiment_id"), col("value"), col("variant"))
       .agg(count(lit(1)).as("cnt"))
       .writeStream.outputMode("complete")
       .foreachBatch { (grain: DataFrame, _: Long) =>
         val out = graft.operators.Analytics.mwuFromGrain(grain, alpha)
+        val rows = out.collect()
+        session
+          .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .createOrReplaceTempView(queryName)
+      }
+      .start()
+  }
+
+  /** Streaming Kruskal–Wallis battery — the k-sample completion of
+    * [[startMwuExperiments]], off the SAME running state: both rank
+    * tests derive from the (experiment, value, variant) tie-group
+    * grain (algebraic COUNTs, bounded by the experiment ×
+    * 2-decimal-value × variant DOMAIN), so streaming the k-sample
+    * test costs exactly one more `foreachBatch` tail — per
+    * micro-batch the IDENTICAL derivation as the batch face
+    * (`Analytics.kruskalFromGrain`: cumulative total count, decimal
+    * 2R sums, tie-corrected H′, Wilson–Hilferty χ² tail). Streamed
+    * H′/p after ANY slicing are bit-equal to
+    * `Analytics.kruskalExperiments` over the same events (asserted
+    * in `StreamingSpec`). */
+  def startKruskalExperiments(events: DataFrame,
+      queryName: String): StreamingQuery = {
+    val session = events.sparkSession
+    events
+      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+        col("event_type").as("variant"), col("value"))
+      .where(col("experiment_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("experiment_id"), col("value"), col("variant"))
+      .agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (grain: DataFrame, _: Long) =>
+        val out = graft.operators.Analytics.kruskalFromGrain(grain)
+        val rows = out.collect()
+        session
+          .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+          .createOrReplaceTempView(queryName)
+      }
+      .start()
+  }
+
+  /** Streaming CUPED readout — running per-unit period moments: the
+    * state is the (experiment, user, variant, pre) grain carrying an
+    * algebraic COUNT and raw-DECIMAL value sum (unit-bounded — never
+    * event-sized), and per micro-batch the IDENTICAL derivation tail
+    * as the batch face (`Analytics.cupedFromG1`: 1e-6 lattice unit
+    * means, exact decimal pooled/arm moments, θ, adjusted means).
+    *
+    * The period split is a PARAMETER here — a static
+    * (experiment_id, mid-in-unix-micros) frame, stream-static
+    * broadcast-joined — where the batch face derives the midpoint
+    * from the observed event-time bounds. That is deliberate, not a
+    * shortcut: a data-derived midpoint is not computable from
+    * bounded streaming state (every arriving event can move max(ts),
+    * re-labeling already-aggregated rows across the pre/post
+    * boundary), and in a real CUPED deployment the pre-experiment
+    * window IS declared before launch (Deng et al. WSDM'13 §3 — the
+    * covariate must predate assignment). Streamed output after ANY
+    * slicing is bit-equal to the batch tail at the same splits
+    * (asserted in `StreamingSpec` against a batch run whose derived
+    * midpoints are fed back in). */
+  def startCupedLift(events: DataFrame, queryName: String,
+      splits: DataFrame): StreamingQuery = {
+    val session = events.sparkSession
+    graft.operators.Analytics.cupedBase(events)
+      .join(broadcast(splits), Seq("experiment_id"))
+      .groupBy(col("experiment_id"), col("user_id"), col("variant"),
+        (col("us") <= col("mid")).as("pre"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("s"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (g1: DataFrame, _: Long) =>
+        val out = graft.operators.Analytics.cupedFromG1(g1)
         val rows = out.collect()
         session
           .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

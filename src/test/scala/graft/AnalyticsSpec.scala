@@ -1416,6 +1416,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(pExp - math.exp(-h / 2.0)) < 5e-3)
   }
 
+  test("rank batteries fail LOUD past the 10^12 tie-cell exactness bound (never a silent arm drop)") {
+    import spark.implicits._
+    // a tie cell past DECIMAL(12,0): Spark's non-ANSI cast would NULL
+    // it (silently dropping the arm where DuckDB errors); the guard
+    // must abort instead
+    val grain = Seq(
+      ("e1", 1.0, "a", 2000000000000L), ("e1", 2.0, "b", 5L))
+      .toDF("experiment_id", "value", "variant", "cnt")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    val exMwu = intercept[Exception] {
+      Analytics.mwuFromGrain(grain, 0.05).collect()
+    }
+    assert(chain(exMwu).contains("10^12 exactness bound"),
+      s"unexpected: ${chain(exMwu)}")
+    val exKw = intercept[Exception] {
+      Analytics.kruskalFromGrain(grain).collect()
+    }
+    assert(chain(exKw).contains("10^12 exactness bound"),
+      s"unexpected: ${chain(exKw)}")
+    // in-range cells take the ELSE branch untouched: the guarded
+    // chain is bit-identical to the hand-computed fixtures above
+    val ok = Seq(("e1", 1.0, "a", 999999999999L), ("e1", 2.0, "b", 5L))
+      .toDF("experiment_id", "value", "variant", "cnt")
+    assert(Analytics.kruskalFromGrain(ok).count() === 1L)
+  }
+
   test("mwuExperiments: fdr_experiments shape — same schema, mwu rows only, total ranks, Welch-arm containment") {
     val ev = graft.sources.Tables.events(spark, TestSpark.Sf0001)
     val mwu = Analytics.mwuExperiments(ev)

@@ -173,5 +173,23 @@ class ContractSpec extends AnyFunSuite {
     val nnd = Similarity.nnDescentRecall(emb).collect()(0)
     assert(nnd.getAs[Double]("recall_at_k") >= 0.60,
       s"nnd graph recall@10 ${nnd.getAs[Double]("recall_at_k")} below floor")
+    // churn exit (Dong et al. §2.3): granted a deep rounds budget it
+    // must STOP once the graph settles — strictly fewer rounds than
+    // the budget — while holding the same recall floor, and a
+    // disabled exit must spend the full budget (the band-stable
+    // catalog default). The exit only skips rounds AFTER the top-k
+    // stopped moving, so recall must not degrade vs the fixed face.
+    val nndExit = Similarity
+      .nnDescentRecall(emb, rounds = 6, churnExit = 0.05).collect()(0)
+    val roundsRun = Similarity.lastDescentRounds.get()
+    assert(roundsRun < 6,
+      s"churn exit never fired: descended all $roundsRun rounds")
+    assert(nndExit.getAs[Double]("recall_at_k")
+      >= nnd.getAs[Double]("recall_at_k"),
+      s"churn-exit recall ${nndExit.getAs[Double]("recall_at_k")} fell " +
+        s"below the fixed-rounds face ${nnd.getAs[Double]("recall_at_k")}")
+    Similarity.nnDescentGraph(emb, k = 10, rounds = 3).count()
+    assert(Similarity.lastDescentRounds.get() === 3,
+      "disabled exit must run the full fixed budget")
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import graft.streaming.{MetricsStore, StreamingMetrics}
 
 /** Streaming semantics per SURVEY.md §5.4: update-mode incremental
@@ -854,6 +855,113 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.nonEmpty && streamed.forall(_._1 == "mwu_u"))
       assert(streamed.map(_._7).toList.sorted ===
         (1L to streamed.size.toLong).toList)
+    } finally q.stop()
+  }
+
+  test("streamed Kruskal–Wallis ≡ batch kruskalExperiments bit-exact under uneven slicing") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // 3 arms × 2 experiments with heavy ties so the tie-corrected H′
+    // and the WH tail carry real weight through every cut
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Seq("a", "b", "c")(i % 3),
+        (i % 7).toDouble * 10.0 + 0.5, s"""{"k":"e${i % 2}"}""")
+    }
+    val input = MemoryStream[(Long, String, Double, String)]
+    val q = graft.streaming.StreamingMetrics.startKruskalExperiments(
+      input.toDS().toDF("event_id", "event_type", "value", "props"),
+      "kruskal_stream")
+    implicit val kwEnc: org.apache.spark.sql.Encoder[(String, Long,
+      Long, Double, Long, Double)] =
+      org.apache.spark.sql.Encoders.product
+    type KwRow = (String, Long, Long, Double, Long, Double)
+    def batchOver(rs: Seq[(Long, String, Double, String)]): Set[KwRow] =
+      graft.operators.Analytics.kruskalExperiments(
+        rs.toDF("event_id", "event_type", "value", "props"))
+        .as[KwRow].collect().toSet
+    try {
+      input.addData(rows.take(13))
+      q.processAllAvailable()
+      // after EVERY cut the published readout equals the batch face
+      assert(spark.table("kruskal_stream").as[KwRow].collect().toSet
+        === batchOver(rows.take(13)))
+      input.addData(rows.slice(13, 14)) // single-row batch
+      q.processAllAvailable()
+      input.addData(rows.drop(14))
+      q.processAllAvailable()
+      val streamed =
+        spark.table("kruskal_stream").as[KwRow].collect().toSet
+      // the tie-group counts are algebraic and the tail is the SAME
+      // code (Analytics.kruskalFromGrain): bit-exact under any slicing
+      assert(streamed === batchOver(rows))
+      assert(streamed.map(_._1) === Set("e0", "e1"))
+      assert(streamed.forall(r => r._2 === 3L && r._5 === 2L))
+    } finally q.stop()
+  }
+
+  test("streamed CUPED ≡ batch cupedLift bit-exact under uneven slicing at the same declared splits") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // 12 users × pre/post periods, per-user baseline confound in both
+    // arms so θ and the adjusted means are non-trivial at every cut
+    val rows = (0 until 96).map { i =>
+      val u = i % 12
+      val pre = i < 48
+      val arm = if (pre || u % 2 == 0) "a" else "b"
+      (i.toLong, u.toLong, arm,
+        (u + 1).toDouble * 10.0 + (if (pre) 0.0 else 5.0 + (i % 3)),
+        s"""{"k":"e${u % 2}"}""",
+        i.toLong * 1000000L)
+    }
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    def toDf(rs: Seq[(Long, Long, String, Double, String, Long)]) =
+      withTs(rs.toDF("event_id", "user_id", "event_type", "value",
+        "props", "us"))
+    // the declared split: the batch face's own derived midpoints fed
+    // back in, so batch cupedLift over ALL rows is the final oracle
+    val splits = graft.operators.Analytics.cupedBase(toDf(rows))
+      .groupBy(col("experiment_id"))
+      .agg(expr("min(us) + (max(us) - min(us)) div 2").as("mid"))
+    val input = MemoryStream[(Long, Long, String, Double, String, Long)]
+    val q = graft.streaming.StreamingMetrics.startCupedLift(
+      withTs(input.toDS().toDF(
+        "event_id", "user_id", "event_type", "value", "props", "us")),
+      "cuped_stream", splits)
+    implicit val cuEnc: org.apache.spark.sql.Encoder[(String, String,
+      Long, Double, Double, Double, Double)] =
+      org.apache.spark.sql.Encoders.product
+    type CuRow = (String, String, Long, Double, Double, Double, Double)
+    // mid-cut oracle: the IDENTICAL batch tail over the partial rows
+    // at the SAME declared splits
+    def batchAt(rs: Seq[(Long, Long, String, Double, String, Long)])
+        : Set[CuRow] =
+      graft.operators.Analytics.cupedFromG1(
+        graft.operators.Analytics.cupedBase(toDf(rs))
+          .join(broadcast(splits), Seq("experiment_id"))
+          .groupBy(col("experiment_id"), col("user_id"), col("variant"),
+            (col("us") <= col("mid")).as("pre"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).as("s")))
+        .as[CuRow].collect().toSet
+    try {
+      input.addData(rows.take(53))
+      q.processAllAvailable()
+      assert(spark.table("cuped_stream").as[CuRow].collect().toSet
+        === batchAt(rows.take(53)))
+      input.addData(rows.slice(53, 54)) // single-row batch
+      q.processAllAvailable()
+      input.addData(rows.drop(54))
+      q.processAllAvailable()
+      val streamed =
+        spark.table("cuped_stream").as[CuRow].collect().toSet
+      // at the final cut the declared splits coincide with the batch
+      // face's derived midpoints: full batch cupedLift is the oracle
+      assert(streamed === batchAt(rows))
+      assert(streamed === graft.operators.Analytics.cupedLift(
+        toDf(rows)).as[CuRow].collect().toSet)
+      assert(streamed.map(r => (r._1, r._2)).size === streamed.size)
+      assert(streamed.exists(_._7 > 0.0)) // real variance reduction
     } finally q.stop()
   }
 
