@@ -1665,17 +1665,16 @@ object Analytics {
     * replicate (replicate, n_eff, mean_value) — the replicate
     * DISTRIBUTION, from which any CI quantile follows; the full-data
     * mean rides along for centering. */
-  def valueBootstrapCi(events: DataFrame, replicates: Int = 32): DataFrame = {
+  def valueBootstrapCi(events: DataFrame, replicates: Int = 32,
+      kernel: String = "md5"): DataFrame = {
     val mult = PoissonMult
     events
       .select(col("event_id"), col("value"))
       .where(col("value").isNotNull)
       .select(col("event_id"), col("value"),
         explode(array((0 until replicates).map(lit): _*)).as("replicate"))
-      .withColumn("u", expr(
-        "(CAST(conv(substring(md5(CAST(event_id AS STRING) || ':' || " +
-          "CAST(replicate AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1) " +
-          "/ CAST(4294967296 AS DOUBLE)"))
+      .withColumn("u", expr(bootstrapU(kernel,
+        "CAST(event_id AS STRING)", "replicate")))
       .withColumn("m", expr(mult))
       .groupBy(col("replicate"))
       .agg(sum(col("m")).cast("long").as("n_eff"),
@@ -1694,6 +1693,40 @@ object Analytics {
     * comparison is exact. Shared by [[valueBootstrapCi]] and the
     * win-rate bootstrap
     * ([[graft.operators.Preference.winrateBootstrapCi]]). */
+  /** The bootstrap draw u ∈ (0, 1] over the given key columns —
+    * kernel-selectable because the draws DOMINATE the bootstrap's
+    * cost at scale (§7.11: ~470M md5 evaluations at the win-rate
+    * face's 100× point):
+    *
+    *  - `"md5"` (default, the catalog faces): dyadic uniform from the
+    *    md5 prefix of the ':'-joined string key — the ORACLE-PARITY
+    *    kernel (DuckDB ships md5; every draw is bit-identical across
+    *    engines, so the resample CIs hash-match).
+    *  - `"xxhash64"`: Spark-native codegen'd 64-bit hash taken
+    *    DIRECTLY over the typed key columns — no string rendering, no
+    *    digest; the flag-gated scale kernel for production runs with
+    *    no cross-engine twin (measured §7.13). Statistically
+    *    equivalent (either kernel is a deterministic stand-in for
+    *    iid uniforms feeding the same Poisson inverse-CDF), but the
+    *    draws differ, so CIs differ within bootstrap noise — never
+    *    flip the kernel under a pinned face.
+    *
+    * Both map to (hash mod 2³²  + 1) / 2³², so u = 0 is unreachable
+    * and u = 1 folds into the CDF's ELSE arm in both kernels. */
+  private[graft] def bootstrapU(kernel: String,
+      keys: String*): String = kernel match {
+    case "md5" =>
+      s"""(CAST(conv(substring(md5(${keys.map(k =>
+        s"CAST($k AS STRING)").mkString(" || ':' || ")}),
+        |  1, 8), 16, 10) AS BIGINT) + 1)
+        |/ CAST(4294967296 AS DOUBLE)""".stripMargin
+    case "xxhash64" =>
+      s"""(pmod(xxhash64(${keys.mkString(", ")}), 4294967296L) + 1)
+        |/ CAST(4294967296 AS DOUBLE)""".stripMargin
+    case other => throw new IllegalArgumentException(
+      s"unknown bootstrap kernel '$other' (md5 | xxhash64)")
+  }
+
   private[graft] val PoissonMult =
     """CASE WHEN u < 0.36787944117144233 THEN 0
       |  WHEN u < 0.7357588823428847 THEN 1

@@ -246,10 +246,18 @@ object Preference {
     * pair with NO surviving replicate still surfaces (left join from
     * the point estimate) with NULL ci bounds and significant=false.
     *
+    * `kernel` picks the draw ([[Analytics.bootstrapU]]): `"md5"`
+    * (default, the catalog face) is the oracle-parity kernel;
+    * `"xxhash64"` is the flag-gated scale kernel — the draws are the
+    * dominant cost at the 100× point (§7.11) and the codegen'd typed
+    * hash skips the string render + digest (measured §7.13). Point
+    * estimates are kernel-independent; CIs differ within bootstrap
+    * noise.
+    *
     * Output: (experiment_id, item_a, item_b, n_comparisons, wins_a,
     * win_rate, ci_lo, ci_hi, significant) ordered by the three keys. */
   def winrateBootstrapCi(events: DataFrame,
-      replicates: Int = 200): DataFrame = {
+      replicates: Int = 200, kernel: String = "md5"): DataFrame = {
     require(replicates >= 40,
       s"need >= 40 replicates for 2.5% order statistics, got $replicates")
     val ut = events
@@ -283,11 +291,8 @@ object Preference {
       .select(col("experiment_id"), col("user_id"), col("item_a"),
         col("item_b"), col("win_a"),
         explode(expr(s"sequence(0, ${replicates - 1})")).as("replicate"))
-      .withColumn("u", expr(
-        "(CAST(conv(substring(md5(experiment_id || ':' || " +
-          "CAST(user_id AS STRING) || ':' || item_a || ':' || item_b " +
-          "|| ':' || CAST(replicate AS STRING)), 1, 8), 16, 10) " +
-          "AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE)"))
+      .withColumn("u", expr(Analytics.bootstrapU(kernel,
+        "experiment_id", "user_id", "item_a", "item_b", "replicate")))
       .withColumn("m", expr(Analytics.PoissonMult))
       .groupBy(col("experiment_id"), col("item_a"), col("item_b"),
         col("replicate"))
@@ -312,11 +317,21 @@ object Preference {
         max(when(expr(
           "rk = b_eff - CAST(floor(b_eff / 40.0e0) AS BIGINT)"),
           col("wr"))).as("ci_hi"))
-    // LEFT join: a pair whose every replicate resamples empty
+    // OUTER join: a pair whose every replicate resamples empty
     // (all Poisson multiplicities 0 — probability (e^-n)^B, but a
     // silent drop if it ever fired) still surfaces, with NULL CI
-    // bounds and significant = false
-    point.join(ci, Seq("experiment_id", "item_a", "item_b"), "left")
+    // bounds and significant = false. FULL outer rather than left,
+    // for two reasons: (1) a ci-only key is impossible by
+    // construction (reps ⊆ comps, so ci keys ⊆ point keys) — if one
+    // ever appeared it would surface loudly as a NULL-stat row
+    // instead of vanishing; (2) a LEFT join here is
+    // cardinality-preserving (the right side is an aggregate on the
+    // join keys), so under a count()-shaped action Catalyst prunes
+    // the ENTIRE bootstrap subtree — the benchmark face silently
+    // stopped timing the ×B resample (caught by the kernel probe's
+    // B-scaling flatness: B=1600 ran faster than B=200). Full outer
+    // is semantically identical here and not prunable.
+    point.join(ci, Seq("experiment_id", "item_a", "item_b"), "outer")
       .withColumn("significant",
         coalesce(col("ci_lo") > lit(0.5) || col("ci_hi") < lit(0.5),
           lit(false)))
@@ -391,7 +406,7 @@ object Preference {
        |  ci.ci_lo, ci.ci_hi,
        |  COALESCE(ci.ci_lo > 0.5e0 OR ci.ci_hi < 0.5e0, false)
        |    AS significant
-       |FROM pt LEFT JOIN ci USING (experiment_id, item_a, item_b)
+       |FROM pt FULL JOIN ci USING (experiment_id, item_a, item_b)
        |ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------
