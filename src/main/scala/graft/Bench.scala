@@ -107,8 +107,21 @@ object Bench {
     // the median keeps the central observation instead of the luckiest
     // one). Capped at the 10 slowest so a fully-contended box doesn't
     // triple the wall time.
+    // Trainer-bearing faces memoize their in-query-trained model per
+    // session (bpeTrainSeg / wpTrained / Unigram.trained): whichever
+    // face of a family runs first pays the training, and the 5 s redo
+    // seam then flips the reported number between training-inclusive
+    // and memo-steady depending on which side of the seam the cold
+    // reading lands (BASELINE.md r16: bpe_encode 0.34 <-> 5.0 s
+    // bimodal). ALWAYS redo these faces: the median of three (two
+    // memo-steady observations) is the unimodal steady-state number;
+    // the cold first reading is logged separately in env.trainer_cold
+    // so the training cost stays on the record.
+    val trainerFaces = Set("bpe_merges", "bpe_encode",
+      "wordpiece_merges", "wordpiece_encode",
+      "unigram_vocab", "unigram_encode").filter(selected.contains)
     val redo = firstPass.filter(_._2 > 5.0)
-      .sortBy(-_._2).take(10).map(_._1).toSet
+      .sortBy(-_._2).take(10).map(_._1).toSet ++ trainerFaces
     val results = firstPass.map { case (name, t) =>
       if (redo(name)) {
         val obs = Seq(t, timeOne(name, SparkEntry.queries(name)),
@@ -116,6 +129,10 @@ object Bench {
         name -> obs(1)
       } else name -> t
     }
+    val trainerColdJson = firstPass
+      .filter(kv => trainerFaces(kv._1))
+      .map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" }
+      .mkString("{", ",", "}")
     // run-phase timestamps + load averages: the artifact self-describes
     // the box it ran on (phase boundaries let a reader localize a
     // co-tenant burst to warmup / first pass / the redo tail)
@@ -125,7 +142,8 @@ object Bench {
         s""""$name":{"t":"${e._1}","loadavg":"${e._2}"}"""
       s"""{${ph("start", envStart)},${ph("warmup_done", envWarm)},""" +
         s"""${ph("first_pass_done", envFirstPass)},${ph("end", envEnd)},""" +
-        s""""cpus":"$cpus","redo_count":${redo.size}}"""
+        s""""cpus":"$cpus","redo_count":${redo.size},""" +
+        s""""trainer_cold":$trainerColdJson}"""
     }
     // sorted keys: stable diffs across rounds
     def toJson(rs: Seq[(String, Double)], extra: String = ""): String = {

@@ -611,6 +611,11 @@ object SparkEntry {
     "embedding_pca" -> ((s, d) => Similarity.embeddingPca(par(Tables.embeddings(s, d)))),
     "knn_pca" -> ((s, d) => Similarity.knnPca(par(Tables.embeddings(s, d)))),
     "knn_pca_recall" -> ((s, d) => Similarity.knnPcaRecall(par(Tables.embeddings(s, d)))),
+    // pinned-basis recall twin: the shared projected-search/re-rank
+    // path with deterministic parameters -> the recall number itself
+    // is hash-exact (knn_ivf_trained_pinned convention)
+    "knn_pca_recall_pinned" -> ((s, d) =>
+      Similarity.knnPcaRecallPinned(par(Tables.embeddings(s, d)))),
     // Matryoshka truncated-prefix search: model-free dimensionality
     // reduction (slice), exact re-rank — BOTH faces fully oracle-able
     "knn_mrl" -> ((s, d) => Similarity.knnMrl(par(Tables.embeddings(s, d)))),
@@ -663,11 +668,19 @@ object SparkEntry {
     // rows-only like every approximate index, trained-recall as data
     "knn_pq" -> ((s, d) => Similarity.knnPq(par(Tables.embeddings(s, d)))),
     "knn_pq_recall" -> ((s, d) => Similarity.knnPqRecall(par(Tables.embeddings(s, d)))),
+    // pinned-codebook recall twin: same encode/ADC/re-rank functions
+    // at the deterministic defaults -> hash-exact recall oracle
+    "knn_pq_recall_pinned" -> ((s, d) =>
+      Similarity.knnPqRecallPinned(par(Tables.embeddings(s, d)))),
     // IVF-PQ: coarse list pruning x product codes + exact re-rank —
     // the production compressed-index composition (rows-only)
     "knn_ivfpq" -> ((s, d) => Similarity.knnIvfPq(par(Tables.embeddings(s, d)))),
     "knn_ivfpq_recall" -> ((s, d) =>
       Similarity.knnIvfPqRecall(par(Tables.embeddings(s, d)))),
+    // pinned twin of the full IVF-PQ path (stand-in lists + pinned
+    // codebooks): a code-path oracle, not the fidelity claim
+    "knn_ivfpq_recall_pinned" -> ((s, d) =>
+      Similarity.knnIvfPqRecallPinned(par(Tables.embeddings(s, d)))),
     // ---- multimodal binary-column plumbing (decode stubbed) ----
     "multimodal_feature_summary" -> ((s, d) =>
       Multimodal.featureSummary(s, par(Tables.documents(s, d)))),
@@ -1059,7 +1072,10 @@ object SparkEntry {
     "knn_lsh_recall" -> Similarity.knnLshRecallSql(),
     "knn_ivf_recall" -> Similarity.knnIvfRecallSql(),
     "knn_pq" -> Similarity.knnPqSql(),
+    "knn_pq_recall_pinned" -> Similarity.knnPqRecallPinnedSql(),
     "knn_pca" -> Similarity.knnPcaSql(),
+    "knn_pca_recall_pinned" -> Similarity.knnPcaRecallPinnedSql(),
+    "knn_ivfpq_recall_pinned" -> Similarity.knnIvfPqRecallPinnedSql(),
     "embedding_clusters_pinned" -> Similarity.embeddingClustersPinnedSql(),
     "cluster_balanced_sample" -> Similarity.clusterBalancedSampleSql(),
     "embedding_pca" -> Similarity.embeddingPcaSql(),

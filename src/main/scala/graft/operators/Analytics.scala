@@ -1673,8 +1673,10 @@ object Analytics {
       .where(col("value").isNotNull)
       .select(col("event_id"), col("value"),
         explode(array((0 until replicates).map(lit): _*)).as("replicate"))
-      .withColumn("u", expr(bootstrapU(kernel,
-        "CAST(event_id AS STRING)", "replicate")))
+      // raw typed key: the md5 branch re-wraps it in CAST(... AS
+      // STRING) (draws stay bit-identical to the oracle), while
+      // xxhash64 hashes the typed column directly — no string render
+      .withColumn("u", expr(bootstrapU(kernel, "event_id", "replicate")))
       .withColumn("m", expr(mult))
       .groupBy(col("replicate"))
       .agg(sum(col("m")).cast("long").as("n_eff"),
@@ -1686,13 +1688,6 @@ object Analytics {
       .orderBy("replicate")
   }
 
-  /** Poisson(1) inverse CDF over a dyadic uniform column `u`, at
-    * cumulative breakpoints e⁻¹·Σ 1/k! (k = 0..5; P(X > 5) ≈ 6e-4
-    * truncated to 5 — documented bias far below bootstrap noise).
-    * Literals are shared verbatim by both engines, so every
-    * comparison is exact. Shared by [[valueBootstrapCi]] and the
-    * win-rate bootstrap
-    * ([[graft.operators.Preference.winrateBootstrapCi]]). */
   /** The bootstrap draw u ∈ (0, 1] over the given key columns —
     * kernel-selectable because the draws DOMINATE the bootstrap's
     * cost at scale (§7.11: ~470M md5 evaluations at the win-rate
@@ -1727,6 +1722,13 @@ object Analytics {
       s"unknown bootstrap kernel '$other' (md5 | xxhash64)")
   }
 
+  /** Poisson(1) inverse CDF over a dyadic uniform column `u`, at
+    * cumulative breakpoints e⁻¹·Σ 1/k! (k = 0..5; P(X > 5) ≈ 6e-4
+    * truncated to 5 — documented bias far below bootstrap noise).
+    * Literals are shared verbatim by both engines, so every
+    * comparison is exact. Shared by [[valueBootstrapCi]] and the
+    * win-rate bootstrap
+    * ([[graft.operators.Preference.winrateBootstrapCi]]). */
   private[graft] val PoissonMult =
     """CASE WHEN u < 0.36787944117144233 THEN 0
       |  WHEN u < 0.7357588823428847 THEN 1

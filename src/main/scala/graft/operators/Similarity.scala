@@ -1188,17 +1188,16 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank FROM res
        |ORDER BY query_id, rank""".stripMargin
 
-  /** [[knnIvfPq]] with the deterministic stand-in coarse centroids and
-    * default codebooks (the quick catalog face): the [[ivfCtes]]
-    * assignment prunes the [[pqCtes]] ADC scan to probed lists. */
-  def knnIvfPqSql(k: Int = 10, queryMod: Int = 100, nList: Int = 16,
-      nProbe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
-      rerank: Int = 8): String = {
+  /** The IVF-PQ shortlist CTE chain (stand-in coarse assignment →
+    * list-pruned ADC scan → k·rerank shortlist), shared VERBATIM by
+    * [[knnIvfPqSql]] and [[knnIvfPqRecallPinnedSql]] (the
+    * [[mrlShortlistCtes]] discipline). Expects `emb`; leaves `short`. */
+  private def ivfPqShortlistCtes(k: Int, queryMod: Int, nList: Int,
+      nProbe: Int, m: Int, ksub: Int, dim: Int, rerank: Int): String = {
     val scores = (0 until nList).map { c =>
       s"struct_pack(c := $c, s := ${signedFold(centroid(c, dim))})"
     }.mkString("[", ",\n    ", "]")
-    s"""WITH $EmbCte,
-       |cs AS MATERIALIZED (
+    s"""cs AS MATERIALIZED (
        |  SELECT vec_id, u.c AS c, u.s AS s FROM (
        |    SELECT vec_id, unnest($scores) AS u FROM emb)),
        |assigned AS (
@@ -1214,11 +1213,21 @@ object Similarity {
           adcFrom = "FROM qt q " +
             "JOIN iprobes p ON p.query_id = q.query_id " +
             "JOIN assigned a ON a.cluster_id = p.cluster_id " +
-            "JOIN pqc n ON n.vec_id = a.vec_id AND n.vec_id <> q.query_id")},
+            "JOIN pqc n ON n.vec_id = a.vec_id AND n.vec_id <> q.query_id")}"""
+      .stripMargin
+  }
+
+  /** [[knnIvfPq]] with the deterministic stand-in coarse centroids and
+    * default codebooks (the quick catalog face): the [[ivfCtes]]-style
+    * assignment prunes the [[pqCtes]] ADC scan to probed lists. */
+  def knnIvfPqSql(k: Int = 10, queryMod: Int = 100, nList: Int = 16,
+      nProbe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      rerank: Int = 8): String =
+    s"""WITH $EmbCte,
+       |${ivfPqShortlistCtes(k, queryMod, nList, nProbe, m, ksub, dim, rerank)},
        |${rankTailSql(k, "res", "short")}
        |SELECT query_id, neighbor_id, rank FROM res
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** CTEs replaying [[knnBruteForceInt8]]: the quantizer is explicit
     * SQL arithmetic (`floor(x/scale + 0.5)` with clamps — identical
@@ -1297,6 +1306,42 @@ object Similarity {
        |${bfCte(k, queryMod, "bf")},
        |${ivfCtes(k, queryMod, 16, 4, 64, "ap")}
        |${recallTailSql("ivf", "bf", "ap")}""".stripMargin
+
+  /** DuckDB replay of [[knnPqRecallPinned]]: the [[pqCtes]] chain
+    * [[knnPqSql]] already proves hash-exact, the [[bfCte]] baseline,
+    * the shared [[recallTailSql]] arithmetic. */
+  def knnPqRecallPinnedSql(k: Int = 10, queryMod: Int = 100,
+      m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      rerank: Int = 8): String =
+    s"""WITH $EmbCte,
+       |${bfCte(k, queryMod, "bf")},
+       |${pqCtes(k, queryMod, m, ksub, dim, rerank)},
+       |${rankTailSql(k, "ap", "short")}
+       |${recallTailSql("pq_pinned", "bf", "ap")}""".stripMargin
+
+  /** DuckDB replay of [[knnIvfPqRecallPinned]]: the
+    * [[ivfPqShortlistCtes]] chain [[knnIvfPqSql]] already proves
+    * hash-exact, plus baseline and recall tail. */
+  def knnIvfPqRecallPinnedSql(k: Int = 10, queryMod: Int = 100,
+      nList: Int = 16, nProbe: Int = 4, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64, rerank: Int = 8): String =
+    s"""WITH $EmbCte,
+       |${bfCte(k, queryMod, "bf")},
+       |${ivfPqShortlistCtes(k, queryMod, nList, nProbe, m, ksub, dim,
+          rerank)},
+       |${rankTailSql(k, "ap", "short")}
+       |${recallTailSql("ivfpq_pinned", "bf", "ap")}""".stripMargin
+
+  /** DuckDB replay of [[knnPcaRecallPinned]]: the
+    * [[pcaShortlistCtes]] chain [[knnPcaSql]] already proves
+    * hash-exact, plus baseline and recall tail. */
+  def knnPcaRecallPinnedSql(k: Int = 10, queryMod: Int = 100,
+      pcaK: Int = 16, rerank: Int = 8, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${bfCte(k, queryMod, "bf")},
+       |${pcaShortlistCtes(k, queryMod, pcaK, rerank, dim)},
+       |${rankTailSql(k, "ap", "short")}
+       |${recallTailSql("pca_pinned", "bf", "ap")}""".stripMargin
 
   /** recall@10 of [[knnLsh]] vs [[knnBruteForce]] — both sides
     * deterministic, so the recall number itself carries a DuckDB
@@ -1623,6 +1668,18 @@ object Similarity {
         coarseCents = Some(kmeansFit(
           embeddings.select(col("vec_id"), col("embedding"))))), "ivfpq")
 
+  /** [[knnIvfPqRecall]]'s PINNED twin: stand-in coarse centroids +
+    * [[pqCodebook]] codebooks at the quick face's defaults — the same
+    * assign/ADC/re-rank functions, fully deterministic, so the recall
+    * number carries a DuckDB oracle ([[knnIvfPqRecallPinnedSql]]).
+    * Lower recall than the trained face by construction (stand-in
+    * lists bound it — the 0.42 the trained face's doc cites); the
+    * number here is a CODE-PATH check, not the fidelity claim. */
+  def knnIvfPqRecallPinned(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnIvfPq(embeddings, k, queryMod), "ivfpq_pinned")
+
   /** Train PQ codebooks: spherical k-means per subspace over the
     * unit-normalized slices — m independent [[kmeansIterate]] runs,
     * each shuffling only ksub·subDim doubles per Lloyd round. At
@@ -1666,6 +1723,18 @@ object Similarity {
     annRecall(knnBruteForce(embeddings, k, queryMod),
       knnPq(embeddings, k, queryMod,
         codebooks = Some(pqFit(embeddings))), "pq")
+
+  /** [[knnPqRecall]]'s PINNED-codebook twin (the
+    * knn_ivf_trained_pinned convention): the SAME encode/ADC/re-rank
+    * functions the trained face runs, with the deterministic
+    * [[pqCodebook]] parameters — so both rank sets replay in DuckDB
+    * and the recall number itself is hash-exact
+    * ([[knnPqRecallPinnedSql]]). The trained face stays the fidelity
+    * measurement; this face puts its code path under the hard oracle. */
+  def knnPqRecallPinned(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnPq(embeddings, k, queryMod), "pq_pinned")
 
   /** ANN top-k via multi-table LSH bucketing + exact re-rank of the
     * candidate union. Approximate: a neighbor missed by every table is
@@ -2040,13 +2109,27 @@ object Similarity {
     annRecall(knnBruteForce(embeddings, k, queryMod),
       knnPcaTrained(embeddings, k, queryMod, pcaK, rerank), "pca16")
 
+  /** [[knnPcaRecall]]'s PINNED-basis twin: [[knnPca]]'s Hadamard
+    * projection at the same pcaK/rerank — the shared
+    * [[knnProjected]]/[[rerankExact]] path with deterministic
+    * parameters, so the recall number carries a DuckDB oracle
+    * ([[knnPcaRecallPinnedSql]]). */
+  def knnPcaRecallPinned(embeddings: DataFrame, k: Int = 10,
+      queryMod: Int = 100, pcaK: Int = 16, rerank: Int = 8): DataFrame =
+    annRecall(knnBruteForce(embeddings, k, queryMod),
+      knnPca(embeddings, k, queryMod, pcaK, rerank), "pca_pinned")
+
   /** DuckDB replay of the pinned-basis [[knnPca]]: `pv` applies the
     * same ±1 signed folds with the same `CAST(… AS REAL)` rounding,
     * the projected cosine is the same left-to-right double fold as
     * `vec_dot`, and the shortlist feeds the shared exact-cosine rank
     * tail. */
-  def knnPcaSql(k: Int = 10, queryMod: Int = 100, pcaK: Int = 16,
-      rerank: Int = 8, dim: Int = 64): String = {
+  /** The pinned-basis PCA shortlist CTE chain (signed-fold projection
+    * → projected cosine → k·rerank shortlist), shared VERBATIM by
+    * [[knnPcaSql]] and [[knnPcaRecallPinnedSql]] (the
+    * [[mrlShortlistCtes]] discipline). Expects `emb`; leaves `short`. */
+  private def pcaShortlistCtes(k: Int, queryMod: Int, pcaK: Int,
+      rerank: Int, dim: Int): String = {
     val basis = pinnedBasis(pcaK, dim)
     val pvec = basis.map(b => s"CAST(${signedFold(b)} AS REAL)")
       .mkString("[", ",\n      ", "]")
@@ -2054,8 +2137,7 @@ object Similarity {
       s"list_reduce(list_transform(range(1, ${pcaK + 1}), " +
         s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), " +
         "(x, y) -> x + y)"
-    s"""WITH $EmbCte,
-       |pv AS MATERIALIZED (
+    s"""pv AS MATERIALIZED (
        |  SELECT vec_id, $pvec AS p FROM emb),
        |pq2 AS (SELECT vec_id AS query_id, p AS qp,
        |    sqrt(${pdot("p", "p")}) AS qn
@@ -2068,11 +2150,16 @@ object Similarity {
        |short AS (SELECT query_id, neighbor_id FROM (
        |    SELECT query_id, neighbor_id, row_number() OVER (
        |      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rk
-       |    FROM pscored) WHERE rk <= ${k * rerank}),
+       |    FROM pscored) WHERE rk <= ${k * rerank})""".stripMargin
+  }
+
+  def knnPcaSql(k: Int = 10, queryMod: Int = 100, pcaK: Int = 16,
+      rerank: Int = 8, dim: Int = 64): String =
+    s"""WITH $EmbCte,
+       |${pcaShortlistCtes(k, queryMod, pcaK, rerank, dim)},
        |${rankTailSql(k, "res", "short")}
        |SELECT query_id, neighbor_id, rank FROM res
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** DuckDB replay of the pinned-basis [[embeddingPca]] coordinates:
     * signed folds quantized through the same DECIMAL(20,8) cast. */
@@ -2148,6 +2235,17 @@ object Similarity {
     * graph; at the default rounds = 2 the exit can fire at most once
     * and the catalog face keeps ε = 0 (fixed rounds, band-stable).
     * Measured rounds-to-converge at sf0.01/sf0.1: SCALE.md §7.12.
+    *
+    * DEFAULT DECISION (r18, closing the §7.12 measurement): ε = 0
+    * stays the default. The measured trade — ε = 0.05 saves 33–40 %
+    * of rounds at 96–99 % of plateau recall — only pays at
+    * rounds ≥ 4, a depth no catalog face runs (the face's rounds = 2
+    * budget is already below every measured convergence point), while
+    * a data-dependent round count would make the face's wall-clock
+    * band bimodal and useless for cross-round regression diffing.
+    * Production deep descents (rounds ≥ 4) should set ε = 0.05; the
+    * catalog keeps the fixed-rounds plan byte-identical to the
+    * pinned band.
     *
     * Output: (node_id, neighbor_id, rank) for every node, ordered by
     * (node_id, rank) — the [[knnBruteForce]] shape over all nodes. */
@@ -2264,6 +2362,15 @@ object Similarity {
               "left_anti").count()
           converged = fresh.toDouble / total.toDouble < churnExit
         }
+        // explicit release works only for PERSISTED predecessors (the
+        // round-1 frame): unpersist() clears CacheManager entries and
+        // is a documented no-op on a localCheckpoint'd frame's RDD
+        // blocks — superseded CHECKPOINTED generations (r >= 3) are
+        // instead GC-released by the ContextCleaner when `edges`
+        // rebinds below. Acceptable because at most one superseded
+        // checkpoint (n·k rows) awaits collection at a time; if deep
+        // descents ever show storage pressure, track the checkpointed
+        // RDDs and call rdd.unpersist() directly.
         edges.unpersist()
       }
       edges = next

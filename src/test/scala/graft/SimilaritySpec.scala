@@ -376,6 +376,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recWide >= r)
   }
 
+  test("pinned recall twins recompute exactly the overlap of their two pair sets") {
+    // each pinned face's recall number must equal the directly-computed
+    // intersection of its deterministic pipeline with the brute-force
+    // baseline — the same consistency the oracle asserts cross-engine
+    val exact = Similarity.knnBruteForce(emb, k = 10, queryMod = 100)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    def check(recRow: org.apache.spark.sql.Row, approx: Set[(Long, Long)],
+        method: String): Unit = {
+      assert(recRow.getAs[String]("method") === method)
+      assert(recRow.getAs[Long]("n_exact") === exact.size.toLong)
+      assert(recRow.getAs[Long]("n_hit")
+        === (exact intersect approx).size.toLong)
+      val r = recRow.getAs[Double]("recall_at_k")
+      assert(r > 0.0 && r <= 1.0)
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    check(Similarity.knnPqRecallPinned(emb).collect()(0),
+      pairs(Similarity.knnPq(emb)), "pq_pinned")
+    check(Similarity.knnIvfPqRecallPinned(emb).collect()(0),
+      pairs(Similarity.knnIvfPq(emb)), "ivfpq_pinned")
+    check(Similarity.knnPcaRecallPinned(emb).collect()(0),
+      pairs(Similarity.knnPca(emb)), "pca_pinned")
+  }
+
   test("vec_dot_i8 kernel equals the interpreted integer fold") {
     import org.apache.spark.sql.functions._
     val both = Similarity.quantizeEmbeddings(emb)
