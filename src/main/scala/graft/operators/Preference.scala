@@ -258,30 +258,53 @@ object Preference {
     * win_rate, ci_lo, ci_hi, significant) ordered by the three keys. */
   def winrateBootstrapCi(events: DataFrame,
       replicates: Int = 200, kernel: String = "md5"): DataFrame = {
-    require(replicates >= 40,
-      s"need >= 40 replicates for 2.5% order statistics, got $replicates")
-    val ut = events
-      .where(col("user_id").isNotNull)
-      .select(get_json_object(col("props"), "$.k").as("experiment_id"),
-        col("user_id"), col("event_type").as("item"), col("value"))
-      .where(col("experiment_id").isNotNull)
-      .groupBy(col("experiment_id"), col("user_id"), col("item"))
-      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
-    val comps = ut
-      .groupBy(col("experiment_id"), col("user_id"))
-      .agg(collect_list(struct(col("item"), col("s"))).as("arms"))
-      .select(col("experiment_id"), col("user_id"),
-        explode(expr(PairExpand)).as("pr"))
-      .select(col("experiment_id"), col("user_id"),
-        col("pr.ia").as("item_a"), col("pr.ib").as("item_b"),
-        when(col("pr.sa") > col("pr.sb"), 1L).otherwise(0L).as("win_a"),
-        when(col("pr.sb") > col("pr.sa"), 1L).otherwise(0L).as("win_b"))
-      .where(col("win_a") + col("win_b") > 0)
+    val comps = winrateComps(winrateUt(events))
       // judge-bounded frame read twice (point estimate + the ×B
       // bootstrap) — the cache boundary keeps it ONE events scan and
       // one array expansion (the btStrength convention; released by
       // the ContextCleaner when the caller drops the frame)
       .persist()
+    winrateFromComps(comps, replicates, kernel)
+  }
+
+  /** The (experiment, user, item) exact-DECIMAL value-total grain —
+    * [[winrateBootstrapCi]]'s running state. Decimal sums are exact
+    * and associative, so a streaming complete-mode aggregate over any
+    * slicing of the events equals this batch grain bit-for-bit — the
+    * property [[graft.streaming.StreamingMetrics.startWinrateBootstrapCi]]
+    * relies on (the mwu/kruskal grain convention, at the judge grain). */
+  private[graft] def winrateUt(events: DataFrame): DataFrame = events
+    .where(col("user_id").isNotNull)
+    .select(get_json_object(col("props"), "$.k").as("experiment_id"),
+      col("user_id"), col("event_type").as("item"), col("value"))
+    .where(col("experiment_id").isNotNull)
+    .groupBy(col("experiment_id"), col("user_id"), col("item"))
+    .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+
+  /** [[PairExpand]] applied to the unit grain: every unordered variant
+    * pair each judge emitted, with the strict-inequality win bits;
+    * ties dropped. Judge-bounded — no self-join. */
+  private[graft] def winrateComps(ut: DataFrame): DataFrame = ut
+    .groupBy(col("experiment_id"), col("user_id"))
+    .agg(collect_list(struct(col("item"), col("s"))).as("arms"))
+    .select(col("experiment_id"), col("user_id"),
+      explode(expr(PairExpand)).as("pr"))
+    .select(col("experiment_id"), col("user_id"),
+      col("pr.ia").as("item_a"), col("pr.ib").as("item_b"),
+      when(col("pr.sa") > col("pr.sb"), 1L).otherwise(0L).as("win_a"),
+      when(col("pr.sb") > col("pr.sa"), 1L).otherwise(0L).as("win_b"))
+    .where(col("win_a") + col("win_b") > 0)
+
+  /** Point estimate + Poisson-bootstrap CI from the expanded
+    * comparisons — a pure function of the comps frame, shared verbatim
+    * by the batch face and the streaming twin so the draw seeds, the
+    * order-statistic picks and the outer-join surfacing can never
+    * drift between the two. Caller owns comps' caching (it is read
+    * twice: point estimate and the ×B resample). */
+  private[graft] def winrateFromComps(comps: DataFrame,
+      replicates: Int, kernel: String): DataFrame = {
+    require(replicates >= 40,
+      s"need >= 40 replicates for 2.5% order statistics, got $replicates")
     val point = comps
       .groupBy(col("experiment_id"), col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_comparisons"), sum(col("win_a")).as("wins_a"))

@@ -1269,6 +1269,50 @@ object StreamingMetrics {
       .start()
   }
 
+  /** Streaming pairwise win-rate with Poisson-bootstrap CI — the
+    * resampling member of the streaming experiment console. Running
+    * state is the (experiment, user, item) exact-DECIMAL value-total
+    * grain (judge-bounded, never event-sized; decimal sums are exact
+    * and associative so the complete-mode aggregate equals the batch
+    * grain under ANY slicing), and per micro-batch the foreachBatch
+    * tail replays the IDENTICAL batch derivation
+    * ([[graft.operators.Preference.winrateFromComps]]: PairExpand
+    * comparisons, ×B Poisson resample, integer-exact order-statistic
+    * CI, full-outer surfacing) — streamed output after every cut is
+    * bit-equal to [[graft.operators.Preference.winrateBootstrapCi]]
+    * over the same events (StreamingSpec asserts at BOTH kernels).
+    *
+    * `kernel` threads [[graft.operators.Analytics.bootstrapU]]'s
+    * draw-kernel flag through the streaming path: `"md5"` (default,
+    * oracle-parity) or `"xxhash64"` (the flag-gated scale kernel,
+    * measured 3.5× on wide-key high-B resamples at 100× — SCALE.md
+    * §7.13) — so a production micro-batch console can run the cheap
+    * kernel while the pinned batch face keeps md5. The ×B explode
+    * happens INSIDE foreachBatch on the judge-bounded grain, so
+    * per-batch resample cost is grain-sized × B regardless of how
+    * many events the micro-batch carried. */
+  def startWinrateBootstrapCi(events: DataFrame, queryName: String,
+      replicates: Int = 200, kernel: String = "md5"): StreamingQuery = {
+    val session = events.sparkSession
+    graft.operators.Preference.winrateUt(events)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (ut: DataFrame, _: Long) =>
+        // comps read twice (point + resample): cache for the batch,
+        // release eagerly — a leaked per-micro-batch cache would grow
+        // without bound over a long-running stream
+        val comps = graft.operators.Preference.winrateComps(ut).persist()
+        try {
+          val out = graft.operators.Preference
+            .winrateFromComps(comps, replicates, kernel)
+          val rows = out.collect()
+          session
+            .createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+            .createOrReplaceTempView(queryName)
+        } finally comps.unpersist()
+      }
+      .start()
+  }
+
   def startExactUniques(events: Dataset[LogEvent], queryName: String): StreamingQuery = {
     val spark = events.sparkSession
     import spark.implicits._

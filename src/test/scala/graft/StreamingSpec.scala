@@ -965,6 +965,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed winrate bootstrap CI ≡ batch winrateBootstrapCi bit-exact at BOTH kernels") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // 8 judges × 3 items × 2 experiments; (i % 11) values make the
+    // per-(judge, item) decimal sums differ across items (verified:
+    // 6 pair rows, 4 comparisons each, winners varying 1–3 of 4) so
+    // the point estimates, B_eff and the order-statistic picks all
+    // carry weight; B = 48 keeps the resample fast while honoring
+    // the >= 40 order-statistic floor
+    val rows = (0 until 120).map { i =>
+      (s"u${i % 8}", Seq("a", "b", "c")(i % 3),
+        (i % 11).toDouble + 0.25, s"""{"k":"e${i % 2}"}""")
+    }
+    def toDf(rs: Seq[(String, String, Double, String)]) =
+      rs.toDF("user_id", "event_type", "value", "props")
+    // Row-seq compare (ci bounds are nullable doubles — a tuple
+    // encoder would NPE on the NULL-CI surfacing path if it fired)
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    for (kernel <- Seq("md5", "xxhash64")) {
+      val input = MemoryStream[(String, String, Double, String)]
+      val q = graft.streaming.StreamingMetrics.startWinrateBootstrapCi(
+        input.toDS().toDF("user_id", "event_type", "value", "props"),
+        s"winrate_stream_$kernel", replicates = 48, kernel = kernel)
+      def batchAt(rs: Seq[(String, String, Double, String)]) = rowSet(
+        graft.operators.Preference.winrateBootstrapCi(
+          toDf(rs), replicates = 48, kernel = kernel))
+      try {
+        input.addData(rows.take(17))
+        q.processAllAvailable()
+        // after EVERY cut the published readout equals the batch face:
+        // the decimal judge grain is exact-associative and the tail is
+        // the SAME code (Preference.winrateFromComps)
+        assert(rowSet(spark.table(s"winrate_stream_$kernel"))
+          === batchAt(rows.take(17)))
+        input.addData(rows.slice(17, 18)) // single-row batch
+        q.processAllAvailable()
+        input.addData(rows.drop(18))
+        q.processAllAvailable()
+        val streamed = rowSet(spark.table(s"winrate_stream_$kernel"))
+        assert(streamed === batchAt(rows))
+        // 3 pairs × 2 experiments, CIs populated, win rates in [0,1]
+        assert(streamed.size === 6)
+        assert(streamed.forall(r => r(6) != null && r(7) != null))
+      } finally q.stop()
+    }
+  }
+
   test("streamed best-of-n ≡ batch bestOfN bit-exact under uneven slicing") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
