@@ -48,6 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(ext, "winnow_fingerprints",
       "winnow_fingerprints(text, k, w) - distinct winnowing fingerprints of k-char grams")(
       WinnowFingerprints.builder)
+    fn(ext, "token_shingle_hashes",
+      "token_shingle_hashes(text, l) - portable hash per l-token shingle position")(
+      TokenShingleHashes.builder)
     fn(ext, "poly_hash62",
       "poly_hash62(str) - engine-portable 62-bit polynomial string hash")(
       PolyHash62.builder)

@@ -587,6 +587,11 @@ object SparkEntry {
     // line INSIDE each document — zero-shuffle per-row fold
     "within_doc_line_dedup" -> ((s, d) =>
       Dedup.withinDocLineDedup(par(Tables.documents(s, d)))),
+    // ExactSubstr (Lee et al. ACL'22): maximal corpus-wide duplicated
+    // token spans via the O(chars) prefix-hash shingle kernel — the
+    // region-level cut the doc-level dedup faces can't make
+    "dedup_exact_substr" -> ((s, d) =>
+      Dedup.exactSubstrSpans(par(Tables.documents(s, d)))),
     // bloom membership gate: exact is-this-key-already-known — the
     // 1996+ cohort's customers probed against a filter built from the
     // pre-1996 order history (~20% genuinely first-time); the bloom
@@ -1001,6 +1006,7 @@ object SparkEntry {
     "dedup_span_removal" -> Dedup.spanRemovalSql(),
     "line_dedup" -> Dedup.lineDedupSql(),
     "within_doc_line_dedup" -> Dedup.withinDocLineDedupSql(),
+    "dedup_exact_substr" -> Dedup.exactSubstrSpansSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "winnow_pairs" -> TextAnalysis.winnowPairsSql(k = 16, w = 8),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),

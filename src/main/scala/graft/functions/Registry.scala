@@ -45,6 +45,7 @@ object Registry {
       MinHashFunctions.register(spark)
       SimHashFunctions.register(spark)
       WinnowFingerprints.register(spark)
+      TokenShingleHashes.register(spark)
       PolyHash62.register(spark)
       TopKSketchFunctions.register(spark)
       NgramStats.register(spark)

@@ -1513,4 +1513,104 @@ object Dedup {
        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN l END,
        |    chr(10) ORDER BY line_id), '')) AS kept_md5
        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Exact-substring deduplication (Lee et al., ACL'22 §4.1 — the
+    * ExactSubstr method): every maximal token span whose every
+    * `l`-token shingle occurs ≥ 2 times ANYWHERE in the corpus
+    * (within-doc repeats count, as in the paper's suffix-array
+    * formulation). A substring duplicated verbatim is exactly a run
+    * of duplicated shingles, so the spans lower-bound the paper's
+    * ≥ l-token duplicated substrings; unlike the MinHash/SimHash
+    * faces (document-level, approximate) this flags the duplicated
+    * REGION — the grain a training pipeline actually cuts.
+    *
+    * Spark-first shape, where the reference method is a monolithic
+    * suffix array that cannot shard: (1) one scan emitting a
+    * per-position shingle hash via the O(chars) codegen'd
+    * prefix-hash kernel ([[graft.functions.TokenShingleHashes]] —
+    * NOT the naive O(chars·l) refold); (2) ONE corpus-wide
+    * (hash → df) aggregate — map-side combined, the only
+    * corpus-proportional shuffle; (3) an equi-join of positions
+    * against the df ≥ 2 hashes (broadcast-eligible when duplication
+    * is sparse); (4) per-DOC interval merge of surviving positions
+    * (lag/sum windows partitioned by doc_id — never a global
+    * window). Every stage shards; nothing is driver-sized.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens, n_shingles)
+    * — token-index half-open [start, end), one row per maximal
+    * merged span, ordered by (doc_id, span_start). */
+  def exactSubstrSpans(documents: DataFrame, l: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, s"need shingle length l >= 2, got $l")
+    graft.functions.Registry.ensure(documents.sparkSession)
+    val sh = documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr(s"token_shingle_hashes(text, $l)")))
+      .toDF("doc_id", "pos", "sh")
+    val dupHashes = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+      .select(col("sh"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(dupHashes, Seq("sh"))
+      // positions p_prev, p overlap-or-touch as l-token spans iff
+      // p − p_prev ≤ l; a NULL lag (first position in the doc) falls
+      // to the ELSE arm and opens an island in both engines
+      .withColumn("ni",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= l, 0L).otherwise(1L))
+      .withColumn("island", sum(col("ni")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + l).cast("long").as("span_end"),
+        count(lit(1)).as("n_shingles"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_tokens"),
+        col("n_shingles"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  /** DuckDB replay of [[exactSubstrSpans]]: per-position shingle
+    * strings via `list_slice` + `array_to_string` (splitting on ' '
+    * and rejoining with ' ' is lossless, so the reconstruction IS
+    * the original substring the Scala kernel prefix-hashes), the
+    * identical double poly fold, df ≥ 2, and the same lag/sum
+    * interval merge. */
+  def exactSubstrSpansSql(l: Int = 16): String = {
+    def fold(base: Int): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length(s) + 1),
+         |        j -> CAST(unicode(substr(s, CAST(j AS INT), 1)) AS BIGINT))),
+         |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |pos AS (
+       |  SELECT doc_id, toks, unnest(range(0, len(toks) - $l + 1)) AS pos
+       |  FROM tk WHERE len(toks) >= $l),
+       |sg AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(list_slice(toks, pos + 1, pos + $l), ' ') AS s
+       |  FROM pos),
+       |g AS (
+       |  SELECT doc_id, pos, ${fold(131)} | (${fold(137)} << 31) AS sh
+       |  FROM sg),
+       |dups AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+       |d AS (SELECT g.doc_id, g.pos FROM g JOIN dups USING (sh)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           <= $l THEN 0 ELSE 1 END AS ni
+       |  FROM d),
+       |isl2 AS (
+       |  SELECT doc_id, pos,
+       |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM isl)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $l AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $l - min(pos) AS BIGINT) AS span_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_shingles
+       |FROM isl2 GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
 }

@@ -484,4 +484,76 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[Long]("leaked") === (if (k._1 != k._2) 1L else 0L))
     }
   }
+
+  test("token_shingle_hashes: prefix-hash spans ≡ direct poly_hash62 fold of the joined shingle") {
+    graft.functions.Registry.ensure(spark)
+    // ASCII, non-ASCII (multi-byte code points force the non-fast
+    // path), consecutive spaces (empty tokens — split/join lossless),
+    // exactly-l tokens, and fewer-than-l tokens (empty array)
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "héllo wörld ünïcode ţêst ẋ ϒ", "a  b c d", "p q r", "x y")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      org.apache.spark.sql.functions.expr("token_shingle_hashes(text, 3)").as("k"),
+      org.apache.spark.sql.functions.expr(
+        """IF(size(split(text, ' ')) < 3, array(),
+          |   transform(sequence(0, size(split(text, ' ')) - 3),
+          |     p -> poly_hash62(array_join(slice(split(text, ' '), p + 1, 3), ' '))))"""
+          .stripMargin).as("direct")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // fewer than l tokens -> empty
+    assert(rows.last.getSeq[Long](0).isEmpty)
+  }
+
+  test("exact-substr spans: planted cross-doc passage flagged as ONE maximal span per doc") {
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, ((0 until 10).map(i => s"a$i") ++ Seq(shared) ++
+        (0 until 10).map(i => s"b$i")).mkString(" ")),
+      (2L, ((0 until 8).map(i => s"c$i") ++ Seq(shared) ++
+        (0 until 6).map(i => s"d$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(d, l = 4).collect()
+    // only 4-grams fully inside the shared passage are duplicated;
+    // their consecutive positions merge into exactly one span per doc
+    // covering exactly the passage
+    assert(got.length === 2)
+    val byDoc = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byDoc(1L) === ((10L, 22L, 12L, 9L)))
+    assert(byDoc(2L) === ((8L, 20L, 12L, 9L)))
+  }
+
+  test("exact-substr spans: within-doc repeat yields two separate islands; boundary shingles stay clean") {
+    val phrase = (0 until 5).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, (Seq(phrase) ++ (0 until 10).map(i => s"u$i") ++
+        Seq(phrase)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(d, l = 4).collect()
+    // duplicated 4-gram positions: 0,1 and 15,16 — gap 14 > l, so two
+    // islands, each exactly the 5-token phrase
+    assert(got.length === 2)
+    assert(got.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq === Seq((0L, 5L, 5L, 2L), (15L, 20L, 5L, 2L)))
+  }
+
+  test("exact-substr spans: adjacent duplicated regions merge; unique docs emit nothing") {
+    // two copies of a 9-token passage -> in each doc the whole passage
+    // is one island (consecutive duplicated positions merge), and the
+    // all-unique doc contributes no rows
+    val passage = (0 until 9).map(i => s"p$i").mkString(" ")
+    val d = Seq(
+      (1L, passage), (2L, passage),
+      (3L, (0 until 9).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrSpans(d, l = 4).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === ((0L, 9L, 9L, 6L)))
+    }
+  }
 }
