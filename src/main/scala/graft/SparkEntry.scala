@@ -592,6 +592,16 @@ object SparkEntry {
     // region-level cut the doc-level dedup faces can't make
     "dedup_exact_substr" -> ((s, d) =>
       Dedup.exactSubstrSpans(par(Tables.documents(s, d)))),
+    // incremental ExactSubstr: a batch's spans against corpus∪batch
+    // with the corpus touched only as its (sh, df) aggregate — the
+    // never-re-pair-the-corpus production shape (bucketed-index twin
+    // writeShingleIndex/exactSubstrIndexed plan-asserted in
+    // BucketingSpec); oracle = the full replay filtered to batch docs
+    "dedup_exact_substr_incremental" -> ((s, d) => {
+      val docs = par(Tables.documents(s, d))
+      Dedup.exactSubstrIncremental(docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0))
+    }),
     // bloom membership gate: exact is-this-key-already-known — the
     // 1996+ cohort's customers probed against a filter built from the
     // pre-1996 order history (~20% genuinely first-time); the bloom
@@ -1007,6 +1017,7 @@ object SparkEntry {
     "line_dedup" -> Dedup.lineDedupSql(),
     "within_doc_line_dedup" -> Dedup.withinDocLineDedupSql(),
     "dedup_exact_substr" -> Dedup.exactSubstrSpansSql(),
+    "dedup_exact_substr_incremental" -> Dedup.exactSubstrIncrementalSql(),
     "doc_winnowing" -> TextAnalysis.winnowingSummarySql(),
     "winnow_pairs" -> TextAnalysis.winnowPairsSql(k = 16, w = 8),
     "sequence_packing" -> Corpus.packSequencesSql(budget = 512),

@@ -1540,20 +1540,34 @@ object Dedup {
     * — token-index half-open [start, end), one row per maximal
     * merged span, ordered by (doc_id, span_start). */
   def exactSubstrSpans(documents: DataFrame, l: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(l >= 2, s"need shingle length l >= 2, got $l")
-    graft.functions.Registry.ensure(documents.sparkSession)
-    val sh = documents
-      .where(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(expr(s"token_shingle_hashes(text, $l)")))
-      .toDF("doc_id", "pos", "sh")
+    val sh = shinglePositions(documents, l)
     val dupHashes = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .where(col("df") >= 2)
       .select(col("sh"))
+    mergeIslands(sh.join(dupHashes, Seq("sh")), l)
+  }
+
+  /** The (doc_id, pos, sh) shingle-position stream — the shared scan
+    * of every exact-substr face. */
+  private def shinglePositions(documents: DataFrame, l: Int): DataFrame = {
+    require(l >= 2, s"need shingle length l >= 2, got $l")
+    graft.functions.Registry.ensure(documents.sparkSession)
+    documents
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(expr(s"token_shingle_hashes(text, $l)")))
+      .toDF("doc_id", "pos", "sh")
+  }
+
+  /** Interval-merge of duplicated positions into maximal spans — the
+    * shared tail of every exact-substr face ([[exactSubstrSpans]] /
+    * [[exactSubstrIncremental]] / [[exactSubstrIndexed]] can never
+    * disagree on merge semantics). Doc-partitioned windows only. */
+  private def mergeIslands(dup: DataFrame, l: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    sh.join(dupHashes, Seq("sh"))
+    dup
       // positions p_prev, p overlap-or-touch as l-token spans iff
       // p − p_prev ≤ l; a NULL lag (first position in the doc) falls
       // to the ELSE arm and opens an island in both engines
@@ -1570,19 +1584,101 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Incremental ExactSubstr — the production shape at 100 TB, where
+    * the corpus is NEVER re-paired: an arriving batch's duplicated
+    * spans against corpus ∪ batch, with the corpus touched only as
+    * its (shingle hash → df) aggregate (the materialized form is
+    * [[writeShingleIndex]]; [[exactSubstrIndexed]] probes it with
+    * zero index-side exchange). A batch shingle is duplicated iff its
+    * batch count plus its corpus df reaches 2 — exactly the df the
+    * full-corpus face computes, so the result is VALUE-IDENTICAL to
+    * `exactSubstrSpans(corpus ∪ batch)` restricted to batch docs
+    * (asserted in DedupSpec; the catalog face's oracle replays the
+    * full computation and filters). Batch-side work is batch-sized:
+    * two shuffles on sh (the batch count + the probe join) and the
+    * doc-partitioned merge windows. */
+  def exactSubstrIncremental(corpus: DataFrame, batch: DataFrame,
+      l: Int = 16): DataFrame = {
+    val dfC = shinglePositions(corpus, l).groupBy(col("sh"))
+      .agg(count(lit(1)).as("df_c"))
+    exactSubstrProbe(dfC, batch, l)
+  }
+
+  /** Probe tail shared by [[exactSubstrIncremental]] (in-memory
+    * corpus aggregate) and [[exactSubstrIndexed]] (bucketed table):
+    * batch positions + batch shingle counts, left join onto the
+    * corpus (sh, df_c) side, keep sh with df_b + df_c ≥ 2. */
+  private def exactSubstrProbe(corpusDf: DataFrame, batch: DataFrame,
+      l: Int): DataFrame = {
+    val shB = shinglePositions(batch, l)
+    val dupB = shB.groupBy(col("sh")).agg(count(lit(1)).as("df_b"))
+      .join(corpusDf, Seq("sh"), "left")
+      .where(col("df_b") + coalesce(col("df_c"), lit(0L)) >= 2)
+      .select(col("sh"))
+    mergeIslands(shB.join(dupB, Seq("sh")), l)
+  }
+
+  /** Materialize a corpus's shingle-df index as a BUCKETED table —
+    * the [[writeBandIndex]] discipline for ExactSubstr: (sh, df_c)
+    * rows bucketed on `sh`, so probing with a batch's shingle counts
+    * shuffles ONLY the batch side (zero index-side exchange,
+    * plan-asserted in `BucketingSpec`). The index is corpus-token-
+    * sized but each row is 16 bytes; df increments for an accepted
+    * batch append in the same bucket scheme. */
+  def writeShingleIndex(corpus: DataFrame, tableName: String,
+      l: Int = 16, buckets: Int = 8): Unit =
+    graft.sources.Tables.writeBucketed(
+      shinglePositions(corpus, l).groupBy(col("sh"))
+        .agg(count(lit(1)).as("df_c")),
+      tableName, "sh", buckets)
+
+  /** [[exactSubstrIncremental]] against a [[writeShingleIndex]]
+    * table: value-identical results, index-side exchange-free plan. */
+  def exactSubstrIndexed(spark: org.apache.spark.sql.SparkSession,
+      tableName: String, batch: DataFrame, l: Int = 16): DataFrame =
+    exactSubstrProbe(spark.table(tableName), batch, l)
+
   /** DuckDB replay of [[exactSubstrSpans]]: per-position shingle
     * strings via `list_slice` + `array_to_string` (splitting on ' '
     * and rejoining with ' ' is lossless, so the reconstruction IS
     * the original substring the Scala kernel prefix-hashes), the
     * identical double poly fold, df ≥ 2, and the same lag/sum
     * interval merge. */
-  def exactSubstrSpansSql(l: Int = 16): String = {
+  def exactSubstrSpansSql(l: Int = 16): String =
+    s"""WITH ${exactSubstrCtes(l)}
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $l AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $l - min(pos) AS BIGINT) AS span_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_shingles
+       |FROM isl2 GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** DuckDB replay of the `dedup_exact_substr_incremental` face: the
+    * incremental result is value-identical to the full-corpus spans
+    * restricted to batch docs (df over corpus ∪ batch either way), so
+    * the oracle is the SAME CTE body with the batch predicate applied
+    * at the end — the strongest possible check that the
+    * index-probe path computes what the monolithic pass computes. */
+  def exactSubstrIncrementalSql(l: Int = 16): String =
+    s"""WITH ${exactSubstrCtes(l)}
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + $l AS BIGINT) AS span_end,
+       |  CAST(max(pos) + $l - min(pos) AS BIGINT) AS span_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_shingles
+       |FROM isl2 WHERE doc_id % 5 = 0 GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** The shared CTE body: per-position shingle hashes (the identical
+    * double poly fold the Scala kernel prefix-hashes), df ≥ 2, and
+    * the lag/sum interval merge, ending in
+    * `isl2(doc_id, pos, island)`. */
+  private def exactSubstrCtes(l: Int): String = {
     def fold(base: Int): String =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(range(1, length(s) + 1),
          |        j -> CAST(unicode(substr(s, CAST(j AS INT), 1)) AS BIGINT))),
          |      (a, x) -> (a * $base + x) % 2147483647)""".stripMargin
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
        |  WHERE text IS NOT NULL),
        |pos AS (
@@ -1605,12 +1701,6 @@ object Dedup {
        |isl2 AS (
        |  SELECT doc_id, pos,
        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-       |  FROM isl)
-       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       |  CAST(max(pos) + $l AS BIGINT) AS span_end,
-       |  CAST(max(pos) + $l - min(pos) AS BIGINT) AS span_tokens,
-       |  CAST(count(*) AS BIGINT) AS n_shingles
-       |FROM isl2 GROUP BY doc_id, island
-       |ORDER BY doc_id, span_start""".stripMargin
+       |  FROM isl)""".stripMargin
   }
 }

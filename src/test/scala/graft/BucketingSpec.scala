@@ -88,6 +88,62 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("materialized shingle index: exact-substr probe shuffles only the batch side, results ≡ incremental") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    graft.operators.Dedup.writeShingleIndex(corpus, "shingle_index_t",
+      l = 16, buckets = 8)
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) =>
+        conf.set(k, if (k.endsWith("partitions")) "8" else "-1") }
+      graft.functions.Registry.ensure(spark)
+      // the operator's probe join shape: batch shingle counts (their
+      // aggregation exchange doubles as the join clustering — which
+      // requires shuffle.partitions == bucket count, the alignment
+      // discipline a production probe job sets; misaligned counts add
+      // one batch-side re-exchange, never an index-side one) against
+      // the bucket-clustered index scan
+      val dfB = batch.where(col("text").isNotNull)
+        .select(posexplode(expr("token_shingle_hashes(text, 16)")))
+        .toDF("pos", "sh")
+        .groupBy(col("sh")).agg(count(lit(1)).as("df_b"))
+      val probed = dfB.join(spark.table("shingle_index_t"), Seq("sh"), "left")
+      probed.count() // materialize
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        "index scan not bucket-aware: " + plan.take(500))
+      // exactly ONE non-broadcast exchange: the batch aggregate's,
+      // which the join reuses; the index side must not shuffle
+      val exchanges = "(?<!Broadcast)Exchange".r
+        .findAllIn(plan.replace("BroadcastExchange", "BX")).length
+      assert(exchanges === 1,
+        s"expected one batch-side shuffle, got $exchanges:\n${plan.take(1500)}")
+      // value parity: the indexed probe computes exactly what the
+      // in-memory incremental face computes
+      val viaIndex = graft.operators.Dedup
+        .exactSubstrIndexed(spark, "shingle_index_t", batch)
+        .collect().map(_.toSeq).toSeq
+      val inMem = graft.operators.Dedup
+        .exactSubstrIncremental(corpus, batch)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIndex === inMem)
+      assert(viaIndex.nonEmpty, "fixture dups should surface spans")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.sql("DROP TABLE IF EXISTS shingle_index_t")
+    }
+  }
+
   test("materialized IVF index: large-batch probe shuffles only the query side") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)

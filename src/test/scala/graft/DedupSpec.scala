@@ -540,6 +540,31 @@ class DedupSpec extends AnyFunSuite {
       r.getLong(4))).toSeq === Seq((0L, 5L, 5L, 2L), (15L, 20L, 5L, 2L)))
   }
 
+  test("incremental exact-substr ≡ full-corpus spans restricted to the batch") {
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val bpass = (0 until 9).map(i => s"p$i").mkString(" ")
+    val corpus = Seq(
+      (1L, ((0 until 6).map(i => s"a$i") ++ Seq(shared)).mkString(" ")),
+      (2L, (0 until 20).map(i => s"k$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // cross-side dup: corpus df makes this batch shingle duplicated
+      (5L, (Seq(shared) ++ (0 until 5).map(i => s"b$i")).mkString(" ")),
+      // batch-internal dup: corpus df is NULL -> the coalesce path
+      (10L, bpass), (15L, bpass),
+      (20L, (0 until 9).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val inc = Dedup.exactSubstrIncremental(corpus, batch, l = 4)
+      .collect().map(_.toSeq).toSeq
+    val full = Dedup.exactSubstrSpans(corpus.unionByName(batch), l = 4)
+      .where($"doc_id".isin(5L, 10L, 15L, 20L))
+      .collect().map(_.toSeq).toSeq
+    assert(inc === full)
+    // the fixture exercises both duplication sources: doc 5 via the
+    // corpus df, docs 10/15 via the batch-only count
+    assert(inc.map(_.head).toSet === Set(5L, 10L, 15L))
+  }
+
   test("exact-substr spans: adjacent duplicated regions merge; unique docs emit nothing") {
     // two copies of a 9-token passage -> in each doc the whole passage
     // is one island (consecutive duplicated positions merge), and the
