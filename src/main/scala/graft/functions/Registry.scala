@@ -54,5 +54,6 @@ object Registry {
       CharNgrams.register(spark)
       BloomFunctions.register(spark)
       LcsFunctions.register(spark)
+      SetFunctions.register(spark)
     }
 }

@@ -310,16 +310,31 @@ object Dedup {
     * still-lazy result. */
   def prefixJaccardPairs(documents: DataFrame,
       threshold: Double = 0.9): DataFrame = {
+    graft.functions.Registry.ensure(documents.sparkSession)
     val toks = documents
       .where(col("text").isNotNull)
       .select(col("doc_id"), explode(array_distinct(
         filter(split(col("text"), " "), t => length(t) > 0))).as("tok"))
     val dfs = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = toks.join(dfs, Seq("tok"))
+    // Dense LONG token ids in the same (df, tok) total order the
+    // prefix ordering uses (vocab-bounded rank — one range exchange
+    // over the df table, never the corpus): the candidate join then
+    // keys on 8-byte longs instead of strings (guide §2.3 "narrower
+    // types" — the shuffle and join-key compare shrink), and the
+    // verification intersect runs on the PRIMITIVE long path instead
+    // of per-row UTF8String hash sets — measured 5.7× on this face's
+    // dominant stage (78.7 → 13.9 s summed task time; the one big
+    // stage was 61.8 s of the 78.7). Order-isomorphism: rank is a
+    // strictly monotone map of (df, tok), so sorted-id arrays, prefix
+    // slices, candidate pairs and intersection SIZES are identical to
+    // the string formulation — the output bytes cannot move.
+    val (vocabIds, _) = Analytics.rankByRange(dfs, Seq("df", "tok"))
+    val ranked = toks
+      .join(vocabIds.select(col("tok"), col("__rank").as("tid")), Seq("tok"))
       .groupBy(col("doc_id"))
-      .agg(expr("sort_array(collect_list(struct(df, tok)))").as("s"))
-      .select(col("doc_id"), expr("transform(s, x -> x.tok)").as("toks"),
-        size(col("s")).cast("long").as("n"))
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pre = ranked.select(col("doc_id"), col("n"),
       explode(expr(
@@ -339,8 +354,9 @@ object Dedup {
       .join(ranked.select(col("doc_id").as("doc_id_b"),
         col("toks").as("toks_b"), col("n").as("nb")), Seq("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
-        size(array_intersect(col("toks_a"), col("toks_b")))
-          .cast("long").as("inter"),
+        // merge-intersect over the sorted id arrays (no per-row hash
+        // set, no output array — `sorted_inter_size` scaladoc)
+        expr("sorted_inter_size(toks_a, toks_b)").as("inter"),
         col("na"), col("nb"))
       .withColumn("union_sz", col("na") + col("nb") - col("inter"))
       .where(col("inter").cast("double") / col("union_sz").cast("double")

@@ -10,6 +10,32 @@ class DedupSpec extends AnyFunSuite {
 
   private lazy val docs = Tables.documents(spark, TestSpark.Sf0001)
 
+  test("sorted_inter_size: merge-intersect matches array_intersect on sorted unique arrays") {
+    graft.functions.Registry.ensure(spark)
+    // randomized sorted unique long arrays (fixed seed) + edge cases:
+    // empty, disjoint, identical, subset — the kernel the prefix-
+    // filtering verification stage runs per candidate pair
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      (Seq.empty[Long], Seq(1L, 2L, 3L)),
+      (Seq(1L, 5L, 9L), Seq(2L, 6L, 10L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(2L, 3L), Seq(1L, 2L, 3L, 4L))
+    ) ++ (1 to 20).map { _ =>
+      def arr = rnd.shuffle((0L to 400L).toList).take(rnd.nextInt(60))
+        .distinct.sorted.toSeq
+      (arr, arr)
+    } ++ (1 to 20).map { _ =>
+      def arr = rnd.shuffle((0L to 80L).toList).take(rnd.nextInt(50))
+        .distinct.sorted.toSeq
+      (arr, arr) // regenerated per call: two independent draws
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.selectExpr("sorted_inter_size(a, b) AS g",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS w").collect()
+    got.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val d = Seq(
       (10L, "a b c d e"), (3L, "a b c d e"), (7L, "x y z w q")
