@@ -36,7 +36,13 @@ object Prof {
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages.incrementAndGet()
       val id = s.stageInfo.stageId
-      val name = s.stageInfo.name.takeWhile(_ != '\n').take(80)
+      // RDD scope names identify the OPERATORS inside the stage
+      // (WholeStageCodegen ids, Exchange, InMemoryTableScan, ...) —
+      // far more useful than the callsite the stage name carries
+      val scopes = s.stageInfo.rddInfos
+        .flatMap(r => r.scope.map(_.name))
+        .distinct.mkString("|").take(160)
+      val name = scopes + " #tasks=" + s.stageInfo.numTasks
       perStage.merge(id, (0L, name),
         (a, b) => (a._1 + b._1, if (b._2.nonEmpty) b._2 else a._2))
     }
@@ -63,7 +69,8 @@ object Prof {
     def topStages(n: Int): Seq[String] = {
       import scala.jdk.CollectionConverters._
       perStage.asScala.toSeq.sortBy(-_._2._1).take(n).map {
-        case (id, (ms, name)) => f"    stage $id%5d ${ms / 1e3}%8.2fs  $name"
+        case (id, (ms, name)) =>
+          f"    stage $id%5d ${ms / 1e3}%8.2fs  ${name.take(140)}"
       }
     }
   }
@@ -80,7 +87,8 @@ object Prof {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

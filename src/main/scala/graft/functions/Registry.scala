@@ -55,5 +55,6 @@ object Registry {
       BloomFunctions.register(spark)
       LcsFunctions.register(spark)
       SetFunctions.register(spark)
+      LogRegFunctions.register(spark)
     }
 }

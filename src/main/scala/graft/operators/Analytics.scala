@@ -1235,6 +1235,16 @@ object Analytics {
           .select(col("node"), col("has_out"),
             expr(s"$base + ($dampNum * (coalesce(c, 0) + dm div $n))" +
               s" div $dampDen").as("pr_i"))
+          // one EAGER materialization per round, deliberately: pr
+          // feeds BOTH next-round consumers (contrib and dang), so the
+          // plan doubles per round without truncation — and the
+          // r18-measured alternative (lazy persist between K-round
+          // checkpoints, to keep partitioning metadata and save the
+          // per-round job) REGRESSED 8.4 → 10.1 s warm / 109 → 132 s
+          // summed task time at sf0.1: concurrent AQE stage futures
+          // race the unmaterialized InMemoryRelations and recompute
+          // superseded rounds (the NND 4^r failure class). Per-round
+          // checkpoint keeps every round computed exactly once.
           .localCheckpoint()
       }
       pr.select(col("node"), col("pr_i"))
@@ -2379,7 +2389,7 @@ object Analytics {
     * rank readout. Split out (the [[experimentBattery]] pattern) so
     * fixtures can assert U / p against hand-computed tables and so
     * [[holmAdjust]] could consume the identical battery. */
-  private[graft] def mwuBattery(events: DataFrame): DataFrame =
+  private[graft] def mwuBattery(events: DataFrame): DataFrame = {
     // ONE events scan: the tie-group grain feeds four downstream
     // consumers (control pick, merged value grain, control constants,
     // treated rows) — without the cache boundary each re-derives it
@@ -2388,7 +2398,7 @@ object Analytics {
     // 2-decimal values × variants), so the cache is small at any
     // corpus size; ContextCleaner releases it when the caller drops
     // the frame (the btStrength convention).
-    mwuBatteryFromGrain(armEvents(events)
+    val grain = armEvents(events)
       // NULL values are not rankable observations: without this
       // filter control rows with NULL value would count into n_c/tie
       // while the (experiment, value) equi-join silently dropped
@@ -2398,7 +2408,9 @@ object Analytics {
       .where(col("value").isNotNull)
       .groupBy(col("experiment_id"), col("value"), col("variant"))
       .agg(count(lit(1)).as("cnt"))
-      .persist())
+      .persist()
+    mwuBatteryFromGrain(grain)
+  }
 
   /** The derivation TAIL of [[mwuExperiments]]'s battery — from the
     * bounded tie-group grain `(experiment_id, value, variant, cnt)`
@@ -2425,21 +2437,29 @@ object Analytics {
     val wCum = Window.partitionBy(col("experiment_id"))
       .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // per-experiment control constants — arm size and the control-only
+    // tie-correction term Σ(cnt_c³ − cnt_c) (zero for cnt_c ≤ 1) —
+    // ride the SAME per-experiment window pass as the running count
+    // (full-frame spec, same partitioning → no extra exchange),
+    // instead of a second aggregate over `merged` joined back in:
+    // that formulation re-derived the whole merged subtree a second
+    // time (merged fed two un-cached consumers) and paid one more
+    // HashAggregate + broadcast join. The sums are LONG / exact
+    // DECIMAL, so window-vs-groupBy accumulation is bit-identical.
+    val wExp = Window.partitionBy(col("experiment_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = merged
       .withColumn("cum_excl",
         coalesce(sum(col("cnt_c")).over(wCum), lit(0L)))
-    // per-experiment control constants: arm size and the control-only
-    // tie-correction term Σ(cnt_c³ − cnt_c) (zero for cnt_c ≤ 1)
-    val ctlConst = merged
-      .groupBy(col("experiment_id"))
-      .agg(sum(col("cnt_c")).as("n_c"),
-        expr(s"CAST(sum(${cubeMinus(guard12("cnt_c"))}) AS DOUBLE)")
-          .as("tie_c"))
+      .withColumn("n_c", sum(col("cnt_c")).over(wExp))
+      .withColumn("tie_c",
+        sum(expr(cubeMinus(guard12("cnt_c")))).over(wExp).cast("double"))
     val treated = grain
       .join(broadcast(ctl), Seq("experiment_id"))
       .where(col("variant") =!= col("control_variant"))
       .join(cum.select(col("experiment_id"), col("value"),
-        col("cnt_c"), col("cum_excl")), Seq("experiment_id", "value"))
+        col("cnt_c"), col("cum_excl"), col("n_c"), col("tie_c")),
+        Seq("experiment_id", "value"))
     // per treated arm: n_t, 2U (exact DECIMAL), and the arm part of
     // the combined tie sum — Σ over touched values of
     // ((cnt_c+cnt_t)³ − (cnt_c+cnt_t)) − (cnt_c³ − cnt_c); adding the
@@ -2456,8 +2476,10 @@ object Analytics {
         expr(s"""CAST(sum(${cubeMinus(guard12("(cnt_c + cnt)"))}
                 |  - ${cubeMinus(guard12("cnt_c"))}) AS DOUBLE)"""
             .stripMargin)
-          .as("tie_t"))
-      .join(ctlConst, Seq("experiment_id"))
+          .as("tie_t"),
+        // per-experiment constants carried on every treated row —
+        // max() just reads the constant back out
+        max(col("n_c")).as("n_c"), max(col("tie_c")).as("tie_c"))
       .withColumn("tie", col("tie_t") + col("tie_c"))
       .withColumn("sig2", expr(MwuSig2))
       .withColumn("stat", expr(
@@ -2764,24 +2786,39 @@ object Analytics {
     val wCum = Window.partitionBy(col("experiment_id"))
       .orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // per-experiment totals (n_total, tie_sum) ride the SAME
+    // per-experiment window pass as the running count (full-frame
+    // spec, same partitioning → no extra exchange) instead of a
+    // second aggregate over `vg` joined back in — the [[
+    // mwuBatteryFromGrain]] r18 rewrite: the join formulation
+    // re-derived the whole vg subtree a second time and paid one more
+    // HashAggregate + join. LONG / exact-DECIMAL sums, so
+    // window-vs-groupBy accumulation is bit-identical.
+    val wExp = Window.partitionBy(col("experiment_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = vg.withColumn("cum_excl",
-      coalesce(sum(col("cnt_all")).over(wCum), lit(0L)))
-    val ec = vg.groupBy(col("experiment_id"))
-      .agg(sum(col("cnt_all")).as("n_total"),
-        expr(s"CAST(sum(${cubeMinus(guard12("cnt_all"))}) AS DOUBLE)")
-          .as("tie_sum"))
+        coalesce(sum(col("cnt_all")).over(wCum), lit(0L)))
+      .withColumn("n_total", sum(col("cnt_all")).over(wExp))
+      .withColumn("tie_sum",
+        sum(expr(cubeMinus(guard12("cnt_all")))).over(wExp)
+          .cast("double"))
     // per-arm mid-rank sums: 2R_i = Σ_v cnt_i(v)·(2·C_<(v) +
     // cnt_all(v) + 1) — exact decimal, one (experiment, value) join
     val arms = grain
       .join(cum.select(col("experiment_id"), col("value"),
-        col("cnt_all"), col("cum_excl")), Seq("experiment_id", "value"))
+        col("cnt_all"), col("cum_excl"), col("n_total"),
+        col("tie_sum")), Seq("experiment_id", "value"))
       .groupBy(col("experiment_id"), col("variant"))
       .agg(sum(col("cnt")).as("n_i"),
         expr(
           """CAST(sum(CAST(cnt AS DECIMAL(18,0))
             |  * CAST(2 * cum_excl + cnt_all + 1 AS DECIMAL(18,0)))
-            |AS DOUBLE)""".stripMargin).as("two_r"))
-    val byExp = arms.join(ec, Seq("experiment_id"))
+            |AS DOUBLE)""".stripMargin).as("two_r"),
+        // per-experiment constants carried on every grain row —
+        // max() just reads the constant back out
+        max(col("n_total")).as("n_total"),
+        max(col("tie_sum")).as("tie_sum"))
+    val byExp = arms
       .withColumn("d2", expr(KwD2))
       .groupBy(col("experiment_id"))
       .agg(first(col("n_total")).as("n_total"),

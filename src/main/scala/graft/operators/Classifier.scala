@@ -108,35 +108,27 @@ object Classifier {
     val losses = Seq.newBuilder[Double]
     var prevLoss = Double.NaN
     var converged = false
+    graft.functions.Registry.ensure(feats.sparkSession)
     for (_ <- 0 until iters if !converged) {
-      val p = probCol(w, dim)
-      // ONE scan and ONE action per iteration: the bias gradient rides
-      // the same grouped aggregate as the feature gradients under the
-      // sentinel index `dim` (one extra struct per row), and the
-      // optional log-loss under `dim + 1` — v.s. a second (and third)
-      // full pass over the features, which at 100 TB is a second (and
-      // third) read of the corpus per iteration.
-      val errCol = (p - col("label")).as("err")
-      val pc = least(greatest(p, lit(1e-12)), lit(1 - 1e-12))
-      val lossCol = (-col("label") * log(pc)
-        - (lit(1d) - col("label")) * log(lit(1d) - pc)).as("loss")
-      val featC = transform(col("idxs"),
-        i => struct(i.as("idx"), (col("err") / col("n_toks")).as("g")))
-      val biasC = array(struct(lit(dim).as("idx"), col("err").as("g")))
-      val contribs =
-        if (withLoss) concat(featC, biasC,
-          array(struct(lit(dim + 1).as("idx"), col("loss").as("g"))))
-        else concat(featC, biasC)
-      // model-sized shuffle: per-index partial gradients combine
-      // map-side; collect is bounded by dim, not by the corpus
-      val agg = feats.select(col("idxs"), col("n_toks"), errCol, lossCol)
-        .select(explode(contribs).as("c"))
-        .groupBy(col("c.idx").as("idx")).agg(sum(col("c.g")).as("g"))
-        .collect()
+      // ONE scan and ONE action per iteration, as a single typed
+      // aggregate kernel (`logreg_grad` — see LogRegGradAggregate):
+      // per-partition state is one double[dim + 2] (feature gradient
+      // sums, bias sum, optional log-loss sum), so the pass is a
+      // tight JVM loop per row with NO per-token struct/explode rows,
+      // no interpreted higher-order margin fold, and no dim-keyed
+      // hash aggregate — the shuffle carries one model-sized buffer
+      // per partition (the vec_sum / k-means discipline). Replaces
+      // the explode(struct(idx, g)) → groupBy(idx).sum formulation,
+      // whose plan was re-codegen'd every iteration (the weight
+      // literal changes) and whose margin fold ran interpreted.
+      val gr = feats.select(call_function("logreg_grad",
+          col("idxs"), col("n_toks"), col("label"),
+          typedLit(w.clone()), lit(withLoss)).as("g"))
+        .head().getSeq[Double](0)
       // loss is read out BEFORE any weight update (it was measured
       // under the pre-update weights)
-      agg.find(_.getInt(0) == dim + 1).foreach { r =>
-        val loss = r.getDouble(1) / n
+      if (withLoss) {
+        val loss = gr(dim + 1) / n
         losses += loss
         // the PREVIOUS update improved the loss by < tol (and did not
         // worsen it), and training has actually beaten the all-zero
@@ -147,9 +139,12 @@ object Classifier {
           improved < tol && loss < math.log(2.0)) converged = true
         prevLoss = loss
       }
-      if (!converged) agg.foreach { r =>
-        val i = r.getInt(0)
-        if (i <= dim) step(i, r.getDouble(1) / n)
+      // dense step: untouched slots carry a 0.0 gradient sum, for
+      // which Adagrad's step is an exact no-op (gsq += 0, Δw = 0) —
+      // identical to the sparse per-present-index step it replaces
+      if (!converged) {
+        var i = 0
+        while (i <= dim) { step(i, gr(i) / n); i += 1 }
       }
     }
     (w, losses.result())
