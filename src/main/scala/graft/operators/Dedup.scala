@@ -40,6 +40,63 @@ object Dedup {
         expr(s"transform(sequence(0, size(toks) - $k), " +
           s"i -> concat_ws(' ', slice(toks, i + 1, $k)))"))).as("shingle"))
 
+  /** The df-capped shingle stream and per-doc kept-shingle sizes
+    * shared by [[ngramJaccardPairs]] and [[containmentPairs]]: ONE
+    * shuffle of the shingle stream clusters by shingle, a windowed
+    * count applies the stop-shingle rule (df ≤ maxDf) in place, and
+    * the surviving (doc_id, shingle) rows persist for the size and
+    * pair branches.
+    *
+    * This replaces the round-≤17 bounded-postings formulation
+    * (`bounded_collect_long` into arrays + double explode): the
+    * collect is a TypedImperativeAggregate, which runs on
+    * ObjectHashAggregate — and ObjectHashAggregate falls back to
+    * SORT-BASED aggregation at 128 distinct keys per task
+    * (`spark.sql.objectHashAggregate.sortBased.fallbackThreshold`),
+    * a threshold any real shingle stream passes instantly, so at ANY
+    * scale the postings build ran on the slow serialize-and-sort
+    * path (measured at sf0.1: the postings stage alone was 159 s of
+    * summed task time, 272 s for the face; this formulation: 21 s /
+    * 63 s, wall 13.8 → 4.1 s — raising the fallback threshold was
+    * measured equivalent but is a local-only config, the fallback
+    * always triggers at corpus scale). The windowed count keeps the
+    * SAME memory story the LSH band cap ([[capBandBuckets]]) already
+    * relies on: WindowExec buffers one shingle's rows in a SPILLING
+    * external sorter, so a mega-hot shingle degrades to disk instead
+    * of an aggregation-buffer blow-up, and its rows are dropped by
+    * the df filter right after — they never reach the pair join.
+    * Output sets are identical to the postings formulation (groups
+    * over the cap dropped whole), and the DuckDB oracle
+    * ([[ngramJaccardCtes]]) has always used this exact window
+    * formulation. */
+  private def cappedShingles(documents: DataFrame, k: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
+    val kept = shingles(documents, k)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .where(col("df") <= maxDf)
+      .drop("df")
+      // consumed by the size branch and BOTH sides of the pair join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    (kept, sizes)
+  }
+
+  /** i<j co-occurrence counts over the capped shingle stream: an
+    * equi-self-join on shingle (both sides the SAME persisted frame,
+    * already hash-clustered by shingle — no re-exchange) counted to
+    * the (a, b) pair grain, partially aggregated map-side. Pair
+    * fan-out is bounded by df² ≤ maxDf² per shingle, the same bound
+    * the postings double-explode had — but the whole path is
+    * codegen'd HashAggregate, no object aggregation anywhere. */
+  private def shinglePairCounts(kept: DataFrame): DataFrame =
+    kept.toDF("doc_id_a", "shingle")
+      .join(kept.toDF("doc_id_b", "shingle_b"),
+        col("shingle") === col("shingle_b") &&
+          col("doc_id_a") < col("doc_id_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(count(lit(1)).as("inter"))
+
   /** N-gram NOVELTY curve — per-document fraction of shingles never
     * seen in any EARLIER document (doc_id order = ingestion order):
     * the redundancy-growth diagnostic a crawl pipeline watches to
@@ -111,33 +168,8 @@ object Dedup {
     * so 0.5 is far from any float boundary. */
   def ngramJaccardPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    graft.functions.Registry.ensure(documents.sparkSession)
-    val sh = shingles(documents, k)
-    // inverted index: ONE shuffle of the shingle stream builds postings
-    // lists; the df cap is the stop-shingle rule and bounds each
-    // posting's pair fan-out at df². Enforced DURING aggregation by the
-    // size-bounded collect ([[graft.functions.BoundedCollectAgg]]):
-    // a mega-hot shingle flips to an overflow flag at maxDf+1 elements
-    // — in the map-side partial, before the shuffle — so its postings
-    // array never materializes anywhere (plain collect_list + size
-    // filter would hold the full multi-million-entry posting in one
-    // aggregation buffer). Persisted: consumed by the size and pair
-    // branches (at cluster scale: checkpoint instead if postings
-    // outgrow memory+disk).
-    val postings = sh.groupBy(col("shingle"))
-      .agg(expr(s"bounded_collect_long(doc_id, $maxDf)").as("ids"))
-      .where(col("ids").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = postings.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // i<j pairs per posting via double explode; the pair counts are
-    // partially aggregated map-side before the (a,b) shuffle
-    val inter = postings
-      .select(explode(col("ids")).as("doc_id_a"), col("ids"))
-      .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
-      .where(col("doc_id_a") < col("doc_id_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val (kept, sizes) = cappedShingles(documents, k, maxDf)
+    val inter = shinglePairCounts(kept)
     inter
       .join(sizes.toDF("doc_id_a", "na"), Seq("doc_id_a"))
       .join(sizes.toDF("doc_id_b", "nb"), Seq("doc_id_b"))
@@ -512,25 +544,14 @@ object Dedup {
     * the asymmetric cousin of [[ngramJaccardPairs]] that catches a
     * short document living inside a long one (quotes, excerpts,
     * boilerplate wrappers), which Jaccard misses because the union in
-    * its denominator is dominated by the long side. Same inverted-
-    * index plan (ONE shuffle, df-capped bounded postings); only the
-    * final ratio differs — one double division of exact integers. */
+    * its denominator is dominated by the long side. Same df-capped
+    * shingle self-join plan ([[cappedShingles]]/[[shinglePairCounts]]);
+    * only the final ratio differs — one double division of exact
+    * integers. */
   def containmentPairs(documents: DataFrame, k: Int = 4,
       threshold: Double = 0.7, maxDf: Int = 1000): DataFrame = {
-    graft.functions.Registry.ensure(documents.sparkSession)
-    val sh = shingles(documents, k)
-    val postings = sh.groupBy(col("shingle"))
-      .agg(expr(s"bounded_collect_long(doc_id, $maxDf)").as("ids"))
-      .where(col("ids").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = postings.select(explode(col("ids")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = postings
-      .select(explode(col("ids")).as("doc_id_a"), col("ids"))
-      .select(col("doc_id_a"), explode(col("ids")).as("doc_id_b"))
-      .where(col("doc_id_a") < col("doc_id_b"))
-      .groupBy(col("doc_id_a"), col("doc_id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val (kept, sizes) = cappedShingles(documents, k, maxDf)
+    val inter = shinglePairCounts(kept)
     inter
       .join(sizes.toDF("doc_id_a", "na"), Seq("doc_id_a"))
       .join(sizes.toDF("doc_id_b", "nb"), Seq("doc_id_b"))
