@@ -2320,7 +2320,12 @@ object Similarity {
             .drop("__rs")
         }
       // local join: nodes sharing a current neighbor, each unordered
-      // pair proposed once then mirrored
+      // pair proposed once then mirrored. (r18 measured: a distinct()
+      // here — dedup duplicate proposals before the vec_dot scoring —
+      // REGRESSED 10.6 → 15 s warm / shuffle 28 → 34 MB: the union
+      // with the previous round's edges erases the distinct's
+      // partitioning, so the merge aggregate re-exchanges the scored
+      // stream anyway and the dedup exchange is pure addition.)
       val cand = sym.as("x").join(sym.as("y"),
           col("x.a") === col("y.a") && col("x.b") < col("y.b"))
         .select(col("x.b").as("a"), col("y.b").as("b"))
