@@ -139,7 +139,7 @@ object SparkEntry {
     // array literal - zero-join bin assignment)
     "value_psi" -> ((s, d) => Analytics.valuePsi(Tables.events(s, d))),
     "value_band_counts" -> ((s, d) => Relational.valueBandCounts(Tables.events(s, d))),
-    "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(par(Tables.events(s, d)))),
+    "props_variant_stats" -> ((s, d) => Relational.propsVariantStats(Tables.events(s, d))),
     "event_type_pivot" -> ((s, d) => Relational.eventTypePivot(Tables.events(s, d))),
     "event_type_unpivot" -> ((s, d) => Relational.eventTypeUnpivot(Tables.events(s, d))),
     "value_percentiles_approx" -> ((s, d) =>
@@ -182,7 +182,7 @@ object SparkEntry {
     "qty_price_correlation" -> ((s, d) =>
       Analytics.qtyPriceCorrelation(Tables.lineitem(s, d))),
     "value_histogram" -> ((s, d) => Analytics.valueHistogram(Tables.events(s, d))),
-    "experiment_entropy" -> ((s, d) => Analytics.experimentEntropy(par(Tables.events(s, d)))),
+    "experiment_entropy" -> ((s, d) => Analytics.experimentEntropy(Tables.events(s, d))),
     "modal_event_type" -> ((s, d) => Analytics.modalEventType(Tables.events(s, d))),
     // trailing z-score anomaly flag over the per-minute visit series
     // (exact integer moments -> cross-engine-identical float z)
@@ -196,7 +196,7 @@ object SparkEntry {
     // per-(experiment, variant) value lift + Welch t vs the control
     // arm — the statistical readout layer over the reference's
     // experiment bookkeeping
-    "variant_lift" -> ((s, d) => Analytics.variantLift(par(Tables.events(s, d)))),
+    "variant_lift" -> ((s, d) => Analytics.variantLift(Tables.events(s, d))),
     // Bradley–Terry strength fit from per-user pairwise value
     // comparisons — MM iterations over the T²-bounded wins table
     "bt_strength" -> ((s, d) => Preference.btStrength(par(Tables.events(s, d)))),
@@ -204,7 +204,7 @@ object SparkEntry {
     // Poisson-bootstrap CI — the uncertainty readout next to BT's
     // ranking; order-statistic bounds, integer-exact indices
     "winrate_bootstrap_ci" -> ((s, d) =>
-      Preference.winrateBootstrapCi(par(Tables.events(s, d)))),
+      Preference.winrateBootstrapCi(Tables.events(s, d))),
     // Cohen's kappa between two deterministic rule annotators, per
     // source — scan-side rules, one aggregate, quantized κ chain
     "annotator_kappa" -> ((s, d) =>
@@ -212,13 +212,13 @@ object SparkEntry {
     // GRPO group-relative advantages: one window on the group key,
     // decimal two-sums, per-row quantized normalization
     "group_advantages" -> ((s, d) =>
-      Preference.groupAdvantages(par(Tables.events(s, d)))),
+      Preference.groupAdvantages(Tables.events(s, d))),
     // best-of-n rejection sampling per prompt group: one window
     // (rank + lead + count), margin to the runner-up
-    "best_of_n" -> ((s, d) => Preference.bestOfN(par(Tables.events(s, d)))),
+    "best_of_n" -> ((s, d) => Preference.bestOfN(Tables.events(s, d))),
     // unbiased pass@k estimator per task: one aggregate, fixed-order
     // product chain
-    "pass_at_k" -> ((s, d) => Preference.passAtK(par(Tables.events(s, d)))),
+    "pass_at_k" -> ((s, d) => Preference.passAtK(Tables.events(s, d))),
     // BLEU-2 over rank-paired documents: clipped n-gram precision via
     // one (pair, n, gram) equi-join, brevity penalty, geometric mean
     "bleu_pairs" -> ((s, d) =>
@@ -238,19 +238,19 @@ object SparkEntry {
     // A/B conversion proportions + 2x2 chi-square vs the control arm —
     // the proportion-testing sibling of variant_lift
     "variant_conversion" -> ((s, d) =>
-      Analytics.variantConversion(par(Tables.events(s, d)))),
+      Analytics.variantConversion(Tables.events(s, d))),
     // Wald SPRT over the per-minute conversion series: cumulative LLR
     // + decision bounds, calendar-bounded windows
     "sprt_conversion" -> ((s, d) =>
-      Analytics.sprtConversion(par(Tables.events(s, d)))),
+      Analytics.sprtConversion(Tables.events(s, d))),
     // Benjamini–Hochberg FDR across the whole experiment battery
     // (Welch-t + chi-square rows, erfc p-values, step-up q-values)
     "fdr_experiments" -> ((s, d) =>
-      Analytics.fdrExperiments(par(Tables.events(s, d)))),
+      Analytics.fdrExperiments(Tables.events(s, d))),
     // Holm–Bonferroni step-down over the SAME battery — the FWER
     // sibling of fdr_experiments
     "holm_experiments" -> ((s, d) =>
-      Analytics.holmExperiments(par(Tables.events(s, d)))),
+      Analytics.holmExperiments(Tables.events(s, d))),
     // Mann–Whitney U rank-sum battery — the nonparametric sibling
     // for heavy-tailed value metrics, through the same BH tail
     "mwu_experiments" -> ((s, d) =>
