@@ -2201,8 +2201,11 @@ object Similarity {
     * (range exchange, never a single-partition window); each round is
     * the symmetrized-edge self-equi-join on the shared-neighbor key
     * (Σ_u deg(u)² = n·(2k)² candidate rows — linear in n at fixed k,
-    * never all-pairs), two idx-keyed joins against the persisted
-    * (idx, embedding, norm) frame, and a PARTITIONED per-node top-k
+    * never all-pairs), ONE (a, b)-keyed dedup-and-merge aggregate
+    * over the bare pair ids (proposals + previous edges, map-side
+    * pre-deduped BEFORE any scoring), then two idx-keyed joins
+    * against the persisted (idx, embedding, norm) frame scoring each
+    * DISTINCT pair exactly once, and a PARTITIONED per-node top-k
     * window. Each round's edge frame persists (the §7.9 iterative-op
     * rule: round r+1 reads round r twice — as both join sides of the
     * local join); `rounds` is FIXED (constant plan size), and NND's
@@ -2320,21 +2323,41 @@ object Similarity {
             .drop("__rs")
         }
       // local join: nodes sharing a current neighbor, each unordered
-      // pair proposed once then mirrored. (r18 measured: a distinct()
-      // here — dedup duplicate proposals before the vec_dot scoring —
-      // REGRESSED 10.6 → 15 s warm / shuffle 28 → 34 MB: the union
-      // with the previous round's edges erases the distinct's
-      // partitioning, so the merge aggregate re-exchanges the scored
-      // stream anyway and the dedup exchange is pure addition.)
+      // pair proposed once then mirrored.
       val cand = sym.as("x").join(sym.as("y"),
           col("x.a") === col("y.a") && col("x.b") < col("y.b"))
         .select(col("x.b").as("a"), col("y.b").as("b"))
       val prop = cand.unionAll(cand.select(col("b").as("a"),
         col("a").as("b")))
-      val merged = nndScore(prop, nodes)
-        .unionAll(edges.select(col("a"), col("b"), col("cos_sim")))
-        .groupBy(col("a"), col("b"))
-        .agg(max(col("cos_sim")).as("cos_sim"))
+      // AGGREGATE-FIRST merge (r19, guide §2.4 "share one exchange"):
+      // dedup proposals AND fold in the previous round's edges in ONE
+      // (a, b)-keyed aggregate BEFORE the scoring joins, so vec_dot
+      // runs once per DISTINCT pair instead of once per proposal
+      // (Σ_u deg(u)² proposals collapse to ≤ n·(2k)² distinct pairs)
+      // and the exchange carries bare 16-byte (a, b) rows, map-side
+      // pre-deduped, instead of scored rows. Re-scoring the carried
+      // edges is free of drift: cos_sim is a deterministic fixed-fold
+      // function of (a, b), so the max() the old merge took over
+      // {new score, old score} is the same value this computes once.
+      // The explicit repartition on `a` in front establishes the ONE
+      // partitioning that the dedup aggregate ((a) ⊂ (a, b) satisfies
+      // its clustering), the first scoring join and the per-node
+      // top-k window all reuse — without it the aggregate exchanges
+      // on (a, b) and the window re-exchanges the scored stream on
+      // (a) right after.
+      // (r18 had measured a distinct() on `prop` ALONE regressing
+      // 10.6 → 15 s — that shape kept the old post-scoring merge
+      // aggregate, so the dedup exchange was pure addition; folding
+      // the dedup INTO the merge is what removes it. r19 measured,
+      // sf0.1 warm: task time 113–119 → 92–99 s, shuffle 28 → 12 MB,
+      // jobs 43 → 41, wall 11.9 → 11.0 s — wall moves less than task
+      // time because the serialized round-1 materialization, not
+      // executor work, owns the critical path at this sf.)
+      val pairs = prop
+        .unionAll(edges.select(col("a"), col("b")))
+        .repartition(col("a"))
+        .distinct()
+      val merged = nndScore(pairs, nodes)
       // Mid-round generations beyond the first TRUNCATE lineage
       // (eager localCheckpoint): each round's logical plan otherwise
       // nests ~4 copies of its predecessor's (the sym self-join plus
