@@ -20,30 +20,9 @@ object Bench {
     val envStart = (nowIso(), loadavg())
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // ObjectHashAggregate falls back to SORT-BASED aggregation at 128
-      // distinct keys per task (spark.sql default) — a threshold every
-      // k-bounded typed aggregate in this engine (vec_sum k-means
-      // updates with k ≤ 4096 centroids, per-doc collect_list ranks)
-      // crosses immediately, putting every k-means iteration on the
-      // serialize-and-sort path at ANY corpus scale. The engine's
-      // typed aggregates all carry size-BOUNDED buffers (vec_sum:
-      // dim+1 doubles; bounded_collect: ≤ cap longs), so 4096
-      // in-memory keys is ≤ ~32 MB/task worst case — a justified
-      // production value, not a local-mode tune (at 100 TB the group
-      // counts of these aggregates are unchanged; only row counts
-      // grow). Unbounded-cardinality object aggregates were removed
-      // structurally instead (see Dedup.cappedShingles). Env-
-      // overridable for A/B.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "4096"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // engine-contract configs live in ONE place — graft.EngineSession
+    // (timezone, AQE, the justified objectHashAggregate threshold)
+    val spark = EngineSession.local(cpus)
     // One-time JVM warmup so per-query numbers measure the engine, not
     // first-use class loading (Jackson for from_json/to_json, Janino
     // codegen, shuffle machinery). Runs on 2 synthetic rows — no test
@@ -71,8 +50,17 @@ object Bench {
         }
       }
     val envWarm = (nowIso(), loadavg())
+    // per-observation 1-min loadavg at query start, recorded into the
+    // FULL artifact only (additions-only: the stdout JSON contract and
+    // the timed region are unchanged) — the r18 driver sweep was
+    // unreadable because a co-tenant burst could only be localized to
+    // a whole phase; with a per-query reading a diff tool can discount
+    // burst-hit observations mechanically
+    val loadAt = scala.collection.mutable.Map.empty[String, List[String]]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.err.println(s"BENCH-START $name")
+      loadAt(name) = loadAt.getOrElse(name, Nil) :+
+        loadavg().split(",").head
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case t: Throwable =>
@@ -174,8 +162,15 @@ object Bench {
     // the full 168-query line is ~5.4 KB — it can never fit (the key
     // names alone are 2.8 KB), so rounds 8-9 recorded parsed:null.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // "load": per-query 1-min loadavg at each observation's start (the
+    // redo'd queries carry one entry per observation) — FULL artifact
+    // only, so the stdout line the driver tails is unchanged
+    val loadJson = loadAt.toSeq.sortBy(_._1).map { case (k, ls) =>
+      s""""$k":[${ls.mkString(",")}]"""
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      toJson(results).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      toJson(results, s""","load":$loadJson""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stdout gets a line that FITS the tail: correct total over ALL
     // queries plus a fixed headline subset covering the reference
     // surface (parse/sink/projection/timeseries/overlap) and each

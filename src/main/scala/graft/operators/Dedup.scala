@@ -318,8 +318,10 @@ object Dedup {
     * stop-shingle rule's cap: instead of dropping hot keys, never join
     * on them. A length filter (`t·na ≤ nb ≤ na/t`) rides the join
     * condition. Verification re-joins the pair ids to the per-doc
-    * sorted-token arrays and computes exact `|∩|/|∪|` via
-    * `array_intersect` — one codegen'd row per candidate pair.
+    * sorted-token-ID arrays and computes the exact `|∩|` via the
+    * `sorted_inter_size` two-pointer merge kernel
+    * ([[graft.functions.SortedLongInterSize]] — no per-row hash set,
+    * no output array) — one codegen'd row per candidate pair.
     * The `− 1e-9` guard inside both ceil()s keeps the float threshold
     * conservative (a longer prefix / looser filter can only ADD
     * candidates, never lose a true pair); both engines compute the
@@ -339,7 +341,10 @@ object Dedup {
     * released by the ContextCleaner when the caller drops the result —
     * the [[graft.operators.Analytics.rankByRange]] convention; an
     * eager unpersist here would race the caller's first action on the
-    * still-lazy result. */
+    * still-lazy result. NOTE the result is lazy only past the vocab
+    * rank: rankByRange runs its bounds/counts job at
+    * DataFrame-CONSTRUCTION time, so even explain-only callers pay one
+    * pass over the (vocab-bounded) df table. */
   def prefixJaccardPairs(documents: DataFrame,
       threshold: Double = 0.9): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
@@ -479,7 +484,10 @@ object Dedup {
       .select(col("doc_id"), col("stoks"),
         size(col("stoks")).cast("long").as("n"),
         concat_ws(" ", col("stoks")).as("skey"))
-    val (ranked, _) = Analytics.rankByRange(base, Seq("n", "skey", "doc_id"))
+    // eager: `r` below is consumed twice (probe explode + join right
+    // side) — lazily each consumer re-sorts the stoks-carrying window
+    val (ranked, _) = Analytics.rankByRange(base, Seq("n", "skey", "doc_id"),
+      eager = true)
     val r = ranked.select(col("doc_id"), col("stoks"), col("n"),
       col("__rank").as("rk"))
     val probes = r.select(col("doc_id").as("doc_id_x"),

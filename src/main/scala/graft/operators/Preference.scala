@@ -838,8 +838,11 @@ object Preference {
     * m+1−r over doc_id order, lower rank = REFERENCE. Returns the
     * (ref, cand) frames with `toks` and the side length. */
   private def rankedPairs(documents: DataFrame): (DataFrame, DataFrame) = {
+    // eager: rk splits into the ref and cand halves — two consumers
+    // of the text-carrying window
     val (rk, m) = Analytics.rankByRange(
-      documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      documents.select(col("doc_id"), col("text")), Seq("doc_id"),
+      eager = true)
     val half = m / 2
     val withToks = rk.withColumn("toks", split(col("text"), " "))
     val ref = withToks.where(col("__rank") <= half).select(
@@ -1079,8 +1082,11 @@ object Preference {
     * pairs with an empty LCS score 0. */
   def rougePairs(documents: DataFrame, maxToks: Int = 24): DataFrame = {
     graft.functions.Registry.ensure(documents.sparkSession)
+    // eager: rk splits into the ref and cand halves — two consumers
+    // of the text-carrying window
     val (rk, m) = Analytics.rankByRange(
-      documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      documents.select(col("doc_id"), col("text")), Seq("doc_id"),
+      eager = true)
     val half = m / 2
     val withToks = rk.withColumn("toks",
       expr(s"slice(split(text, ' '), 1, $maxToks)"))
@@ -1207,8 +1213,11 @@ object Preference {
     * cand_chars, n_orders, prec_avg, rec_avg, chrf) by pair_id. */
   def chrfPairs(documents: DataFrame, maxN: Int = 6,
       maxChars: Int = 1000): DataFrame = {
+    // eager: rk splits into the ref and cand halves — two consumers
+    // of the text-carrying window
     val (rk, m) = Analytics.rankByRange(
-      documents.select(col("doc_id"), col("text")), Seq("doc_id"))
+      documents.select(col("doc_id"), col("text")), Seq("doc_id"),
+      eager = true)
     val half = m / 2
     val wc = rk.withColumn("chars",
       expr(s"substring(text, 1, $maxChars)"))

@@ -68,16 +68,32 @@ object Retrieval {
 
   /** The corpus-wide postings list `(term, doc_id, dl, tf)`: one
     * `explode` + one groupBy — the only corpus-sized shuffle of the
-    * whole retrieval pipeline. */
-  private def postings(documents: DataFrame): DataFrame =
-    documents
+    * whole retrieval pipeline (when `onlyTerms` is empty: the index
+    * build and any caller that needs the full vocabulary).
+    *
+    * `onlyTerms` non-empty prunes the exploded token stream to that
+    * literal set BEFORE the groupBy (the [[proximitySearch]] trick:
+    * the downstream query-term joins discard everything else anyway,
+    * but Catalyst cannot push an inner-join filter through the
+    * aggregate, so without this the corpus-wide (doc_id, dl, term)
+    * shuffle builds postings for the whole vocabulary and then drops
+    * all but the handful of probe terms — guide §2.3, shuffle fewer
+    * bytes). Per-term tf/df over the surviving terms are unchanged:
+    * the filter commutes with a groupBy that keys on `term`. */
+  private def postings(documents: DataFrame,
+      onlyTerms: Seq[String] = Nil): DataFrame = {
+    val exploded = documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       // dl is functionally dependent on doc_id — keying the groupBy with
       // it costs nothing and saves a join back for length normalization
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
         explode(col("ts")).as("term"))
+    val pruned = if (onlyTerms.isEmpty) exploded
+      else exploded.where(col("term").isin(onlyTerms: _*))
+    pruned
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+  }
 
   /** Shared scoring tail over a postings list `(term, doc_id, dl,
     * tf)`: per-term BM25 contributions, per-document decimal-exact
@@ -124,7 +140,12 @@ object Retrieval {
       queries: Seq[(String, String)] = DemoQueries, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val toks = documents.select(col("doc_id"), split(col("text"), " ").as("ts"))
-    val tf = postings(documents)
+    // query terms are a plan-time literal set: prune the postings
+    // build to them (per-term tf and df are unchanged — see
+    // [[postings]]); only the collection stats still need the full
+    // corpus, and they come from the UN-exploded doc scan below
+    val tf = postings(documents,
+      queries.flatMap(_._2.split(" ")).distinct)
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = toks.agg(count(lit(1)).as("n"),
       sum(size(col("ts"))).cast("long").as("sumdl"))
@@ -157,7 +178,13 @@ object Retrieval {
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
       tableName: String, queries: Seq[(String, String)] = DemoQueries,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // the literal term predicate PUSHES DOWN to the bucketed parquet
+    // scan (PushedFilters: In(term, ...)) — the index is term-bucketed
+    // and term-sorted, so row groups of non-query terms never decode;
+    // per-term df over the surviving rows is unchanged
     val tf = spark.table(s"${tableName}_postings")
+      .where(col("term").isin(
+        queries.flatMap(_._2.split(" ")).distinct: _*))
     val doclen = spark.table(s"${tableName}_doclen")
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = doclen.agg(count(lit(1)).as("n"),
@@ -513,8 +540,18 @@ object Retrieval {
     * `(qid, ql_rank, doc_id, score)`. */
   def qlDirichletSearch(documents: DataFrame,
       queries: Seq[(String, String)] = DemoQueries, k: Int = 10,
-      mu: Double = 300.0): DataFrame =
-    qlScore(postings(documents), queryTermsDf(documents, queries), k, mu)
+      mu: Double = 300.0): DataFrame = {
+    // postings pruned to the literal query-term set (see [[postings]]
+    // — cf per query term is unchanged); the collection token total,
+    // which a pruned postings stream can no longer supply, comes from
+    // the un-exploded doc scan: Σ dl ≡ Σ tf, and integer-valued
+    // doubles below 2^53 sum exactly in any order
+    val ctot = documents
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum(col("dl")).cast("long").as("ctot"))
+    qlScore(postings(documents, queries.flatMap(_._2.split(" ")).distinct),
+      queryTermsDf(documents, queries), k, mu, ctot)
+  }
 
   /** [[qlDirichletSearch]] over a pre-built [[writeBm25Index]]: the
     * SAME index artifacts serve both ranker families — postings carry
@@ -526,15 +563,23 @@ object Retrieval {
   def qlDirichletSearchIndexed(spark: org.apache.spark.sql.SparkSession,
       tableName: String, queries: Seq[(String, String)] = DemoQueries,
       k: Int = 10, mu: Double = 300.0): DataFrame = {
+    // term predicate pushes to the bucketed scan ([[bm25SearchIndexed]]
+    // note); the token total comes from the doclen table (Σ dl ≡ Σ tf)
     val tf = spark.table(s"${tableName}_postings")
-    qlScore(tf, queryTermsDf(spark.table(s"${tableName}_doclen"), queries),
-      k, mu)
+      .where(col("term").isin(
+        queries.flatMap(_._2.split(" ")).distinct: _*))
+    val doclen = spark.table(s"${tableName}_doclen")
+    val ctot = doclen.agg(sum(col("dl")).cast("long").as("ctot"))
+    qlScore(tf, queryTermsDf(doclen, queries), k, mu, ctot)
   }
 
   /** Shared QL scoring tail over a postings list `(term, doc_id, dl,
-    * tf)` — the [[scoreTopK]] counterpart for the Dirichlet ranker. */
+    * tf)` — the [[scoreTopK]] counterpart for the Dirichlet ranker.
+    * `tf` may arrive pruned to the query-term set; `ctot` (one row,
+    * the collection token total) therefore comes from the caller,
+    * computed over the FULL collection. */
   private def qlScore(tf: DataFrame, qterms: DataFrame, k: Int,
-      mu: Double): DataFrame = {
+      mu: Double, ctot: DataFrame): DataFrame = {
     // collection term frequency, pruned to query terms at the join
     // (cf is vocab-sized — qterms broadcasts INTO it, never the
     // reverse), and the 1-row total token count. The post-join frame
@@ -548,7 +593,7 @@ object Retrieval {
     val qcfRows = qcfAgg.collect()
     val qcf = tf.sparkSession.createDataFrame(
       java.util.Arrays.asList(qcfRows: _*), qcfAgg.schema)
-    val stats = tf.agg(sum(col("tf")).cast("long").as("ctot"))
+    val stats = ctot
     // m_q: the query's in-collection distinct-term count (drives the
     // absent-term constant; bounded by query length)
     val mq = qcf.groupBy(col("qid")).agg(count(lit(1)).as("m"))
@@ -805,7 +850,9 @@ object Retrieval {
       k: Int = 10): DataFrame = {
     val ranked = bm25Search(documents, queries, k)
     val qt = queryTermsDf(documents, queries)
-    val rel = postings(documents)
+    // pruned to the literal query-term set before the groupBy — the
+    // qrels join keeps only those terms anyway (see [[postings]])
+    val rel = postings(documents, queries.flatMap(_._2.split(" ")).distinct)
       .join(broadcast(qt), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(count(lit(1)).as("rel"))

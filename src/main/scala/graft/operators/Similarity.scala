@@ -2260,8 +2260,13 @@ object Similarity {
     require(churnExit >= 0.0 && churnExit < 1.0,
       s"need 0 <= churnExit < 1; got $churnExit")
     graft.functions.Registry.ensure(embeddings.sparkSession)
+    // eager: the embedding-carrying rank is materialized once and the
+    // `nodes` cache built from it — the configuration the r19 NND
+    // A/B pinned (lazy re-derivation measured noisier/slower under
+    // the round-0 init + round-1 double consumption)
     val (ranked, n) = Analytics.rankByRange(
-      embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"),
+      eager = true)
     val nodes = ranked
       .select((col("__rank") - 1L).as("idx"), col("vec_id"),
         col("embedding"),

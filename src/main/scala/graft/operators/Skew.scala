@@ -92,7 +92,10 @@ object Skew {
   def keySkewProfile(events: DataFrame,
       keyCol: String = "user_id"): DataFrame = {
     val counts = events.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
-    val (ranked, nKeys) = Analytics.rankByRange(counts, Seq("cnt", keyCol))
+    // eager: ranked is consumed three times (moment aggregate + two
+    // order-statistic lookups)
+    val (ranked, nKeys) = Analytics.rankByRange(counts, Seq("cnt", keyCol),
+      eager = true)
     val agg = ranked.agg(
       sum(col("cnt")).as("n_rows"),
       max(col("cnt")).as("max_count"),

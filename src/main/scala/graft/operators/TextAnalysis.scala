@@ -171,8 +171,12 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // eager: ranked is consumed twice (total_tokens sum + the coverage
+    // stream) and its upstream is the corpus explode+count — the
+    // checkpoint IS the single materialization the scaladoc promises
     val (rankedR, _) = Analytics.rankByRange(
-      counts.withColumn("__negcnt", -col("cnt")), Seq("__negcnt", "w"))
+      counts.withColumn("__negcnt", -col("cnt")), Seq("__negcnt", "w"),
+      eager = true)
     val ranked = rankedR.withColumnRenamed("__rank", "rank").drop("__negcnt")
     val total = ranked.agg(sum(col("cnt")).as("total_tokens"))
     val ks = sizes.map(k => s"$k").mkString(",")
@@ -2254,7 +2258,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_scored"),
         expr("floor(nll_sum / n_scored * 1e9 + 0.5) / 1e9")
           .as("mean_nll"))
-    Analytics.ntileByRange(scored, Seq("mean_nll", "doc_id"), 3)
+    // eager: the sort key IS the trigram-LM score — a lazy rank's
+    // construction job would re-run the whole LM scoring pass
+    Analytics.ntileByRange(scored, Seq("mean_nll", "doc_id"), 3,
+      eager = true)
       .select(col("doc_id"), col("n_scored"), col("mean_nll"),
         when(col("bucket") === 1, "head")
           .when(col("bucket") === 2, "middle")

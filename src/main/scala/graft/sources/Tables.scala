@@ -62,14 +62,15 @@ object Tables {
     * `fanOut = true` repartitions the raw scan to all cores BEFORE the
     * JSON extraction — the driver's events table is one small parquet
     * file (one input split), so without it the per-row JSON work runs
-    * on a single task. On a real cluster the scan arrives pre-split and
-    * fanOut should stay false (a blind repartition of a 100 TB scan
-    * would shuffle the whole table).
+    * on a single task. The repartition is CONDITIONED on the scan
+    * actually arriving under-split (fewer partitions than half the
+    * core count): on a real cluster the scan arrives pre-split and the
+    * fan-out self-disables instead of shuffling the whole table.
     */
   def logEvents(spark: SparkSession, sfDir: String,
       fanOut: Boolean = false): DataFrame = {
     val raw = events(spark, sfDir)
-    val src = if (fanOut)
+    val src = if (fanOut && underSplit(raw))
       raw.repartition(spark.sparkContext.defaultParallelism) else raw
     src.select(
       col("user_id").cast("string").as(LogEvent.Uid),
@@ -77,6 +78,15 @@ object Tables {
       col("event_type").as(LogEvent.Variant),
       col("ts").as(LogEvent.Ts))
   }
+
+  /** True when `df`'s planned scan arrives on fewer partitions than
+    * half the cores — the fan-out predicate of [[logEvents]] and
+    * `SparkEntry.par`: repartitioning pays only for under-split local
+    * fixtures, never for a pre-split cluster scan. `.rdd` plans the
+    * frame (file listing) but runs no job. */
+  private[graft] def underSplit(df: DataFrame): Boolean =
+    df.rdd.getNumPartitions <
+      df.sparkSession.sparkContext.defaultParallelism / 2
 
   /** Write a frame as a bucketed+sorted parquet table: rows are
     * hash-partitioned into `buckets` files per partition by `bucketCol`

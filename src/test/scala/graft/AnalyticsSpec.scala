@@ -144,6 +144,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(gotTiny === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("rankByRange: lazy literal-bounds rank equals the checkpointed rank and row_number") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy first-key ties (the realized-min bounds must respect the
+    // full tuple order), shuffled input across many partitions
+    val rows = (1L to 500L).map(i => (i % 7, s"k${i % 13}", i))
+    val df = rows.toDF("grp", "sub", "id").repartition(11)
+    val sortCols = Seq("grp", "sub", "id")
+    val expect = df.withColumn("__rank",
+        row_number().over(Window.orderBy("grp", "sub", "id")).cast("long"))
+      .select("id", "__rank").as[(Long, Long)].collect().toMap
+    val (lazyR, nLazy) = Analytics.rankByRange(df, sortCols, partitions = 8)
+    assert(nLazy === 500L)
+    assert(lazyR.select("id", "__rank").as[(Long, Long)].collect().toMap
+      === expect)
+    val (eagerR, nEager) =
+      Analytics.rankByRange(df, sortCols, partitions = 8, eager = true)
+    assert(nEager === 500L)
+    assert(eagerR.select("id", "__rank").as[(Long, Long)].collect().toMap
+      === expect)
+    // the lazy frame is rebuilt from df lineage — no hidden checkpoint
+    assert(!lazyR.queryExecution.optimizedPlan.toString
+      .contains("LogicalRDD"), "lazy rank must not checkpoint")
+    // null sort keys: the literal-bounds CASE cannot express NULLS
+    // FIRST — must fall back to the checkpointed window path and
+    // still rank nulls first like row_number over asc_nulls_first
+    val withNulls = Seq((Some(2L), 1L), (None, 2L), (Some(1L), 3L))
+      .toDF("v", "id")
+    val (nr, nn) = Analytics.rankByRange(withNulls, Seq("v", "id"),
+      partitions = 4)
+    assert(nn === 3L)
+    assert(nr.select("id", "__rank").as[(Long, Long)].collect().toMap
+      === Map(2L -> 1L, 3L -> 2L, 1L -> 3L))
+  }
+
   test("ngramRepetition: dup fraction on a repeating doc; short docs excluded") {
     val docs = Seq(
       (1L, "a b a b a b"),   // trigrams: aba,bab,aba,bab → 4 total, 2 distinct

@@ -68,4 +68,15 @@ class SourcesSpec extends AnyFunSuite {
     val (x, y) = (others.head, others(1))
     assert((fps(x) & fps(y)).size.toDouble / (fps(x) | fps(y)).size < 0.3)
   }
+
+  test("underSplit: true only when the scan has fewer splits than half the cores") {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    // a single-partition frame is under-split whenever p >= 4
+    val one = spark.range(100).toDF("id").coalesce(1)
+    assert(graft.sources.Tables.underSplit(one) === (1 < p / 2))
+    // a frame already spread to all cores must NOT trigger the fan-out
+    val wide = spark.range(1000).toDF("id").repartition(p)
+    assert(!graft.sources.Tables.underSplit(wide))
+  }
 }

@@ -61,16 +61,26 @@ def main():
     print(f"total: {old.get('value', 0.0):.1f}s ({len(oq)}q) -> "
           f"{new.get('value', 0.0):.1f}s ({len(nq)}q)  "
           f"ratio {ratio}")
+    # per-query 1-min loadavg at observation start ("load" field, r19+):
+    # flag readings taken under co-tenant pressure so a "regression" on
+    # a burst-hit query reads as suspect, not as code
+    def burst(art, k, thresh=8.0):
+        ls = art.get("load", {}).get(k)
+        return bool(ls) and max(ls) >= thresh
+    def tag(k):
+        marks = ("old-burst" if burst(old, k) else "") + \
+                (" new-burst" if burst(new, k) else "")
+        return f"  [{marks.strip()}]" if marks.strip() else ""
     slower = [(r, k) for r, k in rows if r >= min_ratio]
     faster = [(r, k) for r, k in rows if r <= 1 / min_ratio]
     if slower:
         print(f"\nslower >= {min_ratio}x:")
         for r, k in slower:
-            print(f"  {r:6.2f}x  {oq[k]:7.2f}s -> {nq[k]:7.2f}s  {k}")
+            print(f"  {r:6.2f}x  {oq[k]:7.2f}s -> {nq[k]:7.2f}s  {k}{tag(k)}")
     if faster:
         print(f"\nfaster >= {min_ratio}x:")
         for r, k in reversed(faster):
-            print(f"  {r:6.2f}x  {oq[k]:7.2f}s -> {nq[k]:7.2f}s  {k}")
+            print(f"  {r:6.2f}x  {oq[k]:7.2f}s -> {nq[k]:7.2f}s  {k}{tag(k)}")
     added, removed = sorted(set(nq) - set(oq)), sorted(set(oq) - set(nq))
     if added:
         print(f"\nadded: {', '.join(added)}")
